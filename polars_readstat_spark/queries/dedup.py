@@ -1,0 +1,231 @@
+"""Deduplication queries over `documents` (training-pipeline ops).
+
+Exact dedup (hash-groupBy), MinHash signatures + LSH banding, sampled
+n-gram Jaccard, and SimHash — each expressed with built-in functions
+(explode/groupBy/join), i.e. the shapes that scale: shingling is a
+flatMap, signatures are a map-side-combinable min-aggregate, LSH turns
+the quadratic pair search into an equi-join on band keys, and the
+Jaccard verify joins only candidate pairs.
+
+Portability: hashes are MD5 hex (identical across Spark/DuckDB) and
+minhash takes the lexicographic MIN of the hex string — no hex→int
+conversion needed for engine-exact comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polars_readstat_spark.queries.registry import query
+from polars_readstat_spark.tables import load_table
+
+# 3-token shingles, k=8 minhash permutations, 4 bands × 2 rows
+_SHINGLES_SPARK = (
+    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), "
+    "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+)
+_SHINGLES_DUCK = (
+    "LIST_TRANSFORM(RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - 2, 1) + 1), "
+    "i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' '))"
+)
+_K = 8
+
+_SIG_DUCK = f"""
+    WITH sh AS (
+      SELECT doc_id, UNNEST({_SHINGLES_DUCK}) AS shingle FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(MD5('{k}:' || shingle)) AS h{k}" for k in range(_K))}
+      FROM sh GROUP BY doc_id
+    )
+"""
+
+
+def _signatures(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle"))
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"h{k}")
+            for k in range(_K)
+        ]
+    )
+
+
+@query(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT MD5(text) AS text_hash, COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents GROUP BY MD5(text)
+    """,
+)
+def dedup_exact_hash(spark, sf_dir):
+    """Exact dedup: hash-groupBy with a deterministic keeper per
+    group. At scale this is one shuffle on a 128-bit key — the keys
+    are uniform so no skew handling is needed."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_doc_id")
+    )
+
+
+@query(
+    "minhash_signatures",
+    oracle=_SIG_DUCK + "SELECT * FROM sig",
+)
+def minhash_signatures(spark, sf_dir):
+    """MinHash: shingle (flatMap) → per-doc MIN over k=8 seeded hashes.
+    MIN is map-side combinable, so the shuffle carries one signature
+    row per document, not one row per shingle."""
+    return _signatures(spark, sf_dir)
+
+
+@query(
+    "minhash_lsh_pairs",
+    oracle=_SIG_DUCK
+    + """
+    , bands AS (
+      SELECT doc_id, 0 AS band_idx, MD5(h0 || h1) AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, MD5(h2 || h3) FROM sig
+      UNION ALL SELECT doc_id, 2, MD5(h4 || h5) FROM sig
+      UNION ALL SELECT doc_id, 3, MD5(h6 || h7) FROM sig
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared_bands
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def minhash_lsh_pairs(spark, sf_dir):
+    """LSH banding (4 bands × 2 rows): candidate pairs come from an
+    equi-join on (band_idx, band_key) — linear shuffle, no quadratic
+    scan. Bucket skew (a degenerate band key) is the scale risk; AQE
+    skew-join handles it, and the band key is itself a hash."""
+    sig = _signatures(spark, sf_dir)
+    stack = (
+        "stack(4, "
+        "0, md5(concat(h0, h1)), "
+        "1, md5(concat(h2, h3)), "
+        "2, md5(concat(h4, h5)), "
+        "3, md5(concat(h6, h7))) AS (band_idx, band_key)"
+    )
+    bands = sig.selectExpr("doc_id", stack)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+@query(
+    "ngram_jaccard_sampled",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS token
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM tok a JOIN tok b ON a.token = b.token
+      WHERE a.doc_id % 100 = 0 AND b.doc_id != a.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b, i.n_inter,
+           CAST(i.n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - i.n_inter) >= 0.5
+    """,
+)
+def ngram_jaccard_sampled(spark, sf_dir):
+    """Token-set Jaccard for sampled probe docs (doc_id % 100 == 0)
+    against the corpus, via an explode + equi-join on token — the
+    verify stage that runs on LSH candidates at scale (sampled here so
+    the declared query is budget-bounded)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    a = tok.filter(F.col("doc_id") % 100 == 0).withColumnRenamed("doc_id", "doc_a")
+    b = tok.withColumnRenamed("doc_id", "doc_b")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("doc_b") != F.col("doc_a"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_tok", "na")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_tok", "nb")
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return out.select("doc_a", "doc_b", "n_inter", "jaccard")
+
+
+_HI_NIBBLE = "('8','9','a','b','c','d','e','f')"
+
+
+@query(
+    "simhash_fingerprint",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents
+    ),
+    tok AS (SELECT doc_id, MD5(t) AS h FROM raw)
+    SELECT doc_id,
+           {" || ".join(
+               f"CASE WHEN COUNT(CASE WHEN SUBSTR(h, {b + 1}, 1) IN {_HI_NIBBLE} "
+               f"THEN 1 END) * 2 > COUNT(*) THEN '1' ELSE '0' END"
+               for b in range(16)
+           )} AS simhash
+    FROM tok GROUP BY doc_id
+    """,
+)
+def simhash_fingerprint(spark, sf_dir):
+    """SimHash (16-bit variant): per-bit majority vote over token
+    hashes — one explode + one combinable aggregation per document."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).select("doc_id", F.md5("t").alias("h"))
+    n = F.count(F.lit(1))
+    bits = [
+        F.when(
+            F.count(
+                F.when(
+                    F.substring("h", b + 1, 1).isin(
+                        "8", "9", "a", "b", "c", "d", "e", "f"
+                    ),
+                    1,
+                )
+            )
+            * 2
+            > n,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for b in range(16)
+    ]
+    return tok.groupBy("doc_id").agg(F.concat(*bits).alias("simhash"))

@@ -1,0 +1,353 @@
+"""Relational / host-engine operator queries (SURVEY.md §2.2, §2.9).
+
+These are the scan-adjacent relational primitives the reference
+delegates to its host engine (Polars) and that our engine delegates to
+Catalyst: projection & predicate pushdown, limit/offset slices, casts,
+joins (broadcast / semi / anti), full-outer-join+coalesce metadata
+merge (reference __init__.py:1217-1247), union, top-k per group,
+max-strlen writer pre-pass (reference pybindings.rs:996-1044).
+
+Scale notes: joins against nation/region are broadcast (dims are tiny
+at any SF); aggregations are partial (map-side combine) by construction
+since they use built-in hash aggregates; limit/offset sort on a unique
+key so results are deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polars_readstat_spark.queries.registry import query
+from polars_readstat_spark.tables import load_table
+
+DEC = "decimal(18,2)"
+
+
+def _dec(c):
+    return F.col(c).cast(DEC)
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                    * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+               AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-style pricing summary — the flagship aggregation.
+
+    Monetary sums go through DECIMAL so the result is exact and
+    independent of Spark's partition-completion order (double sums are
+    not associative); cast back to double for the comparator.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast(DEC) + _dec("l_tax"))
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "projection_pushdown",
+    oracle="SELECT l_orderkey, l_quantity FROM lineitem",
+)
+def projection_pushdown(spark, sf_dir):
+    """P1: column pruning reaches the parquet scan (ReadSchema shows
+    exactly two columns; reference never reads unselected bytes)."""
+    return load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+
+
+@query(
+    "filter_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem WHERE l_quantity >= 18 AND l_returnflag = 'R'
+    """,
+)
+def filter_pushdown(spark, sf_dir):
+    """P4: predicate reaches PushedFilters in the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") >= 18) & (F.col("l_returnflag") == "R")).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+
+
+@query(
+    "limit_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    ORDER BY l_orderkey, l_linenumber LIMIT 100
+    """,
+)
+def limit_pushdown(spark, sf_dir):
+    """P2: n_rows limit; ordered on the unique key so the slice is
+    deterministic under any partitioning."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@query(
+    "offset_slice",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    ORDER BY l_orderkey, l_linenumber LIMIT 100 OFFSET 100
+    """,
+)
+def offset_slice(spark, sf_dir):
+    """P3: offset+limit slice (reference: exact byte-seek offset reads)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .orderBy("l_orderkey", "l_linenumber")
+        .offset(100)
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@query(
+    "schema_override_cast",
+    oracle="""
+    SELECT l_orderkey, CAST(l_quantity AS INTEGER) AS qty_int,
+           CAST(l_linenumber AS BIGINT) AS ln_big,
+           CAST(l_orderkey AS VARCHAR) AS ok_str
+    FROM lineitem
+    """,
+)
+def schema_override_cast(spark, sf_dir):
+    """P5: schema_overrides post-scan casts (reference __init__.py:668-673)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_linenumber").cast("bigint").alias("ln_big"),
+        F.col("l_orderkey").cast("string").alias("ok_str"),
+    )
+
+
+@query(
+    "metadata_merge_full_join",
+    oracle="""
+    WITH cust AS (
+      SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS cust_acctbal
+      FROM customer GROUP BY c_nationkey
+    ), supp AS (
+      SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers,
+             CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS supp_acctbal
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT COALESCE(cust.nationkey, supp.nationkey) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers,
+           COALESCE(cust_acctbal, 0.0) AS cust_acctbal,
+           COALESCE(supp_acctbal, 0.0) AS supp_acctbal
+    FROM cust FULL OUTER JOIN supp ON cust.nationkey = supp.nationkey
+    """,
+)
+def metadata_merge_full_join(spark, sf_dir):
+    """W7: the metadata-merge idiom — full outer join + per-column
+    COALESCE where explicit kwargs win (reference __init__.py:1217-1247),
+    exercised here over two per-nation summaries."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("cust_acctbal"),
+        )
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(_dec("s_acctbal")).cast("double").alias("supp_acctbal"),
+        )
+    )
+    joined = cust.join(supp, on="nationkey", how="full")
+    return joined.select(
+        "nationkey",
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        F.coalesce("cust_acctbal", F.lit(0.0)).alias("cust_acctbal"),
+        F.coalesce("supp_acctbal", F.lit(0.0)).alias("supp_acctbal"),
+    )
+
+
+@query(
+    "semi_join_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_join_customers_with_orders(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "anti_join_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_customers_without_orders(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "broadcast_join_order_region",
+    oracle="""
+    SELECT r.r_name AS region_name, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def broadcast_join_order_region(spark, sf_dir):
+    """Star-join rollup: nation/region are broadcast (tiny dims at any
+    SF); only orders⋈customer shuffles, and AQE coalesces it."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+@query(
+    "union_distinct_keys",
+    oracle="""
+    SELECT n_regionkey AS key FROM nation
+    UNION
+    SELECT r_regionkey AS key FROM region
+    """,
+)
+def union_distinct_keys(spark, sf_dir):
+    """vstack/concat + distinct (reference vstacks scan batches)."""
+    n = load_table(spark, sf_dir, "nation").select(F.col("n_regionkey").alias("key"))
+    r = load_table(spark, sf_dir, "region").select(F.col("r_regionkey").alias("key"))
+    return n.union(r).distinct()
+
+
+@query(
+    "topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def topk_orders_per_customer(spark, sf_dir):
+    """Top-K per group via ranked window (tie-broken on the unique
+    order key so ranks are deterministic)."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+@query(
+    "max_strlen_prepass",
+    oracle="""
+    SELECT source, MAX(LENGTH(text)) AS max_len, COUNT(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def max_strlen_prepass(spark, sf_dir):
+    """W2: the streaming-sink width pre-pass — agg(max(length(c)))
+    (reference pybindings.rs:996-1044), per source file."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.max(F.length("text")).alias("max_len"), F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@query(
+    "group_count_events",
+    oracle="SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+)
+def group_count_events(spark, sf_dir):
+    """groupBy-count (reference uses it for row-index tag resolution)."""
+    return load_table(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "pivot_user_event_counts",
+    oracle="""
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_user_event_counts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = ev.groupBy("user_id").pivot("event_type", types).count()
+    return out.na.fill(0, subset=types)

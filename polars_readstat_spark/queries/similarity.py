@@ -1,0 +1,143 @@
+"""Similarity search over the `embeddings` table (array<float>, 64-d).
+
+Brute-force cosine top-k as the correctness baseline; the LSH-bucketed
+scale path lives in functions/similarity.py.
+
+Engine-exact float strategy: per-element products (float→double, exact
+for 24-bit mantissas) are scaled by 1e12 and floored to BIGINT, so the
+reduction is integer arithmetic — exact, associative, and identical in
+Spark and DuckDB regardless of summation order. The final cosine is
+computed from those integers with the same double expressions on both
+sides (cast/div/sqrt are correctly rounded IEEE ops), so results match
+bitwise. Decimal accumulators don't work here: decimal→double
+conversion differs between the engines by 1 ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from polars_readstat_spark.queries.registry import query
+from polars_readstat_spark.tables import load_table
+
+_SCALE = "1000000000000"  # 1e12; 64 * 1e12 << 2^53, sums stay exact
+
+# scaled dot product as BIGINT (Spark higher-order functions)
+_DOT_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> "
+    f"CAST(FLOOR(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * {_SCALE}.0) AS BIGINT)), "
+    "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+
+
+def _normsq_spark(col: str) -> str:
+    return (
+        "aggregate(transform({c}, x -> "
+        f"CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * {_SCALE}.0) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    ).format(c=col)
+
+
+_NORM_DUCK = f"""
+    norms AS (
+      SELECT e.vec_id,
+             CAST(SUM(CAST(FLOOR(CAST(e.embedding[i.i] AS DOUBLE)
+                                 * CAST(e.embedding[i.i] AS DOUBLE)
+                                 * {_SCALE}.0) AS BIGINT)) AS BIGINT) AS normsq_s
+      FROM embeddings e
+      CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) i
+      GROUP BY e.vec_id
+    )
+"""
+
+
+@query(
+    "embedding_l2_norms",
+    oracle="WITH "
+    + _NORM_DUCK
+    + f" SELECT vec_id, SQRT(CAST(normsq_s AS DOUBLE) / {_SCALE}.0) AS l2_norm FROM norms",
+)
+def embedding_l2_norms(spark, sf_dir):
+    """Per-vector L2 norm — the normalization pass every ANN pipeline
+    precomputes once and reuses."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.expr(
+            f"SQRT(CAST({_normsq_spark('embedding')} AS DOUBLE) / {_SCALE}.0)"
+        ).alias("l2_norm"),
+    )
+
+
+@query(
+    "ann_bruteforce_topk",
+    oracle="WITH probes AS (SELECT vec_id AS q_id, embedding AS q FROM embeddings WHERE vec_id % 50 = 0),"
+    + _NORM_DUCK
+    + f"""
+    , dots AS (
+      SELECT p.q_id, e.vec_id AS c_id,
+             CAST(SUM(CAST(FLOOR(CAST(p.q[i.i] AS DOUBLE)
+                                 * CAST(e.embedding[i.i] AS DOUBLE)
+                                 * {_SCALE}.0) AS BIGINT)) AS BIGINT) AS dot_s
+      FROM probes p
+      CROSS JOIN embeddings e
+      CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) i
+      WHERE e.vec_id != p.q_id
+      GROUP BY p.q_id, e.vec_id
+    ),
+    scored AS (
+      SELECT d.q_id, d.c_id,
+             (CAST(d.dot_s AS DOUBLE) / {_SCALE}.0)
+               / (SQRT(CAST(nq.normsq_s AS DOUBLE) / {_SCALE}.0)
+                  * SQRT(CAST(nc.normsq_s AS DOUBLE) / {_SCALE}.0)) AS cosine
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.q_id
+      JOIN norms nc ON nc.vec_id = d.c_id
+    )
+    SELECT q_id, c_id, cosine, rk FROM (
+      SELECT q_id, c_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def ann_bruteforce_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for probe vectors (vec_id % 50 == 0).
+
+    Probes are broadcast against the corpus (the scale shape: a small
+    query batch vs a huge corpus never shuffles the corpus); top-k is a
+    ranked window partitioned by probe, tie-broken on candidate id."""
+    e = load_table(spark, sf_dir, "embeddings")
+    norms = e.select(
+        "vec_id", F.expr(_normsq_spark("embedding")).alias("normsq_s")
+    )
+    probes = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q")
+    )
+    pairs = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            F.expr(_DOT_SPARK.format(a="q", b="embedding")).alias("dot_s"),
+        )
+    )
+    nq = norms.select(F.col("vec_id").alias("q_id"), F.col("normsq_s").alias("q_ns"))
+    nc = norms.select(F.col("vec_id").alias("c_id"), F.col("normsq_s").alias("c_ns"))
+    cosine = (F.col("dot_s").cast("double") / F.lit(float(_SCALE))) / (
+        F.sqrt(F.col("q_ns").cast("double") / F.lit(float(_SCALE)))
+        * F.sqrt(F.col("c_ns").cast("double") / F.lit(float(_SCALE)))
+    )
+    scored = (
+        pairs.join(F.broadcast(nq), "q_id")
+        .join(nc, "c_id")
+        .select("q_id", "c_id", cosine.alias("cosine"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "c_id", "cosine", "rk")
+    )

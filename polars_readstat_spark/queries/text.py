@@ -1,0 +1,130 @@
+"""Text-analysis queries over the `documents` table.
+
+Training-data-pipeline operators (project north star, beyond reference
+parity): token counting, quality scoring, language-ID scoring, and
+document fingerprinting — all as built-in-function expressions (no
+Python UDFs in the hot path; everything stays in WholeStageCodegen).
+Ratios are computed as double divisions of exact integer aggregates so
+Spark and DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polars_readstat_spark.queries.registry import query
+from polars_readstat_spark.tables import load_table
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+_SW_SQL = "('" + "','".join(_STOPWORDS) + "')"
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id, LENGTH(text) AS n_chars_calc,
+           LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    """Whitespace tokenization + counts (pipeline token-count op)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, LENGTH(text) AS n_chars,
+             STRING_SPLIT(text, ' ') AS toks
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           LEN(toks) AS n_tokens,
+           CAST(LEN(LIST_FILTER(toks, x -> x IN {_SW_SQL})) AS DOUBLE)
+               / LEN(toks) AS stopword_ratio,
+           CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks) AS distinct_ratio,
+           CAST(n_chars - (LEN(toks) - 1) AS DOUBLE) / LEN(toks) AS avg_token_len
+    FROM t
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Quality scoring: stopword ratio, vocabulary diversity, average
+    token length — the usual pre-training corpus filters."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    sw = F.array([F.lit(s) for s in _STOPWORDS])
+    n_sw = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    n_distinct = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        (n_sw.cast("double") / n_tok).alias("stopword_ratio"),
+        (n_distinct.cast("double") / n_tok).alias("distinct_ratio"),
+        ((F.length("text") - (n_tok - F.lit(1))).cast("double") / n_tok).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+@query(
+    "text_lang_id_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(LEN(LIST_FILTER(toks, x -> x IN {_SW_SQL})) AS DOUBLE)
+               / LEN(toks) AS en_score,
+           CASE WHEN CAST(LEN(LIST_FILTER(toks, x -> x IN {_SW_SQL})) AS DOUBLE)
+                     / LEN(toks) >= 0.02 THEN 'en' ELSE 'und' END AS pred_lang
+    FROM t
+    """,
+)
+def text_lang_id_score(spark, sf_dir):
+    """Language-ID scoring: English function-word hit rate → threshold
+    classifier. (The synthetic corpus shares one vocabulary across its
+    `lang` tags, so accuracy against `lang` is meaningless here; the
+    deterministic scoring pipeline is what's under test. The real
+    n-gram profiles live in functions/text.py.)"""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sw = F.array([F.lit(s) for s in _STOPWORDS])
+    score = F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast(
+        "double"
+    ) / F.size(toks)
+    return d.select(
+        "doc_id",
+        "lang",
+        score.alias("en_score"),
+        F.when(score >= 0.02, F.lit("en")).otherwise(F.lit("und")).alias("pred_lang"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MD5(ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:8], ' ')
+               || ':' || CAST(CAST(FLOOR(LENGTH(text) / 100.0) AS BIGINT) AS VARCHAR))
+               AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: hash of the leading-token prefix plus a
+    length bucket (cheap near-dup prefilter)."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+    bucket = F.floor(F.length("text") / F.lit(100.0)).cast("bigint").cast("string")
+    return d.select(
+        "doc_id", F.md5(F.concat(prefix, F.lit(":"), bucket)).alias("fingerprint")
+    )

@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode settings follow the scale design notes in SURVEY.md §7:
+shuffle partitions ~ cores (not the 200 default), AQE on (runtime
+coalescing + skew-join handling — the local stand-in for what a
+1000-executor cluster needs), Arrow enabled for the Pandas-UDF paths,
+UTC session timezone so results compare bit-for-bit against the DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app: str = "polars_readstat_spark", cpus: int | None = None) -> SparkSession:
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        # events.parquet carries TIMESTAMP(NANOS) which the vectorized
+        # reader otherwise rejects; read as long and convert in-plan.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure_existing(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable configs to a session we didn't build
+    (the driver hands us one in ``__spark_entry__.entry``)."""
+    for k, v in [
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ]:
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark

@@ -1,0 +1,114 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB over the same parquet tables, then compares row count,
+column names, and order-insensitive values (exact on ints/strings,
+bitwise on doubles — our queries are engineered for exact float
+parity, see queries/registry.py).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duckdb_con(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(rows, cols):
+    """Sort columns by name, rows by repr — order-insensitive compare."""
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def norm_cell(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return v
+        return v
+
+    out = [tuple(norm_cell(r[i]) for i in idx) for r in rows]
+    out.sort(key=repr)
+    return [c for c in sorted(cols)], out
+
+
+def compare(name, sdf, sql, con, report):
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    ok = True
+    msgs = []
+    if sorted(scols) != sorted(dcols):
+        ok = False
+        msgs.append(f"cols: spark={sorted(scols)} duck={sorted(dcols)}")
+    if len(srows) != len(drows):
+        ok = False
+        msgs.append(f"rows: spark={len(srows)} duck={len(drows)}")
+    if ok:
+        _, ns = normalize(srows, scols)
+        _, nd = normalize(drows, dcols)
+        n_bad = 0
+        for i, (a, b) in enumerate(zip(ns, nd)):
+            if a != b:
+                n_bad += 1
+                if n_bad <= 3:
+                    msgs.append(f"row {i}: spark={a} duck={b}")
+        if n_bad:
+            ok = False
+            msgs.append(f"{n_bad}/{len(ns)} mismatched rows")
+    report[name] = (ok, msgs)
+    print(("PASS " if ok else "FAIL ") + name + ("" if ok else ": " + " | ".join(msgs)))
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entrymod
+    from polars_readstat_spark.session import get_spark
+
+    spark = get_spark("oracle-check", cpus=8)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    con = duckdb_con(sf_dir)
+    report = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            n = fn(spark, sf_dir).count()
+            print(f"ROWS {name}: {n} (no oracle)")
+            continue
+        try:
+            compare(name, fn(spark, sf_dir), oracles[name], con, report)
+        except Exception as e:  # noqa: BLE001
+            report[name] = (False, [repr(e)])
+            print(f"ERROR {name}: {e!r}")
+    n_fail = sum(1 for ok, _ in report.values() if not ok)
+    print(f"\n{len(report) - n_fail}/{len(report)} oracle-checked queries pass")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
