@@ -23,6 +23,45 @@ from polars_readstat_spark.session import get_spark  # noqa: F401
 __version__ = "0.1.0"
 
 
+def _ship_package(spark) -> None:
+    """Distribute this package to Spark's Python workers via addPyFile.
+
+    The Python Data Source class is cloudpickled by reference, so
+    executor-side workers must be able to import
+    ``polars_readstat_spark`` regardless of their cwd — on a real
+    cluster this zip is exactly what ships to every executor.
+    """
+    if getattr(spark, "_prs_package_shipped", False):
+        return
+    import hashlib
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    parent = os.path.dirname(pkg_dir)
+    files = []
+    for root, _dirs, names in os.walk(pkg_dir):
+        for n in sorted(names):
+            if n.endswith(".py"):
+                files.append(os.path.join(root, n))
+    h = hashlib.md5()
+    for f in sorted(files):
+        h.update(f.encode())
+        h.update(str(os.path.getmtime(f)).encode())
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"polars_readstat_spark-{h.hexdigest()[:12]}.zip"
+    )
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for f in sorted(files):
+                z.write(f, os.path.relpath(f, parent))
+        os.replace(tmp, zpath)
+    spark.sparkContext.addPyFile(zpath)
+    spark._prs_package_shipped = True
+
+
 def register(spark):
     """Register the `readstat` data source with a SparkSession.
 
@@ -32,5 +71,64 @@ def register(spark):
     """
     from polars_readstat_spark.sources.datasource import ReadstatDataSource
 
+    _ship_package(spark)
     spark.dataSource.register(ReadstatDataSource)
     return spark
+
+
+def scan_readstat(
+    spark,
+    path,
+    columns=None,
+    n_rows=None,
+    offset=None,
+    value_labels_as_strings=False,
+    missing_string_as_null=False,
+    row_index_name=None,
+    row_index_offset=None,
+    batch_size=None,
+    rows_per_partition=None,
+    schema_overrides=None,
+):
+    """Lazy scan of a statistical file → Spark DataFrame.
+
+    The Spark twin of the reference's ``scan_readstat``
+    (reference __init__.py:498-676): options push into the data source
+    (projection / limit / offset reach the byte reader), and
+    ``schema_overrides`` applies post-scan casts
+    (reference __init__.py:668-673).
+    """
+    register(spark)
+    r = spark.read.format("readstat")
+    if columns:
+        r = r.option("columns", ",".join(columns))
+    for k, v in [
+        ("n_rows", n_rows),
+        ("offset", offset),
+        ("row_index_name", row_index_name),
+        ("row_index_offset", row_index_offset),
+        ("batch_size", batch_size),
+        ("rows_per_partition", rows_per_partition),
+    ]:
+        if v is not None:
+            r = r.option(k, str(v))
+    if value_labels_as_strings:
+        r = r.option("value_labels_as_strings", "true")
+    if missing_string_as_null:
+        r = r.option("missing_string_as_null", "true")
+    df = r.load(str(path))
+    if schema_overrides:
+        from pyspark.sql import functions as F
+
+        df = df.withColumns(
+            {c: F.col(c).cast(t) for c, t in schema_overrides.items()}
+        )
+    return df
+
+
+def read_metadata(path) -> dict:
+    """File + per-variable metadata dict (reference `reader.metadata`,
+    src/lib.rs:486-502)."""
+    from polars_readstat_spark.operators.metadata import metadata_dict
+
+    return metadata_dict(str(path))

@@ -1,0 +1,273 @@
+"""`readstat` Spark data source (Python Data Source API, Spark 4.x).
+
+The Spark-native analogue of the reference's Polars AnonymousScan
+integration (reference polars_readstat/__init__.py:663 via
+register_io_source): the driver parses file metadata only (schema
+phase reads header + dictionary, never data — reference
+src/stata/polars_output.rs:624-683), `partitions()` plans row ranges
+from file geometry, and executors decode their ranges independently
+into Arrow batches.
+
+Scale design: partitions are exact row ranges (fixed-width records ⇒
+byte seeks), so a 1000-executor cluster reads one file with zero
+coordination; the strL sidecar index is built once per executor and
+cached. Option surface mirrors `scan_readstat` (reference
+__init__.py:498-676).
+
+Supported formats: .dta (Stata v113-119). SAV/SAS7BDAT/XPT/POR arrive
+in later milestones via the same dispatch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    ByteType,
+    DateType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+_TRUE = {"1", "true", "yes"}
+
+
+def _opt_bool(options, key: str, default: bool = False) -> bool:
+    v = options.get(key)
+    return default if v is None else str(v).lower() in _TRUE
+
+
+def _opt_int(options, key: str, default: int | None = None) -> int | None:
+    v = options.get(key)
+    return default if v in (None, "") else int(v)
+
+
+class ReadstatDataSource(DataSource):
+    """spark.read.format("readstat").options(...).load(path)
+
+    Options (mirroring reference scan_readstat, __init__.py:498-676):
+      columns                  comma-separated projection (P1)
+      n_rows / limit           row-limit pushdown (P2)
+      offset                   skip first N rows, exact seek (P3)
+      value_labels_as_strings  labeled numeric → label strings (T1/T6)
+      missing_string_as_null   ""→null (reference __init__.py:33)
+      row_index_name           add exact file-order row index (O2)
+      row_index_offset         starting value for the row index
+      batch_size               rows per Arrow batch
+      rows_per_partition       partition granularity override
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "readstat"
+
+    def _path(self) -> str:
+        p = self.options.get("path")
+        if not p:
+            raise ValueError("readstat: path is required")
+        return p
+
+    def _format(self) -> str:
+        ext = os.path.splitext(self._path())[1].lower().lstrip(".")
+        if ext != "dta":
+            raise NotImplementedError(
+                f"readstat: format '{ext}' not yet supported (have: dta)"
+            )
+        return ext
+
+    def _meta(self):
+        from polars_readstat_spark.sources.dta.meta import parse_dta_meta
+
+        self._format()
+        return parse_dta_meta(self._path())
+
+    def schema(self) -> StructType:
+        meta = self._meta()
+        return dta_spark_schema(meta, self.options)
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return DtaReader(self._path(), self.options, schema)
+
+
+def _selected_vars(meta, options):
+    cols = options.get("columns")
+    if cols:
+        wanted = [c.strip() for c in str(cols).split(",") if c.strip()]
+        by_name = {v.name: i for i, v in enumerate(meta.variables)}
+        missing = [c for c in wanted if c not in by_name]
+        if missing:
+            raise ValueError(f"readstat: unknown columns {missing}")
+        return [by_name[c] for c in wanted]
+    return list(range(len(meta.variables)))
+
+
+def dta_spark_schema(meta, options) -> StructType:
+    """Schema from header metadata only; per-variable metadata (label,
+    format, value-label name) rides on StructField.metadata —
+    the Spark shape of the reference's metadata surface (§1.4,
+    src/metadata_df.rs)."""
+    vls = _opt_bool(options, "value_labels_as_strings")
+    fields = []
+    for i in _selected_vars(meta, options):
+        v = meta.variables[i]
+        if v.kind in ("str", "strl"):
+            t = StringType()
+        elif vls and v.lblname:
+            t = StringType()
+        elif v.time_kind == "date":
+            t = DateType()
+        elif v.time_kind == "datetime":
+            t = TimestampNTZType()
+        else:
+            t = {
+                "byte": ByteType(),
+                "int": ShortType(),
+                "long": IntegerType(),
+                "float": FloatType(),
+                "double": DoubleType(),
+            }[v.kind]
+        md = {"format": v.fmt}
+        if v.varlabel:
+            md["label"] = v.varlabel
+        if v.lblname:
+            md["value_label"] = v.lblname
+        fields.append(StructField(v.name, t, True, metadata=md))
+    ri = options.get("row_index_name")
+    if ri:
+        if any(f.name == ri for f in fields):
+            # reference rejects clashes at analysis time (src/lib.rs:400-413)
+            raise ValueError(f"row_index_name '{ri}' collides with a column")
+        fields.append(StructField(ri, LongType(), False))
+    return StructType(fields)
+
+
+class RowRange(InputPartition):
+    def __init__(self, start: int, n: int):
+        self.start = start
+        self.n = n
+
+
+# per-executor strL index cache: path -> lookup
+_STRL_CACHE: dict[str, dict] = {}
+
+
+class DtaReader(DataSourceReader):
+    def __init__(self, path: str, options, schema: StructType):
+        from polars_readstat_spark.sources.dta.meta import parse_dta_meta
+
+        self.path = path
+        self.options = dict(options)
+        self.meta = parse_dta_meta(path)
+        self.col_indices = _selected_vars(self.meta, options)
+        self.value_labels_as_strings = _opt_bool(options, "value_labels_as_strings")
+        self.missing_string_as_null = _opt_bool(options, "missing_string_as_null")
+        self.row_index_name = options.get("row_index_name")
+        self.row_index_offset = _opt_int(options, "row_index_offset", 0)
+        self.limit = _opt_int(options, "n_rows", _opt_int(options, "limit"))
+        self.offset = _opt_int(options, "offset", 0) or 0
+        self.batch_size = _opt_int(options, "batch_size")
+        self.rows_per_partition = _opt_int(options, "rows_per_partition")
+
+    # -- planning (driver side) ------------------------------------
+
+    def _row_span(self) -> tuple[int, int]:
+        total = self.meta.nobs
+        start = min(self.offset, total)
+        n = total - start
+        if self.limit is not None:
+            n = min(n, self.limit)
+        return start, n
+
+    def partitions(self):
+        start, n = self._row_span()
+        rw = max(self.meta.record_width, 1)
+        per = self.rows_per_partition
+        if per is None:
+            # ~48 MB of raw record bytes per partition, ≥64k rows so
+            # tiny files stay single-partition
+            per = max(65536, (48 << 20) // rw)
+        parts = []
+        pos = start
+        while pos < start + n:
+            cnt = min(per, start + n - pos)
+            parts.append(RowRange(pos, cnt))
+            pos += cnt
+        return parts or [RowRange(start, 0)]
+
+    # -- execution (executor side) ---------------------------------
+
+    def read(self, partition: RowRange):
+        import numpy as np
+        import pyarrow as pa
+
+        from polars_readstat_spark.sources.dta.decode import (
+            build_strl_lookup,
+            decode_rows,
+        )
+
+        meta = self.meta
+        need_strl = any(
+            meta.variables[i].typecode == 32768 for i in self.col_indices
+        )
+        strl_lookup = None
+        if need_strl:
+            strl_lookup = _STRL_CACHE.get(self.path)
+            if strl_lookup is None:
+                strl_lookup = build_strl_lookup(meta)
+                _STRL_CACHE[self.path] = strl_lookup
+
+        rw = meta.record_width
+        ncols = max(len(self.col_indices), 1)
+        batch_rows = self.batch_size or min(max(2_000_000 // ncols, 1024), 100_000)
+
+        def with_row_index(batch, pos, cnt):
+            if not self.row_index_name:
+                return batch
+            # exact file-order index from partition row offsets
+            # (reference O2, src/sas/polars_output.rs:443-474) —
+            # result-relative, starting at row_index_offset
+            idx = pa.array(
+                np.arange(pos, pos + cnt, dtype=np.int64)
+                + ((self.row_index_offset or 0) - self.offset)
+            )
+            return pa.RecordBatch.from_arrays(
+                [*batch.columns, idx],
+                names=[*batch.schema.names, self.row_index_name],
+            )
+
+        if partition.n == 0:
+            # empty span: one zero-row batch so the schema is honored
+            batch = decode_rows(
+                meta, b"", 0, self.col_indices,
+                self.value_labels_as_strings, self.missing_string_as_null,
+                strl_lookup,
+            )
+            yield with_row_index(batch, partition.start, 0)
+            return
+
+        with open(self.path, "rb") as f:
+            pos = partition.start
+            end = partition.start + partition.n
+            while pos < end:
+                cnt = min(batch_rows, end - pos)
+                f.seek(meta.data_offset + pos * rw)
+                buf = f.read(cnt * rw)
+                batch = decode_rows(
+                    meta,
+                    buf,
+                    cnt,
+                    self.col_indices,
+                    self.value_labels_as_strings,
+                    self.missing_string_as_null,
+                    strl_lookup,
+                )
+                yield with_row_index(batch, pos, cnt)
+                pos += cnt

@@ -1,0 +1,219 @@
+"""Differential tests for the Stata DTA data source.
+
+Oracle: pandas.read_stata (independent public implementation), per the
+reference's test strategy (SURVEY.md §5: cross-library differential
+testing). Fixtures: pandas-written files (v114/117/118) plus the
+public pandas-test-suite corpus mirrored in the reference repo's test
+data directory (read-only inputs).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import polars_readstat_spark as prs
+from polars_readstat_spark.sources.dta.decode import (
+    STATA_EPOCH_DAYS,
+    STATA_EPOCH_MS,
+)
+from polars_readstat_spark.sources.dta.meta import parse_dta_meta
+
+CORPUS = "/root/reference/crates/polars_readstat_rs/tests/stata/data"
+
+
+@pytest.fixture(scope="module")
+def dta_dir(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("dta")
+    rs = np.random.RandomState(42)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(2000, dtype=np.int32),
+            "sex": pd.Series(np.tile([1, 2], 1000), dtype=np.int8),
+            "age": pd.Series(rs.randint(10, 99, 2000), dtype=np.int16),
+            "income": np.round(rs.uniform(0, 1e5, 2000), 2),
+            "ratio": rs.uniform(0, 1, 2000).astype(np.float32),
+            "name": [f"person_{i}" for i in range(2000)],
+            "when": pd.to_datetime("2015-06-01")
+            + pd.to_timedelta(rs.randint(0, 3000, 2000), "D"),
+        }
+    )
+    df.loc[3, "income"] = np.nan
+    df.loc[7, "name"] = ""
+    paths = {}
+    for v in (114, 117, 118):
+        p = str(tmp / f"basic_{v}.dta")
+        df.to_stata(
+            p,
+            version=v,
+            write_index=False,
+            variable_labels={"id": "Respondent ID"},
+            value_labels={"sex": {1: "Male", 2: "Female"}},
+        )
+        paths[v] = p
+    return paths
+
+
+def _destata_dates(sdf, meta):
+    """Convert our date/datetime columns back to Stata numerics
+    JVM-side (year-9999 values overflow pandas ns timestamps)."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    for c in sdf.columns:
+        try:
+            var = meta.var(c)
+        except KeyError:
+            cols.append(F.col(c))
+            continue
+        if var.kind in ("str", "strl") or var.time_kind is None:
+            cols.append(F.col(c))
+        elif var.time_kind == "date":
+            cols.append(
+                (
+                    F.datediff(F.col(c), F.lit("1970-01-01").cast("date"))
+                    - F.lit(STATA_EPOCH_DAYS)
+                ).cast("double").alias(c)
+            )
+        else:  # datetime: µs since epoch → Stata ms
+            cols.append(
+                (
+                    F.unix_micros(F.col(c).cast("timestamp")) / 1000.0
+                    - F.lit(STATA_EPOCH_MS)
+                ).alias(c)
+            )
+    return sdf.select(*cols)
+
+
+def _compare_default_mode(sdf_pd, ref, meta):
+    """Compare our default-mode read (dates pre-converted back to
+    Stata numerics via _destata_dates) against pandas raw read
+    (convert_dates=False)."""
+    assert list(sdf_pd.columns) == list(ref.columns)
+    assert len(sdf_pd) == len(ref)
+    for c in ref.columns:
+        a, b = sdf_pd[c], ref[c]
+        var = meta.var(c)
+        an = pd.isna(a)
+        bn = pd.isna(b)
+        assert (an.values == bn.values).all(), f"{c}: null masks differ"
+        av, bv = a[~an], b[~bn]
+        if var.kind in ("str", "strl"):
+            assert (av.astype(str).values == bv.astype(str).values).all(), f"{c}: strings differ"
+        else:
+            assert np.allclose(
+                av.astype("float64").values, bv.astype("float64").values, rtol=0, atol=0
+            ), f"{c}: values differ"
+
+
+@pytest.mark.parametrize("version", [114, 117, 118])
+def test_basic_roundtrip_matches_pandas(version, dta_dir, spark):
+    p = dta_dir[version]
+    meta = parse_dta_meta(p)
+    sdf = _destata_dates(prs.scan_readstat(spark, p), meta).toPandas()
+    ref = pd.read_stata(
+        p, convert_dates=False, convert_categoricals=False, preserve_dtypes=True
+    )
+    _compare_default_mode(sdf, ref, meta)
+
+
+def test_schema_types(dta_dir, spark):
+    sdf = prs.scan_readstat(spark, dta_dir[118])
+    types = dict(sdf.dtypes)
+    assert types == {
+        "id": "int",
+        "sex": "tinyint",
+        "age": "smallint",
+        "income": "double",
+        "ratio": "float",
+        "name": "string",
+        "when": "timestamp_ntz",
+    }
+    # metadata rides on the schema (reference §1.4)
+    f = sdf.schema["id"]
+    assert f.metadata.get("label") == "Respondent ID"
+
+
+def test_value_labels_as_strings(dta_dir, spark):
+    sdf = prs.scan_readstat(
+        spark, dta_dir[118], columns=["sex"], value_labels_as_strings=True
+    ).toPandas()
+    ref = pd.read_stata(dta_dir[118], convert_categoricals=True)
+    assert (sdf["sex"].values == ref["sex"].astype(str).values).all()
+
+
+def test_projection_limit_offset(dta_dir, spark):
+    sdf = prs.scan_readstat(
+        spark, dta_dir[118], columns=["id", "income"], n_rows=50, offset=100
+    ).toPandas()
+    ref = pd.read_stata(dta_dir[118], convert_categoricals=False)
+    assert list(sdf.columns) == ["id", "income"]
+    assert len(sdf) == 50
+    assert (sdf["id"].values == ref["id"].values[100:150]).all()
+
+
+def test_multi_partition_equals_single(dta_dir, spark):
+    """Partitioned read ≡ serial read (reference
+    tests/parallel_reader_integrity.rs)."""
+    one = prs.scan_readstat(spark, dta_dir[118]).toPandas()
+    many = prs.scan_readstat(
+        spark, dta_dir[118], rows_per_partition=97, row_index_name="ri"
+    ).toPandas()
+    many = many.sort_values("ri").reset_index(drop=True)
+    assert (many["id"].values == one["id"].values).all()
+    assert (many["ri"].values == np.arange(len(one))).all()
+
+
+def test_row_index_with_offset(dta_dir, spark):
+    df = prs.scan_readstat(
+        spark,
+        dta_dir[118],
+        columns=["id"],
+        offset=10,
+        n_rows=20,
+        row_index_name="idx",
+        rows_per_partition=7,
+    ).toPandas()
+    df = df.sort_values("idx")
+    assert (df["idx"].values == np.arange(20)).all()
+    assert (df["id"].values == np.arange(10, 30)).all()
+
+
+def test_missing_string_as_null(dta_dir, spark):
+    df = prs.scan_readstat(
+        spark, dta_dir[118], columns=["name"], missing_string_as_null=True
+    ).toPandas()
+    assert df["name"].isna().sum() == 1
+
+
+def _supported_corpus():
+    out = []
+    for p in sorted(glob.glob(os.path.join(CORPUS, "*.dta"))):
+        try:
+            parse_dta_meta(p, load_value_labels=False)
+        except Exception:
+            continue
+        out.append(p)
+    return out
+
+
+@pytest.mark.parametrize(
+    "path", _supported_corpus(), ids=lambda p: os.path.basename(p)
+)
+def test_corpus_matches_pandas(path, spark):
+    """Whole-corpus differential vs pandas (public pandas test files;
+    versions 113-119 incl. big-endian)."""
+    meta = parse_dta_meta(path)
+    try:
+        ref = pd.read_stata(
+            path, convert_dates=False, convert_categoricals=False,
+            preserve_dtypes=True, convert_missing=False,
+        )
+    except Exception as e:  # pandas itself can't read it — skip
+        pytest.skip(f"pandas failed: {e!r}")
+    sdf = _destata_dates(prs.scan_readstat(spark, path), meta).toPandas()
+    _compare_default_mode(sdf, ref, meta)
