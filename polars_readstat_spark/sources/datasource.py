@@ -77,24 +77,29 @@ class ReadstatDataSource(DataSource):
 
     def _format(self) -> str:
         ext = os.path.splitext(self._path())[1].lower().lstrip(".")
-        if ext != "dta":
+        if ext not in ("dta", "sas7bdat"):
             raise NotImplementedError(
-                f"readstat: format '{ext}' not yet supported (have: dta)"
+                f"readstat: format '{ext}' not yet supported (have: dta, sas7bdat)"
             )
         return ext
 
-    def _meta(self):
-        from polars_readstat_spark.sources.dta.meta import parse_dta_meta
-
-        self._format()
-        return parse_dta_meta(self._path())
-
     def schema(self) -> StructType:
-        meta = self._meta()
-        return dta_spark_schema(meta, self.options)
+        fmt = self._format()
+        if fmt == "dta":
+            from polars_readstat_spark.sources.dta.meta import parse_dta_meta
+
+            return dta_spark_schema(parse_dta_meta(self._path()), self.options)
+        from polars_readstat_spark.sources.sas7bdat.meta import parse_sas_meta
+
+        return sas_spark_schema(parse_sas_meta(self._path()), self.options)
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        return DtaReader(self._path(), self.options, schema)
+        fmt = self._format()
+        if fmt == "dta":
+            return DtaReader(self._path(), self.options, schema)
+        from polars_readstat_spark.sources.sas7bdat.reader import SasReader
+
+        return SasReader(self._path(), self.options)
 
 
 def _selected_vars(meta, options):
@@ -144,6 +149,48 @@ def dta_spark_schema(meta, options) -> StructType:
     if ri:
         if any(f.name == ri for f in fields):
             # reference rejects clashes at analysis time (src/lib.rs:400-413)
+            raise ValueError(f"row_index_name '{ri}' collides with a column")
+        fields.append(StructField(ri, LongType(), False))
+    return StructType(fields)
+
+
+def sas_spark_schema(meta, options) -> StructType:
+    """SAS schema: numeric→double (or date/timestamp/time-ns by format
+    name), char→string; per-column label/format on StructField.metadata."""
+    cols = options.get("columns")
+    if cols:
+        wanted = [c.strip() for c in str(cols).split(",") if c.strip()]
+        by_name = {c.name: c for c in meta.columns}
+        missing = [c for c in wanted if c not in by_name]
+        if missing:
+            raise ValueError(f"readstat: unknown columns {missing}")
+        selected = [by_name[c] for c in wanted]
+    else:
+        selected = list(meta.columns)
+    fields = []
+    for c in selected:
+        if c.ctype == "s":
+            t = StringType()
+        elif c.time_kind == "date":
+            t = DateType()
+        elif c.time_kind == "datetime":
+            t = TimestampNTZType()
+        elif c.time_kind == "time":
+            # no Spark TimeType: ns since midnight (SURVEY.md §1.3)
+            t = LongType()
+        else:
+            t = DoubleType()
+        md = {}
+        if c.fmt:
+            md["format"] = c.fmt
+        if c.label:
+            md["label"] = c.label
+        if c.time_kind == "time":
+            md["time"] = "ns_since_midnight"
+        fields.append(StructField(c.name, t, True, metadata=md))
+    ri = options.get("row_index_name")
+    if ri:
+        if any(f.name == ri for f in fields):
             raise ValueError(f"row_index_name '{ri}' collides with a column")
         fields.append(StructField(ri, LongType(), False))
     return StructType(fields)

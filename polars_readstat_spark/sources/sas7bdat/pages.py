@@ -1,0 +1,202 @@
+"""SAS7BDAT page walking, row extraction, and decompression.
+
+Row sources (public sas7bdat spec):
+- DATA pages: `block_count` contiguous rows after the subheader
+  pointer array
+- MIX pages: rows follow the metadata subheaders (8-byte alignment
+  quirk preserved exactly as the independent readers implement it)
+- compressed files: each row is a data subheader on a meta page,
+  RLE (SASYZCRL) or RDC (SASYZCR2) compressed
+
+The RLE/RDC algorithms below are implemented from the publicly
+documented control-byte tables (Shotwell's sas7bdat spec §5;
+identical tables appear across the open-source readers).
+Reference parity: src/sas/decompressor/{rle,rdc}.rs, src/sas/page.rs,
+src/sas/data.rs — re-derived, not translated.
+"""
+
+from __future__ import annotations
+
+from polars_readstat_spark.sources.sas7bdat.meta import (
+    COMPRESSED_SUBHEADER_ID,
+    COMPRESSED_SUBHEADER_TYPE,
+    PAGE_DATA_TYPE,
+    PAGE_META_TYPES,
+    PAGE_MIX_TYPE,
+    RDC,
+    RLE,
+    TRUNCATED_SUBHEADER_ID,
+    SasMeta,
+    _PageReader,
+)
+
+
+def rle_decompress(buf: bytes, result_length: int) -> bytes:
+    """SASYZCRL run-length decompression (public control-byte table)."""
+    out = bytearray()
+    i = 0
+    n = len(buf)
+    while i < n:
+        ctrl = buf[i]
+        cmd = ctrl >> 4
+        ln = ctrl & 0x0F
+        i += 1
+        if cmd == 0x0:  # copy64
+            cnt = (ln << 8) + buf[i] + 64
+            i += 1
+            out += buf[i : i + cnt]
+            i += cnt
+        elif cmd == 0x4:  # insert byte, long
+            cnt = (ln << 8) + buf[i] + 18
+            i += 1
+            out += bytes([buf[i]]) * cnt
+            i += 1
+        elif cmd == 0x5:  # insert @, long
+            cnt = (ln << 8) + buf[i] + 17
+            i += 1
+            out += b"@" * cnt
+        elif cmd == 0x6:  # insert blank, long
+            cnt = (ln << 8) + buf[i] + 17
+            i += 1
+            out += b" " * cnt
+        elif cmd == 0x7:  # insert zero, long
+            cnt = (ln << 8) + buf[i] + 17
+            i += 1
+            out += b"\x00" * cnt
+        elif cmd == 0x8:
+            cnt = ln + 1
+            out += buf[i : i + cnt]
+            i += cnt
+        elif cmd == 0x9:
+            cnt = ln + 17
+            out += buf[i : i + cnt]
+            i += cnt
+        elif cmd == 0xA:
+            cnt = ln + 33
+            out += buf[i : i + cnt]
+            i += cnt
+        elif cmd == 0xB:
+            cnt = ln + 49
+            out += buf[i : i + cnt]
+            i += cnt
+        elif cmd == 0xC:  # insert byte, short
+            out += bytes([buf[i]]) * (ln + 3)
+            i += 1
+        elif cmd == 0xD:
+            out += b"@" * (ln + 2)
+        elif cmd == 0xE:
+            out += b" " * (ln + 2)
+        elif cmd == 0xF:
+            out += b"\x00" * (ln + 2)
+        else:  # 0x1-0x3: not emitted by SAS
+            raise ValueError(f"unknown RLE command {cmd:#x}")
+    if len(out) != result_length:
+        # pad/truncate defensively (some writers round row storage)
+        if len(out) < result_length:
+            out += b"\x00" * (result_length - len(out))
+        else:
+            out = out[:result_length]
+    return bytes(out)
+
+
+def rdc_decompress(buf: bytes, result_length: int) -> bytes:
+    """SASYZCR2 (Ross Data Compression) decompression (public spec)."""
+    out = bytearray()
+    i = 0
+    n = len(buf)
+    ctrl_mask = 0
+    ctrl_bits = 0
+    while i < n:
+        if ctrl_mask == 0:
+            if i + 2 > n:
+                break
+            ctrl_bits = (buf[i] << 8) | buf[i + 1]
+            i += 2
+            ctrl_mask = 0x8000
+        if (ctrl_bits & ctrl_mask) == 0:
+            out.append(buf[i])
+            i += 1
+        else:
+            cmd = buf[i] >> 4
+            cnt = buf[i] & 0x0F
+            i += 1
+            if cmd == 0:  # short RLE
+                cnt += 3
+                out += bytes([buf[i]]) * cnt
+                i += 1
+            elif cmd == 1:  # long RLE
+                cnt += (buf[i] << 4) + 19
+                i += 1
+                out += bytes([buf[i]]) * cnt
+                i += 1
+            elif cmd == 2:  # long pattern
+                ofs = cnt + 3 + (buf[i] << 4)
+                i += 1
+                ln = buf[i] + 16
+                i += 1
+                for _ in range(ln):
+                    out.append(out[-ofs])
+            else:  # short pattern
+                ofs = cnt + 3 + (buf[i] << 4)
+                i += 1
+                for _ in range(cmd):
+                    out.append(out[-ofs])
+        ctrl_mask >>= 1
+    if len(out) < result_length:
+        out += b"\x00" * (result_length - len(out))
+    return bytes(out[:result_length])
+
+
+def _decompress_row(meta: SasMeta, raw: bytes) -> bytes:
+    if len(raw) == meta.row_length:
+        return raw
+    if meta.compression == RLE:
+        return rle_decompress(raw, meta.row_length)
+    if meta.compression == RDC:
+        return rdc_decompress(raw, meta.row_length)
+    raise ValueError(
+        f"row of {len(raw)} bytes != row_length {meta.row_length} without compression"
+    )
+
+
+def page_row_bytes(meta: SasMeta, page: bytes, rows_before: int) -> bytes:
+    """Extract this page's rows as contiguous row_length-sized records.
+
+    rows_before: global row count before this page (bounds the MIX-page
+    row count at end of file)."""
+    pr = _PageReader(meta, page)
+    rl = meta.row_length
+    if pr.page_type == PAGE_DATA_TYPE:
+        start = meta.page_bit_offset + 8 + pr.subheader_count * meta.subheader_ptr_len
+        n = pr.block_count
+        return page[start : start + n * rl]
+    if pr.page_type == PAGE_MIX_TYPE:
+        x = meta.page_bit_offset + 8 + pr.subheader_count * meta.subheader_ptr_len
+        start = x + (x % 8)  # the alignment quirk, kept bug-compatible
+        n = min(meta.mix_page_row_count, max(meta.row_count - rows_before, 0))
+        return page[start : start + n * rl]
+    if pr.page_type in PAGE_META_TYPES:
+        chunks = []
+        for sh_off, sh_len, comp, styp in pr.subheader_pointers():
+            if sh_len == 0 or comp == TRUNCATED_SUBHEADER_ID:
+                continue
+            if comp in (0, COMPRESSED_SUBHEADER_ID) and styp == COMPRESSED_SUBHEADER_TYPE:
+                sig = page[sh_off : sh_off + meta.int_len]
+                from polars_readstat_spark.sources.sas7bdat.meta import _SIGS
+
+                if _SIGS.get(sig) or _SIGS.get(sig[:4]):
+                    continue  # metadata subheader, not row data
+                chunks.append(_decompress_row(meta, page[sh_off : sh_off + sh_len]))
+        return b"".join(chunks)
+    return b""
+
+
+def page_row_count(meta: SasMeta, page_header: bytes, rows_before: int) -> int:
+    """Row count from a page header alone (6 bytes after bit offset) —
+    used by the driver's partition planner without reading page bodies."""
+    pr = _PageReader(meta, page_header)
+    if pr.page_type == PAGE_DATA_TYPE:
+        return pr.block_count
+    if pr.page_type == PAGE_MIX_TYPE:
+        return min(meta.mix_page_row_count, max(meta.row_count - rows_before, 0))
+    return 0  # meta/amd/comp pages carry no rows in uncompressed files

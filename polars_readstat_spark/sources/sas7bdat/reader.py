@@ -1,0 +1,213 @@
+"""SAS7BDAT DataSourceReader: partition planning + executor decode.
+
+Partitioning (reference §4.2 translated to Spark):
+- uncompressed: the driver prescans page *headers* only (6 bytes per
+  page at exact offsets) to learn per-page row counts, then emits
+  page-range InputPartitions with exact global row offsets — executors
+  seek straight to their pages, zero coordination. At 100 TB the
+  prescan is O(pages) metadata reads on the driver; it can itself be
+  distributed as a first Spark job if ever needed.
+- RLE/RDC compressed: rows are compressed subheaders chained across
+  pages with no random access (reference PARALLELIZATION.md:34-40
+  keeps these serial too) → one partition, streamed decode.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql.datasource import DataSourceReader, InputPartition
+
+from polars_readstat_spark.sources.sas7bdat.meta import SasMeta, parse_sas_meta
+from polars_readstat_spark.sources.sas7bdat.pages import (
+    page_row_bytes,
+    page_row_count,
+)
+
+
+class SasPageRange(InputPartition):
+    def __init__(self, first_page: int, n_pages: int, row_start: int, skip: int, take: int):
+        self.first_page = first_page
+        self.n_pages = n_pages
+        self.row_start = row_start  # global row index of first row in range
+        self.skip = skip  # rows to drop at range start (offset pushdown)
+        self.take = take  # rows to emit after skip (-1 = all)
+
+
+def _opt_bool(options, key, default=False):
+    v = options.get(key)
+    return default if v is None else str(v).lower() in {"1", "true", "yes"}
+
+
+def _opt_int(options, key, default=None):
+    v = options.get(key)
+    return default if v in (None, "") else int(v)
+
+
+class SasReader(DataSourceReader):
+    def __init__(self, path: str, options, meta: SasMeta | None = None):
+        self.path = path
+        self.options = dict(options)
+        self.meta = meta or parse_sas_meta(path)
+        cols = options.get("columns")
+        if cols:
+            wanted = [c.strip() for c in str(cols).split(",") if c.strip()]
+            by_name = {c.name: i for i, c in enumerate(self.meta.columns)}
+            missing = [c for c in wanted if c not in by_name]
+            if missing:
+                raise ValueError(f"readstat: unknown columns {missing}")
+            self.col_indices = [by_name[c] for c in wanted]
+        else:
+            self.col_indices = list(range(len(self.meta.columns)))
+        self.missing_string_as_null = _opt_bool(options, "missing_string_as_null")
+        self.row_index_name = options.get("row_index_name")
+        self.row_index_offset = _opt_int(options, "row_index_offset", 0) or 0
+        self.limit = _opt_int(options, "n_rows", _opt_int(options, "limit"))
+        self.offset = _opt_int(options, "offset", 0) or 0
+        self.batch_size = _opt_int(options, "batch_size")
+        self.rows_per_partition = _opt_int(options, "rows_per_partition")
+
+    # -- planning ---------------------------------------------------
+
+    def _page_rows(self) -> list[int]:
+        """Per-page row counts from page headers only (driver-side)."""
+        m = self.meta
+        counts = []
+        rows = 0
+        with open(self.path, "rb") as f:
+            for i in range(m.page_count):
+                f.seek(m.header_length + i * m.page_length)
+                hdr = f.read(m.page_bit_offset + 6)
+                if len(hdr) < m.page_bit_offset + 6:
+                    break
+                n = page_row_count(m, hdr, rows)
+                counts.append(n)
+                rows += n
+        return counts
+
+    def partitions(self):
+        m = self.meta
+        total = m.row_count
+        start = min(self.offset, total)
+        want = total - start
+        if self.limit is not None:
+            want = min(want, self.limit)
+        end = start + want
+
+        if m.compression:
+            # serial: one partition covering every page
+            return [SasPageRange(0, m.page_count, 0, start, want)]
+
+        counts = self._page_rows()
+        per = self.rows_per_partition
+        if per is None:
+            per = max(65536, (48 << 20) // max(m.row_length, 1))
+        parts: list[SasPageRange] = []
+        rows_before = 0
+        range_first = None
+        range_rows = 0
+        range_row_start = 0
+
+        def flush(first, npages, row_start, nrows):
+            if npages <= 0 or nrows <= 0:
+                return
+            # clip to [start, end)
+            r0, r1 = row_start, row_start + nrows
+            s0, s1 = max(r0, start), min(r1, end)
+            if s0 >= s1:
+                return
+            parts.append(
+                SasPageRange(first, npages, row_start, s0 - r0, s1 - s0)
+            )
+
+        for idx, n in enumerate(counts):
+            if n <= 0:
+                continue
+            if range_first is None:
+                range_first = idx
+                range_row_start = rows_before
+                range_rows = 0
+            range_rows += n
+            rows_before += n
+            if range_rows >= per:
+                flush(range_first, idx - range_first + 1, range_row_start, range_rows)
+                range_first = None
+        if range_first is not None:
+            flush(
+                range_first,
+                len(counts) - range_first,
+                range_row_start,
+                range_rows,
+            )
+        return parts or [SasPageRange(0, 0, 0, 0, 0)]
+
+    # -- execution --------------------------------------------------
+
+    def read(self, partition: SasPageRange):
+        from polars_readstat_spark.sources.sas7bdat.decode import decode_rows
+
+        m = self.meta
+        ncols = max(len(self.col_indices), 1)
+        batch_rows = self.batch_size or min(max(2_000_000 // ncols, 1024), 100_000)
+        rl = max(m.row_length, 1)
+
+        def emit(chunk: bytes, global_start: int):
+            batch = decode_rows(
+                m, chunk, self.col_indices, self.missing_string_as_null
+            )
+            if self.row_index_name:
+                idx = pa.array(
+                    np.arange(global_start, global_start + batch.num_rows, dtype=np.int64)
+                    + (self.row_index_offset - self.offset)
+                )
+                batch = pa.RecordBatch.from_arrays(
+                    [*batch.columns, idx],
+                    names=[*batch.schema.names, self.row_index_name],
+                )
+            return batch
+
+        if partition.n_pages == 0:
+            yield emit(b"", 0)
+            return
+
+        skip = partition.skip
+        take = partition.take
+        emitted = 0
+        pending = bytearray()
+        pending_start = partition.row_start + skip
+        rows_seen = partition.row_start  # global rows before current page
+
+        with open(self.path, "rb") as f:
+            for p in range(partition.first_page, partition.first_page + partition.n_pages):
+                f.seek(m.header_length + p * m.page_length)
+                page = f.read(m.page_length)
+                if len(page) < m.page_length:
+                    break
+                rb = page_row_bytes(m, page, rows_seen)
+                n = len(rb) // rl
+                rows_seen += n
+                if n == 0:
+                    continue
+                lo = 0
+                if skip > 0:
+                    drop = min(skip, n)
+                    lo = drop
+                    skip -= drop
+                if lo >= n:
+                    continue
+                avail = n - lo
+                if take >= 0:
+                    avail = min(avail, take - emitted)
+                if avail <= 0:
+                    break
+                pending += rb[lo * rl : (lo + avail) * rl]
+                emitted += avail
+                while len(pending) >= batch_rows * rl:
+                    chunk = bytes(pending[: batch_rows * rl])
+                    del pending[: batch_rows * rl]
+                    yield emit(chunk, pending_start)
+                    pending_start += batch_rows
+                if take >= 0 and emitted >= take:
+                    break
+        if pending or emitted == 0:
+            yield emit(bytes(pending), pending_start)
