@@ -75,11 +75,14 @@ class ReadstatDataSource(DataSource):
             raise ValueError("readstat: path is required")
         return p
 
+    SUPPORTED = ("dta", "sas7bdat", "xpt")
+
     def _format(self) -> str:
         ext = os.path.splitext(self._path())[1].lower().lstrip(".")
-        if ext not in ("dta", "sas7bdat"):
+        if ext not in self.SUPPORTED:
             raise NotImplementedError(
-                f"readstat: format '{ext}' not yet supported (have: dta, sas7bdat)"
+                f"readstat: format '{ext}' not yet supported "
+                f"(have: {', '.join(self.SUPPORTED)})"
             )
         return ext
 
@@ -89,17 +92,25 @@ class ReadstatDataSource(DataSource):
             from polars_readstat_spark.sources.dta.meta import parse_dta_meta
 
             return dta_spark_schema(parse_dta_meta(self._path()), self.options)
-        from polars_readstat_spark.sources.sas7bdat.meta import parse_sas_meta
+        if fmt == "sas7bdat":
+            from polars_readstat_spark.sources.sas7bdat.meta import parse_sas_meta
 
-        return sas_spark_schema(parse_sas_meta(self._path()), self.options)
+            return sas_spark_schema(parse_sas_meta(self._path()), self.options)
+        from polars_readstat_spark.sources.xpt.meta import parse_xpt_meta
+
+        return xpt_spark_schema(parse_xpt_meta(self._path()), self.options)
 
     def reader(self, schema: StructType) -> DataSourceReader:
         fmt = self._format()
         if fmt == "dta":
             return DtaReader(self._path(), self.options, schema)
-        from polars_readstat_spark.sources.sas7bdat.reader import SasReader
+        if fmt == "sas7bdat":
+            from polars_readstat_spark.sources.sas7bdat.reader import SasReader
 
-        return SasReader(self._path(), self.options)
+            return SasReader(self._path(), self.options)
+        from polars_readstat_spark.sources.xpt.reader import XptReader
+
+        return XptReader(self._path(), self.options)
 
 
 def _selected_vars(meta, options):
@@ -188,6 +199,45 @@ def sas_spark_schema(meta, options) -> StructType:
         if c.time_kind == "time":
             md["time"] = "ns_since_midnight"
         fields.append(StructField(c.name, t, True, metadata=md))
+    ri = options.get("row_index_name")
+    if ri:
+        if any(f.name == ri for f in fields):
+            raise ValueError(f"row_index_name '{ri}' collides with a column")
+        fields.append(StructField(ri, LongType(), False))
+    return StructType(fields)
+
+
+def xpt_spark_schema(meta, options) -> StructType:
+    """XPT schema: IBM-float numerics→double (or date/timestamp/time-ns
+    by format), char→string."""
+    cols = options.get("columns")
+    if cols:
+        wanted = [c.strip() for c in str(cols).split(",") if c.strip()]
+        by_name = {v.name: v for v in meta.variables}
+        missing = [c for c in wanted if c not in by_name]
+        if missing:
+            raise ValueError(f"readstat: unknown columns {missing}")
+        selected = [by_name[c] for c in wanted]
+    else:
+        selected = list(meta.variables)
+    fields = []
+    for v in selected:
+        if not v.is_numeric:
+            t = StringType()
+        elif v.time_kind == "date":
+            t = DateType()
+        elif v.time_kind == "datetime":
+            t = TimestampNTZType()
+        elif v.time_kind == "time":
+            t = LongType()
+        else:
+            t = DoubleType()
+        md = {}
+        if v.fmt:
+            md["format"] = v.fmt
+        if v.label:
+            md["label"] = v.label
+        fields.append(StructField(v.name, t, True, metadata=md))
     ri = options.get("row_index_name")
     if ri:
         if any(f.name == ri for f in fields):

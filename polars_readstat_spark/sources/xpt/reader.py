@@ -1,0 +1,112 @@
+"""XPT DataSourceReader: fixed-width records ⇒ exact row-range
+partitions, same planning shape as the Stata reader (reference
+src/sas/xpt.rs batch iterator, re-expressed)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql.datasource import DataSourceReader, InputPartition
+
+from polars_readstat_spark.sources.xpt.meta import (
+    XptMeta,
+    decode_xpt_rows,
+    parse_xpt_meta,
+)
+
+
+class XptRowRange(InputPartition):
+    def __init__(self, start: int, n: int):
+        self.start = start
+        self.n = n
+
+
+def _opt_bool(options, key, default=False):
+    v = options.get(key)
+    return default if v is None else str(v).lower() in {"1", "true", "yes"}
+
+
+def _opt_int(options, key, default=None):
+    v = options.get(key)
+    return default if v in (None, "") else int(v)
+
+
+class XptReader(DataSourceReader):
+    def __init__(self, path: str, options, meta: XptMeta | None = None):
+        self.path = path
+        self.options = dict(options)
+        self.meta = meta or parse_xpt_meta(path)
+        cols = options.get("columns")
+        if cols:
+            wanted = [c.strip() for c in str(cols).split(",") if c.strip()]
+            by_name = {v.name: i for i, v in enumerate(self.meta.variables)}
+            missing = [c for c in wanted if c not in by_name]
+            if missing:
+                raise ValueError(f"readstat: unknown columns {missing}")
+            self.col_indices = [by_name[c] for c in wanted]
+        else:
+            self.col_indices = list(range(len(self.meta.variables)))
+        self.missing_string_as_null = _opt_bool(options, "missing_string_as_null")
+        self.row_index_name = options.get("row_index_name")
+        self.row_index_offset = _opt_int(options, "row_index_offset", 0) or 0
+        self.limit = _opt_int(options, "n_rows", _opt_int(options, "limit"))
+        self.offset = _opt_int(options, "offset", 0) or 0
+        self.rows_per_partition = _opt_int(options, "rows_per_partition")
+        self.batch_size = _opt_int(options, "batch_size")
+
+    def partitions(self):
+        total = self.meta.n_rows
+        start = min(self.offset, total)
+        n = total - start
+        if self.limit is not None:
+            n = min(n, self.limit)
+        per = self.rows_per_partition or max(
+            65536, (48 << 20) // max(self.meta.record_width, 1)
+        )
+        parts = []
+        pos = start
+        while pos < start + n:
+            cnt = min(per, start + n - pos)
+            parts.append(XptRowRange(pos, cnt))
+            pos += cnt
+        return parts or [XptRowRange(start, 0)]
+
+    def read(self, partition: XptRowRange):
+        m = self.meta
+        rl = max(m.record_width, 1)
+        ncols = max(len(self.col_indices), 1)
+        batch_rows = self.batch_size or min(max(2_000_000 // ncols, 1024), 100_000)
+
+        def finish(batch, global_start):
+            if self.row_index_name:
+                idx = pa.array(
+                    np.arange(
+                        global_start, global_start + batch.num_rows, dtype=np.int64
+                    )
+                    + (self.row_index_offset - self.offset)
+                )
+                batch = pa.RecordBatch.from_arrays(
+                    [*batch.columns, idx],
+                    names=[*batch.schema.names, self.row_index_name],
+                )
+            return batch
+
+        if partition.n == 0:
+            yield finish(
+                decode_xpt_rows(m, b"", self.col_indices, self.missing_string_as_null),
+                partition.start,
+            )
+            return
+
+        with open(self.path, "rb") as f:
+            pos = partition.start
+            end = partition.start + partition.n
+            while pos < end:
+                cnt = min(batch_rows, end - pos)
+                f.seek(m.data_offset + pos * rl)
+                buf = f.read(cnt * rl)
+                batch = decode_xpt_rows(
+                    m, buf, self.col_indices, self.missing_string_as_null
+                )
+                yield finish(batch, pos)
+                pos += cnt
