@@ -126,6 +126,21 @@ def scan_readstat(
     return df
 
 
+def write_readstat(df, path, **kwargs) -> None:
+    """Write a Spark DataFrame to a statistical file format, dispatched
+    on extension (reference write_readstat, __init__.py:708-878).
+
+    Currently: .dta (Stata v118). kwargs: data_label, variable_labels,
+    value_labels.
+    """
+    p = str(path)
+    if p.lower().endswith(".dta"):
+        from polars_readstat_spark.writers.dta import write_dta
+
+        return write_dta(df, p, **kwargs)
+    raise NotImplementedError(f"write_readstat: unsupported extension for {p}")
+
+
 def read_metadata(path) -> dict:
     """File + per-variable metadata dict (reference `reader.metadata`,
     src/lib.rs:486-502)."""

@@ -182,19 +182,13 @@ def decode_column(
 
     tk = var.time_kind
     if tk == "date":
-        days = vals.astype(np.int64, copy=False) + STATA_EPOCH_DAYS
-        return pa.array(
-            np.where(mask, 0, days).astype(np.int32),
-            type=pa.date32(),
-            mask=mask,
-        )
+        clean = np.where(mask, 0, vals)
+        days = clean.astype(np.int64) + STATA_EPOCH_DAYS
+        return pa.array(days.astype(np.int32), type=pa.date32(), mask=mask)
     if tk == "datetime":
-        us = (vals.astype(np.int64, copy=False) + STATA_EPOCH_MS) * 1000
-        return pa.array(
-            np.where(mask, 0, us).astype(np.int64),
-            type=pa.timestamp("us"),
-            mask=mask,
-        )
+        clean = np.where(mask, 0, vals)
+        us = (clean.astype(np.int64) + STATA_EPOCH_MS) * 1000
+        return pa.array(us, type=pa.timestamp("us"), mask=mask)
 
     pa_type = {
         "byte": pa.int8(),

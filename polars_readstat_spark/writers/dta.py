@@ -1,0 +1,335 @@
+"""Stata .dta writer (v118 layout) — reference W1/W2 re-expressed.
+
+Two Spark jobs, then a driver-side streaming assembly:
+
+1. **Pre-pass** (one aggregation job): per-column max UTF-8 byte
+   widths for strings, min/max for bigint downcast decisions, and the
+   row count — the Spark shape of the reference's sink pre-pass
+   (pybindings.rs:996-1047).
+2. **Stream**: `toLocalIterator()` pulls partitions in order; rows are
+   packed vectorized (numpy structured array per batch) and appended.
+   Memory is bounded by one partition, not the dataset.
+
+Layout per the public dta-118 spec (same section tags the reader
+parses). Nulls → Stata sentinel missings; date → %td day numbers;
+timestamp → %tc ms. Strings wider than 2045 bytes are rejected
+(strL writing not yet implemented — the reference's streaming sink
+rejects strL too).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from polars_readstat_spark.sources.dta.decode import (
+    STATA_EPOCH_DAYS,
+    STATA_EPOCH_MS,
+)
+
+_MISS = {
+    "byte": 101,
+    "int": 32741,
+    "long": 2147483621,
+}
+_FLOAT_MISS_BITS = 0x7F000000
+_DOUBLE_MISS_BITS = 0x7FE0000000000000
+
+
+def _plan_columns(df: DataFrame):
+    """→ list of (name, stata_kind, spark_conv) and the pre-pass aggs."""
+    plan = []
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        if t == "tinyint":
+            plan.append((f.name, "byte"))
+        elif t == "smallint":
+            plan.append((f.name, "int"))
+        elif t in ("int",):
+            plan.append((f.name, "long"))
+        elif t == "bigint":
+            plan.append((f.name, "bigint?"))  # decided by pre-pass range
+            aggs.append(F.min(f.name).alias(f"__min_{f.name}"))
+            aggs.append(F.max(f.name).alias(f"__max_{f.name}"))
+        elif t == "float":
+            plan.append((f.name, "float"))
+        elif t == "double":
+            plan.append((f.name, "double"))
+        elif t == "boolean":
+            plan.append((f.name, "byte"))
+        elif t == "date":
+            plan.append((f.name, "date"))
+        elif t in ("timestamp", "timestamp_ntz"):
+            plan.append((f.name, "datetime"))
+        elif t == "string":
+            plan.append((f.name, "str"))
+            aggs.append(
+                F.max(F.octet_length(f.name)).alias(f"__w_{f.name}")
+            )
+        else:
+            raise ValueError(f"write_dta: unsupported column type {t} ({f.name})")
+    return plan, aggs
+
+
+def write_dta(
+    df: DataFrame,
+    path: str,
+    *,
+    data_label: str = "",
+    variable_labels: dict[str, str] | None = None,
+    value_labels: dict[str, dict[int, str]] | None = None,
+) -> None:
+    variable_labels = variable_labels or {}
+    value_labels = value_labels or {}
+
+    plan, aggs = _plan_columns(df)
+    stats = df.agg(*aggs).collect()[0].asDict()
+    n_rows = stats["__n"]
+
+    # finalize kinds/widths
+    cols = []  # (name, kind, width, fmt)
+    for name, kind in plan:
+        if kind == "bigint?":
+            lo = stats.get(f"__min_{name}")
+            hi = stats.get(f"__max_{name}")
+            if lo is not None and lo >= -2147483647 and hi is not None and hi <= 2147483620:
+                kind = "long"
+            else:
+                kind = "double"
+        if kind == "str":
+            w = max(int(stats.get(f"__w_{name}") or 0), 1)
+            if w > 2045:
+                raise ValueError(
+                    f"write_dta: column {name} exceeds 2045 bytes (strL "
+                    "writing not supported yet)"
+                )
+            cols.append((name, "str", w, f"%{max(w, 9)}s"))
+        elif kind == "byte":
+            cols.append((name, "byte", 1, "%8.0g"))
+        elif kind == "int":
+            cols.append((name, "int", 2, "%8.0g"))
+        elif kind == "long":
+            cols.append((name, "long", 4, "%12.0g"))
+        elif kind == "float":
+            cols.append((name, "float", 4, "%9.0g"))
+        elif kind == "double":
+            cols.append((name, "double", 8, "%10.0g"))
+        elif kind == "date":
+            cols.append((name, "date", 4, "%td"))
+        elif kind == "datetime":
+            cols.append((name, "datetime", 8, "%tc"))
+
+    typecode = {
+        "str": None,  # width
+        "byte": 65530,
+        "int": 65529,
+        "long": 65528,
+        "float": 65527,
+        "double": 65526,
+        "date": 65528,  # long + %td
+        "datetime": 65526,  # double + %tc
+    }
+
+    def pad(b: bytes, n: int) -> bytes:
+        return b[:n] + b"\x00" * (n - len(b))
+
+    K, N = len(cols), n_rows
+    out = bytearray()
+    out += b"<stata_dta><header><release>118</release><byteorder>LSF</byteorder><K>"
+    out += struct.pack("<H", K)
+    out += b"</K><N>"
+    out += struct.pack("<Q", N)
+    out += b"</N><label>"
+    lbl = data_label.encode("utf-8")[:80]
+    out += struct.pack("<H", len(lbl)) + lbl
+    out += b"</label><timestamp>"
+    ts = b"13 Aug 2026 00:00"
+    out += bytes([len(ts)]) + ts
+    out += b"</timestamp></header>"
+
+    map_pos = len(out) + len(b"<map>")
+    out += b"<map>" + b"\x00" * (14 * 8) + b"</map>"
+
+    offsets = [0] * 14
+    offsets[0] = 0
+    offsets[1] = map_pos - len(b"<map>")
+
+    offsets[2] = len(out)
+    out += b"<variable_types>"
+    for name, kind, w, fmt in cols:
+        out += struct.pack("<H", w if kind == "str" else typecode[kind])
+    out += b"</variable_types>"
+
+    offsets[3] = len(out)
+    out += b"<varnames>"
+    for name, *_ in cols:
+        out += pad(name.encode("utf-8"), 129)
+    out += b"</varnames>"
+
+    offsets[4] = len(out)
+    out += b"<sortlist>" + b"\x00" * (2 * (K + 1)) + b"</sortlist>"
+
+    offsets[5] = len(out)
+    out += b"<formats>"
+    for name, kind, w, fmt in cols:
+        out += pad(fmt.encode(), 57)
+    out += b"</formats>"
+
+    offsets[6] = len(out)
+    out += b"<value_label_names>"
+    for name, *_ in cols:
+        lab = name if name in value_labels else ""
+        out += pad(lab.encode("utf-8"), 129)
+    out += b"</value_label_names>"
+
+    offsets[7] = len(out)
+    out += b"<variable_labels>"
+    for name, *_ in cols:
+        out += pad(variable_labels.get(name, "").encode("utf-8"), 321)
+    out += b"</variable_labels>"
+
+    offsets[8] = len(out)
+    out += b"<characteristics></characteristics>"
+
+    offsets[9] = len(out)
+    out += b"<data>"
+
+    # ---- stream the data section ---------------------------------
+    dtype_fields = []
+    for i, (name, kind, w, fmt) in enumerate(cols):
+        if kind == "str":
+            dtype_fields.append((f"f{i}", f"S{w}"))
+        elif kind == "byte":
+            dtype_fields.append((f"f{i}", "<i1"))
+        elif kind == "int":
+            dtype_fields.append((f"f{i}", "<i2"))
+        elif kind in ("long", "date"):
+            dtype_fields.append((f"f{i}", "<i4"))
+        elif kind == "float":
+            dtype_fields.append((f"f{i}", "<f4"))
+        else:
+            dtype_fields.append((f"f{i}", "<f8"))
+    rec_dtype = np.dtype(dtype_fields)
+
+    def pack_batch(pdf) -> bytes:
+        n = len(pdf)
+        rec = np.zeros(n, dtype=rec_dtype)
+        for i, (name, kind, w, fmt) in enumerate(cols):
+            s = pdf[name]
+            if kind == "str":
+                vals = s.fillna("").astype(str)
+                rec[f"f{i}"] = np.array(
+                    [v.encode("utf-8")[:w] for v in vals], dtype=f"S{w}"
+                )
+            elif kind in ("byte", "int", "long"):
+                miss = _MISS[kind]
+                v = s.astype("float64")
+                nulls = v.isna().values
+                iv = np.where(nulls, miss, v.fillna(0).values).astype(
+                    {"byte": "<i1", "int": "<i2", "long": "<i4"}[kind]
+                )
+                rec[f"f{i}"] = iv
+            elif kind == "date":
+                nulls = s.isna().values
+                days = np.array(
+                    [
+                        0 if x is None else x.toordinal() - 719163
+                        for x in s
+                    ],
+                    dtype="<i4",
+                )
+                rec[f"f{i}"] = np.where(
+                    nulls, _MISS["long"], days - STATA_EPOCH_DAYS
+                ).astype("<i4")
+            elif kind == "datetime":
+                import pandas as pd
+
+                ts = pd.to_datetime(s)
+                nulls = ts.isna().values
+                ns = ts.values.astype("datetime64[ns]").astype("int64")
+                ms = ns // 1_000_000 - STATA_EPOCH_MS
+                v = np.where(
+                    nulls,
+                    np.frombuffer(
+                        struct.pack("<Q", _DOUBLE_MISS_BITS), dtype="<f8"
+                    )[0],
+                    ms.astype("float64"),
+                )
+                rec[f"f{i}"] = v
+            elif kind == "float":
+                v = s.astype("float32").values.copy()
+                nulls = s.isna().values
+                if nulls.any():
+                    v.view("<u4")[nulls] = _FLOAT_MISS_BITS
+                rec[f"f{i}"] = v
+            else:  # double
+                v = s.astype("float64").values.copy()
+                nulls = s.isna().values
+                if nulls.any():
+                    v.view("<u8")[nulls] = _DOUBLE_MISS_BITS
+                rec[f"f{i}"] = v
+        return rec.tobytes()
+
+    # pull partitions in order; bounded memory (reference W2 pattern)
+    import pandas as pd
+
+    names = [c[0] for c in cols]
+    for pdf in map(
+        lambda rows: pd.DataFrame([r.asDict() for r in rows]),
+        _batched(df.select(*names).toLocalIterator(), 65536),
+    ):
+        if len(pdf):
+            out += pack_batch(pdf)
+
+    out += b"</data>"
+    offsets[10] = len(out)
+    out += b"<strls></strls>"
+
+    offsets[11] = len(out)
+    out += b"<value_labels>"
+    for name, *_ in cols:
+        if name not in value_labels:
+            continue
+        labels = value_labels[name]
+        keys = sorted(labels)
+        txt = bytearray()
+        offs = []
+        for k in keys:
+            offs.append(len(txt))
+            txt += labels[k].encode("utf-8") + b"\x00"
+        table = (
+            struct.pack("<ii", len(keys), len(txt))
+            + b"".join(struct.pack("<i", o) for o in offs)
+            + b"".join(struct.pack("<i", int(k)) for k in keys)
+            + bytes(txt)
+        )
+        out += b"<lbl>"
+        out += struct.pack("<i", len(table))
+        out += pad(name.encode("utf-8"), 129) + b"\x00\x00\x00"
+        out += table
+        out += b"</lbl>"
+    out += b"</value_labels>"
+
+    offsets[12] = len(out)
+    out += b"</stata_dta>"
+    offsets[13] = len(out)
+
+    out[map_pos : map_pos + 14 * 8] = struct.pack("<14Q", *offsets)
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+def _batched(it, n):
+    batch = []
+    for r in it:
+        batch.append(r)
+        if len(batch) >= n:
+            yield batch
+            batch = []
+    if batch:
+        yield batch

@@ -1,0 +1,108 @@
+"""Roundtrip tests for the Stata writer: write with us, read with
+pandas (independent oracle) AND our own reader — the reference's
+write-read roundtrip strategy (tests/test_write_roundtrip.py)."""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import polars_readstat_spark as prs
+
+
+@pytest.fixture(scope="module")
+def sample_pdf():
+    return pd.DataFrame(
+        {
+            "i8": pd.array([1, None, 3, 2], dtype="Int8"),
+            "i16": pd.array([100, 200, None, -300], dtype="Int16"),
+            "i32": pd.array([1000, None, 3000, -4], dtype="Int32"),
+            "i64small": pd.array([10, 20, 30, 40], dtype="Int64"),
+            "i64big": pd.array([2**40, 5, None, -(2**41)], dtype="Int64"),
+            "f32": pd.array([1.5, None, 2.5, -0.25], dtype="Float32"),
+            "f64": [0.1, np.nan, 0.3, -4.5],
+            "s": ["hello", "", "wörld", "x" * 50],
+            "d": [
+                datetime.date(2020, 1, 1),
+                None,
+                datetime.date(1959, 12, 31),
+                datetime.date(2030, 6, 15),
+            ],
+            "ts": [
+                datetime.datetime(2020, 1, 1, 12, 30),
+                None,
+                datetime.datetime(1960, 1, 1),
+                datetime.datetime(1999, 12, 31, 23, 59, 59),
+            ],
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def written(spark, sample_pdf, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("w") / "out.dta")
+    df = spark.createDataFrame(sample_pdf)
+    prs.write_readstat(
+        df,
+        p,
+        data_label="roundtrip test",
+        variable_labels={"i8": "tiny col"},
+        value_labels={"i8": {1: "one", 2: "two", 3: "three"}},
+    )
+    return p
+
+
+def test_pandas_reads_our_file(written, sample_pdf):
+    ref = pd.read_stata(written, convert_categoricals=False)
+    assert len(ref) == 4
+    assert list(ref.columns) == list(sample_pdf.columns)
+    # values + missing placement
+    assert ref["i8"].tolist()[0] == 1.0 and np.isnan(ref["i8"].tolist()[1])
+    assert ref["i64small"].dtype.kind == "i"
+    assert ref["i64big"].iloc[0] == float(2**40)
+    assert ref["s"].tolist()[2] == "wörld"
+    assert str(ref["d"].iloc[0]) == "2020-01-01 00:00:00"
+    assert str(ref["ts"].iloc[3]) == "1999-12-31 23:59:59"
+
+
+def test_our_reader_roundtrips(written, spark, sample_pdf):
+    got = prs.scan_readstat(spark, written).toPandas()
+    assert len(got) == 4
+    for c in ("i8", "i16", "i32", "f64"):
+        a, b = got[c], sample_pdf[c].astype("float64")
+        assert ((a.values == b.values) | (a.isna() & b.isna()).values).all(), c
+    assert got["s"].tolist() == sample_pdf["s"].tolist()
+
+
+def test_value_labels_roundtrip(written, spark):
+    lab = pd.read_stata(written, convert_categoricals=True)
+    assert lab["i8"].tolist()[0] == "one"
+    ours = prs.scan_readstat(
+        spark, written, columns=["i8"], value_labels_as_strings=True
+    ).toPandas()
+    assert ours["i8"].tolist()[0] == "one"
+
+
+def test_metadata_survives(written):
+    meta = prs.read_metadata(written)
+    assert meta["row_count"] == 4
+    v = [x for x in meta["variables"] if x["name"] == "i8"][0]
+    assert v["label"] == "tiny col"
+    assert v["value_labels"] == {"1": "one", "2": "two", "3": "three"}
+
+
+def test_multi_partition_write(spark, tmp_path):
+    """Writer consumes partitioned input in partition order."""
+    p = str(tmp_path / "mp.dta")
+    df = (
+        spark.range(0, 10000, 1, 8)
+        .selectExpr("CAST(id AS INT) AS id", "CAST(id * 0.5 AS DOUBLE) AS v")
+    )
+    prs.write_readstat(df, p)
+    ref = pd.read_stata(p)
+    assert len(ref) == 10000
+    assert ref["id"].tolist() == sorted(ref["id"].tolist())
+    assert ref["v"].iloc[17] == 8.5
