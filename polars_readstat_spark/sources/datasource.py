@@ -75,7 +75,7 @@ class ReadstatDataSource(DataSource):
             raise ValueError("readstat: path is required")
         return p
 
-    SUPPORTED = ("dta", "sas7bdat", "xpt")
+    SUPPORTED = ("dta", "sas7bdat", "xpt", "sav", "zsav")
 
     def _format(self) -> str:
         ext = os.path.splitext(self._path())[1].lower().lstrip(".")
@@ -96,6 +96,10 @@ class ReadstatDataSource(DataSource):
             from polars_readstat_spark.sources.sas7bdat.meta import parse_sas_meta
 
             return sas_spark_schema(parse_sas_meta(self._path()), self.options)
+        if fmt in ("sav", "zsav"):
+            from polars_readstat_spark.sources.sav.meta import parse_sav_meta
+
+            return sav_spark_schema(parse_sav_meta(self._path()), self.options)
         from polars_readstat_spark.sources.xpt.meta import parse_xpt_meta
 
         return xpt_spark_schema(parse_xpt_meta(self._path()), self.options)
@@ -108,6 +112,10 @@ class ReadstatDataSource(DataSource):
             from polars_readstat_spark.sources.sas7bdat.reader import SasReader
 
             return SasReader(self._path(), self.options)
+        if fmt in ("sav", "zsav"):
+            from polars_readstat_spark.sources.sav.reader import SavReader
+
+            return SavReader(self._path(), self.options)
         from polars_readstat_spark.sources.xpt.reader import XptReader
 
         return XptReader(self._path(), self.options)
@@ -199,6 +207,44 @@ def sas_spark_schema(meta, options) -> StructType:
         if c.time_kind == "time":
             md["time"] = "ns_since_midnight"
         fields.append(StructField(c.name, t, True, metadata=md))
+    ri = options.get("row_index_name")
+    if ri:
+        if any(f.name == ri for f in fields):
+            raise ValueError(f"row_index_name '{ri}' collides with a column")
+        fields.append(StructField(ri, LongType(), False))
+    return StructType(fields)
+
+
+def sav_spark_schema(meta, options) -> StructType:
+    """SPSS schema: string→string, numeric→double (or date/timestamp/
+    time-ns by format class, SURVEY.md §1.3); value_labels_as_strings
+    flips labeled columns to string (reference T2/T6)."""
+    vls = _opt_bool(options, "value_labels_as_strings")
+    fields = []
+    for i in _selected_vars(meta, options):
+        v = meta.variables[i]
+        if v.is_str or (vls and v.value_labels):
+            t = StringType()
+        elif v.time_kind == "date":
+            t = DateType()
+        elif v.time_kind == "datetime":
+            t = TimestampNTZType()
+        elif v.time_kind == "time":
+            t = LongType()
+        else:
+            t = DoubleType()
+        md = {}
+        if v.fmt:
+            md["format"] = v.fmt
+        if v.label:
+            md["label"] = v.label
+        if v.measure:
+            md["measure"] = {1: "nominal", 2: "ordinal", 3: "scale"}.get(
+                v.measure, ""
+            )
+        if v.time_kind == "time":
+            md["time"] = "ns_since_midnight"
+        fields.append(StructField(v.name, t, True, metadata=md))
     ri = options.get("row_index_name")
     if ri:
         if any(f.name == ri for f in fields):

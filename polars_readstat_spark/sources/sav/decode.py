@@ -1,0 +1,271 @@
+"""Vectorized SPSS case decode: 8-byte elements → pyarrow arrays.
+
+Uncompressed cases are fixed-width (case_size × 8 bytes) ⇒ exact byte
+seeks and embarrassingly-parallel row-range partitions, like the Stata
+path. Bytecode compression (and zsav, whose zlib blocks decompress to
+the same bytecode stream) is a sequential command stream — the
+reference also reads it serially (PARALLELIZATION.md:34-40); we decode
+it with a two-pass numpy approach rather than a per-value loop:
+
+  pass 1: walk command blocks (Python loop over *blocks*, not values)
+  pass 2: vectorized scatter of literals / constants / (code - bias)
+          into one (n_elements × 8) byte matrix, kept in file
+          endianness so column decode is uniform with the
+          uncompressed path.
+
+Command bytes (public PSPP spec): 0 padding, 1-251 value = code-bias,
+252 end-of-data, 253 literal 8-byte element follows, 254 all-spaces
+string element, 255 system-missing.
+
+Reference parity: spss/data.rs (SavRowDecompressor :1628-1760, missing
+rules :998-1026, very-long-string reconstruct :1028-1048).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from polars_readstat_spark.sources.sav.meta import (
+    HIGHEST_BITS,
+    LOWEST_BITS,
+    SYSMIS_BITS,
+    SavMeta,
+    SavVar,
+    read_compressed_stream,
+)
+
+SPSS_SEC_SHIFT = 12_219_379_200  # 1582-10-14 → 1970-01-01 in seconds
+SEC_PER_DAY = 86_400
+
+
+def decompress_bytecode(raw: bytes, meta: SavMeta) -> np.ndarray:
+    """Bytecode stream → (n_elements, 8) uint8 matrix in file endianness."""
+    nb8 = len(raw) // 8
+    blocks = np.frombuffer(raw, dtype=np.uint8, count=nb8 * 8).reshape(-1, 8)
+    c253 = (blocks == 253).sum(axis=1)
+
+    # pass 1: which blocks are command blocks
+    cmd_idx_l = []
+    i = 0
+    while i < nb8:
+        cmd_idx_l.append(i)
+        i += 1 + int(c253[i])
+    cmd_idx = np.asarray(cmd_idx_l, dtype=np.int64)
+
+    cmds = blocks[cmd_idx].reshape(-1)
+    stop = np.flatnonzero(cmds == 252)
+    if stop.size:
+        cmds = cmds[: stop[0]]
+    is_el = cmds != 0
+    el_cmds = cmds[is_el]
+
+    lit_mask = np.ones(nb8, dtype=bool)
+    lit_mask[cmd_idx] = False
+    literals = blocks[lit_mask]
+    lit_order = np.cumsum(el_cmds == 253) - 1
+
+    out = np.empty((el_cmds.size, 8), dtype=np.uint8)
+    m253 = el_cmds == 253
+    if m253.any():
+        out[m253] = literals[lit_order[m253]]
+    m254 = el_cmds == 254
+    if m254.any():
+        out[m254] = ord(" ")
+    m255 = el_cmds == 255
+    ef = "<" if meta.little_endian else ">"
+    if m255.any():
+        out[m255] = np.frombuffer(
+            np.uint64(SYSMIS_BITS).astype(ef + "u8").tobytes(), dtype=np.uint8
+        )
+    mval = ~(m253 | m254 | m255)
+    if mval.any():
+        vals = el_cmds[mval].astype(np.float64) - meta.bias
+        out[mval] = vals.astype(ef + "f8").view(np.uint8).reshape(-1, 8)
+    return out
+
+
+# executor-local cache of decompressed case matrices (path → matrix)
+_CASE_CACHE: dict[str, np.ndarray] = {}
+
+
+def load_cases_compressed(meta: SavMeta) -> np.ndarray:
+    """(nobs, record_width) byte matrix for compressed files, cached
+    per executor so multiple partitions/batches don't re-decompress."""
+    m = _CASE_CACHE.get(meta.path)
+    if m is None:
+        elems = decompress_bytecode(read_compressed_stream(meta), meta)
+        cs = meta.case_size
+        nrows = elems.shape[0] // cs
+        m = elems[: nrows * cs].reshape(nrows, cs * 8)
+        _CASE_CACHE[meta.path] = m
+    return m
+
+
+def _numeric_elements(rows: np.ndarray, var: SavVar, meta: SavMeta) -> np.ndarray:
+    off = var.start_el * 8
+    raw = np.ascontiguousarray(rows[:, off : off + 8])
+    ef = "<" if meta.little_endian else ">"
+    return raw.view(ef + "f8").reshape(-1)
+
+
+def decode_numeric(
+    rows: np.ndarray, var: SavVar, meta: SavMeta
+) -> tuple[np.ndarray, np.ndarray]:
+    """→ (float64 values native-endian, missing mask). Missing =
+    sysmis/LOWEST/HIGHEST/NaN + declared discrete/range values
+    (reference is_missing_numeric, spss/data.rs:998-1026)."""
+    vals = _numeric_elements(rows, var, meta).astype("<f8", copy=False)
+    bits = vals.view(np.uint64)
+    mask = (
+        (bits == SYSMIS_BITS)
+        | (bits == LOWEST_BITS)
+        | (bits == HIGHEST_BITS)
+        | np.isnan(vals)
+    )
+    md = var.missing_doubles
+    if md:
+        if var.missing_range and len(md) >= 2:
+            lo, hi = min(md[0], md[1]), max(md[0], md[1])
+            with np.errstate(invalid="ignore"):
+                mask |= (vals >= lo) & (vals <= hi)
+            if len(md) >= 3:
+                mask |= bits == np.float64(md[2]).view(np.uint64)
+        else:
+            for d in md:
+                mask |= bits == np.float64(d).view(np.uint64)
+    return vals, mask
+
+
+def _string_bytes(rows: np.ndarray, var: SavVar) -> np.ndarray:
+    off = var.start_el * 8
+    return rows[:, off : off + var.width_el * 8]
+
+
+def _reconstruct_long(buf: bytes, declared: int) -> bytes:
+    """Very-long strings: 255 payload bytes per 256-byte chunk
+    (ReadStat behavior, reference spss/data.rs:1028-1048)."""
+    target = min(declared, len(buf))
+    if target <= 255:
+        return buf[:target]
+    out = bytearray()
+    pos = 0
+    while target - len(out) > 255 and pos + 255 <= len(buf):
+        out += buf[pos : pos + 255]
+        pos += 256
+    rem = target - len(out)
+    if rem > 0 and pos + rem <= len(buf):
+        out += buf[pos : pos + rem]
+    return bytes(out)
+
+
+def decode_string_column(
+    rows: np.ndarray,
+    var: SavVar,
+    meta: SavMeta,
+    missing_string_as_null: bool,
+) -> pa.Array:
+    blob = _string_bytes(rows, var)
+    declared = var.string_len or blob.shape[1]
+    long = declared > 255
+    enc = meta.encoding
+    miss = set(var.missing_strings) if var.missing_strings else None
+    out: list[str | None] = []
+    for row in blob:
+        b = row.tobytes()
+        if long:
+            b = _reconstruct_long(b, declared)
+        else:
+            b = b[:declared]
+        b = b.rstrip(b" \0").replace(b"\0", b"")
+        try:
+            s = b.decode(enc)
+        except (UnicodeDecodeError, LookupError):
+            s = b.decode("latin-1")
+        s = s.rstrip()
+        if (missing_string_as_null and s == "") or (miss and s in miss):
+            out.append(None)
+        else:
+            out.append(s)
+    return pa.array(out, type=pa.string())
+
+
+def decode_column(
+    rows: np.ndarray,
+    var: SavVar,
+    meta: SavMeta,
+    value_labels_as_strings: bool,
+    missing_string_as_null: bool,
+) -> pa.Array:
+    if var.is_str:
+        arr = decode_string_column(rows, var, meta, missing_string_as_null)
+        if value_labels_as_strings and var.value_labels:
+            vl = var.value_labels
+            return pa.array(
+                [vl.get(s, s) if s is not None else None for s in arr.to_pylist()],
+                type=pa.string(),
+            )
+        return arr
+
+    vals, mask = decode_numeric(rows, var, meta)
+
+    if value_labels_as_strings and var.value_labels:
+        vl = var.value_labels
+        out: list[str | None] = []
+        for i in range(vals.size):
+            if mask[i]:
+                out.append(None)
+            else:
+                v = float(vals[i])
+                lab = vl.get(v)
+                if lab is None:
+                    # unlabeled codes render numeric-as-string
+                    # (reference NumericStringCache, spss/data.rs:1555)
+                    lab = str(int(v)) if v.is_integer() else str(v)
+                out.append(lab)
+        return pa.array(out, type=pa.string())
+
+    tk = var.time_kind
+    if tk is not None:
+        iv = np.where(mask, 0.0, vals).astype(np.int64)
+        if tk == "date":
+            # Rust integer division truncates toward zero (reference
+            # apply_format_class_date, spss/data.rs:1466)
+            days = ((iv - SPSS_SEC_SHIFT) / SEC_PER_DAY).astype(np.int64)
+            # out-of-python-range dates → null (pandas NaT behavior);
+            # corrupt fixtures exist in the wild (haven datetime.sav)
+            mask = mask | (days < -719_162) | (days > 2_932_896)
+            return pa.array(
+                np.where(mask, 0, days).astype(np.int32),
+                type=pa.date32(),
+                mask=mask,
+            )
+        if tk == "datetime":
+            secs = iv - SPSS_SEC_SHIFT
+            mask = mask | (secs < -62_135_596_800) | (secs > 253_402_300_799)
+            us = np.where(mask, 0, secs) * 1_000_000
+            return pa.array(us, type=pa.timestamp("us"), mask=mask)
+        # time: ns since midnight (SURVEY.md §1.3 — no Spark TimeType)
+        return pa.array(iv * 1_000_000_000, type=pa.int64(), mask=mask)
+
+    return pa.array(vals, type=pa.float64(), mask=mask)
+
+
+def decode_rows(
+    meta: SavMeta,
+    rows: np.ndarray,
+    col_indices: list[int],
+    value_labels_as_strings: bool,
+    missing_string_as_null: bool,
+) -> pa.RecordBatch:
+    arrays = []
+    names = []
+    for i in col_indices:
+        var = meta.variables[i]
+        arrays.append(
+            decode_column(
+                rows, var, meta, value_labels_as_strings, missing_string_as_null
+            )
+        )
+        names.append(var.name)
+    return pa.RecordBatch.from_arrays(arrays, names=names)

@@ -1,0 +1,148 @@
+"""SPSS SAV/ZSAV reader tests.
+
+Oracle strategy (SURVEY.md §5 — no pyreadstat in this env, pandas has
+no native SPSS reader): cross-format differential (sample.sav,
+sample.zsav, sample.por are sibling exports of the same data — three
+independent code paths must agree), known-value regression on the
+publicly documented pyreadstat sample fixtures, plus the reference's
+invariants: partitioned ≡ single-partition, projection/limit/offset.
+"""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import os
+
+import pytest
+
+CORPUS = "/root/reference/crates/polars_readstat_rs/tests/spss/data"
+SAMPLE = f"{CORPUS}/sample.sav"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(CORPUS), reason="reference SPSS corpus not present"
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+
+
+def _load(spark, path, **opts):
+    r = spark.read.format("readstat")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load(path)
+
+
+def all_sav_files():
+    return sorted(glob.glob(f"{CORPUS}/*.sav")) + sorted(
+        glob.glob(f"{CORPUS}/*.zsav")
+    )
+
+
+@pytest.mark.parametrize(
+    "path", all_sav_files(), ids=[os.path.basename(p) for p in all_sav_files()]
+)
+def test_corpus_loads(spark, path):
+    df = _load(spark, path)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert len(df.columns) > 0
+
+
+def test_sample_known_values(spark):
+    """sample.sav content is publicly documented in the pyreadstat
+    test suite (mychar a..e, labeled mylabl/myord, EDATE/DATETIME/TIME
+    columns)."""
+    df = _load(spark, SAMPLE)
+    assert df.columns == [
+        "mychar", "mynum", "mydate", "dtime", "mylabl", "myord", "mytime",
+    ]
+    rows = df.collect()
+    assert [r.mychar for r in rows] == ["a", "b", "c", "d", "e"]
+    assert [r.mynum for r in rows] == [1.1, 1.2, -1000.3, -1.4, 1000.3]
+    assert rows[0].mydate == datetime.date(2018, 5, 6)
+    assert rows[3].mydate == datetime.date(1583, 1, 1)
+    assert rows[4].mydate is None
+    assert rows[0].dtime == datetime.datetime(2018, 5, 6, 10, 10, 10)
+    assert rows[2].dtime == datetime.datetime(1960, 1, 1, 0, 0)
+    # TIME → ns since midnight (10:10:10)
+    assert rows[0].mytime == (10 * 3600 + 10 * 60 + 10) * 1_000_000_000
+    assert [r.mylabl for r in rows] == [1.0, 2.0, 1.0, 2.0, 1.0]
+
+
+def test_zsav_equals_sav(spark):
+    """zlib-block path vs bytecode path must produce identical data."""
+    a = _load(spark, SAMPLE).collect()
+    b = _load(spark, f"{CORPUS}/sample.zsav").collect()
+    assert a == b
+
+
+def test_value_labels_as_strings(spark):
+    df = _load(spark, SAMPLE, value_labels_as_strings="true")
+    rows = df.collect()
+    assert [r.mylabl for r in rows] == [
+        "Male", "Female", "Male", "Female", "Male",
+    ]
+    assert [r.myord for r in rows] == ["low", "medium", "high", "low", "low"]
+    assert dict(df.dtypes)["mylabl"] == "string"
+
+
+def test_declared_missing_values(spark):
+    """missing_test.sav declares 1.0 missing; sample_missing.sav has a
+    2000-3000 range + discrete -1 (reference data.rs:998-1026)."""
+    rows = _load(spark, f"{CORPUS}/missing_test.sav").collect()
+    assert [r.var1 for r in rows] == [None, 2.0]
+    rows = _load(spark, f"{CORPUS}/sample_missing.sav").collect()
+    assert [r.mynum for r in rows][:5] == [1.1, 1.2, -1000.3, -1.4, 1000.3]
+    assert [r.mynum for r in rows][5:] == [None, None]
+
+
+def test_very_long_strings(spark):
+    """test_width.sav: StartDate declared width 1024 → segmented
+    storage reconstructs to a clean timestamp string."""
+    rows = _load(spark, f"{CORPUS}/test_width.sav").collect()
+    assert rows[0].StartDate == "2020-07-13 23:19:55"
+    assert all(len(r.ResponseId) == 17 for r in rows)
+
+
+def test_unicode_names(spark):
+    df = _load(spark, f"{CORPUS}/hebrews.sav")
+    assert df.columns == ["ותק_ב"]
+    assert len(df.collect()) == 99
+
+
+def test_partitioned_equals_single(spark):
+    """Invariant (reference parallel_reader_integrity.rs): row-range
+    partitions concatenate to the single-partition read, in order."""
+    p = f"{CORPUS}/sample_large.sav"  # uncompressed → partitionable
+    one = _load(spark, p).collect()
+    many = _load(spark, p, rows_per_partition="37").collect()
+    assert one == many
+    df = _load(spark, p, rows_per_partition="37")
+    assert df.rdd.getNumPartitions() > 1
+
+
+def test_projection_limit_offset(spark):
+    df = _load(spark, SAMPLE, columns="mynum,mychar", n_rows="3", offset="1")
+    rows = df.collect()
+    assert df.columns == ["mynum", "mychar"]
+    assert [r.mynum for r in rows] == [1.2, -1000.3, -1.4]
+
+
+def test_row_index(spark):
+    rows = _load(spark, f"{CORPUS}/sample_large.sav",
+                 row_index_name="idx", rows_per_partition="100").collect()
+    assert [r.idx for r in rows] == list(range(len(rows)))
+
+
+def test_metadata_surface(spark):
+    """Labels/formats/measure ride on StructField.metadata (§1.4)."""
+    df = _load(spark, SAMPLE)
+    md = {f.name: f.metadata for f in df.schema.fields}
+    assert md["mydate"].get("format", "").startswith("EDATE")
+    assert md["mytime"].get("time") == "ns_since_midnight"
