@@ -75,7 +75,7 @@ class ReadstatDataSource(DataSource):
             raise ValueError("readstat: path is required")
         return p
 
-    SUPPORTED = ("dta", "sas7bdat", "xpt", "sav", "zsav")
+    SUPPORTED = ("dta", "sas7bdat", "xpt", "sav", "zsav", "por")
 
     def _format(self) -> str:
         ext = os.path.splitext(self._path())[1].lower().lstrip(".")
@@ -100,6 +100,10 @@ class ReadstatDataSource(DataSource):
             from polars_readstat_spark.sources.sav.meta import parse_sav_meta
 
             return sav_spark_schema(parse_sav_meta(self._path()), self.options)
+        if fmt == "por":
+            from polars_readstat_spark.sources.por.reader import parse_por
+
+            return por_spark_schema(parse_por(self._path())[0], self.options)
         from polars_readstat_spark.sources.xpt.meta import parse_xpt_meta
 
         return xpt_spark_schema(parse_xpt_meta(self._path()), self.options)
@@ -116,6 +120,10 @@ class ReadstatDataSource(DataSource):
             from polars_readstat_spark.sources.sav.reader import SavReader
 
             return SavReader(self._path(), self.options)
+        if fmt == "por":
+            from polars_readstat_spark.sources.por.reader import PorReader
+
+            return PorReader(self._path(), self.options)
         from polars_readstat_spark.sources.xpt.reader import XptReader
 
         return XptReader(self._path(), self.options)
@@ -242,6 +250,38 @@ def sav_spark_schema(meta, options) -> StructType:
             md["measure"] = {1: "nominal", 2: "ordinal", 3: "scale"}.get(
                 v.measure, ""
             )
+        if v.time_kind == "time":
+            md["time"] = "ns_since_midnight"
+        fields.append(StructField(v.name, t, True, metadata=md))
+    ri = options.get("row_index_name")
+    if ri:
+        if any(f.name == ri for f in fields):
+            raise ValueError(f"row_index_name '{ri}' collides with a column")
+        fields.append(StructField(ri, LongType(), False))
+    return StructType(fields)
+
+
+def por_spark_schema(meta, options) -> StructType:
+    """POR schema: width>0 → string; numeric → double/date/timestamp/
+    time-ns by (82-shifted) format-type code (reference
+    __init__.py:405-425)."""
+    vls = _opt_bool(options, "value_labels_as_strings")
+    fields = []
+    for i in _selected_vars(meta, options):
+        v = meta.variables[i]
+        if v.is_str or (vls and v.value_labels):
+            t = StringType()
+        elif v.time_kind == "date":
+            t = DateType()
+        elif v.time_kind == "datetime":
+            t = TimestampNTZType()
+        elif v.time_kind == "time":
+            t = LongType()
+        else:
+            t = DoubleType()
+        md = {}
+        if v.label:
+            md["label"] = v.label
         if v.time_kind == "time":
             md["time"] = "ns_since_midnight"
         fields.append(StructField(v.name, t, True, metadata=md))
