@@ -138,7 +138,29 @@ def write_readstat(df, path, **kwargs) -> None:
         from polars_readstat_spark.writers.dta import write_dta
 
         return write_dta(df, p, **kwargs)
+    if p.lower().endswith(".sav"):
+        from polars_readstat_spark.writers.sav import write_sav
+
+        return write_sav(df, p, **kwargs)
+    if p.lower().endswith(".xpt"):
+        from polars_readstat_spark.writers.xpt import write_xpt
+
+        return write_xpt(df, p, **kwargs)
+    if p.lower().endswith(".por"):
+        from polars_readstat_spark.writers.por import write_por
+
+        return write_por(df, p, **kwargs)
     raise NotImplementedError(f"write_readstat: unsupported extension for {p}")
+
+
+def write_sas_csv_import(df, path, **kwargs):
+    """CSV + generated SAS DATA-step script bundle (reference W6,
+    __init__.py:1399-1488)."""
+    from polars_readstat_spark.writers.sas_csv import (
+        write_sas_csv_import as _w,
+    )
+
+    return _w(df, str(path), **kwargs)
 
 
 def read_metadata(path) -> dict:

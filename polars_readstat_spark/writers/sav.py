@@ -1,0 +1,281 @@
+"""SPSS .sav writer — reference W3 re-expressed for Spark.
+
+Same two-phase shape as the Stata writer (and the reference's
+sink pre-pass, pybindings.rs:996-1047):
+
+1. **Pre-pass job**: per-string-column max UTF-8 byte width + row
+   count (one Spark aggregation).
+2. **Stream**: `toLocalIterator()` in partition order; each batch is
+   packed into the fixed-width 8-byte-element case layout with numpy
+   (vectorized; no per-value Python in the numeric path).
+
+Output is an *uncompressed* system file (compression=0): every case is
+case_size×8 bytes, so the file we write is itself partitionable by our
+own reader — the right trade at cluster scale where re-read
+parallelism matters more than bytes on disk.
+
+Layout per the public PSPP system-file spec (same records the reader
+parses): header, type-2 variable records (+ continuations), 3/4 value
+labels, type-7 subtypes 3 (integer info), 4 (float info), 13 (long
+names), 20 (encoding=UTF-8), then 999.
+
+Reference parity: spss/writer.rs (≤255-byte strings enforced, auto
+8-char short names, value/variable labels, measure/format carry-through).
+"""
+
+from __future__ import annotations
+
+import datetime
+import struct
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from polars_readstat_spark.writers import ts_epoch_seconds
+
+SYSMIS_BITS = 0xFFEFFFFFFFFFFFFF
+SPSS_SEC_SHIFT = 12_219_379_200
+
+
+def _short_names(names: list[str]) -> list[bytes]:
+    """Unique uppercase ≤8-byte short names (reference spss/writer.rs
+    auto short-name behavior)."""
+    out: list[bytes] = []
+    seen: set[bytes] = set()
+    for i, n in enumerate(names):
+        base = "".join(
+            c for c in n.upper() if c.isalnum() or c in "@#$_."
+        ) or f"VAR{i + 1}"
+        if base[0].isdigit():
+            base = "V" + base
+        cand = base[:8].encode("utf-8", "ignore")[:8] or f"VAR{i + 1}".encode()
+        k = 1
+        while cand in seen:
+            suffix = str(k).encode()
+            cand = cand[: 8 - len(suffix)] + suffix
+            k += 1
+        seen.add(cand)
+        out.append(cand)
+    return out
+
+
+def _fmt_int(fmt_type: int, width: int, dec: int) -> int:
+    return (fmt_type << 16) | (width << 8) | dec
+
+
+def write_sav(
+    df: DataFrame,
+    path: str,
+    data_label: str = "",
+    variable_labels: dict | None = None,
+    value_labels: dict | None = None,
+    measures: dict | None = None,
+) -> None:
+    variable_labels = variable_labels or {}
+    value_labels = value_labels or {}
+    measures = measures or {}
+
+    fields = df.schema.fields
+    names = [f.name for f in fields]
+    shorts = _short_names(names)
+
+    # ---- plan per column: (kind, conv) -------------------------------
+    # kind: num | date | datetime | time | str
+    kinds = []
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in fields:
+        t = f.dataType.simpleString()
+        if t == "string":
+            kinds.append("str")
+            aggs.append(
+                F.max(F.octet_length(f.name)).alias(f"__w_{f.name}")
+            )
+        elif t == "date":
+            kinds.append("date")
+        elif t.startswith("timestamp"):
+            kinds.append("datetime")
+        elif t == "bigint" and f.metadata.get("time") == "ns_since_midnight":
+            kinds.append("time")
+        elif t in ("tinyint", "smallint", "int", "bigint", "float",
+                   "double", "boolean", "decimal", "short", "long") or t.startswith("decimal"):
+            kinds.append("num")
+        else:
+            raise ValueError(f"write_sav: unsupported type {t} for {f.name}")
+
+    stats = df.agg(*aggs).collect()[0].asDict()
+    nrows = stats["__n"]
+
+    widths = []  # string byte width (0 for numeric)
+    for f, k in zip(fields, kinds):
+        if k == "str":
+            w = stats.get(f"__w_{f.name}") or 1
+            w = max(int(w), 1)
+            if w > 255:
+                raise ValueError(
+                    f"write_sav: column {f.name} has strings wider than "
+                    "255 bytes (SPSS limit; reference writer.rs rejects too)"
+                )
+            widths.append(w)
+        else:
+            widths.append(0)
+
+    el_per = [max((w + 7) // 8, 1) if w else 1 for w in widths]
+    case_size = sum(el_per)
+
+    # ---- dictionary ---------------------------------------------------
+    out = bytearray()
+    prod = ("@(#) SPSS DATA FILE - polars_readstat_spark").ljust(60)[:60]
+    now = datetime.datetime.now()
+    out += b"$FL2" + prod.encode()
+    out += struct.pack(
+        "<5i", 2, case_size, 0, 0, int(nrows)
+    )
+    out += struct.pack("<d", 100.0)
+    out += now.strftime("%d %b %y").ljust(9)[:9].encode()
+    out += now.strftime("%H:%M:%S").ljust(8)[:8].encode()
+    out += data_label.encode("utf-8")[:64].ljust(64)
+    out += b"\x00\x00\x00"
+    assert len(out) == 176
+
+    el_index = []  # 1-based first element index per variable
+    pos = 1
+    for i, f in enumerate(fields):
+        el_index.append(pos)
+        k = kinds[i]
+        w = widths[i]
+        vtype = w if k == "str" else 0
+        if k == "str":
+            pf = _fmt_int(1, min(w, 255), 0)  # A
+        elif k == "date":
+            pf = _fmt_int(38, 10, 0)  # EDATE10
+        elif k == "datetime":
+            pf = _fmt_int(22, 20, 0)  # DATETIME20
+        elif k == "time":
+            pf = _fmt_int(21, 8, 0)  # TIME8
+        else:
+            pf = _fmt_int(5, 8, 2)  # F8.2
+        label = variable_labels.get(f.name) or f.metadata.get("label") or ""
+        lab_b = label.encode("utf-8")[:255] if label else b""
+        out += struct.pack("<6i", 2, vtype, 1 if lab_b else 0, 0, pf, pf)
+        out += shorts[i].ljust(8)
+        if lab_b:
+            out += struct.pack("<i", len(lab_b))
+            out += lab_b.ljust((len(lab_b) + 3) // 4 * 4, b" ")
+        for _ in range(el_per[i] - 1):
+            out += struct.pack("<6i", 2, -1, 0, 0, 0, 0) + b" " * 8
+        pos += el_per[i]
+
+    # value labels (numeric columns only in record 3/4)
+    for i, f in enumerate(fields):
+        vl = value_labels.get(f.name)
+        if not vl or kinds[i] == "str":
+            continue
+        out += struct.pack("<2i", 3, len(vl))
+        for val, lab in vl.items():
+            out += struct.pack("<d", float(val))
+            lb = str(lab).encode("utf-8")[:255]
+            # label byte + label, padded so (1+len) is a multiple of 8
+            padded = (len(lb) + 1 + 7) // 8 * 8 - 1
+            out += bytes([len(lb)]) + lb.ljust(padded)
+        out += struct.pack("<3i", 4, 1, el_index[i])
+
+    # subtype 3: integer info (machine/version; codepage 65001 = UTF-8)
+    out += struct.pack("<3i", 7, 3, 4) + struct.pack("<i", 8)
+    out += struct.pack("<8i", 1, 0, 0, 1, 1, 1, 2, 65001)
+    # subtype 4: float info (sysmis, highest, lowest)
+    out += struct.pack("<3i", 7, 4, 8) + struct.pack("<i", 3)
+    sysmis = struct.unpack("<d", struct.pack("<Q", SYSMIS_BITS))[0]
+    highest = struct.unpack("<d", struct.pack("<Q", 0x7FEFFFFFFFFFFFFF))[0]
+    out += struct.pack("<3d", sysmis, highest, sysmis)
+    # subtype 11: display parameters (measure, width, alignment)
+    disp = []
+    for i, f in enumerate(fields):
+        m = measures.get(f.name) or f.metadata.get("measure") or ""
+        mcode = {"nominal": 1, "ordinal": 2, "scale": 3}.get(m, 1 if kinds[i] == "str" else 3)
+        disp += [mcode, max(widths[i], 8), 0 if kinds[i] == "str" else 1]
+    out += struct.pack("<3i", 7, 11, 4) + struct.pack("<i", len(disp))
+    out += struct.pack(f"<{len(disp)}i", *disp)
+    # subtype 13: long variable names
+    pairs = b"\t".join(
+        shorts[i] + b"=" + names[i].encode("utf-8") for i in range(len(names))
+    )
+    out += struct.pack("<3i", 7, 13, 1) + struct.pack("<i", len(pairs)) + pairs
+    # subtype 20: encoding
+    enc = b"UTF-8"
+    out += struct.pack("<3i", 7, 20, 1) + struct.pack("<i", len(enc)) + enc
+    # dictionary terminator
+    out += struct.pack("<2i", 999, 0)
+
+    # ---- data: stream partitions, pack vectorized --------------------
+    # select casts once so every batch arrives pre-converted
+    sel = []
+    for i, f in enumerate(fields):
+        c = F.col(f.name)
+        k = kinds[i]
+        if k == "num":
+            sel.append(c.cast("double").alias(f.name))
+        elif k == "date":
+            # days since 1970 → seconds since 1582
+            sel.append(
+                (F.unix_date(c).cast("double") * 86400.0 + float(SPSS_SEC_SHIFT))
+                .alias(f.name)
+            )
+        elif k == "datetime":
+            sel.append(
+                (ts_epoch_seconds(c) + float(SPSS_SEC_SHIFT)).alias(f.name)
+            )
+        elif k == "time":
+            sel.append((c.cast("double") / 1e9).alias(f.name))
+        else:
+            sel.append(c.alias(f.name))
+    src = df.select(*sel)
+
+    sysmis_le = np.frombuffer(
+        struct.pack("<Q", SYSMIS_BITS), dtype=np.uint8
+    )
+
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+        batch: list = []
+
+        def flush():
+            if not batch:
+                return
+            n = len(batch)
+            mat = np.zeros((n, case_size * 8), dtype=np.uint8)
+            colpos = 0
+            # column-wise vectorized packing
+            for ci, (k, w, ne) in enumerate(zip(kinds, widths, el_per)):
+                off = colpos * 8
+                if k == "str":
+                    for ri in range(n):
+                        s = batch[ri][ci]
+                        b = (s if s is not None else "").encode("utf-8")[: ne * 8]
+                        cell = b.ljust(ne * 8, b" ")
+                        mat[ri, off : off + ne * 8] = np.frombuffer(
+                            cell, dtype=np.uint8
+                        )
+                else:
+                    vals = np.array(
+                        [
+                            np.nan if batch[ri][ci] is None else batch[ri][ci]
+                            for ri in range(n)
+                        ],
+                        dtype=np.float64,
+                    )
+                    bts = vals.astype("<f8").view(np.uint8).reshape(n, 8)
+                    miss = np.isnan(vals)
+                    if miss.any():
+                        bts[miss] = sysmis_le
+                    mat[:, off : off + 8] = bts
+                colpos += ne
+            fh.write(mat.tobytes())
+            batch.clear()
+
+        for row in src.toLocalIterator(prefetchPartitions=True):
+            batch.append(tuple(row))
+            if len(batch) >= 8192:
+                flush()
+        flush()
