@@ -126,31 +126,116 @@ def scan_readstat(
     return df
 
 
-def write_readstat(df, path, **kwargs) -> None:
+def _merge_write_metadata(df, metadata, kwargs) -> dict:
+    """Merge a metadata source (dict from `read_metadata` or a
+    12-column metadata_df DataFrame) with explicit kwargs — kwargs win,
+    via full-outer-join + coalesce for the DataFrame form (reference
+    W7, _coalesce_metadata_dfs __init__.py:1217-1247)."""
+    from pyspark.sql import DataFrame as _DF
+
+    var_labels: dict = {}
+    val_labels: dict = {}
+    data_label = None
+    if isinstance(metadata, _DF):
+        from pyspark.sql import functions as F
+
+        spark = metadata.sparkSession
+        kw_rows = [
+            (n, kwargs.get("variable_labels", {}).get(n))
+            for n in [r["name"] for r in metadata.select("name").collect()]
+        ]
+        kw = spark.createDataFrame(kw_rows, "name string, kw_label string")
+        merged = (
+            metadata.select("name", "label", "value_label_codes",
+                            "value_label_labels")
+            .join(kw, "name", "full")
+            .select(
+                "name",
+                F.coalesce("kw_label", "label").alias("label"),
+                "value_label_codes",
+                "value_label_labels",
+            )
+            .collect()
+        )
+        for r in merged:
+            if r["label"]:
+                var_labels[r["name"]] = r["label"]
+            if r["value_label_codes"] and r["value_label_labels"]:
+                pairs = {}
+                for c, l in zip(r["value_label_codes"], r["value_label_labels"]):
+                    try:
+                        pairs[int(c)] = l
+                    except ValueError:
+                        try:
+                            pairs[float(c)] = l
+                        except ValueError:
+                            pairs[c] = l
+                val_labels[r["name"]] = pairs
+    elif isinstance(metadata, dict):
+        data_label = metadata.get("file_label")
+        for v in metadata.get("variables", []):
+            if v.get("label"):
+                var_labels[v["name"]] = v["label"]
+            vl = v.get("value_labels")
+            if vl:
+                pairs = {}
+                for c, l in vl.items():
+                    try:
+                        pairs[int(c)] = l
+                    except (ValueError, TypeError):
+                        try:
+                            pairs[float(c)] = l
+                        except (ValueError, TypeError):
+                            pairs[c] = l
+                val_labels[v["name"]] = pairs
+    # explicit kwargs win key-by-key
+    var_labels.update(kwargs.get("variable_labels") or {})
+    for col, vl in (kwargs.get("value_labels") or {}).items():
+        val_labels[col] = vl
+    out = dict(kwargs)
+    if var_labels:
+        out["variable_labels"] = var_labels
+    if val_labels:
+        out["value_labels"] = val_labels
+    if data_label and not out.get("data_label"):
+        out["data_label"] = data_label
+    return out
+
+
+def write_readstat(df, path, metadata=None, **kwargs) -> None:
     """Write a Spark DataFrame to a statistical file format, dispatched
     on extension (reference write_readstat, __init__.py:708-878).
 
-    Currently: .dta (Stata v118). kwargs: data_label, variable_labels,
-    value_labels.
+    Formats: .dta (Stata v118), .sav, .xpt (v5), .por. kwargs:
+    data_label, variable_labels, value_labels (+ per-format extras);
+    `metadata` accepts a `read_metadata` dict or a `metadata_df`
+    DataFrame, merged with kwargs (kwargs win — reference W7).
     """
+    if metadata is not None:
+        kwargs = _merge_write_metadata(df, metadata, kwargs)
     p = str(path)
-    if p.lower().endswith(".dta"):
-        from polars_readstat_spark.writers.dta import write_dta
+    lower = p.lower()
+    if lower.endswith(".dta"):
+        from polars_readstat_spark.writers.dta import write_dta as w
+    elif lower.endswith(".sav"):
+        from polars_readstat_spark.writers.sav import write_sav as w
+    elif lower.endswith(".xpt"):
+        from polars_readstat_spark.writers.xpt import write_xpt as w
+    elif lower.endswith(".por"):
+        from polars_readstat_spark.writers.por import write_por as w
+    else:
+        raise NotImplementedError(
+            f"write_readstat: unsupported extension for {p}"
+        )
+    # writers have per-format option surfaces; drop inapplicable keys
+    # (e.g. value_labels for XPT — transport has no label section),
+    # matching the reference's tolerant kwargs handling
+    import inspect
 
-        return write_dta(df, p, **kwargs)
-    if p.lower().endswith(".sav"):
-        from polars_readstat_spark.writers.sav import write_sav
-
-        return write_sav(df, p, **kwargs)
-    if p.lower().endswith(".xpt"):
-        from polars_readstat_spark.writers.xpt import write_xpt
-
-        return write_xpt(df, p, **kwargs)
-    if p.lower().endswith(".por"):
-        from polars_readstat_spark.writers.por import write_por
-
-        return write_por(df, p, **kwargs)
-    raise NotImplementedError(f"write_readstat: unsupported extension for {p}")
+    accepted = set(inspect.signature(w).parameters)
+    if lower.endswith(".por") and "data_label" in kwargs:
+        kwargs.setdefault("file_label", kwargs.pop("data_label"))
+    return w(df, p, **{k: v for k, v in kwargs.items() if k in accepted})
 
 
 def write_sas_csv_import(df, path, **kwargs):
