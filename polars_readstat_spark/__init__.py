@@ -89,6 +89,7 @@ def scan_readstat(
     batch_size=None,
     rows_per_partition=None,
     schema_overrides=None,
+    catalog=None,
 ):
     """Lazy scan of a statistical file → Spark DataFrame.
 
@@ -117,6 +118,18 @@ def scan_readstat(
     if missing_string_as_null:
         r = r.option("missing_string_as_null", "true")
     df = r.load(str(path))
+    if catalog is not None:
+        # T3: .sas7bcat value labels matched to columns by SAS format
+        # name, default = cast(col, string) (reference
+        # _apply_catalog_labels, __init__.py:476-495)
+        from polars_readstat_spark.sources.sas7bcat import (
+            apply_catalog_labels,
+            read_sas7bcat,
+        )
+
+        if isinstance(catalog, str):
+            catalog = read_sas7bcat(catalog)
+        df = apply_catalog_labels(df, catalog)
     if schema_overrides:
         from pyspark.sql import functions as F
 
@@ -124,6 +137,14 @@ def scan_readstat(
             {c: F.col(c).cast(t) for c, t in schema_overrides.items()}
         )
     return df
+
+
+def read_sas7bcat(path) -> dict:
+    """Read a .sas7bcat format catalog → {format_name: {code: label}}
+    (reference S8, src/sas/catalog.rs:312-402)."""
+    from polars_readstat_spark.sources.sas7bcat import read_sas7bcat as _r
+
+    return _r(str(path))
 
 
 def _merge_write_metadata(df, metadata, kwargs) -> dict:
