@@ -90,6 +90,10 @@ def scan_readstat(
     rows_per_partition=None,
     schema_overrides=None,
     catalog=None,
+    informative_nulls=None,
+    informative_null_columns=None,
+    informative_null_suffix=None,
+    use_value_labels=None,
 ):
     """Lazy scan of a statistical file → Spark DataFrame.
 
@@ -110,6 +114,15 @@ def scan_readstat(
         ("row_index_offset", row_index_offset),
         ("batch_size", batch_size),
         ("rows_per_partition", rows_per_partition),
+        ("informative_nulls", informative_nulls),
+        (
+            "informative_null_columns",
+            ",".join(informative_null_columns)
+            if informative_null_columns
+            else None,
+        ),
+        ("informative_null_suffix", informative_null_suffix),
+        ("use_value_labels", use_value_labels),
     ]:
         if v is not None:
             r = r.option(k, str(v))

@@ -86,7 +86,61 @@ class ReadstatDataSource(DataSource):
             )
         return ext
 
+    def _compress_plan(self) -> dict:
+        """C5: decide the narrowed schema once on the driver from a
+        bounded sample read (reference infer-on-sample,
+        pybindings.rs:374-423); cached per path."""
+        from polars_readstat_spark.sources import compress_scan
+
+        path = self._path()
+
+        import pyarrow as pa
+
+        def sample():
+            opts = dict(self.options)
+            opts.pop("compress", None)
+            n = _opt_int(self.options, "compress_infer_rows", 10_000)
+            opts["n_rows"] = str(
+                min(n, _opt_int(self.options, "n_rows", n) or n)
+            )
+            opts.pop("row_index_name", None)
+            sub = ReadstatDataSource(opts)
+            rdr = sub._reader_uncompressed(None)
+            batches = []
+            for part in rdr.partitions():
+                for b in rdr.read(part):
+                    batches.append(b)
+                break
+            tbl = pa.Table.from_batches(batches)
+            return (
+                tbl.combine_chunks().to_batches()[0]
+                if tbl.num_rows
+                else batches[0]
+            )
+
+        return compress_scan.plan_for(path, self.options, sample)
+
     def schema(self) -> StructType:
+        s = self._schema_uncompressed()
+        if _opt_bool(self.options, "compress"):
+            from polars_readstat_spark.sources.compress_scan import (
+                spark_type_for,
+            )
+
+            plan = self._compress_plan()
+            ri = self.options.get("row_index_name")
+            fields = [
+                f
+                if f.name not in plan or f.name == ri
+                else StructField(
+                    f.name, spark_type_for(plan[f.name]), True, f.metadata
+                )
+                for f in s.fields
+            ]
+            return StructType(fields)
+        return s
+
+    def _schema_uncompressed(self) -> StructType:
         fmt = self._format()
         if fmt == "dta":
             from polars_readstat_spark.sources.dta.meta import parse_dta_meta
@@ -109,6 +163,14 @@ class ReadstatDataSource(DataSource):
         return xpt_spark_schema(parse_xpt_meta(self._path()), self.options)
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        base = self._reader_uncompressed(schema)
+        if _opt_bool(self.options, "compress"):
+            return CompressingReader(
+                base, self._compress_plan(), self.options.get("row_index_name")
+            )
+        return base
+
+    def _reader_uncompressed(self, schema) -> DataSourceReader:
         fmt = self._format()
         if fmt == "dta":
             return DtaReader(self._path(), self.options, schema)
@@ -141,6 +203,45 @@ def _selected_vars(meta, options):
     return list(range(len(meta.variables)))
 
 
+def _shape_informative(fields, options, eligible_names) -> list:
+    """Re-shape schema fields for the informative-null modes
+    (reference build_indicator_schema, src/lib.rs:237-297)."""
+    from pyspark.sql.types import StructType as _ST
+
+    from polars_readstat_spark.sources import informative as inf
+
+    opts = inf.parse_opts(options)
+    if not opts:
+        return fields
+    out = []
+    for f in fields:
+        if f.name not in eligible_names or not inf.eligible(opts, f.name):
+            out.append(f)
+            continue
+        if opts["mode"] == "separate":
+            out.append(f)
+            out.append(
+                StructField(f.name + opts["suffix"], StringType(), True)
+            )
+        elif opts["mode"] == "struct":
+            out.append(
+                StructField(
+                    f.name,
+                    _ST(
+                        [
+                            StructField(f.name, f.dataType, True),
+                            StructField("null_indicator", StringType(), True),
+                        ]
+                    ),
+                    True,
+                    metadata=f.metadata,
+                )
+            )
+        else:  # merged
+            out.append(StructField(f.name, StringType(), True, metadata=f.metadata))
+    return out
+
+
 def dta_spark_schema(meta, options) -> StructType:
     """Schema from header metadata only; per-variable metadata (label,
     format, value-label name) rides on StructField.metadata —
@@ -148,6 +249,7 @@ def dta_spark_schema(meta, options) -> StructType:
     src/metadata_df.rs)."""
     vls = _opt_bool(options, "value_labels_as_strings")
     fields = []
+    eligible = set()
     for i in _selected_vars(meta, options):
         v = meta.variables[i]
         if v.kind in ("str", "strl"):
@@ -166,12 +268,15 @@ def dta_spark_schema(meta, options) -> StructType:
                 "float": FloatType(),
                 "double": DoubleType(),
             }[v.kind]
+        if v.kind not in ("str", "strl") and not (vls and v.lblname):
+            eligible.add(v.name)
         md = {"format": v.fmt}
         if v.varlabel:
             md["label"] = v.varlabel
         if v.lblname:
             md["value_label"] = v.lblname
         fields.append(StructField(v.name, t, True, metadata=md))
+    fields = _shape_informative(fields, options, eligible)
     ri = options.get("row_index_name")
     if ri:
         if any(f.name == ri for f in fields):
@@ -229,6 +334,7 @@ def sav_spark_schema(meta, options) -> StructType:
     flips labeled columns to string (reference T2/T6)."""
     vls = _opt_bool(options, "value_labels_as_strings")
     fields = []
+    eligible = set()
     for i in _selected_vars(meta, options):
         v = meta.variables[i]
         if v.is_str or (vls and v.value_labels):
@@ -241,6 +347,8 @@ def sav_spark_schema(meta, options) -> StructType:
             t = LongType()
         else:
             t = DoubleType()
+        if not v.is_str and not (vls and v.value_labels):
+            eligible.add(v.name)
         md = {}
         if v.fmt:
             md["format"] = v.fmt
@@ -253,6 +361,7 @@ def sav_spark_schema(meta, options) -> StructType:
         if v.time_kind == "time":
             md["time"] = "ns_since_midnight"
         fields.append(StructField(v.name, t, True, metadata=md))
+    fields = _shape_informative(fields, options, eligible)
     ri = options.get("row_index_name")
     if ri:
         if any(f.name == ri for f in fields):
@@ -332,6 +441,27 @@ def xpt_spark_schema(meta, options) -> StructType:
     return StructType(fields)
 
 
+class CompressingReader(DataSourceReader):
+    """Wraps any format reader, applying a fixed compress plan to each
+    Arrow batch — schema stability is guaranteed because the plan was
+    decided on the driver before execution (C5)."""
+
+    def __init__(self, inner: DataSourceReader, plan: dict, row_index_name):
+        self.inner = inner
+        self.plan = {
+            k: v for k, v in plan.items() if k != row_index_name
+        }
+
+    def partitions(self):
+        return self.inner.partitions()
+
+    def read(self, partition):
+        from polars_readstat_spark.sources.compress_scan import apply_plan
+
+        for batch in self.inner.read(partition):
+            yield apply_plan(batch, self.plan)
+
+
 class RowRange(InputPartition):
     def __init__(self, start: int, n: int):
         self.start = start
@@ -358,6 +488,9 @@ class DtaReader(DataSourceReader):
         self.offset = _opt_int(options, "offset", 0) or 0
         self.batch_size = _opt_int(options, "batch_size")
         self.rows_per_partition = _opt_int(options, "rows_per_partition")
+        from polars_readstat_spark.sources import informative as inf
+
+        self.informative = inf.parse_opts(options)
 
     # -- planning (driver side) ------------------------------------
 
@@ -431,7 +564,7 @@ class DtaReader(DataSourceReader):
             batch = decode_rows(
                 meta, b"", 0, self.col_indices,
                 self.value_labels_as_strings, self.missing_string_as_null,
-                strl_lookup,
+                strl_lookup, informative=self.informative,
             )
             yield with_row_index(batch, partition.start, 0)
             return
@@ -451,6 +584,7 @@ class DtaReader(DataSourceReader):
                     self.value_labels_as_strings,
                     self.missing_string_as_null,
                     strl_lookup,
+                    informative=self.informative,
                 )
                 yield with_row_index(batch, pos, cnt)
                 pos += cnt

@@ -239,6 +239,32 @@ def build_strl_lookup(meta: DtaMeta) -> dict[int, str]:
     return out
 
 
+def stata_indicator(mask: np.ndarray, tags: np.ndarray | None) -> pa.Array:
+    """Missing-tag indicator strings: '.' for system missing, '.a'-'.z'
+    for tagged (reference offset_to_stata_label,
+    src/stata/value.rs:341-347); null where the value is present."""
+    out: list[str | None] = [None] * len(mask)
+    if mask.any():
+        idxs = np.flatnonzero(mask)
+        if tags is None:
+            for i in idxs:
+                out[i] = "."
+        else:
+            for i, t in zip(idxs, tags):
+                t = int(t)
+                out[i] = "." + chr(ord("a") + t - 1) if 1 <= t <= 26 else "."
+    return pa.array(out, type=pa.string())
+
+
+def dta_eligible(var: DtaVar, value_labels_as_strings: bool) -> bool:
+    """Informative-null eligibility: columns that decode to numeric
+    (incl. date/datetime promotions); labeled-as-string columns carry
+    their indicator inside the label path already."""
+    if var.kind in ("str", "strl"):
+        return False
+    return not (value_labels_as_strings and var.lblname)
+
+
 def decode_rows(
     meta: DtaMeta,
     buf: bytes,
@@ -248,23 +274,38 @@ def decode_rows(
     missing_string_as_null: bool,
     strl_lookup=None,
     arrow_schema: pa.Schema | None = None,
+    informative: dict | None = None,
 ) -> pa.RecordBatch:
+    from polars_readstat_spark.sources import informative as inf
+
     data = np.frombuffer(buf, dtype=np_dtype_for(meta), count=n_rows)
     arrays = []
     names = []
     for i in col_indices:
         var = meta.variables[i]
-        arrays.append(
-            decode_column(
-                data,
-                i,
-                var,
-                meta,
-                value_labels_as_strings,
-                missing_string_as_null,
-                strl_lookup,
-            )
+        col = decode_column(
+            data,
+            i,
+            var,
+            meta,
+            value_labels_as_strings,
+            missing_string_as_null,
+            strl_lookup,
         )
+        if (
+            informative
+            and dta_eligible(var, value_labels_as_strings)
+            and inf.eligible(informative, var.name)
+        ):
+            _, mask, tags = decode_numeric(data[f"f{i}"], var)
+            ind = stata_indicator(mask, tags)
+            for nm, arr in inf.assemble(
+                informative["mode"], var.name, informative["suffix"], col, ind
+            ):
+                arrays.append(arr)
+                names.append(nm)
+            continue
+        arrays.append(col)
         names.append(var.name)
     if arrow_schema is not None:
         return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)

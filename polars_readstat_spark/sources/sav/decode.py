@@ -251,21 +251,89 @@ def decode_column(
     return pa.array(vals, type=pa.float64(), mask=mask)
 
 
+def sav_indicator(
+    rows: np.ndarray, var: SavVar, meta: SavMeta, use_value_labels: bool
+) -> pa.Array:
+    """Declared-missing indicator (reference missing_numeric_indicator,
+    spss/data.rs:1054-1185): sysmis/NaN → null; discrete declared →
+    label (when use_value_labels and defined) else the value rendered
+    as a code string; range-declared → label or "MISSING"."""
+    vals = _numeric_elements(rows, var, meta).astype("<f8", copy=False)
+    bits = vals.view(np.uint64)
+    sysmiss = (
+        (bits == SYSMIS_BITS)
+        | (bits == LOWEST_BITS)
+        | (bits == HIGHEST_BITS)
+        | np.isnan(vals)
+    )
+    md = var.missing_doubles
+    out: list[str | None] = [None] * vals.size
+    if not md:
+        return pa.array(out, type=pa.string())
+    vl = var.value_labels if use_value_labels else {}
+
+    def render(v: float) -> str:
+        lab = vl.get(v)
+        if lab is not None:
+            return lab
+        return str(int(v)) if float(v).is_integer() else str(v)
+
+    if var.missing_range and len(md) >= 2:
+        lo, hi = min(md[0], md[1]), max(md[0], md[1])
+        with np.errstate(invalid="ignore"):
+            in_range = (vals >= lo) & (vals <= hi) & ~sysmiss
+        for i in np.flatnonzero(in_range):
+            v = float(vals[i])
+            out[i] = vl.get(v, "MISSING") if use_value_labels else "MISSING"
+        if len(md) >= 3:
+            disc = (bits == np.float64(md[2]).view(np.uint64)) & ~sysmiss
+            for i in np.flatnonzero(disc):
+                out[i] = render(float(vals[i]))
+    else:
+        for d in md:
+            hit = (bits == np.float64(d).view(np.uint64)) & ~sysmiss
+            for i in np.flatnonzero(hit):
+                out[i] = render(float(vals[i]))
+    return pa.array(out, type=pa.string())
+
+
+def sav_eligible(var: SavVar, value_labels_as_strings: bool) -> bool:
+    if var.is_str:
+        return False
+    return not (value_labels_as_strings and var.value_labels)
+
+
 def decode_rows(
     meta: SavMeta,
     rows: np.ndarray,
     col_indices: list[int],
     value_labels_as_strings: bool,
     missing_string_as_null: bool,
+    informative: dict | None = None,
 ) -> pa.RecordBatch:
+    from polars_readstat_spark.sources import informative as inf
+
     arrays = []
     names = []
     for i in col_indices:
         var = meta.variables[i]
-        arrays.append(
-            decode_column(
-                rows, var, meta, value_labels_as_strings, missing_string_as_null
-            )
+        col = decode_column(
+            rows, var, meta, value_labels_as_strings, missing_string_as_null
         )
+        if (
+            informative
+            and sav_eligible(var, value_labels_as_strings)
+            and inf.eligible(informative, var.name)
+        ):
+            ind = sav_indicator(
+                rows, var, meta, informative["use_value_labels"]
+            )
+            for nm, arr in inf.assemble(
+                informative["mode"], var.name, informative["suffix"], col, ind
+            ):
+                arrays.append(arr)
+                names.append(nm)
+            continue
+        arrays.append(col)
         names.append(var.name)
     return pa.RecordBatch.from_arrays(arrays, names=names)

@@ -57,6 +57,9 @@ class SavReader(DataSourceReader):
         self.offset = _opt_int(options, "offset", 0) or 0
         self.batch_size = _opt_int(options, "batch_size")
         self.rows_per_partition = _opt_int(options, "rows_per_partition")
+        from polars_readstat_spark.sources import informative as inf
+
+        self.informative = inf.parse_opts(options)
 
     def _total_rows(self) -> int:
         m = self.meta
@@ -124,6 +127,7 @@ class SavReader(DataSourceReader):
                 self.col_indices,
                 self.value_labels_as_strings,
                 self.missing_string_as_null,
+                informative=self.informative,
             )
             return with_row_index(batch, pos, cnt)
 
