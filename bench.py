@@ -21,6 +21,66 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _readstat_files(spark, sf_dir: str, sf: str) -> dict[str, str]:
+    """Generate dta/sav/xpt files from the sf lineitem table (once per
+    sf, cached in /tmp) for format-read benchmarks — the BASELINE.md
+    comparison surface (full / subset / filter / subset+filter reads).
+    """
+    import polars_readstat_spark as prs
+
+    out_dir = f"/tmp/spark_graft_bench_sf{sf}"
+    os.makedirs(out_dir, exist_ok=True)
+    src = None
+    paths = {}
+    for ext in ("dta", "sav", "xpt"):
+        p = os.path.join(out_dir, f"lineitem.{ext}")
+        paths[ext] = p
+        if not os.path.exists(p):
+            if src is None:
+                # narrow to a representative 8-column mixed frame
+                src = (
+                    spark.read.parquet(
+                        os.path.join(sf_dir, "lineitem.parquet")
+                    ).select(
+                        "l_orderkey", "l_partkey", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_returnflag",
+                        "l_shipdate", "l_linestatus",
+                    )
+                )
+            prs.write_readstat(src, p)
+    return paths
+
+
+def _bench_readstat(spark, paths: dict, timings: dict) -> None:
+    def t(name, df):
+        t0 = time.perf_counter()
+        run_query(df)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    from pyspark.sql import functions as F
+
+    rd = lambda p, **o: (  # noqa: E731
+        spark.read.format("readstat")
+        .options(**{k: str(v) for k, v in o.items()})
+        .load(p)
+    )
+    # warm the Python datasource workers so timings measure decode,
+    # not interpreter spin-up
+    next(iter(paths.values())) and run_query(
+        rd(next(iter(paths.values())), n_rows=16)
+    )
+    for ext, p in paths.items():
+        qty = "l_quantity" if ext != "xpt" else "L_QUANTI"
+        okey = "l_orderkey" if ext != "xpt" else "L_ORDERK"
+        t(f"read_{ext}_full", rd(p))
+        t(f"read_{ext}_subset", rd(p, columns=f"{okey},{qty}"))
+        t(f"read_{ext}_filter", rd(p).filter(F.col(qty) >= 18))
+        t(
+            f"read_{ext}_subset_filter",
+            rd(p, columns=f"{okey},{qty}").filter(F.col(qty) >= 18),
+        )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -31,6 +91,14 @@ def main() -> None:
     # warm the JVM + parquet footers so per-query numbers measure the
     # queries, not session startup
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    try:
+        readstat_paths = _readstat_files(spark, sf_dir, sf)
+    except Exception as e:  # noqa: BLE001
+        readstat_paths = {}
+        print(f"# bench readstat file gen failed: {e!r}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
@@ -42,6 +110,11 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
             print(f"# bench error {name}: {e!r}", file=sys.stderr)
+    if readstat_paths:
+        try:
+            _bench_readstat(spark, readstat_paths, timings)
+        except Exception as e:  # noqa: BLE001
+            print(f"# bench readstat failed: {e!r}", file=sys.stderr)
     total = round(time.perf_counter() - t_all, 3)
     print(
         json.dumps(

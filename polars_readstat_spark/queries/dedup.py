@@ -113,7 +113,11 @@ def minhash_lsh_pairs(spark, sf_dir):
         "2, md5(concat(h4, h5)), "
         "3, md5(concat(h6, h7))) AS (band_idx, band_key)"
     )
-    bands = sig.selectExpr("doc_id", stack)
+    # persist: the self-join would otherwise run the whole
+    # shingle→hash→agg pipeline once per side (verified via
+    # .explain — broadcast wrapping defeats ReusedExchange); the
+    # band table is tiny (4 rows/doc) so caching it halves the work
+    bands = sig.selectExpr("doc_id", stack).persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (

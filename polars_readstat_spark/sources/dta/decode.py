@@ -55,11 +55,13 @@ def np_dtype_for(meta: DtaMeta) -> np.dtype:
 
 
 def decode_numeric(
-    vals: np.ndarray, var: DtaVar
+    vals: np.ndarray, var: DtaVar, version: int = 118
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
     """→ (values, missing_mask, tag_index or None).
 
-    tag_index: 0 for '.', 1..26 for '.a'..'.z' (valid where mask)."""
+    tag_index: 0 for '.', 1..26 for '.a'..'.z' (valid where mask).
+    Pre-113 files have no tagged missings and use larger valid int
+    ranges (reference missing_rules, src/stata/value.rs:19-52)."""
     # normalize to native byte order once; all bit views below are then
     # exact (astype converts, preserving logical values)
     if vals.dtype.byteorder == ">" or (
@@ -68,6 +70,10 @@ def decode_numeric(
         vals = vals.astype(vals.dtype.newbyteorder("<"))
     tc = var.typecode
     if tc in INT_MISSING_BASE:
+        if version < 113:
+            base = {TC_BYTE: 0x7F, TC_INT: 0x7FFF, TC_LONG: 0x7FFFFFFF}[tc]
+            mask = vals >= base
+            return vals, mask, None
         base = INT_MISSING_BASE[tc]
         mask = vals >= base
         tags = (vals[mask].astype(np.int64) - base) if mask.any() else None
@@ -158,7 +164,7 @@ def decode_column(
             out = [s if s != "" else None for s in out]
         return pa.array(out, type=pa.string())
 
-    vals, mask, _tags = decode_numeric(col, var)
+    vals, mask, _tags = decode_numeric(col, var, meta.version)
 
     labels = (
         meta.value_labels.get(var.lblname)
@@ -168,7 +174,7 @@ def decode_column(
     if labels is not None:
         # labeled numeric → label strings; unlabeled codes render
         # numeric-as-string (reference src/stata/data.rs:1050-1103)
-        iv = vals.astype(np.int64, copy=False)
+        iv = np.where(mask, 0, vals).astype(np.int64)
         out: list[str | None] = []
         get = labels.get
         for i in range(len(iv)):
@@ -297,7 +303,7 @@ def decode_rows(
             and dta_eligible(var, value_labels_as_strings)
             and inf.eligible(informative, var.name)
         ):
-            _, mask, tags = decode_numeric(data[f"f{i}"], var)
+            _, mask, tags = decode_numeric(data[f"f{i}"], var, meta.version)
             ind = stata_indicator(mask, tags)
             for nm, arr in inf.assemble(
                 informative["mode"], var.name, informative["suffix"], col, ind

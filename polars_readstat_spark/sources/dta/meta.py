@@ -35,7 +35,8 @@ _NUMERIC_WIDTH = {TC_DOUBLE: 8, TC_FLOAT: 4, TC_LONG: 4, TC_INT: 2, TC_BYTE: 1}
 # old (≤115) numeric type codes → normalized
 _OLD_NUMERIC = {251: TC_BYTE, 252: TC_INT, 253: TC_LONG, 254: TC_FLOAT, 255: TC_DOUBLE}
 
-SUPPORTED_VERSIONS = {113, 114, 115, 117, 118, 119}
+SUPPORTED_VERSIONS = {102, 103, 104, 105, 108, 110, 111, 113, 114, 115,
+                      117, 118, 119}
 
 
 @dataclass
@@ -328,44 +329,72 @@ def _parse_label_table(buf: bytes, e: str, encoding: str) -> dict[int, str]:
 
 def _parse_legacy(cur: _Cursor, path: str, load_value_labels: bool) -> DtaMeta:
     version = cur.read(1)[0]
-    if version not in (113, 114, 115):
+    if version not in SUPPORTED_VERSIONS or version >= 117:
         raise ValueError(
-            f"unsupported legacy dta version {version} (supported: 113-115, 117-119)"
+            f"unsupported legacy dta version {version} (supported: 102-115, 117-119)"
         )
     bo = cur.read(1)[0]
-    little = bo == 0x02
+    # 0x00: legacy 102/103 little-endian writers; 0x01 HILO; 0x02 LOHI
+    little = bo in (0x00, 0x02)
     e = "<" if little else ">"
     cur.read(2)  # filetype, unused
     nvar = struct.unpack(f"{e}H", cur.read(2))[0]
-    nobs = struct.unpack(f"{e}I", cur.read(4))[0]
+    # v102 stores the row count as u16 (public 102 layout)
+    nobs = struct.unpack(
+        f"{e}{'H' if version == 102 else 'I'}",
+        cur.read(2 if version == 102 else 4),
+    )[0]
     encoding = "cp1252"
-    data_label = _cstr(cur.read(81), encoding)
-    timestamp = _cstr(cur.read(18), "ascii")
+    # field widths by version (public dta specs; same table the
+    # reference derives in layout_for_version, stata/metadata.rs:171)
+    dlabel_w = 32 if version < 108 else 81
+    name_w = 9 if version < 110 else 33
+    fmt_w = 7 if version < 105 else (12 if version < 114 else 49)
+    vlbl_w = 32 if version < 108 else 81
+    data_label = _cstr(cur.read(dlabel_w), encoding)
+    timestamp = _cstr(cur.read(18), "ascii") if version >= 105 else ""
 
     typecodes_raw = cur.read(nvar)
     types = []
     for t in typecodes_raw:
-        if t in _OLD_NUMERIC:
+        if version < 111:
+            # ancient typlist: ASCII 'b','i','l','f','d'; strings are
+            # 0x7F + width
+            ch = chr(t)
+            if ch in "bilfd":
+                types.append(
+                    {"b": TC_BYTE, "i": TC_INT, "l": TC_LONG,
+                     "f": TC_FLOAT, "d": TC_DOUBLE}[ch]
+                )
+            elif t > 0x7F:
+                types.append(t - 0x7F)  # str width
+            else:
+                raise ValueError(f"bad v{version} type code {t}")
+        elif t in _OLD_NUMERIC:
             types.append(_OLD_NUMERIC[t])
         elif 1 <= t <= 244:
             types.append(t)  # str width
         else:
             raise ValueError(f"bad legacy type code {t}")
 
-    names = [_cstr(cur.read(33), encoding) for _ in range(nvar)]
+    names = [_cstr(cur.read(name_w), encoding) for _ in range(nvar)]
     cur.read(2 * (nvar + 1))  # sortlist
-    fmt_w = 49 if version >= 114 else 12
     fmts = [_cstr(cur.read(fmt_w), encoding) for _ in range(nvar)]
-    lblnames = [_cstr(cur.read(33), encoding) for _ in range(nvar)]
-    varlabels = [_cstr(cur.read(81), encoding) for _ in range(nvar)]
+    lblnames = [_cstr(cur.read(name_w), encoding) for _ in range(nvar)]
+    varlabels = [_cstr(cur.read(vlbl_w), encoding) for _ in range(nvar)]
 
-    # expansion fields: data_type(1) + len(4), until both zero
-    while True:
-        dt = cur.read(1)[0]
-        ln = struct.unpack(f"{e}i", cur.read(4))[0]
-        if dt == 0 and ln == 0:
-            break
-        cur.read(ln)
+    # expansion fields: none <105; dt(1)+len(u16) <110; dt(1)+len(u32)
+    if version >= 105:
+        ln_fmt, ln_w = (f"{e}H", 2) if version < 110 else (f"{e}i", 4)
+        while True:
+            try:
+                dt = cur.read(1)[0]
+                ln = struct.unpack(ln_fmt, cur.read(ln_w))[0]
+            except EOFError:
+                break
+            if dt == 0 and ln == 0:
+                break
+            cur.read(ln)
 
     meta = DtaMeta(
         path=path,
@@ -386,21 +415,43 @@ def _parse_legacy(cur: _Cursor, path: str, load_value_labels: bool) -> DtaMeta:
 
     if load_value_labels and any(lblnames):
         meta.value_labels = _parse_legacy_value_labels(
-            cur, meta.value_labels_offset, e, encoding, os.path.getsize(path)
+            cur, meta.value_labels_offset, e, encoding,
+            os.path.getsize(path), version,
         )
     return meta
 
 
 def _parse_legacy_value_labels(
-    cur: _Cursor, offset: int, e: str, encoding: str, file_size: int
+    cur: _Cursor, offset: int, e: str, encoding: str, file_size: int,
+    version: int,
 ) -> dict[str, dict[int, str]]:
     out: dict[str, dict[int, str]] = {}
     pos = offset
-    while pos + 40 <= file_size:
+    if version < 108:
+        # ancient table (verified against the 102-105 corpus bytes):
+        # n(u16), labname(10 = 9-char name + pad), n × int16 values,
+        # n × 8-byte label strings
+        while pos + 12 <= file_size:
+            cur.seek(pos)
+            n = struct.unpack(f"{e}H", cur.read(2))[0]
+            labname = _cstr(cur.read(10), encoding)
+            vals = struct.unpack(f"{e}{n}h", cur.read(2 * n))
+            labels = {}
+            for i in range(n):
+                s = _cstr(cur.read(8), encoding)
+                if s:
+                    labels[vals[i]] = s
+            out[labname] = labels
+            pos = pos + 2 + 10 + 10 * n
+        return out
+    # modern table; the label-set-name field is 9 bytes below v110
+    # (verified against the 108/110 corpus bytes), 33 from v110
+    labname_w = 9 if version < 110 else 33
+    while pos + labname_w + 7 <= file_size:
         cur.seek(pos)
         table_len = struct.unpack(f"{e}i", cur.read(4))[0]
-        labname = _cstr(cur.read(33), encoding)
+        labname = _cstr(cur.read(labname_w), encoding)
         cur.read(3)
         out[labname] = _parse_label_table(cur.read(table_len), e, encoding)
-        pos = pos + 4 + 33 + 3 + table_len
+        pos = pos + 4 + labname_w + 3 + table_len
     return out

@@ -201,12 +201,25 @@ def _supported_corpus():
     return out
 
 
+# Known-better divergences from pandas (the reference keeps an
+# equivalent allowlist, SURVEY §5.1): pandas applies the MODERN missing
+# ranges (101+/.a-.z) to pre-113 files, but old Stata formats define
+# byte=-128 and 101..126 as VALID values with only the top code
+# missing (reference missing_rules, src/stata/value.rs:19-33). We
+# follow the old spec; pandas nulls those values.
+_PANDAS_DIVERGENT = {
+    f"stata_int_validranges_{v}.dta" for v in (102, 103, 104, 105, 108, 110, 111)
+}
+
+
 @pytest.mark.parametrize(
     "path", _supported_corpus(), ids=lambda p: os.path.basename(p)
 )
 def test_corpus_matches_pandas(path, spark):
     """Whole-corpus differential vs pandas (public pandas test files;
-    versions 113-119 incl. big-endian)."""
+    versions 102-119 incl. big-endian)."""
+    if os.path.basename(path) in _PANDAS_DIVERGENT:
+        pytest.skip("pre-113 valid-range semantics: pandas nulls valid values")
     meta = parse_dta_meta(path)
     try:
         ref = pd.read_stata(
@@ -217,3 +230,30 @@ def test_corpus_matches_pandas(path, spark):
         pytest.skip(f"pandas failed: {e!r}")
     sdf = _destata_dates(prs.scan_readstat(spark, path), meta).toPandas()
     _compare_default_mode(sdf, ref, meta)
+
+
+def test_old_version_value_labels(spark):
+    """v102-110 value labels (ancient + 9-byte-labname table formats)
+    decode identically to the v118 sibling of the same dataset."""
+    old = os.path.join(CORPUS, "stata4_105.dta")
+    new = os.path.join(CORPUS, "stata4_117.dta")
+    if not (os.path.isfile(old) and os.path.isfile(new)):
+        pytest.skip("corpus missing")
+    a = prs.scan_readstat(spark, old, value_labels_as_strings=True).toPandas()
+    b = prs.scan_readstat(spark, new, value_labels_as_strings=True).toPandas()
+    assert a.values.tolist() == b.values.tolist()
+
+
+def test_old_version_missing_ranges(spark):
+    """Pre-113: byte -128 and 101..126 are valid values; only the top
+    codes are missing (reference src/stata/value.rs:19-33)."""
+    p = os.path.join(CORPUS, "stata_int_validranges_105.dta")
+    if not os.path.isfile(p):
+        pytest.skip("corpus missing")
+    df = prs.scan_readstat(spark, p).toPandas()
+    assert df["byte"].min() == -128
+    assert df["byte"].max() == 126
+    p2 = os.path.join(CORPUS, "stata_int_validranges_113.dta")
+    d2 = prs.scan_readstat(spark, p2).toPandas()
+    # 113+: 101+ are missing codes
+    assert d2["byte"].max() == 100
