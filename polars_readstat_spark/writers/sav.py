@@ -72,10 +72,19 @@ def write_sav(
     variable_labels: dict | None = None,
     value_labels: dict | None = None,
     measures: dict | None = None,
+    zsav: bool | None = None,
 ) -> None:
+    """zsav=True (or a .zsav path) emits the ZLIB-container variant:
+    same dictionary under a $FL3 magic, case data written as
+    independently-decompressible zlib blocks with the offset trailer
+    (the public PSPP "ZLIB data block" layout our reader partitions
+    on). The inner stream uses bytecode compression's literal escape
+    (253×8 command blocks) so the writer stays single-pass."""
     variable_labels = variable_labels or {}
     value_labels = value_labels or {}
     measures = measures or {}
+    if zsav is None:
+        zsav = path.lower().endswith(".zsav")
 
     fields = df.schema.fields
     names = [f.name for f in fields]
@@ -128,9 +137,9 @@ def write_sav(
     out = bytearray()
     prod = ("@(#) SPSS DATA FILE - polars_readstat_spark").ljust(60)[:60]
     now = datetime.datetime.now()
-    out += b"$FL2" + prod.encode()
+    out += (b"$FL3" if zsav else b"$FL2") + prod.encode()
     out += struct.pack(
-        "<5i", 2, case_size, 0, 0, int(nrows)
+        "<5i", 2, case_size, 2 if zsav else 0, 0, int(nrows)
     )
     out += struct.pack("<d", 100.0)
     out += now.strftime("%d %b %y").ljust(9)[:9].encode()
@@ -238,6 +247,7 @@ def write_sav(
 
     with open(path, "wb") as fh:
         fh.write(bytes(out))
+        sink = _ZlibSink(fh, len(out)) if zsav else fh
         batch: list = []
 
         def flush():
@@ -271,7 +281,7 @@ def write_sav(
                         bts[miss] = sysmis_le
                     mat[:, off : off + 8] = bts
                 colpos += ne
-            fh.write(mat.tobytes())
+            sink.write(mat.tobytes())
             batch.clear()
 
         for row in src.toLocalIterator(prefetchPartitions=True):
@@ -279,3 +289,81 @@ def write_sav(
             if len(batch) >= 8192:
                 flush()
         flush()
+        if zsav:
+            sink.close()
+
+
+class _ZlibSink:
+    """ZSAV data sink: wraps 8-byte case elements in bytecode literal
+    framing (253×8 command blocks), chunks the stream into
+    independently-compressed zlib blocks, and writes the zheader +
+    offset trailer (public PSPP ZLIB data block layout — the same
+    structure the reader's block index parses)."""
+
+    BLOCK = 0x3FF000
+
+    def __init__(self, fh, zheader_ofs: int):
+        import struct as _s
+
+        self.fh = fh
+        self.zheader_ofs = zheader_ofs
+        self.pending = b""  # raw elements not yet framed
+        self.stream = bytearray()  # framed bytecode awaiting a block
+        self.blocks = []  # (unc_ofs, c_ofs, unc_size, c_size)
+        self.unc_pos = zheader_ofs  # PSPP: offsets count from zheader
+        # placeholder zheader, backpatched in close()
+        fh.write(_s.pack("<3q", zheader_ofs, 0, 0))
+
+    def _frame(self, final: bool = False):
+        import numpy as np
+
+        data = self.pending
+        full = len(data) // 64
+        if full:
+            elems = np.frombuffer(data, dtype=np.uint8, count=full * 64)
+            grp = np.empty((full, 72), dtype=np.uint8)
+            grp[:, :8] = 253
+            grp[:, 8:] = elems.reshape(full, 64)
+            self.stream += grp.tobytes()
+            self.pending = data[full * 64 :]
+        if final and self.pending:
+            k = len(self.pending) // 8
+            cmd = bytes([253] * k + [0] * (8 - k))
+            self.stream += cmd + self.pending
+            self.pending = b""
+        if final:
+            self.stream += bytes([252] + [0] * 7)
+
+    def _flush_blocks(self, final: bool = False):
+        import zlib
+
+        while len(self.stream) >= self.BLOCK or (final and self.stream):
+            chunk = bytes(self.stream[: self.BLOCK])
+            del self.stream[: self.BLOCK]
+            comp = zlib.compress(chunk, 6)
+            self.blocks.append(
+                (self.unc_pos, self.fh.tell(), len(chunk), len(comp))
+            )
+            self.fh.write(comp)
+            self.unc_pos += len(chunk)
+
+    def write(self, raw: bytes):
+        self.pending += raw
+        self._frame()
+        self._flush_blocks()
+
+    def close(self):
+        import struct as _s
+
+        self._frame(final=True)
+        self._flush_blocks(final=True)
+        trailer_ofs = self.fh.tell()
+        self.fh.write(_s.pack("<qqii", -100, 0, self.BLOCK, len(self.blocks)))
+        for unc_ofs, c_ofs, unc_sz, c_sz in self.blocks:
+            self.fh.write(_s.pack("<qqii", unc_ofs, c_ofs, unc_sz, c_sz))
+        end = self.fh.tell()
+        self.fh.seek(self.zheader_ofs)
+        self.fh.write(
+            _s.pack("<3q", self.zheader_ofs, trailer_ofs, end - trailer_ofs)
+        )
+        self.fh.seek(end)

@@ -176,3 +176,19 @@ def test_sas_csv_import_bundle(spark, sample_df, tmp_path):
     assert "format d yymmdd10.;" in script
     assert "format ts datetime19.;" in script
     assert "length name $" in script
+
+
+def test_zsav_roundtrip(spark, sample_df, tmp_path):
+    """ZSAV writer: zlib-block container holding bytecode-framed
+    cases; roundtrip must equal the uncompressed sav write."""
+    import polars_readstat_spark as prs
+
+    pz = str(tmp_path / "rt.zsav")
+    ps = str(tmp_path / "rt.sav")
+    prs.write_readstat(sample_df, pz)
+    prs.write_readstat(sample_df, ps)
+    za = sorted([tuple(r) for r in spark.read.format("readstat").load(pz).collect()])
+    sa = sorted([tuple(r) for r in spark.read.format("readstat").load(ps).collect()])
+    assert za == sa and len(za) == 4
+    # container actually is the $FL3 zlib variant
+    assert open(pz, "rb").read(4) == b"$FL3"
