@@ -94,6 +94,8 @@ def scan_readstat(
     informative_null_columns=None,
     informative_null_suffix=None,
     use_value_labels=None,
+    preserve_order=None,
+    compress=False,
 ):
     """Lazy scan of a statistical file → Spark DataFrame.
 
@@ -130,7 +132,22 @@ def scan_readstat(
         r = r.option("value_labels_as_strings", "true")
     if missing_string_as_null:
         r = r.option("missing_string_as_null", "true")
+    if compress:
+        r = r.option("compress", "true")
+    # preserve_order (reference O1-O3, src/sas/polars_output.rs:655):
+    # Spark reads partitions in index order, so "buffered" is the
+    # default behavior; "row_index" adds the exact file-order index
+    # column; "sort" additionally sorts on it and drops it (the
+    # reference's lf.sort(idx).drop(idx) rewrite, __init__.py:674-675).
+    _drop_ri = None
+    if preserve_order in ("row_index", "sort") and not row_index_name:
+        row_index_name = "__row_index__" if preserve_order == "sort" else "row_index"
+        r = r.option("row_index_name", row_index_name)
+        if preserve_order == "sort":
+            _drop_ri = row_index_name
     df = r.load(str(path))
+    if _drop_ri:
+        df = df.orderBy(_drop_ri).drop(_drop_ri)
     if catalog is not None:
         # T3: .sas7bcat value labels matched to columns by SAS format
         # name, default = cast(col, string) (reference
@@ -270,6 +287,18 @@ def write_readstat(df, path, metadata=None, **kwargs) -> None:
     if lower.endswith(".por") and "data_label" in kwargs:
         kwargs.setdefault("file_label", kwargs.pop("data_label"))
     return w(df, p, **{k: v for k, v in kwargs.items() if k in accepted})
+
+
+def read_readstat(spark, path, **kwargs):
+    """Eager read: scan + collect to pandas (reference read_readstat,
+    __init__.py:680-705 — scan+select+collect). Collected via Arrow
+    with timestamps as objects: statistical files legitimately hold
+    dates outside pandas' ns-timestamp range (e.g. SPSS 1582 epoch)."""
+    df = scan_readstat(spark, path, **kwargs)
+    try:
+        return df.toArrow().to_pandas(timestamp_as_object=True)
+    except Exception:
+        return df.toPandas()
 
 
 def write_sas_csv_import(df, path, **kwargs):

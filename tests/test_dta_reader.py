@@ -257,3 +257,24 @@ def test_old_version_missing_ranges(spark):
     d2 = prs.scan_readstat(spark, p2).toPandas()
     # 113+: 101+ are missing codes
     assert d2["byte"].max() == 100
+
+
+def test_preserve_order_modes(dta_dir, spark):
+    """O1-O3: buffered (natural partition order), row_index (exact
+    file-order column), sort (order restored then index dropped)."""
+    base = prs.scan_readstat(spark, dta_dir[118]).toPandas()
+    ri = prs.scan_readstat(
+        spark, dta_dir[118], preserve_order="row_index", rows_per_partition=97
+    ).toPandas()
+    assert "row_index" in ri.columns
+    assert (ri.sort_values("row_index")["id"].values == base["id"].values).all()
+    srt = prs.scan_readstat(
+        spark, dta_dir[118], preserve_order="sort", rows_per_partition=97
+    ).toPandas()
+    assert "row_index" not in srt.columns and "__row_index__" not in srt.columns
+    assert (srt["id"].values == base["id"].values).all()
+
+
+def test_read_readstat_eager(dta_dir, spark):
+    pdf = prs.read_readstat(spark, dta_dir[118], columns=["id"], n_rows=5)
+    assert list(pdf["id"]) == [0, 1, 2, 3, 4]
