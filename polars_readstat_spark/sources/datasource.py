@@ -69,11 +69,40 @@ class ReadstatDataSource(DataSource):
     def name(cls) -> str:
         return "readstat"
 
-    def _path(self) -> str:
+    def _paths(self) -> list[str]:
+        """Resolve the path option to concrete files: a single file, a
+        glob pattern, or a directory of same-format files. Multi-file
+        datasets are the Spark-native scale path — 100 TB of survey
+        extracts is thousands of files, and every file partitions
+        independently so the whole fleet reads in parallel."""
+        import glob as _glob
+
         p = self.options.get("path")
         if not p:
             raise ValueError("readstat: path is required")
-        return p
+        if os.path.isdir(p):
+            files = sorted(
+                f
+                for f in _glob.glob(os.path.join(p, "*"))
+                if os.path.splitext(f)[1].lower().lstrip(".") in self.SUPPORTED
+            )
+            if not files:
+                raise ValueError(f"readstat: no supported files in {p}")
+            exts = {os.path.splitext(f)[1].lower() for f in files}
+            if len(exts) > 1:
+                raise ValueError(
+                    f"readstat: mixed formats in directory {p}: {sorted(exts)}"
+                )
+            return files
+        if any(ch in p for ch in "*?["):
+            files = sorted(_glob.glob(p))
+            if not files:
+                raise ValueError(f"readstat: glob matched no files: {p}")
+            return files
+        return [p]
+
+    def _path(self) -> str:
+        return self._paths()[0]
 
     SUPPORTED = ("dta", "sas7bdat", "xpt", "sav", "zsav", "por")
 
@@ -122,6 +151,11 @@ class ReadstatDataSource(DataSource):
 
     def schema(self) -> StructType:
         s = self._schema_uncompressed()
+        pc = self.options.get("path_column")
+        if pc:
+            if any(f.name == pc for f in s.fields):
+                raise ValueError(f"path_column '{pc}' collides with a column")
+            s = StructType([*s.fields, StructField(pc, StringType(), False)])
         if _opt_bool(self.options, "compress"):
             from polars_readstat_spark.sources.compress_scan import (
                 spark_type_for,
@@ -163,7 +197,36 @@ class ReadstatDataSource(DataSource):
         return xpt_spark_schema(parse_xpt_meta(self._path()), self.options)
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        base = self._reader_uncompressed(schema)
+        paths = self._paths()
+        if len(paths) == 1 and not self.options.get("path_column"):
+            base = self._reader_uncompressed(schema)
+        elif len(paths) == 1:
+            base = MultiFileReader(
+                [self._reader_uncompressed(schema)],
+                paths,
+                self.options.get("path_column"),
+            )
+        else:
+            # multi-file: per-file readers, partitions unioned; row
+            # slicing belongs to Catalyst (df.limit/offset) across
+            # files, so per-file slicing options are rejected
+            for bad in ("n_rows", "limit", "offset", "row_index_name"):
+                if self.options.get(bad):
+                    raise ValueError(
+                        f"readstat: option '{bad}' is per-file; for "
+                        "multi-file reads use DataFrame ops "
+                        "(df.limit/offset/row_number) instead"
+                    )
+            readers = []
+            for p in paths:
+                opts = dict(self.options)
+                opts["path"] = p
+                readers.append(
+                    ReadstatDataSource(opts)._reader_uncompressed(schema)
+                )
+            base = MultiFileReader(
+                readers, paths, self.options.get("path_column")
+            )
         if _opt_bool(self.options, "compress"):
             return CompressingReader(
                 base, self._compress_plan(), self.options.get("row_index_name")
@@ -439,6 +502,48 @@ def xpt_spark_schema(meta, options) -> StructType:
             raise ValueError(f"row_index_name '{ri}' collides with a column")
         fields.append(StructField(ri, LongType(), False))
     return StructType(fields)
+
+
+class MultiPart(InputPartition):
+    def __init__(self, file_idx: int, inner):
+        self.file_idx = file_idx
+        self.inner = inner
+
+
+class MultiFileReader(DataSourceReader):
+    """Union of per-file readers: every file contributes its own
+    row-range partitions, so a directory of N files fans out to the
+    sum of their partitions — the shape that keeps 1000 executors busy
+    on 100 TB of survey extracts. Schemas must agree (first file
+    defines it; mismatches fail fast at read with a clear error)."""
+
+    def __init__(self, readers, paths, path_column):
+        self.readers = readers
+        self.paths = paths
+        self.path_column = path_column
+
+    def partitions(self):
+        out = []
+        for i, r in enumerate(self.readers):
+            for p in r.partitions():
+                out.append(MultiPart(i, p))
+        return out
+
+    def read(self, partition: MultiPart):
+        import pyarrow as pa
+
+        r = self.readers[partition.file_idx]
+        path = self.paths[partition.file_idx]
+        for batch in r.read(partition.inner):
+            if self.path_column:
+                batch = pa.RecordBatch.from_arrays(
+                    [
+                        *batch.columns,
+                        pa.array([path] * batch.num_rows, type=pa.string()),
+                    ],
+                    names=[*batch.schema.names, self.path_column],
+                )
+            yield batch
 
 
 class CompressingReader(DataSourceReader):

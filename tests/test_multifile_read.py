@@ -1,0 +1,87 @@
+"""Multi-file reads: a directory or glob of same-format files unions
+into one DataFrame with per-file partition fan-out — the Spark-native
+scale path the single-file reference doesn't have."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+
+
+@pytest.fixture(scope="module")
+def dta_farm(spark, tmp_path_factory):
+    import polars_readstat_spark as prs
+
+    d = tmp_path_factory.mktemp("farm")
+    for i in range(4):
+        df = spark.range(i * 100, (i + 1) * 100).selectExpr(
+            "cast(id as int) as id", "cast(id * 1.5 as double) as v"
+        )
+        prs.write_readstat(df, str(d / f"part{i}.dta"))
+    return str(d)
+
+
+def test_directory_read_unions_all(spark, dta_farm):
+    df = spark.read.format("readstat").load(dta_farm)
+    assert df.count() == 400
+    ids = sorted(r.id for r in df.collect())
+    assert ids == list(range(400))
+
+
+def test_glob_read(spark, dta_farm):
+    df = spark.read.format("readstat").load(
+        os.path.join(dta_farm, "part[01].dta")
+    )
+    assert df.count() == 200
+
+
+def test_path_column(spark, dta_farm):
+    df = (
+        spark.read.format("readstat")
+        .option("path_column", "src_file")
+        .load(dta_farm)
+    )
+    names = {os.path.basename(r.src_file) for r in df.select("src_file").distinct().collect()}
+    assert names == {f"part{i}.dta" for i in range(4)}
+    # works single-file too
+    one = (
+        spark.read.format("readstat")
+        .option("path_column", "src_file")
+        .load(os.path.join(dta_farm, "part0.dta"))
+    )
+    assert one.select("src_file").distinct().count() == 1
+
+
+def test_multifile_partition_fanout(spark, dta_farm):
+    df = (
+        spark.read.format("readstat")
+        .option("rows_per_partition", "40")
+        .load(dta_farm)
+    )
+    # 4 files × ceil(100/40)=3 partitions
+    assert df.rdd.getNumPartitions() == 12
+    assert df.count() == 400
+
+
+def test_multifile_rejects_per_file_slicing(spark, dta_farm):
+    with pytest.raises(Exception, match="per-file"):
+        spark.read.format("readstat").option("n_rows", "10").load(
+            dta_farm
+        ).collect()
+
+
+def test_multifile_aggregate_pushes_through(spark, dta_farm):
+    from pyspark.sql import functions as F
+
+    df = spark.read.format("readstat").load(dta_farm)
+    got = df.agg(F.sum("id").alias("s"), F.avg("v").alias("a")).collect()[0]
+    assert got.s == sum(range(400))
+    assert abs(got.a - sum(i * 1.5 for i in range(400)) / 400) < 1e-9
