@@ -33,6 +33,9 @@ def get_spark(app: str = "polars_readstat_spark", cpus: int | None = None) -> Sp
         # events.parquet carries TIMESTAMP(NANOS) which the vectorized
         # reader otherwise rejects; read as long and convert in-plan.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # let the readstat data source accept pushed filters (applied
+        # per Arrow batch inside the Python worker)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -46,6 +49,7 @@ def configure_existing(spark: SparkSession) -> SparkSession:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.python.filterPushdown.enabled", "true"),
     ]:
         try:
             spark.conf.set(k, v)

@@ -228,9 +228,34 @@ class ReadstatDataSource(DataSource):
                 readers, paths, self.options.get("path_column")
             )
         if _opt_bool(self.options, "compress"):
-            return CompressingReader(
+            base = CompressingReader(
                 base, self._compress_plan(), self.options.get("row_index_name")
             )
+        # batch-level filter pushdown only when the session allows it —
+        # merely *implementing* pushFilters errors under the default
+        # spark.sql.python.filterPushdown.enabled=false, and the
+        # external driver may hand us a vanilla session
+        try:
+            from pyspark.sql import SparkSession
+
+            s = SparkSession.getActiveSession()
+            enabled = (
+                s is not None
+                and str(
+                    s.conf.get(
+                        "spark.sql.python.filterPushdown.enabled", "false"
+                    )
+                ).lower()
+                == "true"
+            )
+        except Exception:
+            enabled = False
+        if enabled:
+            from polars_readstat_spark.sources.filters import (
+                BatchFilterReader,
+            )
+
+            return BatchFilterReader(base)
         return base
 
     def _reader_uncompressed(self, schema) -> DataSourceReader:

@@ -1,0 +1,104 @@
+"""Filter pushdown tests: accepted filters drop rows inside the
+Python worker (per Arrow batch) before the JVM transfer; declined
+filters stay with Catalyst. End-to-end results must match driverside
+recomputation exactly, nulls included (reference P4 batch-wise filter
+semantics, __init__.py:657-659)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SAV = "/root/reference/crates/polars_readstat_rs/tests/spss/data/sample_large.sav"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isfile(SAV), reason="corpus missing"
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+
+
+def test_batch_filter_reader_unit():
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        IsNotNull,
+        StringStartsWith,
+    )
+
+    from polars_readstat_spark.sources.filters import BatchFilterReader
+    from polars_readstat_spark.sources.sav.reader import SavReader
+
+    r = BatchFilterReader(SavReader(SAV, {"path": SAV}))
+    declined = list(
+        r.pushFilters(
+            [
+                GreaterThan(("mynum",), 0.0),
+                IsNotNull(("mychar",)),
+                EqualTo(("nested", "attr"), 1),  # unsupported shape
+                StringStartsWith(("mychar",), "a"),
+            ]
+        )
+    )
+    assert len(declined) == 1 and declined[0].attribute == ("nested", "attr")
+    assert len(r._preds) == 3
+    total = sum(b.num_rows for p in r.partitions() for b in r.read(p))
+    full = sum(
+        b.num_rows
+        for p in SavReader(SAV, {"path": SAV}).partitions()
+        for b in SavReader(SAV, {"path": SAV}).read(p)
+    )
+    assert 0 < total < full  # rows dropped before the JVM boundary
+
+
+def test_pushdown_end_to_end_matches(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.read.format("readstat").load(SAV)
+    base = df.collect()
+    flt = df.filter(
+        ((F.col("mynum") > 0) & F.col("mychar").startswith("a"))
+        | F.col("mynum").isNull()
+    )
+    got = sorted(map(tuple, flt.collect()))
+    exp = sorted(
+        tuple(r)
+        for r in base
+        if (
+            (r.mynum is not None and r.mynum > 0
+             and (r.mychar or "").startswith("a"))
+            or r.mynum is None
+        )
+    )
+    assert got == exp
+
+
+def test_pushdown_with_in_and_nulls(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.read.format("readstat").load(SAV)
+    base = df.collect()
+    vals = sorted({r.myord for r in base if r.myord is not None})[:2]
+    got = df.filter(F.col("myord").isin(vals)).count()
+    exp = sum(1 for r in base if r.myord in vals)
+    assert got == exp
+
+
+def test_pushdown_composes_with_compress(spark):
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.format("readstat")
+        .option("compress", "true")
+        .load(SAV)
+    )
+    base = df.collect()
+    got = df.filter(F.col("mylabl") == 1).count()
+    exp = sum(1 for r in base if r.mylabl == 1)
+    assert got == exp
