@@ -104,11 +104,12 @@ def write_dta(
         if kind == "str":
             w = max(int(stats.get(f"__w_{name}") or 0), 1)
             if w > 2045:
-                raise ValueError(
-                    f"write_dta: column {name} exceeds 2045 bytes (strL "
-                    "writing not supported yet)"
-                )
-            cols.append((name, "str", w, f"%{max(w, 9)}s"))
+                # wide text → strL: data cells hold (v, o) refs into
+                # the GSO section (public dta-118 spec; our reader's
+                # build_strl_lookup inverse)
+                cols.append((name, "strl", 8, "%9s"))
+            else:
+                cols.append((name, "str", w, f"%{max(w, 9)}s"))
         elif kind == "byte":
             cols.append((name, "byte", 1, "%8.0g"))
         elif kind == "int":
@@ -126,6 +127,7 @@ def write_dta(
 
     typecode = {
         "str": None,  # width
+        "strl": 32768,
         "byte": 65530,
         "int": 65529,
         "long": 65528,
@@ -204,6 +206,8 @@ def write_dta(
     for i, (name, kind, w, fmt) in enumerate(cols):
         if kind == "str":
             dtype_fields.append((f"f{i}", f"S{w}"))
+        elif kind == "strl":
+            dtype_fields.append((f"f{i}", "<u8"))
         elif kind == "byte":
             dtype_fields.append((f"f{i}", "<i1"))
         elif kind == "int":
@@ -216,12 +220,33 @@ def write_dta(
             dtype_fields.append((f"f{i}", "<f8"))
     rec_dtype = np.dtype(dtype_fields)
 
-    def pack_batch(pdf) -> bytes:
+    strls_buf = bytearray()
+
+    def pack_batch(pdf, row_start: int) -> bytes:
         n = len(pdf)
         rec = np.zeros(n, dtype=rec_dtype)
         for i, (name, kind, w, fmt) in enumerate(cols):
             s = pdf[name]
-            if kind == "str":
+            if kind == "strl":
+                # v118 cell: uint64 LE = v | (o << 16); one GSO per
+                # non-empty value, keyed (v=col 1-based, o=row 1-based)
+                keys = np.zeros(n, dtype="<u8")
+                vals = s.fillna("").astype(str)
+                for r, text in enumerate(vals):
+                    if text == "":
+                        continue  # key 0 → ""
+                    v_, o_ = i + 1, row_start + r + 1
+                    keys[r] = v_ | (o_ << 16)
+                    payload = text.encode("utf-8") + b"\x00"
+                    strls_buf.extend(
+                        b"GSO"
+                        + struct.pack("<IQ", v_, o_)
+                        + bytes([130])
+                        + struct.pack("<I", len(payload))
+                        + payload
+                    )
+                rec[f"f{i}"] = keys
+            elif kind == "str":
                 vals = s.fillna("").astype(str)
                 rec[f"f{i}"] = np.array(
                     [v.encode("utf-8")[:w] for v in vals], dtype=f"S{w}"
@@ -279,16 +304,18 @@ def write_dta(
     import pandas as pd
 
     names = [c[0] for c in cols]
+    _row_pos = 0
     for pdf in map(
         lambda rows: pd.DataFrame([r.asDict() for r in rows]),
         _batched(df.select(*names).toLocalIterator(), 65536),
     ):
         if len(pdf):
-            out += pack_batch(pdf)
+            out += pack_batch(pdf, _row_pos)
+            _row_pos += len(pdf)
 
     out += b"</data>"
     offsets[10] = len(out)
-    out += b"<strls></strls>"
+    out += b"<strls>" + bytes(strls_buf) + b"</strls>"
 
     offsets[11] = len(out)
     out += b"<value_labels>"

@@ -106,3 +106,27 @@ def test_multi_partition_write(spark, tmp_path):
     assert len(ref) == 10000
     assert ref["id"].tolist() == sorted(ref["id"].tolist())
     assert ref["v"].iloc[17] == 8.5
+
+
+def test_strl_write_roundtrip(spark, tmp_path):
+    """Strings wider than 2045 bytes are written as strL (GSO refs);
+    pandas reads the same values back (external oracle)."""
+    import pandas as pd
+    from pyspark.sql import Row
+
+    import polars_readstat_spark as prs
+
+    rows = [
+        Row(i=k, big=("lorem ipsum " * 400 + str(k)) if k % 3 else "",
+            small=f"s{k}")
+        for k in range(100)
+    ]
+    df = spark.createDataFrame(rows).repartition(3)
+    p = str(tmp_path / "strl.dta")
+    prs.write_readstat(df, p)
+    back = spark.read.format("readstat").load(p)
+    got = {r.i: (r.big, r.small) for r in back.collect()}
+    src = {r.i: (r.big, r.small) for r in df.collect()}
+    assert got == src
+    pdf = pd.read_stata(p).sort_values("i")
+    assert pdf["big"].tolist() == [src[k][0] for k in sorted(src)]
