@@ -64,11 +64,12 @@ def _bench_readstat(spark, paths: dict, timings: dict) -> None:
         .options(**{k: str(v) for k, v in o.items()})
         .load(p)
     )
-    # warm the Python datasource workers so timings measure decode,
-    # not interpreter spin-up
-    next(iter(paths.values())) and run_query(
-        rd(next(iter(paths.values())), n_rows=16)
-    )
+    # warm the Python datasource workers (plain + filtered plans spawn
+    # separately) so timings measure decode, not interpreter spin-up
+    warm = next(iter(paths.values()))
+    run_query(rd(warm, n_rows=16))
+    wq = "l_quantity" if not warm.endswith(".xpt") else "L_QUANTI"
+    run_query(rd(warm, n_rows=16).filter(F.col(wq) >= 0))
     for ext, p in paths.items():
         qty = "l_quantity" if ext != "xpt" else "L_QUANTI"
         okey = "l_orderkey" if ext != "xpt" else "L_ORDERK"
