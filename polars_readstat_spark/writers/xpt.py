@@ -101,7 +101,15 @@ def write_xpt(
     path: str,
     dataset_name: str = "DATA",
     variable_labels: dict | None = None,
+    version: int = 5,
 ) -> None:
+    """version=8 writes the V8 transport layout (public "Record Layout
+    of a SAS Version 8 or 9 Data Set in SAS Transport Format"): LIBV8/
+    MEMBV8/NAMSTV8/OBSV8 header tags plus a LABELV8 section carrying
+    names up to 32 chars and labels up to 256 — the same records our
+    reader's LABELV8 parser consumes."""
+    if version not in (5, 8):
+        raise ValueError("write_xpt: version must be 5 or 8")
     variable_labels = variable_labels or {}
     fields = df.schema.fields
     names = [f.name for f in fields]
@@ -142,22 +150,28 @@ def write_xpt(
     now = datetime.datetime.now()
     ts = now.strftime("%d%b%y:%H:%M:%S").upper()
 
+    v8 = version == 8
+    tag_lib = "LIBV8" if v8 else "LIBRARY"
+    tag_mem = "MEMBV8" if v8 else "MEMBER"
+    tag_dsc = "DSCPTV8" if v8 else "DSCRPTR"
+    tag_nam = "NAMSTV8" if v8 else "NAMESTR"
+    sasver = "8.2" if v8 else "6.06"
     out = bytearray()
-    out += _hdr("LIBRARY")
+    out += _hdr(tag_lib)
     out += (
-        f"{'SAS':<8}{'SAS':<8}{'SASLIB':<8}{'6.06':<8}{'Linux':<8}"
+        f"{'SAS':<8}{'SAS':<8}{'SASLIB':<8}{sasver:<8}{'Linux':<8}"
         + " " * 24 + f"{ts:<16}"
     ).encode("ascii").ljust(80)
     out += f"{ts:<16}".encode("ascii").ljust(80)
-    out += _hdr("MEMBER", "0" * 16 + "0160" + "0" * 7 + "140" + "  ")
-    out += _hdr("DSCRPTR")
-    dsname = (dataset_name or "DATA").upper()[:8]
+    out += _hdr(tag_mem, "0" * 16 + "0160" + "0" * 7 + "140" + "  ")
+    out += _hdr(tag_dsc)
+    dsname = (dataset_name or "DATA").upper()[: (32 if v8 else 8)]
     out += (
-        f"{'SAS':<8}{dsname:<8}{'SASDATA':<8}{'6.06':<8}{'Linux':<8}"
+        f"{'SAS':<8}{dsname:<8.8}{'SASDATA':<8}{sasver:<8}{'Linux':<8}"
         + " " * 24 + f"{ts:<16}"
     ).encode("ascii").ljust(80)
     out += (f"{ts:<16}" + " " * 16).encode("ascii").ljust(80)
-    out += _hdr("NAMESTR", "0" * 6 + f"{len(fields):04d}" + "0" * 20)
+    out += _hdr(tag_nam, "0" * 6 + f"{len(fields):04d}" + "0" * 20)
 
     pos = 0
     for i, f in enumerate(fields):
@@ -181,7 +195,28 @@ def write_xpt(
         out += ns
         pos += widths[i]
     out += b" " * ((-(140 * len(fields))) % 80)
-    out += _hdr("OBS")
+    if v8:
+        # LABELV8: names up to 32 / labels up to 256, packed
+        # back-to-back across 80-byte records (public v8 layout; our
+        # reader's LABELV8 parser is the inverse)
+        entries = []
+        for i, f in enumerate(fields):
+            label = (
+                variable_labels.get(f.name) or f.metadata.get("label") or ""
+            )
+            if len(f.name) > 8 or len(label) > 40:
+                nm = f.name.encode("ascii", "replace")[:32]
+                lb = label.encode("ascii", "replace")[:256]
+                entries.append(
+                    struct.pack(">3h", i + 1, len(nm), len(lb)) + nm + lb
+                )
+        if entries:
+            out += _hdr("LABELV8", f"{len(entries):>5}".replace(" ", "0") + "0" * 25)
+            blob = b"".join(entries)
+            out += blob + b" " * ((-len(blob)) % 80)
+        out += _hdr("OBSV8", "0" * 30)
+    else:
+        out += _hdr("OBS")
 
     # ---- stream data --------------------------------------------------
     sel = []

@@ -192,3 +192,31 @@ def test_zsav_roundtrip(spark, sample_df, tmp_path):
     assert za == sa and len(za) == 4
     # container actually is the $FL3 zlib variant
     assert open(pz, "rb").read(4) == b"$FL3"
+
+
+def test_xpt_v8_long_names(spark, tmp_path):
+    """V8 transport: LABELV8 records carry >8-char names and >40-char
+    labels; our reader's LABELV8 parser restores both."""
+    import datetime
+
+    import polars_readstat_spark as prs
+    from pyspark.sql import Row
+
+    rows = [
+        Row(a_very_long_variable_name=float(i), short=f"s{i}",
+            d=datetime.date(2020, 1, 1 + i))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows)
+    p = str(tmp_path / "v8.xpt")
+    prs.write_readstat(
+        df, p, version=8,
+        variable_labels={"a_very_long_variable_name": "L" * 60},
+    )
+    back = spark.read.format("readstat").load(p)
+    assert back.columns[0] == "a_very_long_variable_name"
+    md = {f.name: f.metadata for f in back.schema.fields}
+    assert len(md["a_very_long_variable_name"]["label"]) == 60
+    assert [r[0] for r in back.select("a_very_long_variable_name").collect()] == [
+        float(i) for i in range(10)
+    ]
