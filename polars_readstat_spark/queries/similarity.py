@@ -1,7 +1,8 @@
 """Similarity search over the `embeddings` table (array<float>, 64-d).
 
 Brute-force cosine top-k as the correctness baseline; the LSH-bucketed
-scale path lives in functions/similarity.py.
+scale path (`ann_lsh_topk`, `dedup_embedding_cosine`) builds on the
+sign-random-projection codes in functions/similarity.py.
 
 Engine-exact float strategy: per-element products (float→double, exact
 for 24-bit mantissas) are scaled by 1e12 and floored to BIGINT, so the
@@ -18,6 +19,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from polars_readstat_spark.functions.similarity import (
+    lsh_bands_duck,
+    lsh_bands_stack,
+    lsh_bits_spark,
+)
 from polars_readstat_spark.queries.registry import query
 from polars_readstat_spark.tables import load_table
 
@@ -141,3 +147,155 @@ def ann_bruteforce_topk(spark, sf_dir):
         .filter(F.col("rk") <= 5)
         .select("q_id", "c_id", "cosine", "rk")
     )
+
+
+def _lsh_bands(e):
+    """(vec_id, band_idx, band_key) — 4 band keys per vector."""
+    bits = e.select(
+        "vec_id", *[F.expr(x).alias(f"bit{p}") for p, x in enumerate(lsh_bits_spark())]
+    )
+    return bits.selectExpr("vec_id", lsh_bands_stack())
+
+
+def _pair_cosine(e, cand, a_col: str, b_col: str):
+    """Exact scaled-int cosine for each candidate (a_col, b_col) pair."""
+    ea = e.select(F.col("vec_id").alias(a_col), F.col("embedding").alias("va"))
+    eb = e.select(F.col("vec_id").alias(b_col), F.col("embedding").alias("vb"))
+    norms = e.select("vec_id", F.expr(_normsq_spark("embedding")).alias("normsq_s"))
+    na = norms.select(F.col("vec_id").alias(a_col), F.col("normsq_s").alias("a_ns"))
+    nb = norms.select(F.col("vec_id").alias(b_col), F.col("normsq_s").alias("b_ns"))
+    cosine = (F.col("dot_s").cast("double") / F.lit(float(_SCALE))) / (
+        F.sqrt(F.col("a_ns").cast("double") / F.lit(float(_SCALE)))
+        * F.sqrt(F.col("b_ns").cast("double") / F.lit(float(_SCALE)))
+    )
+    return (
+        F.broadcast(cand)
+        .join(ea, a_col)
+        .join(eb, b_col)
+        .select(
+            a_col, b_col, F.expr(_DOT_SPARK.format(a="va", b="vb")).alias("dot_s")
+        )
+        .join(F.broadcast(na), a_col)
+        .join(F.broadcast(nb), b_col)
+        .select(a_col, b_col, cosine.alias("cosine"))
+    )
+
+
+_PAIR_COS_DUCK = f"""
+    pair_dots AS (
+      SELECT c.{{a}}, c.{{b}},
+             CAST(SUM(CAST(FLOOR(CAST(ea.embedding[i.i] AS DOUBLE)
+                                 * CAST(eb.embedding[i.i] AS DOUBLE)
+                                 * {_SCALE}.0) AS BIGINT)) AS BIGINT) AS dot_s
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.{{a}}
+      JOIN embeddings eb ON eb.vec_id = c.{{b}}
+      CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) i
+      GROUP BY c.{{a}}, c.{{b}}
+    ),
+    pair_cos AS (
+      SELECT d.{{a}}, d.{{b}},
+             (CAST(d.dot_s AS DOUBLE) / {_SCALE}.0)
+               / (SQRT(CAST(na.normsq_s AS DOUBLE) / {_SCALE}.0)
+                  * SQRT(CAST(nb.normsq_s AS DOUBLE) / {_SCALE}.0)) AS cosine
+      FROM pair_dots d
+      JOIN norms na ON na.vec_id = d.{{a}}
+      JOIN norms nb ON nb.vec_id = d.{{b}}
+    )
+"""
+
+
+@query(
+    "ann_lsh_topk",
+    oracle="WITH "
+    + lsh_bands_duck()
+    + ", "
+    + _NORM_DUCK
+    + """
+    , cand AS (
+      SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
+      FROM lsh_bands a
+      JOIN lsh_bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+      WHERE a.vec_id % 50 = 0 AND b.vec_id != a.vec_id
+    ),
+    """
+    + _PAIR_COS_DUCK.format(a="q_id", b="c_id")
+    + """
+    SELECT q_id, c_id, cosine, rk FROM (
+      SELECT q_id, c_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+      FROM pair_cos
+    ) WHERE rk <= 5
+    """,
+)
+def ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN — the scale path: candidates for each probe
+    (vec_id % 50 == 0) are corpus vectors sharing a 4-bit
+    sign-random-projection band, found by an equi-join on
+    (band_idx, band_key) instead of the brute-force cross join; exact
+    cosine + top-5 runs only on candidates. At 100 TB the band table
+    is linear in the corpus, the join shuffles on uniformly-hashed
+    band keys, and the probe side stays broadcast-small."""
+    e = load_table(spark, sf_dir, "embeddings")
+    # persist: probe and corpus sides of the self-join would otherwise
+    # each recompute the 16-projection code (same rationale as the
+    # minhash band table in dedup.py)
+    bands = _lsh_bands(e).persist()
+    qb = bands.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), "band_idx", "band_key"
+    )
+    cand = (
+        qb.join(bands, ["band_idx", "band_key"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("c_id"))
+        .dropDuplicates()
+    )
+    scored = _pair_cosine(e, cand, "q_id", "c_id")
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "c_id", "cosine", "rk")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="WITH "
+    + lsh_bands_duck()
+    + ", "
+    + _NORM_DUCK
+    + """
+    , cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM lsh_bands a
+      JOIN lsh_bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                      AND a.vec_id < b.vec_id
+    ),
+    """
+    + _PAIR_COS_DUCK.format(a="vec_a", b="vec_b")
+    + """
+    SELECT vec_a, vec_b, cosine FROM pair_cos WHERE cosine >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup: LSH-banded candidate pairs verified
+    by exact cosine >= 0.35 (threshold calibrated to the synthetic
+    corpus, whose max off-diagonal cosine is ~0.5; production corpora
+    use ~0.9+). Same shape as MinHash-LSH dedup: linear band table,
+    equi-join candidates, exact verify on candidates only."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bands = _lsh_bands(e).persist()
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .dropDuplicates()
+    )
+    return _pair_cosine(e, cand, "vec_a", "vec_b").filter(F.col("cosine") >= 0.35)
