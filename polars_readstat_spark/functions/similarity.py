@@ -1,10 +1,14 @@
 """Sign-random-projection LSH over the `embeddings` table — the scale
 path for similarity search and embedding near-dup detection.
 
-16 hyperplanes → 16-bit code → 4 bands × 4 bits. Two vectors become
+32 hyperplanes → 32-bit code → 4 bands × 8 bits. Two vectors become
 join candidates when they share any band key, turning the quadratic
 pair search into an equi-join on (band_idx, band_key) — exactly the
 MinHash-banding shape in queries/dedup.py, but for dense vectors.
+Band width sets the candidate volume: 8-bit bands give 256 buckets per
+band, so expected candidates are ~4·n²/256 — the exact-cosine verify
+stage stays linear-ish instead of quadratic (4-bit bands were measured
+8× slower at sf0.1 purely from candidate explosion).
 
 Cross-engine determinism (the oracle gate compares value hashes):
 
@@ -26,7 +30,7 @@ surface built on the same tables.
 
 from __future__ import annotations
 
-_PLANES = 16
+_PLANES = 32
 _BANDS = 4
 _BITS_PER_BAND = _PLANES // _BANDS
 _XSCALE = "1000000.0"
@@ -39,25 +43,37 @@ def _coef(p_expr: str) -> str:
     )
 
 
-def lsh_bits_spark(embedding_col: str = "embedding") -> list[str]:
-    """16 SQL expressions, one '0'/'1' bit per hyperplane."""
-    bits = []
-    for p in range(_PLANES):
-        s = (
-            "aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, d) -> acc + "
-            + _coef(f"CAST({p * 64} + d AS BIGINT)")
-            + f" * CAST(FLOOR(CAST(element_at({embedding_col}, d + 1) AS DOUBLE)"
-            f" * {_XSCALE}) AS BIGINT))"
-        )
-        bits.append(f"CASE WHEN ({s}) >= 0 THEN '1' ELSE '0' END")
-    return bits
+def lsh_scaled_dim_expr(x_col: str = "xf") -> str:
+    """Scaled-integer value of one exploded vector element."""
+    return f"CAST(FLOOR(CAST({x_col} AS DOUBLE) * {_XSCALE}) AS BIGINT)"
+
+
+def lsh_coef(p: int, d: int) -> int:
+    """The same LCG coefficient, evaluated at plan-build time. Python's
+    `%` and `//` on nonnegative ints match the SQL `%` / `div` exactly."""
+    return ((1103515245 * (p * 64 + d) + 12345) % 2147483648) // 65536 - 16384
+
+
+def lsh_coef_rows() -> list[tuple]:
+    """64 rows (d, c0..c31) — the hyperplane matrix as a broadcastable
+    dim table. Joining this beats inlining the LCG arithmetic into 32
+    SUM expressions: the generated plan is 32 small column products,
+    which Catalyst optimizes/compiles in milliseconds instead of
+    seconds (measured: inline expressions cost ~5 s of driver time per
+    cold run at any data size)."""
+    return [
+        tuple([d] + [lsh_coef(p, d) for p in range(_PLANES)]) for d in range(64)
+    ]
 
 
 def lsh_bands_stack() -> str:
-    """stack() expr turning bit0..bit15 columns into (band_idx, band_key)."""
+    """stack() expr turning s0..s31 sum columns into (band_idx, band_key)."""
     parts = []
     for b in range(_BANDS):
-        bits = ", ".join(f"bit{b * _BITS_PER_BAND + i}" for i in range(_BITS_PER_BAND))
+        bits = ", ".join(
+            f"CASE WHEN s{b * _BITS_PER_BAND + i} >= 0 THEN '1' ELSE '0' END"
+            for i in range(_BITS_PER_BAND)
+        )
         parts.append(f"{b}, concat({bits})")
     return f"stack({_BANDS}, " + ", ".join(parts) + ") AS (band_idx, band_key)"
 

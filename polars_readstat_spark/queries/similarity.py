@@ -22,7 +22,8 @@ from pyspark.sql import Window as W
 from polars_readstat_spark.functions.similarity import (
     lsh_bands_duck,
     lsh_bands_stack,
-    lsh_bits_spark,
+    lsh_coef_rows,
+    lsh_scaled_dim_expr,
 )
 from polars_readstat_spark.queries.registry import query
 from polars_readstat_spark.tables import load_table
@@ -150,24 +151,45 @@ def ann_bruteforce_topk(spark, sf_dir):
 
 
 def _lsh_bands(e):
-    """(vec_id, band_idx, band_key) — 4 band keys per vector."""
-    bits = e.select(
-        "vec_id", *[F.expr(x).alias(f"bit{p}") for p, x in enumerate(lsh_bits_spark())]
+    """(vec_id, band_idx, band_key) — 4 band keys per vector.
+
+    Explode dims once, scale to int64, broadcast-join the 64-row
+    hyperplane-coefficient dim, then 32 plain SUMs grouped by vector
+    (the projection signs) — mirrors the oracle's lsh_sums CTE and
+    keeps the hot loop inside WholeStageCodegen with the coefficients
+    as columns, not as inlined arithmetic."""
+    spark = e.sparkSession
+    coefs = spark.createDataFrame(
+        lsh_coef_rows(), ["d"] + [f"c{p}" for p in range(32)]
     )
-    return bits.selectExpr("vec_id", lsh_bands_stack())
+    xr = e.select("vec_id", F.posexplode("embedding").alias("d", "xf")).select(
+        "vec_id", "d", F.expr(lsh_scaled_dim_expr("xf")).alias("x")
+    )
+    sums = (
+        xr.join(F.broadcast(coefs), "d")
+        .groupBy("vec_id")
+        .agg(*[F.sum(F.col(f"c{p}") * F.col("x")).alias(f"s{p}") for p in range(32)])
+    )
+    return sums.selectExpr("vec_id", lsh_bands_stack())
 
 
-def _pair_cosine(e, cand, a_col: str, b_col: str):
-    """Exact scaled-int cosine for each candidate (a_col, b_col) pair."""
+def _cosine_expr() -> F.Column:
+    return (F.col("dot_s").cast("double") / F.lit(float(_SCALE))) / (
+        F.sqrt(F.col("a_ns").cast("double") / F.lit(float(_SCALE)))
+        * F.sqrt(F.col("b_ns").cast("double") / F.lit(float(_SCALE)))
+    )
+
+
+def _pair_cosine_probe(e, cand, a_col: str, b_col: str):
+    """Exact cosine for a SMALL candidate set — the probe shape: the
+    pair list and norms broadcast to the corpus scan, the dot is a
+    per-pair array expression (floor(x*y*1e12) summed as int64). No
+    extra shuffles; right when |cand| ≪ |corpus|."""
     ea = e.select(F.col("vec_id").alias(a_col), F.col("embedding").alias("va"))
     eb = e.select(F.col("vec_id").alias(b_col), F.col("embedding").alias("vb"))
     norms = e.select("vec_id", F.expr(_normsq_spark("embedding")).alias("normsq_s"))
     na = norms.select(F.col("vec_id").alias(a_col), F.col("normsq_s").alias("a_ns"))
     nb = norms.select(F.col("vec_id").alias(b_col), F.col("normsq_s").alias("b_ns"))
-    cosine = (F.col("dot_s").cast("double") / F.lit(float(_SCALE))) / (
-        F.sqrt(F.col("a_ns").cast("double") / F.lit(float(_SCALE)))
-        * F.sqrt(F.col("b_ns").cast("double") / F.lit(float(_SCALE)))
-    )
     return (
         F.broadcast(cand)
         .join(ea, a_col)
@@ -177,11 +199,41 @@ def _pair_cosine(e, cand, a_col: str, b_col: str):
         )
         .join(F.broadcast(na), a_col)
         .join(F.broadcast(nb), b_col)
-        .select(a_col, b_col, cosine.alias("cosine"))
+        .select(a_col, b_col, _cosine_expr().alias("cosine"))
     )
 
 
-_PAIR_COS_DUCK = f"""
+def _pair_cosine_bulk(e, cand, a_col: str, b_col: str):
+    """Exact cosine for an O(corpus) candidate set — the all-pairs
+    shape: vectors explode once into (vec_id, d, x) scaled-int64 rows
+    (the oracle's lsh_xi representation) and the dot is a codegen'd
+    SUM(xa*xb) over two shuffle equi-joins. Nothing broadcasts —
+    broadcasting an O(corpus) pair list would stream it through the
+    driver — and no interpreted array lambdas run per pair."""
+    xd = e.select("vec_id", F.posexplode("embedding").alias("d", "xf")).select(
+        "vec_id", "d", F.expr(lsh_scaled_dim_expr("xf")).alias("x")
+    )
+    normsq = xd.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("normsq_s"))
+    xa = xd.select(F.col("vec_id").alias(a_col), "d", F.col("x").alias("xa"))
+    xb = xd.select(F.col("vec_id").alias(b_col), "d", F.col("x").alias("xb"))
+    na = normsq.select(F.col("vec_id").alias(a_col), F.col("normsq_s").alias("a_ns"))
+    nb = normsq.select(F.col("vec_id").alias(b_col), F.col("normsq_s").alias("b_ns"))
+    dots = (
+        cand.join(xa, a_col)
+        .join(xb, [b_col, "d"])
+        .groupBy(a_col, b_col)
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot_s"))
+    )
+    return (
+        dots.join(na, a_col)
+        .join(nb, b_col)
+        .select(a_col, b_col, _cosine_expr().alias("cosine"))
+    )
+
+
+# probe shape: per-pair floor(x*y*1e12) dot over the embedding arrays,
+# norms from _NORM_DUCK — matches _pair_cosine_probe bitwise
+_PAIR_COS_PROBE_DUCK = f"""
     pair_dots AS (
       SELECT c.{{a}}, c.{{b}},
              CAST(SUM(CAST(FLOOR(CAST(ea.embedding[i.i] AS DOUBLE)
@@ -204,6 +256,30 @@ _PAIR_COS_DUCK = f"""
     )
 """
 
+# bulk shape: reuses lsh_xi (scaled dims) from lsh_bands_duck — dot and
+# norms are integer sums over the same representation Spark joins on
+_PAIR_COS_BULK_DUCK = f"""
+    pair_dots AS (
+      SELECT c.{{a}}, c.{{b}}, SUM(xa.x * xb.x) AS dot_s
+      FROM cand c
+      JOIN lsh_xi xa ON xa.vec_id = c.{{a}}
+      JOIN lsh_xi xb ON xb.vec_id = c.{{b}} AND xb.d = xa.d
+      GROUP BY c.{{a}}, c.{{b}}
+    ),
+    pair_norms AS (
+      SELECT vec_id, SUM(x * x) AS normsq_s FROM lsh_xi GROUP BY vec_id
+    ),
+    pair_cos AS (
+      SELECT d.{{a}}, d.{{b}},
+             (CAST(d.dot_s AS DOUBLE) / {_SCALE}.0)
+               / (SQRT(CAST(na.normsq_s AS DOUBLE) / {_SCALE}.0)
+                  * SQRT(CAST(nb.normsq_s AS DOUBLE) / {_SCALE}.0)) AS cosine
+      FROM pair_dots d
+      JOIN pair_norms na ON na.vec_id = d.{{a}}
+      JOIN pair_norms nb ON nb.vec_id = d.{{b}}
+    )
+"""
+
 
 @query(
     "ann_lsh_topk",
@@ -219,7 +295,7 @@ _PAIR_COS_DUCK = f"""
       WHERE a.vec_id % 50 = 0 AND b.vec_id != a.vec_id
     ),
     """
-    + _PAIR_COS_DUCK.format(a="q_id", b="c_id")
+    + _PAIR_COS_PROBE_DUCK.format(a="q_id", b="c_id")
     + """
     SELECT q_id, c_id, cosine, rk FROM (
       SELECT q_id, c_id, cosine,
@@ -230,7 +306,7 @@ _PAIR_COS_DUCK = f"""
 )
 def ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN — the scale path: candidates for each probe
-    (vec_id % 50 == 0) are corpus vectors sharing a 4-bit
+    (vec_id % 50 == 0) are corpus vectors sharing an 8-bit
     sign-random-projection band, found by an equi-join on
     (band_idx, band_key) instead of the brute-force cross join; exact
     cosine + top-5 runs only on candidates. At 100 TB the band table
@@ -238,7 +314,7 @@ def ann_lsh_topk(spark, sf_dir):
     band keys, and the probe side stays broadcast-small."""
     e = load_table(spark, sf_dir, "embeddings")
     # persist: probe and corpus sides of the self-join would otherwise
-    # each recompute the 16-projection code (same rationale as the
+    # each recompute the 32-projection code (same rationale as the
     # minhash band table in dedup.py)
     bands = _lsh_bands(e).persist()
     qb = bands.filter(F.col("vec_id") % 50 == 0).select(
@@ -250,7 +326,7 @@ def ann_lsh_topk(spark, sf_dir):
         .select("q_id", F.col("vec_id").alias("c_id"))
         .dropDuplicates()
     )
-    scored = _pair_cosine(e, cand, "q_id", "c_id")
+    scored = _pair_cosine_probe(e, cand, "q_id", "c_id")
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -263,8 +339,6 @@ def ann_lsh_topk(spark, sf_dir):
     "dedup_embedding_cosine",
     oracle="WITH "
     + lsh_bands_duck()
-    + ", "
-    + _NORM_DUCK
     + """
     , cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -273,7 +347,7 @@ def ann_lsh_topk(spark, sf_dir):
                       AND a.vec_id < b.vec_id
     ),
     """
-    + _PAIR_COS_DUCK.format(a="vec_a", b="vec_b")
+    + _PAIR_COS_BULK_DUCK.format(a="vec_a", b="vec_b")
     + """
     SELECT vec_a, vec_b, cosine FROM pair_cos WHERE cosine >= 0.35
     """,
@@ -298,4 +372,6 @@ def dedup_embedding_cosine(spark, sf_dir):
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .dropDuplicates()
     )
-    return _pair_cosine(e, cand, "vec_a", "vec_b").filter(F.col("cosine") >= 0.35)
+    return _pair_cosine_bulk(e, cand, "vec_a", "vec_b").filter(
+        F.col("cosine") >= 0.35
+    )
