@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 MEDIA_META_SCHEMA = (
     "media_type string, width int, height int, n_frames int, "
-    "sample_rate int, duration_ms int"
+    "sample_rate int, size_bytes int"
 )
 
 
@@ -100,18 +100,16 @@ def decode_images(
 
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                data = r[media_col]
+            # zip over raw column arrays — iterrows() builds a Series per
+            # row (~10× slower), which matters when this runs per-batch
+            # across a 100 TB media column
+            key_arrs = [pdf[k] for k in key_cols]
+            for *keys, data in zip(*key_arrs, pdf[media_col]):
                 if data is None:
-                    rows.append(
-                        tuple(r[k] for k in key_cols)
-                        + (None, None, None, None)
-                    )
+                    rows.append(tuple(keys) + (None, None, None, None))
                     continue
                 luma, emb = dec(bytes(data), out_w, out_h)
-                rows.append(
-                    tuple(r[k] for k in key_cols) + (out_w, out_h, luma, emb)
-                )
+                rows.append(tuple(keys) + (out_w, out_h, luma, emb))
             yield pd.DataFrame(
                 rows,
                 columns=list(key_cols)
@@ -144,18 +142,20 @@ def frame_sample(
 
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                data = r[media_col]
+            key_arrs = [pdf[k] for k in key_cols]
+            has_nf = bool(n_frames_col) and n_frames_col in pdf.columns
+            nf_arr = pdf[n_frames_col] if has_nf else [None] * len(pdf)
+            for *keys, data, nf in zip(*key_arrs, pdf[media_col], nf_arr):
                 if data is None:
                     continue
                 data = bytes(data)
-                if n_frames_col and n_frames_col in pdf.columns and r[n_frames_col]:
-                    n = int(r[n_frames_col])
+                if has_nf and nf:
+                    n = int(nf)
                 else:
                     n = max(1, len(data) // 1024)  # fake: 1 frame/KiB
                 for idx in range(0, n, every_n):
                     luma, _ = dec(data + idx.to_bytes(4, "little"), 1, 1)
-                    rows.append(tuple(r[k] for k in key_cols) + (idx, luma))
+                    rows.append(tuple(keys) + (idx, luma))
             yield pd.DataFrame(
                 rows, columns=list(key_cols) + ["frame_idx", "mean_luma"]
             )
@@ -191,16 +191,14 @@ def audio_features(
 
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                data = r[media_col]
+            key_arrs = [pdf[k] for k in key_cols]
+            for *keys, data in zip(*key_arrs, pdf[media_col]):
                 if data is None:
-                    rows.append(tuple(r[k] for k in key_cols) + (None, None))
+                    rows.append(tuple(keys) + (None, None))
                     continue
                 data = bytes(data)
                 rms, _ = dec(data, 1, 1)
-                rows.append(
-                    tuple(r[k] for k in key_cols) + (rms / 255.0, len(data) // 2)
-                )
+                rows.append(tuple(keys) + (rms / 255.0, len(data) // 2))
             yield pd.DataFrame(
                 rows, columns=list(key_cols) + ["rms", "n_samples"]
             )

@@ -66,8 +66,13 @@ def _compile(f: Filter):
     if isinstance(f, EqualTo):
         return lambda b: pc.equal(c(b), pa.scalar(f.value))
     if isinstance(f, EqualNullSafe):
+        if f.value is None:
+            # <=> NULL means "is null"; the fill_null(equal(col, None))
+            # formulation would be an all-true mask — decline instead of
+            # risking wrong rows if Spark ever pushes this shape
+            return None
         return lambda b: pc.fill_null(pc.equal(c(b), pa.scalar(f.value)),
-                                      f.value is None)
+                                      False)
     if isinstance(f, GreaterThan):
         return lambda b: pc.greater(c(b), pa.scalar(f.value))
     if isinstance(f, GreaterThanOrEqual):
@@ -77,7 +82,12 @@ def _compile(f: Filter):
     if isinstance(f, LessThanOrEqual):
         return lambda b: pc.less_equal(c(b), pa.scalar(f.value))
     if isinstance(f, In):
-        return lambda b: pc.is_in(c(b), value_set=pa.array(list(f.value)))
+        values = list(f.value)
+        if any(v is None for v in values):
+            # SQL IN drops null rows (NULL comparison yields NULL) but
+            # pc.is_in null-matches them — decline rather than diverge
+            return None
+        return lambda b: pc.is_in(c(b), value_set=pa.array(values))
     if isinstance(f, IsNull):
         return lambda b: pc.is_null(c(b))
     if isinstance(f, IsNotNull):

@@ -12,9 +12,10 @@ Two Spark jobs, then a driver-side streaming assembly:
 
 Layout per the public dta-118 spec (same section tags the reader
 parses). Nulls → Stata sentinel missings; date → %td day numbers;
-timestamp → %tc ms. Strings wider than 2045 bytes are rejected
-(strL writing not yet implemented — the reference's streaming sink
-rejects strL too).
+timestamp → %tc ms. Strings up to 2045 bytes are written as fixed
+str#; wider columns become strL: data rows carry (v,o) refs and the
+payloads stream into a <strls> GSO section (see _pack_batch and the
+strL block below).
 """
 
 from __future__ import annotations

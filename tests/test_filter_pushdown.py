@@ -102,3 +102,33 @@ def test_pushdown_composes_with_compress(spark):
     got = df.filter(F.col("mylabl") == 1).count()
     exp = sum(1 for r in base if r.mylabl == 1)
     assert got == exp
+
+
+def test_null_valued_filters_declined():
+    """EqualNullSafe(col, None) and In containing None have SQL
+    semantics pyarrow kernels don't reproduce (all-true mask /
+    null-matching is_in) — _compile must decline them so Catalyst
+    evaluates them above the scan."""
+    from pyspark.sql.datasource import EqualNullSafe, EqualTo, In
+
+    from polars_readstat_spark.sources.filters import _compile
+
+    assert _compile(EqualNullSafe(("mynum",), None)) is None
+    assert _compile(In(("mynum",), (1.0, None))) is None
+    # the non-null shapes stay accepted
+    assert _compile(EqualNullSafe(("mynum",), 1.0)) is not None
+    assert _compile(In(("mynum",), (1.0, 2.0))) is not None
+    assert _compile(EqualTo(("mynum",), 1.0)) is not None
+
+
+def test_equal_null_safe_non_null_semantics():
+    """col <=> v : null rows yield FALSE (kept out), non-null compare
+    normally — verified against a batch with a null."""
+    import pyarrow as pa
+    from pyspark.sql.datasource import EqualNullSafe
+
+    from polars_readstat_spark.sources.filters import _compile
+
+    fn = _compile(EqualNullSafe(("x",), 1.0))
+    batch = pa.record_batch({"x": pa.array([1.0, 2.0, None])})
+    assert fn(batch).to_pylist() == [True, False, False]
