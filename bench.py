@@ -22,33 +22,25 @@ def run_query(df) -> None:
 
 
 def _readstat_files(spark, sf_dir: str, sf: str) -> dict[str, str]:
-    """Generate dta/sav/xpt files from the sf lineitem table (once per
-    sf, cached in /tmp) for format-read benchmarks — the BASELINE.md
-    comparison surface (full / subset / filter / subset+filter reads).
+    """Generate statistical-format files from the sf lineitem table
+    (once per sf, cached in /tmp) for format-read benchmarks — the
+    BASELINE.md comparison surface (full / subset / filter /
+    subset+filter reads). Shares the scanio roundtrip-query cache so
+    the registry's scan_*_roundtrip queries find their files already
+    written and their timings measure the scan, not the write.
     """
-    import polars_readstat_spark as prs
+    from polars_readstat_spark.queries.scanio import (
+        ensure_multifile_dir,
+        ensure_readstat_file,
+    )
 
-    out_dir = f"/tmp/spark_graft_bench_sf{sf}"
-    os.makedirs(out_dir, exist_ok=True)
-    src = None
-    paths = {}
-    for ext in ("dta", "sav", "xpt"):
-        p = os.path.join(out_dir, f"lineitem.{ext}")
-        paths[ext] = p
-        if not os.path.exists(p):
-            if src is None:
-                # narrow to a representative 8-column mixed frame
-                src = (
-                    spark.read.parquet(
-                        os.path.join(sf_dir, "lineitem.parquet")
-                    ).select(
-                        "l_orderkey", "l_partkey", "l_quantity",
-                        "l_extendedprice", "l_discount", "l_returnflag",
-                        "l_shipdate", "l_linestatus",
-                    )
-                )
-            prs.write_readstat(src, p)
-    return paths
+    paths = {
+        ext: ensure_readstat_file(spark, sf_dir, ext)
+        for ext in ("dta", "sav", "zsav", "xpt", "por")
+    }
+    ensure_multifile_dir(spark, sf_dir, "dta")
+    # only the three baseline formats get per-variant read benchmarks
+    return {k: paths[k] for k in ("dta", "sav", "xpt")}
 
 
 def _bench_readstat(spark, paths: dict, timings: dict) -> None:

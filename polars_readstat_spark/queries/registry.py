@@ -64,6 +64,7 @@ def _ensure_loaded() -> None:
         nulls,
         relational,
         rowindex,
+        scanio,
         similarity,
         text,
         timeseries,

@@ -1,0 +1,232 @@
+"""Write-then-scan roundtrip queries: the file readers under the
+driver's DuckDB oracle.
+
+Round-1 gap: the dta/sav/xpt/por scan paths — the heart of the engine —
+were verified only by in-repo pytest differentials, never by the
+driver's independent CORRECTNESS gate. These queries close that: each
+deterministically materializes the sf lineitem table as a statistical
+file (cached in /tmp, one write per sf), scans it back through
+``spark.read.format("readstat")``, and projects a canonical column set;
+the oracle is a plain SELECT over the same parquet lineitem — so a
+value-hash match proves the writer+reader pair is lossless against an
+engine that never touched either. This mirrors the reference's own
+differential-oracle test spine (SURVEY.md §5;
+reference tests/sas/compare_to_python.py:1-60).
+
+Exactness notes (why the hash can be expected to match bit-for-bit):
+- dta/sav store numerics as IEEE float64 — identity roundtrip.
+- xpt stores IBM/370 hex floats: 56-bit mantissa, worst case 3 leading
+  zero bits ⇒ ≥53 usable bits, so every IEEE double converts exactly.
+- por base-30 text wobbles on non-dyadic fractions, so its query sticks
+  to integral and string columns.
+- timestamps are written as format-native datetimes (%tc ms / SPSS
+  seconds / SAS DATETIME) and compared as DATE after roundtrip, under
+  the UTC session tz both engines share.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from polars_readstat_spark.queries.registry import query
+
+# the representative mixed frame (ints, doubles, strings, timestamp)
+# shared with bench.py's format-read benchmarks — one cache, one layout
+BENCH_COLS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_returnflag",
+    "l_shipdate",
+    "l_linestatus",
+)
+
+
+def _cache_dir(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return f"/tmp/spark_graft_scanio_{tag}"
+
+
+def _source_frame(spark, sf_dir: str):
+    return spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        *BENCH_COLS
+    )
+
+
+def ensure_readstat_file(spark, sf_dir: str, ext: str) -> str:
+    """Materialize lineitem as /tmp/..._{sf}/lineitem.{ext} once per sf.
+
+    Atomic: written to a temp name (same extension so write_readstat's
+    dispatch works) then os.replace'd, so a crashed writer never leaves
+    a half-file that poisons later runs.
+    """
+    import polars_readstat_spark as prs
+
+    d = _cache_dir(sf_dir)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"lineitem.{ext}")
+    if os.path.exists(path):
+        return path
+    tmp = os.path.join(d, f".tmp{os.getpid()}.lineitem.{ext}")
+    prs.write_readstat(_source_frame(spark, sf_dir), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def ensure_multifile_dir(spark, sf_dir: str, ext: str = "dta") -> str:
+    """Two same-schema files (even/odd l_orderkey) in one directory —
+    the multi-file union fan-out path."""
+    import polars_readstat_spark as prs
+
+    d = os.path.join(_cache_dir(sf_dir), f"multi_{ext}")
+    done = os.path.join(d, ".done")
+    if os.path.exists(done):
+        return d
+    os.makedirs(d, exist_ok=True)
+    src = _source_frame(spark, sf_dir)
+    for parity in (0, 1):
+        part = src.filter(F.col("l_orderkey") % 2 == parity)
+        tmp = os.path.join(d, f".tmp{os.getpid()}.part{parity}.{ext}")
+        prs.write_readstat(part, tmp)
+        os.replace(tmp, os.path.join(d, f"part{parity}.{ext}"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return d
+
+
+def _scan(spark, path: str):
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    return spark.read.format("readstat").load(path)
+
+
+# canonical projection both sides emit: bigints for keys, raw doubles
+# (identity roundtrip), strings, and shipdate as DATE
+_CANON_ORACLE = """
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_partkey AS BIGINT) AS l_partkey,
+           l_quantity, l_extendedprice, l_discount,
+           l_returnflag, l_linestatus,
+           CAST(l_shipdate AS DATE) AS l_shipdate
+    FROM lineitem
+"""
+
+
+def _canon(df, names: dict[str, str] | None = None):
+    """Project the scanned frame to the canonical shape. `names` maps
+    canonical → on-file column name (for 8-char xpt/por truncation)."""
+    n = names or {}
+
+    def c(canonical):
+        return F.col(n.get(canonical, canonical))
+
+    return df.select(
+        c("l_orderkey").cast("bigint").alias("l_orderkey"),
+        c("l_partkey").cast("bigint").alias("l_partkey"),
+        c("l_quantity").cast("double").alias("l_quantity"),
+        c("l_extendedprice").cast("double").alias("l_extendedprice"),
+        c("l_discount").cast("double").alias("l_discount"),
+        c("l_returnflag").alias("l_returnflag"),
+        c("l_linestatus").alias("l_linestatus"),
+        c("l_shipdate").cast("date").alias("l_shipdate"),
+    )
+
+
+_XPT_NAMES = {
+    "l_orderkey": "L_ORDERK",
+    "l_partkey": "L_PARTKE",
+    "l_quantity": "L_QUANTI",
+    "l_extendedprice": "L_EXTEND",
+    "l_discount": "L_DISCOU",
+    "l_returnflag": "L_RETURN",
+    "l_linestatus": "L_LINEST",
+    "l_shipdate": "L_SHIPDA",
+}
+
+
+@query("scan_dta_roundtrip", oracle=_CANON_ORACLE)
+def scan_dta_roundtrip(spark, sf_dir):
+    """S9/W1 under the driver oracle: Stata v118 write → scan."""
+    return _canon(_scan(spark, ensure_readstat_file(spark, sf_dir, "dta")))
+
+
+@query("scan_sav_roundtrip", oracle=_CANON_ORACLE)
+def scan_sav_roundtrip(spark, sf_dir):
+    """S10/W3: SPSS SAV write → scan (uncompressed records)."""
+    return _canon(_scan(spark, ensure_readstat_file(spark, sf_dir, "sav")))
+
+
+@query("scan_zsav_roundtrip", oracle=_CANON_ORACLE)
+def scan_zsav_roundtrip(spark, sf_dir):
+    """S10 compressed path: ZSAV (zlib-wrapped bytecode) write → scan —
+    puts the streaming decompress decode under the oracle."""
+    return _canon(_scan(spark, ensure_readstat_file(spark, sf_dir, "zsav")))
+
+
+@query("scan_xpt_roundtrip", oracle=_CANON_ORACLE)
+def scan_xpt_roundtrip(spark, sf_dir):
+    """S7/W4: XPT v5 write → scan. IBM float conversion is exact for
+    every IEEE double (see module docstring); v5 truncates names to
+    8 upper-case chars, aliased back to canonical here."""
+    return _canon(
+        _scan(spark, ensure_readstat_file(spark, sf_dir, "xpt")),
+        names=_XPT_NAMES,
+    )
+
+
+@query(
+    "scan_por_roundtrip",
+    oracle="""
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_partkey AS BIGINT) AS l_partkey,
+           CAST(l_quantity AS BIGINT) AS l_quantity,
+           l_returnflag, l_linestatus
+    FROM lineitem
+    """,
+)
+def scan_por_roundtrip(spark, sf_dir):
+    """S11/W5: SPSS portable write → scan. POR's base-30 text wobbles
+    on non-dyadic fractions, so only integral + string columns are
+    compared (cast through BIGINT on both sides)."""
+    df = _scan(spark, ensure_readstat_file(spark, sf_dir, "por"))
+    return df.select(
+        F.col("L_ORDERK").cast("bigint").alias("l_orderkey"),
+        F.col("L_PARTKE").cast("bigint").alias("l_partkey"),
+        F.col("L_QUANTI").cast("bigint").alias("l_quantity"),
+        F.col("L_RETURN").alias("l_returnflag"),
+        F.col("L_LINEST").alias("l_linestatus"),
+    )
+
+
+@query("scan_dta_multifile", oracle=_CANON_ORACLE)
+def scan_dta_multifile(spark, sf_dir):
+    """Multi-file union fan-out under the oracle: two dta files (even /
+    odd l_orderkey) read as one directory scan — the partition-per-file
+    shape a 100 TB lake read takes."""
+    return _canon(_scan(spark, ensure_multifile_dir(spark, sf_dir, "dta")))
+
+
+@query(
+    "scan_dta_pushdown",
+    oracle="""
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, l_quantity
+    FROM lineitem WHERE l_quantity >= 18
+    """,
+)
+def scan_dta_pushdown(spark, sf_dir):
+    """Projection + predicate pushdown through the Python data source
+    on a real dta scan: only 2 of 8 columns decode, and the filter
+    drops rows inside the worker before the JVM transfer."""
+    df = _scan(spark, ensure_readstat_file(spark, sf_dir, "dta"))
+    return (
+        df.filter(F.col("l_quantity") >= 18)
+        .select(
+            F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+            F.col("l_quantity").cast("double").alias("l_quantity"),
+        )
+    )
