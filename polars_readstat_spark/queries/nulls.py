@@ -70,17 +70,36 @@ def informative_null_merged(spark, sf_dir):
     return ev.select("event_id", merged.alias("user_id_merged"))
 
 
-@query("informative_null_struct")  # struct output: rows-only driver check
+@query(
+    "informative_null_struct",
+    oracle=f"""
+    SELECT event_id,
+           COALESCE(CAST(CAST(FLOOR(
+               (CASE WHEN {_IND_SQL} IS NULL THEN value END) * 1000
+           ) AS BIGINT) AS VARCHAR), '<null>')
+           || '|' || COALESCE({_IND_SQL}, '<null>') AS value_struct_ser
+    FROM events
+    """,
+)
 def informative_null_struct(spark, sf_dir):
     """M3: struct mode — Struct{value, null_indicator}
-    (reference src/lib.rs:341-357). No SQL oracle: struct hashing is
-    not portable across engines; pytest covers the values."""
+    (reference src/lib.rs:341-357). The struct is built in-plan, then
+    its fields serialize to one canonical string so DuckDB can hash it:
+    the double goes through scaled-integer floor (double→string casts
+    format differently across engines; floor(value*1000) is the repo's
+    exact-parity convention) and nulls print as '<null>'."""
     ev = load_table(spark, sf_dir, "events")
     ind = _indicator()
-    return ev.select(
-        "event_id",
-        F.struct(
-            F.when(ind.isNull(), F.col("value")).alias("value"),
-            ind.alias("null_indicator"),
-        ).alias("value_struct"),
+    vs = F.struct(
+        F.when(ind.isNull(), F.col("value")).alias("value"),
+        ind.alias("null_indicator"),
     )
+    ser = F.concat(
+        F.coalesce(
+            F.floor(vs.getField("value") * 1000).cast("bigint").cast("string"),
+            F.lit("<null>"),
+        ),
+        F.lit("|"),
+        F.coalesce(vs.getField("null_indicator"), F.lit("<null>")),
+    )
+    return ev.select("event_id", ser.alias("value_struct_ser"))
