@@ -39,28 +39,19 @@ SPSS_SEC_SHIFT = 12_219_379_200  # 1582-10-14 → 1970-01-01 in seconds
 SEC_PER_DAY = 86_400
 
 
-def decompress_bytecode(raw: bytes, meta: SavMeta) -> np.ndarray:
-    """Bytecode stream → (n_elements, 8) uint8 matrix in file endianness."""
-    nb8 = len(raw) // 8
-    blocks = np.frombuffer(raw, dtype=np.uint8, count=nb8 * 8).reshape(-1, 8)
-    c253 = (blocks == 253).sum(axis=1)
-
-    # pass 1: which blocks are command blocks
-    cmd_idx_l = []
-    i = 0
-    while i < nb8:
-        cmd_idx_l.append(i)
-        i += 1 + int(c253[i])
-    cmd_idx = np.asarray(cmd_idx_l, dtype=np.int64)
-
+def _decode_cmd_group(blocks: np.ndarray, cmd_idx: np.ndarray, meta: SavMeta):
+    """Vectorized pass 2 over one self-contained group of 8-byte blocks:
+    scatter literals / all-spaces / sysmis / (code - bias) values into a
+    (k, 8) element matrix. Returns (elements, saw_end_of_data)."""
     cmds = blocks[cmd_idx].reshape(-1)
+    stopped = False
     stop = np.flatnonzero(cmds == 252)
     if stop.size:
         cmds = cmds[: stop[0]]
-    is_el = cmds != 0
-    el_cmds = cmds[is_el]
+        stopped = True
+    el_cmds = cmds[cmds != 0]
 
-    lit_mask = np.ones(nb8, dtype=bool)
+    lit_mask = np.ones(blocks.shape[0], dtype=bool)
     lit_mask[cmd_idx] = False
     literals = blocks[lit_mask]
     lit_order = np.cumsum(el_cmds == 253) - 1
@@ -82,24 +73,125 @@ def decompress_bytecode(raw: bytes, meta: SavMeta) -> np.ndarray:
     if mval.any():
         vals = el_cmds[mval].astype(np.float64) - meta.bias
         out[mval] = vals.astype(ef + "f8").view(np.uint8).reshape(-1, 8)
+    return out, stopped
+
+
+def decompress_bytecode(raw: bytes, meta: SavMeta) -> np.ndarray:
+    """Whole bytecode stream → (n_elements, 8) matrix (small-input /
+    test helper; the scan path streams via iter_compressed_elements)."""
+    nb8 = len(raw) // 8
+    blocks = np.frombuffer(raw, dtype=np.uint8, count=nb8 * 8).reshape(-1, 8)
+    c253 = (blocks == 253).sum(axis=1)
+    cmd_idx_l = []
+    i = 0
+    while i < nb8:
+        cmd_idx_l.append(i)
+        i += 1 + int(c253[i])
+    out, _ = _decode_cmd_group(
+        blocks, np.asarray(cmd_idx_l, dtype=np.int64), meta
+    )
     return out
 
 
-# executor-local cache of decompressed case matrices (path → matrix)
-_CASE_CACHE: dict[str, np.ndarray] = {}
+def _iter_raw_chunks(meta: SavMeta, chunk_bytes: int):
+    """Raw bytecode stream in bounded pieces: file slices for
+    compression=1, per-block zlib inflates for zsav (each block is a
+    self-contained zlib stream, reference spss/data.rs:1794-1860)."""
+    import zlib
+
+    with open(meta.path, "rb") as f:
+        if meta.compression == 2:
+            for c_ofs, c_sz, _unc in meta.zsav.blocks:
+                f.seek(c_ofs)
+                yield zlib.decompress(f.read(c_sz))
+            return
+        f.seek(meta.data_offset)
+        while True:
+            b = f.read(chunk_bytes)
+            if not b:
+                return
+            yield b
 
 
-def load_cases_compressed(meta: SavMeta) -> np.ndarray:
-    """(nobs, record_width) byte matrix for compressed files, cached
-    per executor so multiple partitions/batches don't re-decompress."""
-    m = _CASE_CACHE.get(meta.path)
-    if m is None:
-        elems = decompress_bytecode(read_compressed_stream(meta), meta)
-        cs = meta.case_size
+def iter_compressed_elements(meta: SavMeta, chunk_bytes: int = 4 << 20):
+    """Stream the bytecode as (k, 8) element matrices with memory
+    bounded by one chunk (≤ chunk_bytes in → ≤ 8× out, since a command
+    byte expands to at most one 8-byte element).
+
+    Command groups (1 command block + its literal blocks) are
+    self-delimiting, so each chunk decodes the longest prefix of whole
+    groups and carries the tail bytes into the next chunk — the
+    streaming shape of the reference's serial decompressor
+    (reference spss/data.rs:1628-1760), vectorized per chunk.
+    """
+    pend = b""
+    for chunk in _iter_raw_chunks(meta, chunk_bytes):
+        data = pend + chunk if pend else chunk
+        nb8 = len(data) // 8
+        blocks = np.frombuffer(data, dtype=np.uint8, count=nb8 * 8).reshape(-1, 8)
+        c253 = (blocks == 253).sum(axis=1)
+        cmd_idx_l = []
+        i = 0
+        while i < nb8:
+            need = 1 + int(c253[i])
+            if i + need > nb8:
+                break  # group's literals spill into the next chunk
+            cmd_idx_l.append(i)
+            i += need
+        pend = data[i * 8 :]
+        if not cmd_idx_l:
+            continue
+        out, stopped = _decode_cmd_group(
+            blocks[:i], np.asarray(cmd_idx_l, dtype=np.int64), meta
+        )
+        if out.size:
+            yield out
+        if stopped:
+            return
+    # trailing bytes: a final group the walk declined because the file
+    # ends mid-literals is dropped, matching the whole-buffer decoder
+    # (a truncated trailing group can't form a complete case anyway)
+
+
+def iter_compressed_rows(
+    meta: SavMeta, start: int, n: int, batch_rows: int
+):
+    """Yield (absolute_row_pos, (rows, record_width) matrix) batches for
+    the row span [start, start+n), decoding the sequential stream once
+    and retaining at most one chunk + one partial case."""
+    cs = meta.case_size
+    end = start + n
+    row_pos = 0
+    carry = np.empty((0, 8), dtype=np.uint8)
+    for elems in iter_compressed_elements(meta):
+        if carry.size:
+            elems = np.concatenate([carry, elems])
         nrows = elems.shape[0] // cs
-        m = elems[: nrows * cs].reshape(nrows, cs * 8)
-        _CASE_CACHE[meta.path] = m
-    return m
+        carry = elems[nrows * cs :]
+        if nrows == 0:
+            continue
+        lo = max(start - row_pos, 0)
+        hi = min(end - row_pos, nrows)
+        if hi > lo:
+            rows = elems[: nrows * cs].reshape(nrows, cs * 8)
+            p = lo
+            while p < hi:
+                c = min(batch_rows, hi - p)
+                yield row_pos + p, rows[p : p + c]
+                p += c
+        row_pos += nrows
+        if row_pos >= end:
+            return
+
+
+def count_compressed_rows(meta: SavMeta) -> int:
+    """Row count for compressed files whose header says nobs=-1
+    (rare): one streaming pass, nothing retained."""
+    cs = meta.case_size
+    els = 0
+    for elems in iter_compressed_elements(meta):
+        els += elems.shape[0]
+    return els // cs
 
 
 def _numeric_elements(rows: np.ndarray, var: SavVar, meta: SavMeta) -> np.ndarray:

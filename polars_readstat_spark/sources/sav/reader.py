@@ -9,8 +9,9 @@ re-planned for Spark):
   (PARALLELIZATION.md:34-40);
 - zsav (compression=2): zlib blocks decompress independently but the
   bytecode rows inside don't align to block boundaries, so decode is
-  also single-partition; the per-executor case cache means the
-  decompression happens once.
+  also single-partition; the stream decodes once with memory bounded
+  by one chunk (iter_compressed_rows), never the whole case matrix —
+  a 50 GB decompressed zsav reads in constant executor memory.
 """
 
 from __future__ import annotations
@@ -68,10 +69,10 @@ class SavReader(DataSourceReader):
         if m.compression == 0:
             sz = os.path.getsize(self.path) - m.data_offset
             return sz // m.record_width
-        # compressed with unknown count: decode to find out (rare)
-        from polars_readstat_spark.sources.sav.decode import load_cases_compressed
+        # compressed with unknown count: one streaming pass (rare)
+        from polars_readstat_spark.sources.sav.decode import count_compressed_rows
 
-        return load_cases_compressed(m).shape[0]
+        return count_compressed_rows(m)
 
     def _row_span(self) -> tuple[int, int]:
         total = self._total_rows()
@@ -100,7 +101,7 @@ class SavReader(DataSourceReader):
     def read(self, partition: RowRange):
         from polars_readstat_spark.sources.sav.decode import (
             decode_rows,
-            load_cases_compressed,
+            iter_compressed_rows,
         )
 
         meta = self.meta
@@ -136,13 +137,13 @@ class SavReader(DataSourceReader):
             return
 
         if meta.compression != 0:
-            cases = load_cases_compressed(meta)
-            pos = partition.start
-            end = partition.start + partition.n
-            while pos < end:
-                cnt = min(batch_rows, end - pos)
-                yield emit(cases[pos : pos + cnt], pos, cnt)
-                pos += cnt
+            # sequential command stream: decode once, bounded memory —
+            # one chunk + one partial case live at a time (round-1 OOM
+            # fix; reference streams serially too, spss/data.rs:1628)
+            for pos, rows in iter_compressed_rows(
+                meta, partition.start, partition.n, batch_rows
+            ):
+                yield emit(rows, pos, rows.shape[0])
             return
 
         with open(self.path, "rb") as f:

@@ -146,3 +146,64 @@ def test_metadata_surface(spark):
     md = {f.name: f.metadata for f in df.schema.fields}
     assert md["mydate"].get("format", "").startswith("EDATE")
     assert md["mytime"].get("time") == "ns_since_midnight"
+
+
+def test_compressed_streaming_bounded_memory(spark, tmp_path):
+    """The compressed decode must stream: a bytecode stream bigger than
+    the chunk size reads correctly through many small chunks without
+    materializing the whole case matrix (round-1 OOM fix), and
+    limit/offset spans slice the stream exactly."""
+    import dataclasses
+
+    import numpy as np
+
+    import polars_readstat_spark as prs
+    from polars_readstat_spark.sources.sav import decode as d
+    from polars_readstat_spark.sources.sav.meta import (
+        parse_sav_meta,
+        read_compressed_stream,
+    )
+
+    n = 20_000
+    src = spark.range(n).selectExpr(
+        "cast(id as double) as x",
+        "cast(id * 0.5 as double) as y",
+        "concat('s', cast(id as string)) as s",
+    )
+    zp = str(tmp_path / "big.zsav")
+    prs.write_readstat(src, zp)
+    zmeta = parse_sav_meta(zp)
+    assert zmeta.compression == 2
+
+    whole = d.decompress_bytecode(read_compressed_stream(zmeta), zmeta)
+    cs = zmeta.case_size
+    exp = whole[: (whole.shape[0] // cs) * cs].reshape(-1, cs * 8)[:n]
+
+    # zsav path: stream per zlib block, reassembled rows match
+    batches = list(d.iter_compressed_rows(zmeta, 0, n, batch_rows=4096))
+    assert all(r.shape[0] <= 4096 for _, r in batches)
+    assert np.array_equal(np.concatenate([r for _, r in batches]), exp)
+
+    # compression=1 path with tiny chunks exercises the carry logic
+    # (command groups split mid-literals): same bytecode as a raw
+    # stream file behind a patched meta
+    raw_path = str(tmp_path / "raw.bin")
+    with open(raw_path, "wb") as f:
+        f.write(read_compressed_stream(zmeta))
+    bmeta = dataclasses.replace(
+        zmeta, path=raw_path, compression=1, data_offset=0, zsav=None
+    )
+    small = list(d.iter_compressed_elements(bmeta, chunk_bytes=1024))
+    assert max(e.shape[0] for e in small) <= 1024  # bounded per chunk
+    assert np.array_equal(np.concatenate(small), whole)
+
+    # offset/limit spans slice the stream exactly
+    span = list(d.iter_compressed_rows(bmeta, 12_345, 100, batch_rows=64))
+    assert np.array_equal(np.concatenate([r for _, r in span]), exp[12_345:12_445])
+    assert span[0][0] == 12_345
+
+    # end-to-end through the data source
+    df = spark.read.format("readstat").load(zp)
+    assert df.count() == n
+    row = df.filter("x = 19999.0").collect()[0]
+    assert row.s == "s19999" and row.y == 9999.5
