@@ -131,12 +131,24 @@ def decode_column(
     missing_string_as_null: bool,
     strl_lookup=None,
 ) -> pa.Array:
+    from polars_readstat_spark.sources import strdecode
+
     col = data[f"f{idx}"]
     if var.kind == "str":
-        strs = _strings_from_fixed(col, meta.encoding)
+        sl = np.ascontiguousarray(col)
+        w = sl.dtype.itemsize
+        m = sl.view(np.uint8).reshape(-1, w)
+        arr = strdecode.try_vectorized(
+            m, strdecode.lengths_first_nul(m), meta.encoding
+        )
+        if arr is None:  # non-ASCII under a non-UTF8 codepage (rare)
+            strs = _strings_from_fixed(col, meta.encoding)
+            if missing_string_as_null:
+                strs = [s if s != "" else None for s in strs]
+            return pa.array(strs, type=pa.string())
         if missing_string_as_null:
-            strs = [s if s != "" else None for s in strs]
-        return pa.array(strs, type=pa.string())
+            arr = strdecode.empty_to_null(arr)
+        return arr
 
     if var.kind == "strl":
         if strl_lookup is None:
@@ -173,18 +185,10 @@ def decode_column(
     )
     if labels is not None:
         # labeled numeric → label strings; unlabeled codes render
-        # numeric-as-string (reference src/stata/data.rs:1050-1103)
+        # numeric-as-string (reference src/stata/data.rs:1050-1103) —
+        # vectorized through the unique codes (categorical cardinality)
         iv = np.where(mask, 0, vals).astype(np.int64)
-        out: list[str | None] = []
-        get = labels.get
-        for i in range(len(iv)):
-            if mask[i]:
-                out.append(None)
-            else:
-                code = int(iv[i])
-                lab = get(code)
-                out.append(lab if lab is not None else str(code))
-        return pa.array(out, type=pa.string())
+        return strdecode.map_int_labels(iv, mask, labels)
 
     tk = var.time_kind
     if tk == "date":

@@ -45,8 +45,18 @@ def decode_column(
     missing_string_as_null: bool,
 ) -> pa.Array:
     if col.ctype == "s":
-        sl = rows[:, col.offset : col.offset + col.width]
-        b = np.ascontiguousarray(sl).tobytes()
+        from polars_readstat_spark.sources import strdecode
+
+        m = np.ascontiguousarray(rows[:, col.offset : col.offset + col.width])
+        arr = strdecode.try_vectorized(
+            m, strdecode.lengths_rstrip(m, strip=(0, 0x20)), meta.encoding
+        )
+        if arr is not None:
+            if missing_string_as_null:
+                arr = strdecode.empty_to_null(arr)
+            return arr
+        # slow path: non-ASCII bytes under a non-UTF8 codepage
+        b = m.tobytes()
         w = col.width
         enc = meta.encoding
         out = []

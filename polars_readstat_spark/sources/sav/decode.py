@@ -251,6 +251,40 @@ def _reconstruct_long(buf: bytes, declared: int) -> bytes:
     return bytes(out)
 
 
+# ASCII control bytes str.rstrip() strips beyond 0x20/NUL: rows ending
+# in these must take the slow path (whose post-decode unicode rstrip
+# removes them) to stay bit-identical
+_WS_EXTRA = np.array([9, 10, 11, 12, 13, 0x1C, 0x1D, 0x1E, 0x1F], dtype=np.uint8)
+
+
+def _decode_string_vectorized(
+    blob: np.ndarray, declared: int, meta: SavMeta
+) -> pa.Array | None:
+    """Vectorized trim+decode for the common shape: short strings, no
+    interior NULs, pure-ASCII bytes under an ASCII-compatible encoding.
+    Returns None when any row needs the exact slow-path semantics
+    (interior NUL removal, unicode rstrip of multi-byte whitespace,
+    charset fallback)."""
+    from polars_readstat_spark.sources import strdecode
+
+    m = np.ascontiguousarray(blob[:, :declared])
+    lens = strdecode.lengths_rstrip(m, strip=(0, 0x20))
+    keep = np.arange(declared, dtype=np.int64)[None, :] < lens[:, None]
+    if ((m == 0) & keep).any():
+        return None  # interior NULs: slow path removes them
+    nonempty = lens > 0
+    if nonempty.any():
+        last = m[np.arange(m.shape[0]), np.maximum(lens - 1, 0)]
+        if (np.isin(last, _WS_EXTRA) & nonempty).any():
+            return None  # trailing \t\n… the unicode rstrip would strip
+    values, offsets = strdecode.compact(m, lens)
+    if values.size and int(values.max()) >= 0x80:
+        return None  # non-ASCII: charset + unicode-rstrip semantics
+    if not strdecode.ascii_compatible(meta.encoding):
+        return None
+    return strdecode._from_buffers(values, offsets)
+
+
 def decode_string_column(
     rows: np.ndarray,
     var: SavVar,
@@ -262,6 +296,24 @@ def decode_string_column(
     long = declared > 255
     enc = meta.encoding
     miss = set(var.missing_strings) if var.missing_strings else None
+
+    if not long and declared <= blob.shape[1]:
+        arr = _decode_string_vectorized(blob, declared, meta)
+        if arr is not None:
+            import pyarrow.compute as pc
+
+            from polars_readstat_spark.sources import strdecode
+
+            if missing_string_as_null:
+                arr = strdecode.empty_to_null(arr)
+            if miss:
+                arr = pc.if_else(
+                    pc.is_in(arr, value_set=pa.array(sorted(miss))),
+                    pa.scalar(None, pa.string()),
+                    arr,
+                )
+            return arr
+
     out: list[str | None] = []
     for row in blob:
         b = row.tobytes()
@@ -303,19 +355,20 @@ def decode_column(
 
     if value_labels_as_strings and var.value_labels:
         vl = var.value_labels
-        out: list[str | None] = []
-        for i in range(vals.size):
-            if mask[i]:
-                out.append(None)
-            else:
-                v = float(vals[i])
-                lab = vl.get(v)
-                if lab is None:
-                    # unlabeled codes render numeric-as-string
-                    # (reference NumericStringCache, spss/data.rs:1555)
-                    lab = str(int(v)) if v.is_integer() else str(v)
-                out.append(lab)
-        return pa.array(out, type=pa.string())
+        from polars_readstat_spark.sources import strdecode
+
+        def render(v):
+            v = float(v)
+            lab = vl.get(v)
+            if lab is None:
+                # unlabeled codes render numeric-as-string
+                # (reference NumericStringCache, spss/data.rs:1555)
+                lab = str(int(v)) if v.is_integer() else str(v)
+            return lab
+
+        # unique-code mapping: the per-value loop runs over categorical
+        # cardinality, not row count
+        return strdecode.map_via_unique(np.where(mask, 0.0, vals), mask, render)
 
     tk = var.time_kind
     if tk is not None:

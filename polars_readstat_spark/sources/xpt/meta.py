@@ -251,15 +251,30 @@ def decode_xpt_rows(meta: XptMeta, buf: bytes, col_indices, missing_string_as_nu
             else:
                 arr = pa.array(vals, type=pa.float64(), mask=mask)
         else:
-            b = np.ascontiguousarray(sl).tobytes()
-            w = v.width
-            out = []
-            for r in range(rows.shape[0]):
-                s = b[r * w : (r + 1) * w].rstrip(b"\x00 ")
-                out.append(s.decode(meta.encoding, errors="replace"))
-            if missing_string_as_null:
-                out = [s if s != "" else None for s in out]
-            arr = pa.array(out, type=pa.string())
+            from polars_readstat_spark.sources import strdecode
+
+            m = np.ascontiguousarray(sl)
+            arr = strdecode.try_vectorized(
+                m, strdecode.lengths_rstrip(m, strip=(0, 0x20)), meta.encoding
+            )
+            if arr is None:  # non-ASCII bytes: per-value decode
+                b = m.tobytes()
+                w = v.width
+                out = []
+                for r in range(rows.shape[0]):
+                    s = b[r * w : (r + 1) * w].rstrip(b"\x00 ")
+                    out.append(s.decode(meta.encoding, errors="replace"))
+                arr = pa.array(out, type=pa.string())
+                if missing_string_as_null:
+                    import pyarrow.compute as pc
+
+                    arr = pc.if_else(
+                        pc.equal(pc.binary_length(arr), 0),
+                        pa.scalar(None, pa.string()),
+                        arr,
+                    )
+            elif missing_string_as_null:
+                arr = strdecode.empty_to_null(arr)
         arrays.append(arr)
         names.append(v.name)
     return pa.RecordBatch.from_arrays(arrays, names=names)
