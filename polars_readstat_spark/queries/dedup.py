@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from polars_readstat_spark.queries._cache import scoped_persist
 from polars_readstat_spark.queries.registry import query
 from polars_readstat_spark.tables import load_table
 
@@ -116,8 +117,9 @@ def minhash_lsh_pairs(spark, sf_dir):
     # persist: the self-join would otherwise run the whole
     # shingle→hash→agg pipeline once per side (verified via
     # .explain — broadcast wrapping defeats ReusedExchange); the
-    # band table is tiny (4 rows/doc) so caching it halves the work
-    bands = sig.selectExpr("doc_id", stack).persist()
+    # band table is tiny (4 rows/doc) so caching it halves the work;
+    # scoped so repeated registry runs don't accumulate cached tables
+    bands = scoped_persist(sig.selectExpr("doc_id", stack))
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -25,6 +25,7 @@ from polars_readstat_spark.functions.similarity import (
     lsh_coef_rows,
     lsh_scaled_dim_expr,
 )
+from polars_readstat_spark.queries._cache import scoped_persist
 from polars_readstat_spark.queries.registry import query
 from polars_readstat_spark.tables import load_table
 
@@ -150,17 +151,22 @@ def ann_bruteforce_topk(spark, sf_dir):
     )
 
 
-def _lsh_bands(e):
-    """(vec_id, band_idx, band_key) — 4 band keys per vector.
+def _lsh_bands(e, planes: int = 32, bands: int = 4):
+    """(vec_id, band_idx, band_key) — `bands` band keys per vector.
 
     Explode dims once, scale to int64, broadcast-join the 64-row
-    hyperplane-coefficient dim, then 32 plain SUMs grouped by vector
-    (the projection signs) — mirrors the oracle's lsh_sums CTE and
-    keeps the hot loop inside WholeStageCodegen with the coefficients
-    as columns, not as inlined arithmetic."""
+    hyperplane-coefficient dim, then `planes` plain SUMs grouped by
+    vector (the projection signs) — mirrors the oracle's lsh_sums CTE
+    and keeps the hot loop inside WholeStageCodegen with the
+    coefficients as columns, not as inlined arithmetic.
+
+    (planes, bands) size the band keys: registry queries keep the
+    32/4 test-scale default; large corpora should pass
+    ``functions.similarity.recommended_lsh(n)`` and can sanity-check
+    occupancy with ``band_bucket_check`` (see SCALE.md)."""
     spark = e.sparkSession
     coefs = spark.createDataFrame(
-        lsh_coef_rows(), ["d"] + [f"c{p}" for p in range(32)]
+        lsh_coef_rows(planes), ["d"] + [f"c{p}" for p in range(planes)]
     )
     xr = e.select("vec_id", F.posexplode("embedding").alias("d", "xf")).select(
         "vec_id", "d", F.expr(lsh_scaled_dim_expr("xf")).alias("x")
@@ -168,9 +174,14 @@ def _lsh_bands(e):
     sums = (
         xr.join(F.broadcast(coefs), "d")
         .groupBy("vec_id")
-        .agg(*[F.sum(F.col(f"c{p}") * F.col("x")).alias(f"s{p}") for p in range(32)])
+        .agg(
+            *[
+                F.sum(F.col(f"c{p}") * F.col("x")).alias(f"s{p}")
+                for p in range(planes)
+            ]
+        )
     )
-    return sums.selectExpr("vec_id", lsh_bands_stack())
+    return sums.selectExpr("vec_id", lsh_bands_stack(planes, bands))
 
 
 def _cosine_expr() -> F.Column:
@@ -315,8 +326,9 @@ def ann_lsh_topk(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     # persist: probe and corpus sides of the self-join would otherwise
     # each recompute the 32-projection code (same rationale as the
-    # minhash band table in dedup.py)
-    bands = _lsh_bands(e).persist()
+    # minhash band table in dedup.py); scoped so repeated registry runs
+    # in one session don't accumulate cached band tables
+    bands = scoped_persist(_lsh_bands(e))
     qb = bands.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), "band_idx", "band_key"
     )
@@ -359,7 +371,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     use ~0.9+). Same shape as MinHash-LSH dedup: linear band table,
     equi-join candidates, exact verify on candidates only."""
     e = load_table(spark, sf_dir, "embeddings")
-    bands = _lsh_bands(e).persist()
+    bands = scoped_persist(_lsh_bands(e))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
