@@ -18,6 +18,7 @@ is plain Spark DataFrame / Catalyst — mirroring how the reference
 delegates relational algebra to the host Polars lazy engine.
 """
 
+from polars_readstat_spark.operators.profile import profile_read  # noqa: F401
 from polars_readstat_spark.session import get_spark  # noqa: F401
 
 __version__ = "0.1.0"
