@@ -20,6 +20,9 @@ delegates relational algebra to the host Polars lazy engine.
 
 from polars_readstat_spark.operators.profile import profile_read  # noqa: F401
 from polars_readstat_spark.session import get_spark  # noqa: F401
+from polars_readstat_spark.writers.partitioned import (  # noqa: F401
+    write_readstat_partitioned,
+)
 
 __version__ = "0.1.0"
 

@@ -1,14 +1,17 @@
 """Stata .dta writer (v118 layout) — reference W1/W2 re-expressed.
 
-Two Spark jobs, then a driver-side streaming assembly:
+Two Spark jobs, then a streaming assembly:
 
 1. **Pre-pass** (one aggregation job): per-column max UTF-8 byte
    widths for strings, min/max for bigint downcast decisions, and the
    row count — the Spark shape of the reference's sink pre-pass
    (pybindings.rs:996-1047).
-2. **Stream**: `toLocalIterator()` pulls partitions in order; rows are
-   packed vectorized (numpy structured array per batch) and appended.
-   Memory is bounded by one partition, not the dataset.
+2. **Pack**: batches are packed vectorized (numpy structured array per
+   batch). The driver-side `write_dta` pulls partitions in order via
+   `toLocalIterator()`; the distributed path
+   (writers/partitioned.py) runs the same pack+assemble inside each
+   executor task against its own partition, with the column plan from
+   the global pre-pass so every part-file shares one schema.
 
 Layout per the public dta-118 spec (same section tags the reader
 parses). Nulls → Stata sentinel missings; date → %td day numbers;
@@ -77,23 +80,9 @@ def _plan_columns(df: DataFrame):
     return plan, aggs
 
 
-def write_dta(
-    df: DataFrame,
-    path: str,
-    *,
-    data_label: str = "",
-    variable_labels: dict[str, str] | None = None,
-    value_labels: dict[str, dict[int, str]] | None = None,
-) -> None:
-    variable_labels = variable_labels or {}
-    value_labels = value_labels or {}
-
-    plan, aggs = _plan_columns(df)
-    stats = df.agg(*aggs).collect()[0].asDict()
-    n_rows = stats["__n"]
-
-    # finalize kinds/widths
-    cols = []  # (name, kind, width, fmt)
+def _finalize_cols(plan, stats) -> list[tuple]:
+    """Pre-pass stats → concrete (name, kind, width, fmt) per column."""
+    cols = []
     for name, kind in plan:
         if kind == "bigint?":
             lo = stats.get(f"__min_{name}")
@@ -125,18 +114,145 @@ def write_dta(
             cols.append((name, "date", 4, "%td"))
         elif kind == "datetime":
             cols.append((name, "datetime", 8, "%tc"))
+    return cols
 
-    typecode = {
-        "str": None,  # width
-        "strl": 32768,
-        "byte": 65530,
-        "int": 65529,
-        "long": 65528,
-        "float": 65527,
-        "double": 65526,
-        "date": 65528,  # long + %td
-        "datetime": 65526,  # double + %tc
-    }
+
+_TYPECODE = {
+    "str": None,  # width
+    "strl": 32768,
+    "byte": 65530,
+    "int": 65529,
+    "long": 65528,
+    "float": 65527,
+    "double": 65526,
+    "date": 65528,  # long + %td
+    "datetime": 65526,  # double + %tc
+}
+
+
+def _rec_dtype(cols) -> np.dtype:
+    dtype_fields = []
+    for i, (name, kind, w, fmt) in enumerate(cols):
+        if kind == "str":
+            dtype_fields.append((f"f{i}", f"S{w}"))
+        elif kind == "strl":
+            dtype_fields.append((f"f{i}", "<u8"))
+        elif kind == "byte":
+            dtype_fields.append((f"f{i}", "<i1"))
+        elif kind == "int":
+            dtype_fields.append((f"f{i}", "<i2"))
+        elif kind in ("long", "date"):
+            dtype_fields.append((f"f{i}", "<i4"))
+        elif kind == "float":
+            dtype_fields.append((f"f{i}", "<f4"))
+        else:
+            dtype_fields.append((f"f{i}", "<f8"))
+    return np.dtype(dtype_fields)
+
+
+def _pack_batch(cols, rec_dtype, pdf, row_start: int, strls_buf: bytearray) -> bytes:
+    n = len(pdf)
+    rec = np.zeros(n, dtype=rec_dtype)
+    for i, (name, kind, w, fmt) in enumerate(cols):
+        s = pdf[name]
+        if kind == "strl":
+            # v118 cell: uint64 LE = v | (o << 16); one GSO per
+            # non-empty value, keyed (v=col 1-based, o=row 1-based)
+            keys = np.zeros(n, dtype="<u8")
+            vals = s.fillna("").astype(str)
+            for r, text in enumerate(vals):
+                if text == "":
+                    continue  # key 0 → ""
+                v_, o_ = i + 1, row_start + r + 1
+                keys[r] = v_ | (o_ << 16)
+                payload = text.encode("utf-8") + b"\x00"
+                strls_buf.extend(
+                    b"GSO"
+                    + struct.pack("<IQ", v_, o_)
+                    + bytes([130])
+                    + struct.pack("<I", len(payload))
+                    + payload
+                )
+            rec[f"f{i}"] = keys
+        elif kind == "str":
+            vals = s.fillna("").astype(str)
+            rec[f"f{i}"] = np.array(
+                [v.encode("utf-8")[:w] for v in vals], dtype=f"S{w}"
+            )
+        elif kind in ("byte", "int", "long"):
+            miss = _MISS[kind]
+            v = s.astype("float64")
+            nulls = v.isna().values
+            iv = np.where(nulls, miss, v.fillna(0).values).astype(
+                {"byte": "<i1", "int": "<i2", "long": "<i4"}[kind]
+            )
+            rec[f"f{i}"] = iv
+        elif kind == "date":
+            nulls = s.isna().values
+            days = np.array(
+                [
+                    0 if x is None else x.toordinal() - 719163
+                    for x in s
+                ],
+                dtype="<i4",
+            )
+            rec[f"f{i}"] = np.where(
+                nulls, _MISS["long"], days - STATA_EPOCH_DAYS
+            ).astype("<i4")
+        elif kind == "datetime":
+            import pandas as pd
+
+            ts = pd.to_datetime(s)
+            nulls = ts.isna().values
+            ns = ts.values.astype("datetime64[ns]").astype("int64")
+            ms = ns // 1_000_000 - STATA_EPOCH_MS
+            v = np.where(
+                nulls,
+                np.frombuffer(
+                    struct.pack("<Q", _DOUBLE_MISS_BITS), dtype="<f8"
+                )[0],
+                ms.astype("float64"),
+            )
+            rec[f"f{i}"] = v
+        elif kind == "float":
+            v = s.astype("float32").values.copy()
+            nulls = s.isna().values
+            if nulls.any():
+                v.view("<u4")[nulls] = _FLOAT_MISS_BITS
+            rec[f"f{i}"] = v
+        else:  # double
+            v = s.astype("float64").values.copy()
+            nulls = s.isna().values
+            if nulls.any():
+                v.view("<u8")[nulls] = _DOUBLE_MISS_BITS
+            rec[f"f{i}"] = v
+    return rec.tobytes()
+
+
+def _pack_stream(cols, pdf_iter) -> tuple[bytearray, bytearray, int]:
+    """Pack an iterator of pandas batches → (data, strls, n_rows)."""
+    rec_dtype = _rec_dtype(cols)
+    data = bytearray()
+    strls = bytearray()
+    pos = 0
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        data += _pack_batch(cols, rec_dtype, pdf, pos, strls)
+        pos += len(pdf)
+    return data, strls, pos
+
+
+def _assemble_dta(
+    cols,
+    data: bytes,
+    strls: bytes,
+    n_rows: int,
+    data_label: str,
+    variable_labels: dict,
+    value_labels: dict,
+) -> bytearray:
+    """Metadata sections + packed data → complete dta-118 file bytes."""
 
     def pad(b: bytes, n: int) -> bytes:
         return b[:n] + b"\x00" * (n - len(b))
@@ -165,7 +281,7 @@ def write_dta(
     offsets[2] = len(out)
     out += b"<variable_types>"
     for name, kind, w, fmt in cols:
-        out += struct.pack("<H", w if kind == "str" else typecode[kind])
+        out += struct.pack("<H", w if kind == "str" else _TYPECODE[kind])
     out += b"</variable_types>"
 
     offsets[3] = len(out)
@@ -201,122 +317,11 @@ def write_dta(
 
     offsets[9] = len(out)
     out += b"<data>"
-
-    # ---- stream the data section ---------------------------------
-    dtype_fields = []
-    for i, (name, kind, w, fmt) in enumerate(cols):
-        if kind == "str":
-            dtype_fields.append((f"f{i}", f"S{w}"))
-        elif kind == "strl":
-            dtype_fields.append((f"f{i}", "<u8"))
-        elif kind == "byte":
-            dtype_fields.append((f"f{i}", "<i1"))
-        elif kind == "int":
-            dtype_fields.append((f"f{i}", "<i2"))
-        elif kind in ("long", "date"):
-            dtype_fields.append((f"f{i}", "<i4"))
-        elif kind == "float":
-            dtype_fields.append((f"f{i}", "<f4"))
-        else:
-            dtype_fields.append((f"f{i}", "<f8"))
-    rec_dtype = np.dtype(dtype_fields)
-
-    strls_buf = bytearray()
-
-    def pack_batch(pdf, row_start: int) -> bytes:
-        n = len(pdf)
-        rec = np.zeros(n, dtype=rec_dtype)
-        for i, (name, kind, w, fmt) in enumerate(cols):
-            s = pdf[name]
-            if kind == "strl":
-                # v118 cell: uint64 LE = v | (o << 16); one GSO per
-                # non-empty value, keyed (v=col 1-based, o=row 1-based)
-                keys = np.zeros(n, dtype="<u8")
-                vals = s.fillna("").astype(str)
-                for r, text in enumerate(vals):
-                    if text == "":
-                        continue  # key 0 → ""
-                    v_, o_ = i + 1, row_start + r + 1
-                    keys[r] = v_ | (o_ << 16)
-                    payload = text.encode("utf-8") + b"\x00"
-                    strls_buf.extend(
-                        b"GSO"
-                        + struct.pack("<IQ", v_, o_)
-                        + bytes([130])
-                        + struct.pack("<I", len(payload))
-                        + payload
-                    )
-                rec[f"f{i}"] = keys
-            elif kind == "str":
-                vals = s.fillna("").astype(str)
-                rec[f"f{i}"] = np.array(
-                    [v.encode("utf-8")[:w] for v in vals], dtype=f"S{w}"
-                )
-            elif kind in ("byte", "int", "long"):
-                miss = _MISS[kind]
-                v = s.astype("float64")
-                nulls = v.isna().values
-                iv = np.where(nulls, miss, v.fillna(0).values).astype(
-                    {"byte": "<i1", "int": "<i2", "long": "<i4"}[kind]
-                )
-                rec[f"f{i}"] = iv
-            elif kind == "date":
-                nulls = s.isna().values
-                days = np.array(
-                    [
-                        0 if x is None else x.toordinal() - 719163
-                        for x in s
-                    ],
-                    dtype="<i4",
-                )
-                rec[f"f{i}"] = np.where(
-                    nulls, _MISS["long"], days - STATA_EPOCH_DAYS
-                ).astype("<i4")
-            elif kind == "datetime":
-                import pandas as pd
-
-                ts = pd.to_datetime(s)
-                nulls = ts.isna().values
-                ns = ts.values.astype("datetime64[ns]").astype("int64")
-                ms = ns // 1_000_000 - STATA_EPOCH_MS
-                v = np.where(
-                    nulls,
-                    np.frombuffer(
-                        struct.pack("<Q", _DOUBLE_MISS_BITS), dtype="<f8"
-                    )[0],
-                    ms.astype("float64"),
-                )
-                rec[f"f{i}"] = v
-            elif kind == "float":
-                v = s.astype("float32").values.copy()
-                nulls = s.isna().values
-                if nulls.any():
-                    v.view("<u4")[nulls] = _FLOAT_MISS_BITS
-                rec[f"f{i}"] = v
-            else:  # double
-                v = s.astype("float64").values.copy()
-                nulls = s.isna().values
-                if nulls.any():
-                    v.view("<u8")[nulls] = _DOUBLE_MISS_BITS
-                rec[f"f{i}"] = v
-        return rec.tobytes()
-
-    # pull partitions in order; bounded memory (reference W2 pattern)
-    import pandas as pd
-
-    names = [c[0] for c in cols]
-    _row_pos = 0
-    for pdf in map(
-        lambda rows: pd.DataFrame([r.asDict() for r in rows]),
-        _batched(df.select(*names).toLocalIterator(), 65536),
-    ):
-        if len(pdf):
-            out += pack_batch(pdf, _row_pos)
-            _row_pos += len(pdf)
-
+    out += data
     out += b"</data>"
+
     offsets[10] = len(out)
-    out += b"<strls>" + bytes(strls_buf) + b"</strls>"
+    out += b"<strls>" + bytes(strls) + b"</strls>"
 
     offsets[11] = len(out)
     out += b"<value_labels>"
@@ -348,6 +353,36 @@ def write_dta(
     offsets[13] = len(out)
 
     out[map_pos : map_pos + 14 * 8] = struct.pack("<14Q", *offsets)
+    return out
+
+
+def write_dta(
+    df: DataFrame,
+    path: str,
+    *,
+    data_label: str = "",
+    variable_labels: dict[str, str] | None = None,
+    value_labels: dict[str, dict[int, str]] | None = None,
+) -> None:
+    variable_labels = variable_labels or {}
+    value_labels = value_labels or {}
+
+    plan, aggs = _plan_columns(df)
+    stats = df.agg(*aggs).collect()[0].asDict()
+    cols = _finalize_cols(plan, stats)
+
+    # pull partitions in order; bounded memory (reference W2 pattern)
+    import pandas as pd
+
+    names = [c[0] for c in cols]
+    batches = map(
+        lambda rows: pd.DataFrame([r.asDict() for r in rows], columns=names),
+        _batched(df.select(*names).toLocalIterator(), 65536),
+    )
+    data, strls, n_rows = _pack_stream(cols, batches)
+    out = _assemble_dta(
+        cols, data, strls, n_rows, data_label, variable_labels, value_labels
+    )
     with open(path, "wb") as f:
         f.write(out)
 

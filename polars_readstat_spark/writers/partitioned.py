@@ -1,0 +1,90 @@
+"""Distributed partitioned export: one statistical file per Spark
+partition, written inside the executor tasks.
+
+The single-file writers stream through the driver
+(`toLocalIterator`), which bounds memory but serializes wall-clock —
+SCALE.md names that bound. This path removes it: a global pre-pass
+job resolves one column plan (string widths, bigint downcasts) so
+every part-file shares a single schema, then `mapInPandas` tasks pack
+and assemble their own partition's file in parallel. The output
+directory is exactly the multi-file layout the readers already
+consume (`spark.read.format("readstat").load(dir)` unions part files
+with per-file partition fan-out), so dir-write → dir-read roundtrips.
+
+On a real cluster the directory must be storage every executor can
+reach (NFS/fuse-mounted object store); tasks write to a temp name and
+rename, so retries never leave torn files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+
+def write_dta_partitioned(
+    df: DataFrame,
+    dir_path: str,
+    *,
+    data_label: str = "",
+    variable_labels: dict | None = None,
+    value_labels: dict | None = None,
+) -> list[dict]:
+    """Write one .dta per partition into ``dir_path``.
+
+    Returns [{"path", "n_rows"}, ...] per written part (empty
+    partitions are skipped). All parts share the column plan from one
+    global pre-pass, so a directory scan unions them cleanly."""
+    from polars_readstat_spark.writers.dta import (
+        _assemble_dta,
+        _finalize_cols,
+        _pack_stream,
+        _plan_columns,
+    )
+
+    variable_labels = variable_labels or {}
+    value_labels = value_labels or {}
+    plan, aggs = _plan_columns(df)
+    stats = df.agg(*aggs).collect()[0].asDict()
+    cols = _finalize_cols(plan, stats)
+    names = [c[0] for c in cols]
+    os.makedirs(dir_path, exist_ok=True)
+
+    def write_partition(batches):
+        import pandas as pd
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        data, strls, n_rows = _pack_stream(cols, batches)
+        if n_rows > 0:
+            out = _assemble_dta(
+                cols, data, strls, n_rows, data_label, variable_labels,
+                value_labels,
+            )
+            path = os.path.join(dir_path, f"part-{pid:05d}.dta")
+            tmp = path + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(out)
+            os.replace(tmp, path)
+            yield pd.DataFrame({"path": [path], "n_rows": [n_rows]})
+
+    results = (
+        df.select(*names)
+        .mapInPandas(write_partition, schema="path string, n_rows long")
+        .collect()
+    )
+    return [{"path": r.path, "n_rows": r.n_rows} for r in results]
+
+
+def write_readstat_partitioned(df: DataFrame, dir_path: str, ext: str = "dta", **kwargs):
+    """Format-dispatching facade. dta ships distributed today; the
+    other writers stream via the driver — route them per-file until
+    their pack/assemble split lands."""
+    if ext.lstrip(".").lower() == "dta":
+        return write_dta_partitioned(df, dir_path, **kwargs)
+    raise NotImplementedError(
+        f"write_readstat_partitioned: format {ext!r} not yet distributed; "
+        "use write_readstat per file or repartition+loop driver-side"
+    )
