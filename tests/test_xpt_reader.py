@@ -69,3 +69,58 @@ def test_options_and_partitions(spark):
     assert list(sub.columns) == ["SEQN", "ri"]
     assert len(sub) == 100
     assert (sub["SEQN"].values == full["SEQN"].values[10:110]).all()
+
+
+def test_labelv9_records(spark, tmp_path):
+    """V9 label records (10-byte entry headers adding format/informat
+    lengths) restore long names and labels exactly like LABELV8 —
+    reference read_labels_v9, sas/xpt.rs:216-250. Synthesized by
+    transcoding a written LABELV8 section into LABELV9 layout."""
+    import struct
+
+    import polars_readstat_spark as prs
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(an_extremely_long_column_name=float(i), other=float(i * 2))
+         for i in range(7)]
+    )
+    p8 = str(tmp_path / "v8.xpt")
+    prs.write_readstat(
+        df, p8, version=8,
+        variable_labels={"an_extremely_long_column_name": "label " * 10},
+    )
+    raw = open(p8, "rb").read()
+
+    # locate the LABELV8 header record and the following OBSV8 header
+    tag = raw.index(b"HEADER RECORD*******LABELV8")
+    obs = raw.index(b"HEADER RECORD*******OBSV8", tag)
+    hdr = raw[tag : tag + 80]
+    n_lbl = int(hdr[48:53].strip() or b"0")
+    assert n_lbl >= 1
+
+    # walk the 6-byte v8 entries, rebuild as 10-byte v9 entries with
+    # zero-length format/informat fields
+    body = raw[tag + 80 : obs]
+    out = bytearray()
+    pos = 0
+    for _ in range(n_lbl):
+        vn, nl, ll = struct.unpack(">3h", body[pos : pos + 6])
+        payload = body[pos + 6 : pos + 6 + nl + ll]
+        pos += 6 + nl + ll
+        out += struct.pack(">5h", vn, nl, ll, 0, 0) + payload
+    out += b" " * ((-len(out)) % 80)
+
+    p9 = str(tmp_path / "v9.xpt")
+    with open(p9, "wb") as f:
+        f.write(raw[:tag])
+        f.write(hdr.replace(b"LABELV8", b"LABELV9"))
+        f.write(bytes(out))
+        f.write(raw[obs:])
+
+    back = spark.read.format("readstat").load(p9)
+    assert back.columns[0] == "an_extremely_long_column_name"
+    md = {f.name: f.metadata for f in back.schema.fields}
+    assert md["an_extremely_long_column_name"]["label"] == "label " * 10
+    vals = [r[0] for r in back.select("an_extremely_long_column_name").collect()]
+    assert sorted(vals) == [float(i) for i in range(7)]
