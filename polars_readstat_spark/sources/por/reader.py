@@ -305,28 +305,121 @@ def parse_por(path: str) -> tuple[PorMeta, _PorStream]:
     return PorMeta(path, file_label, variables, precision), st
 
 
+def _bulk_chars(st: _PorStream) -> str:
+    """Flatten the rest of the stream into one logical char string.
+
+    The per-char state machine costs ~12 µs/value over a 600k-row data
+    section; this replaces it with C-speed ops: drain any mid-line
+    state through the slow path, then split raw lines, pad each to 80
+    with the charset's space byte (what the state machine does on
+    newline), and translate all bytes through the charset table at
+    once (`bytes.translate`). Tokenization then runs on a str with
+    `find`/slicing."""
+    trans_b = bytearray(256)  # unmapped bytes → NUL, like _PorStream.char
+    for b, ch in st.table.items():
+        o = ord(ch)
+        trans_b[b] = o if o < 256 else 0
+    trans = bytes(trans_b)
+    pad = bytes([st.space])
+
+    # mid-line handoff: emit any pending pad spaces, then finish the
+    # current raw line, padding to 80 the way the machine would (its
+    # column counter includes consumed pads)
+    parts = [" " * max(st.pending, 0)]
+    eff_pos = st.pos + max(st.pending, 0)
+    norm = st.data[st.i :].replace(b"\r\n", b"\n").replace(b"\r", b"\n")
+    first, sep, rest = norm.partition(b"\n")
+    frag = first.translate(trans).decode("latin-1")
+    if sep:
+        parts.append(frag + " " * max(LINE_LEN - eff_pos - len(first), 0))
+        parts.append(
+            b"".join(ln.ljust(LINE_LEN, pad) for ln in rest.split(b"\n"))
+            .translate(trans)
+            .decode("latin-1")
+        )
+    else:
+        parts.append(frag)
+    return "".join(parts)
+
+
+_B30 = {c: i for i, c in enumerate("0123456789ABCDEFGHIJKLMNOPQRST")}
+
+
+def _fast_b30(tok: str) -> float:
+    """Fast base-30 token parse, bit-identical to _parse_base30.
+
+    Integer parts ≤10 digits go through int(tok, 30) — exact, and
+    equal to the float accumulator since every intermediate stays
+    below 2^53 (30^10 ≈ 5.9e14). Fractions replay the accumulator's
+    exact operation order (num += d/denom; denom *= 30) so the result
+    bits match; exponents and oversized tokens fall back."""
+    neg = tok[:1] == "-"
+    t = tok[1:] if tok[:1] in "+-" else tok
+    # split off an exponent suffix (first +/- after the sign)
+    ep = t.find("+")
+    em = t.find("-")
+    cut = min(x for x in (ep, em, len(t)) if x >= 0)
+    mant, es = t[:cut], t[cut:]
+    dot = mant.find(".")
+    try:
+        if dot < 0:
+            if len(mant) > 10:
+                return _parse_base30(tok)
+            num = float(int(mant, 30)) if mant else 0.0
+        else:
+            ip, fp = mant[:dot], mant[dot + 1 :]
+            if len(ip) > 10:
+                return _parse_base30(tok)
+            num = float(int(ip, 30)) if ip else 0.0
+            denom = 30.0
+            for c in fp:
+                num += _B30[c] / denom
+                denom *= 30.0
+        if es:
+            if len(es) > 11:
+                return _parse_base30(tok)
+            exp = float(int(es[1:], 30)) if len(es) > 1 else 0.0
+            if exp:
+                num *= 30.0 ** (-exp if es[0] == "-" else exp)
+    except (ValueError, KeyError):
+        return _parse_base30(tok)
+    return -num if neg else num
+
+
 def read_por_columns(path: str) -> tuple[PorMeta, list[list]]:
     """Eager read of all cases → per-variable python lists (numeric
     float-or-None, string str)."""
     meta, st = parse_por(path)
+    s = _bulk_chars(st)
+    n = len(s)
     cols: list[list] = [[] for _ in meta.variables]
     n_vars = len(meta.variables)
+    is_str = [v.is_str for v in meta.variables]
+    cur = 0
     done = False
     while not done:
         row = []
-        for j, v in enumerate(meta.variables):
-            if v.is_str:
-                s = st.maybe_string()
-                if s is None:
-                    done = True
-                    break
-                row.append(s.rstrip())
+        for j in range(n_vars):
+            c = s[cur] if cur < n else "Z"
+            if c == "Z":
+                done = True
+                break
+            if c == "*":  # '*.' sysmis (numeric only)
+                cur += 2
+                row.append(float("nan"))
+                continue
+            slash = s.find("/", cur)
+            if slash < 0:
+                done = True
+                break
+            v = _fast_b30(s[cur:slash])
+            cur = slash + 1
+            if is_str[j]:
+                k = int(v)
+                row.append(s[cur : cur + k].rstrip())
+                cur += k
             else:
-                d = st.maybe_double()
-                if d is None:
-                    done = True
-                    break
-                row.append(d)
+                row.append(v)
         if done or len(row) != n_vars:
             break
         for j in range(n_vars):

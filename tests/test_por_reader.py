@@ -62,3 +62,40 @@ def test_por_options(spark):
     rows = df.collect()
     assert df.columns == ["MYNUM", "MYCHAR"]
     assert [r.MYNUM for r in rows] == [1.2, -1000.3]
+
+
+def test_fast_b30_bit_identical_to_reference_parser():
+    """The bulk tokenizer's fast base-30 parse must be bit-identical
+    to the accumulator parser for every token shape (int, fraction,
+    exponent, signs) — randomized differential check."""
+    import random
+    import struct
+
+    from polars_readstat_spark.sources.por.reader import (
+        _fast_b30,
+        _parse_base30,
+    )
+
+    random.seed(42)
+    digits = "0123456789ABCDEFGHIJKLMNOPQRST"
+    checked = 0
+    for _ in range(20000):
+        tok = ""
+        if random.random() < 0.3:
+            tok += random.choice("+-")
+        tok += "".join(random.choice(digits) for _ in range(random.randint(1, 12)))
+        if random.random() < 0.5:
+            tok += "." + "".join(
+                random.choice(digits) for _ in range(random.randint(1, 6))
+            )
+        if random.random() < 0.3:
+            tok += random.choice("+-") + "".join(
+                random.choice(digits) for _ in range(random.randint(1, 2))
+            )
+        try:
+            ref = _parse_base30(tok)
+        except Exception:
+            continue  # overflow tokens raise in both parsers
+        checked += 1
+        assert struct.pack("<d", _fast_b30(tok)) == struct.pack("<d", ref), tok
+    assert checked > 10000
