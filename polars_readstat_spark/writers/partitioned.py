@@ -78,12 +78,83 @@ def write_dta_partitioned(
     return [{"path": r.path, "n_rows": r.n_rows} for r in results]
 
 
+def write_sav_partitioned(
+    df: DataFrame,
+    dir_path: str,
+    *,
+    data_label: str = "",
+    variable_labels: dict | None = None,
+    value_labels: dict | None = None,
+    measures: dict | None = None,
+) -> list[dict]:
+    """Write one .sav per partition into ``dir_path`` (uncompressed
+    system files — each re-partitionable by our own reader). Same
+    shape as the dta path: one global pre-pass fixes string widths so
+    all parts share a dictionary layout."""
+    from polars_readstat_spark.writers.sav import (
+        _pack_columns,
+        _sav_cast,
+        _sav_columns,
+        _sav_dictionary,
+        _sav_widths,
+    )
+
+    variable_labels = variable_labels or {}
+    value_labels = value_labels or {}
+    measures = measures or {}
+    fields, names, shorts, kinds, aggs = _sav_columns(df)
+    stats = df.agg(*aggs).collect()[0].asDict()
+    widths = _sav_widths(fields, kinds, stats)
+    el_per = [max((w + 7) // 8, 1) if w else 1 for w in widths]
+    case_size = sum(el_per)
+    os.makedirs(dir_path, exist_ok=True)
+    src = _sav_cast(df, fields, kinds)
+
+    def write_partition(batches):
+        import pandas as pd
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        data = bytearray()
+        n_rows = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            data += _pack_columns(
+                [pdf[nm] for nm in names], kinds, widths, el_per, case_size
+            )
+            n_rows += len(pdf)
+        if n_rows > 0:
+            head = _sav_dictionary(
+                fields, names, shorts, kinds, widths, el_per, case_size,
+                n_rows, False, data_label, variable_labels, value_labels,
+                measures,
+            )
+            path = os.path.join(dir_path, f"part-{pid:05d}.sav")
+            tmp = path + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(bytes(head))
+                f.write(bytes(data))
+            os.replace(tmp, path)
+            yield pd.DataFrame({"path": [path], "n_rows": [n_rows]})
+
+    results = (
+        src.mapInPandas(write_partition, schema="path string, n_rows long")
+        .collect()
+    )
+    return [{"path": r.path, "n_rows": r.n_rows} for r in results]
+
+
 def write_readstat_partitioned(df: DataFrame, dir_path: str, ext: str = "dta", **kwargs):
-    """Format-dispatching facade. dta ships distributed today; the
-    other writers stream via the driver — route them per-file until
-    their pack/assemble split lands."""
-    if ext.lstrip(".").lower() == "dta":
+    """Format-dispatching facade. dta and sav ship distributed; the
+    legacy interchange formats (xpt/por) stream via the driver —
+    route them per-file."""
+    fmt = ext.lstrip(".").lower()
+    if fmt == "dta":
         return write_dta_partitioned(df, dir_path, **kwargs)
+    if fmt == "sav":
+        return write_sav_partitioned(df, dir_path, **kwargs)
     raise NotImplementedError(
         f"write_readstat_partitioned: format {ext!r} not yet distributed; "
         "use write_readstat per file or repartition+loop driver-side"

@@ -65,6 +65,53 @@ def _fmt_int(fmt_type: int, width: int, dec: int) -> int:
     return (fmt_type << 16) | (width << 8) | dec
 
 
+def _sav_columns(df: DataFrame):
+    """→ (fields, names, shorts, kinds, pre-pass aggs).
+    kind: num | date | datetime | time | str."""
+    fields = df.schema.fields
+    names = [f.name for f in fields]
+    shorts = _short_names(names)
+    kinds = []
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in fields:
+        t = f.dataType.simpleString()
+        if t == "string":
+            kinds.append("str")
+            aggs.append(
+                F.max(F.octet_length(f.name)).alias(f"__w_{f.name}")
+            )
+        elif t == "date":
+            kinds.append("date")
+        elif t.startswith("timestamp"):
+            kinds.append("datetime")
+        elif t == "bigint" and f.metadata.get("time") == "ns_since_midnight":
+            kinds.append("time")
+        elif t in ("tinyint", "smallint", "int", "bigint", "float",
+                   "double", "boolean", "decimal", "short", "long") or t.startswith("decimal"):
+            kinds.append("num")
+        else:
+            raise ValueError(f"write_sav: unsupported type {t} for {f.name}")
+    return fields, names, shorts, kinds, aggs
+
+
+def _sav_widths(fields, kinds, stats) -> list[int]:
+    """String byte widths from pre-pass stats (0 for numeric)."""
+    widths = []
+    for f, k in zip(fields, kinds):
+        if k == "str":
+            w = stats.get(f"__w_{f.name}") or 1
+            w = max(int(w), 1)
+            if w > 255:
+                raise ValueError(
+                    f"write_sav: column {f.name} has strings wider than "
+                    "255 bytes (SPSS limit; reference writer.rs rejects too)"
+                )
+            widths.append(w)
+        else:
+            widths.append(0)
+    return widths
+
+
 def write_sav(
     df: DataFrame,
     path: str,
@@ -86,54 +133,52 @@ def write_sav(
     if zsav is None:
         zsav = path.lower().endswith(".zsav")
 
-    fields = df.schema.fields
-    names = [f.name for f in fields]
-    shorts = _short_names(names)
-
-    # ---- plan per column: (kind, conv) -------------------------------
-    # kind: num | date | datetime | time | str
-    kinds = []
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for f in fields:
-        t = f.dataType.simpleString()
-        if t == "string":
-            kinds.append("str")
-            aggs.append(
-                F.max(F.octet_length(f.name)).alias(f"__w_{f.name}")
-            )
-        elif t == "date":
-            kinds.append("date")
-        elif t.startswith("timestamp"):
-            kinds.append("datetime")
-        elif t == "bigint" and f.metadata.get("time") == "ns_since_midnight":
-            kinds.append("time")
-        elif t in ("tinyint", "smallint", "int", "bigint", "float",
-                   "double", "boolean", "decimal", "short", "long") or t.startswith("decimal"):
-            kinds.append("num")
-        else:
-            raise ValueError(f"write_sav: unsupported type {t} for {f.name}")
-
+    fields, names, shorts, kinds, aggs = _sav_columns(df)
     stats = df.agg(*aggs).collect()[0].asDict()
     nrows = stats["__n"]
-
-    widths = []  # string byte width (0 for numeric)
-    for f, k in zip(fields, kinds):
-        if k == "str":
-            w = stats.get(f"__w_{f.name}") or 1
-            w = max(int(w), 1)
-            if w > 255:
-                raise ValueError(
-                    f"write_sav: column {f.name} has strings wider than "
-                    "255 bytes (SPSS limit; reference writer.rs rejects too)"
-                )
-            widths.append(w)
-        else:
-            widths.append(0)
+    widths = _sav_widths(fields, kinds, stats)
 
     el_per = [max((w + 7) // 8, 1) if w else 1 for w in widths]
     case_size = sum(el_per)
 
-    # ---- dictionary ---------------------------------------------------
+    out = _sav_dictionary(
+        fields, names, shorts, kinds, widths, el_per, case_size, nrows,
+        zsav, data_label, variable_labels, value_labels, measures,
+    )
+
+    # ---- data: stream partitions, pack vectorized --------------------
+    src = _sav_cast(df, fields, kinds)
+
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+        sink = _ZlibSink(fh, len(out)) if zsav else fh
+        batch: list = []
+
+        def flush():
+            if not batch:
+                return
+            sink.write(
+                _pack_columns(
+                    list(zip(*batch)), kinds, widths, el_per, case_size
+                )
+            )
+            batch.clear()
+
+        for row in src.toLocalIterator(prefetchPartitions=True):
+            batch.append(tuple(row))
+            if len(batch) >= 8192:
+                flush()
+        flush()
+        if zsav:
+            sink.close()
+
+
+def _sav_dictionary(
+    fields, names, shorts, kinds, widths, el_per, case_size, nrows,
+    zsav, data_label, variable_labels, value_labels, measures,
+) -> bytearray:
+    """System-file dictionary: header, type-2 records, 3/4 value
+    labels, type-7 subtypes, 999 terminator."""
     out = bytearray()
     prod = ("@(#) SPSS DATA FILE - polars_readstat_spark").ljust(60)[:60]
     now = datetime.datetime.now()
@@ -216,9 +261,12 @@ def write_sav(
     out += struct.pack("<3i", 7, 20, 1) + struct.pack("<i", len(enc)) + enc
     # dictionary terminator
     out += struct.pack("<2i", 999, 0)
+    return out
 
-    # ---- data: stream partitions, pack vectorized --------------------
-    # select casts once so every batch arrives pre-converted
+
+def _sav_cast(df: DataFrame, fields, kinds) -> DataFrame:
+    """Select casts once so every batch arrives pre-converted (dates →
+    seconds since 1582, etc.)."""
     sel = []
     for i, f in enumerate(fields):
         c = F.col(f.name)
@@ -239,58 +287,41 @@ def write_sav(
             sel.append((c.cast("double") / 1e9).alias(f.name))
         else:
             sel.append(c.alias(f.name))
-    src = df.select(*sel)
+    return df.select(*sel)
 
-    sysmis_le = np.frombuffer(
-        struct.pack("<Q", SYSMIS_BITS), dtype=np.uint8
-    )
 
-    with open(path, "wb") as fh:
-        fh.write(bytes(out))
-        sink = _ZlibSink(fh, len(out)) if zsav else fh
-        batch: list = []
+_SYSMIS_LE = np.frombuffer(struct.pack("<Q", SYSMIS_BITS), dtype=np.uint8)
 
-        def flush():
-            if not batch:
-                return
-            n = len(batch)
-            mat = np.zeros((n, case_size * 8), dtype=np.uint8)
-            colpos = 0
-            # column-wise vectorized packing
-            for ci, (k, w, ne) in enumerate(zip(kinds, widths, el_per)):
-                off = colpos * 8
-                if k == "str":
-                    for ri in range(n):
-                        s = batch[ri][ci]
-                        b = (s if s is not None else "").encode("utf-8")[: ne * 8]
-                        cell = b.ljust(ne * 8, b" ")
-                        mat[ri, off : off + ne * 8] = np.frombuffer(
-                            cell, dtype=np.uint8
-                        )
-                else:
-                    vals = np.array(
-                        [
-                            np.nan if batch[ri][ci] is None else batch[ri][ci]
-                            for ri in range(n)
-                        ],
-                        dtype=np.float64,
-                    )
-                    bts = vals.astype("<f8").view(np.uint8).reshape(n, 8)
-                    miss = np.isnan(vals)
-                    if miss.any():
-                        bts[miss] = sysmis_le
-                    mat[:, off : off + 8] = bts
-                colpos += ne
-            sink.write(mat.tobytes())
-            batch.clear()
 
-        for row in src.toLocalIterator(prefetchPartitions=True):
-            batch.append(tuple(row))
-            if len(batch) >= 8192:
-                flush()
-        flush()
-        if zsav:
-            sink.close()
+def _pack_columns(cols_data, kinds, widths, el_per, case_size) -> bytes:
+    """Column-wise vectorized case packing. cols_data: one sequence
+    per column (tuples from toLocalIterator rows, or pandas Series
+    from the distributed mapInPandas path)."""
+    n = len(cols_data[0]) if cols_data else 0
+    mat = np.zeros((n, case_size * 8), dtype=np.uint8)
+    colpos = 0
+    for col, k, w, ne in zip(cols_data, kinds, widths, el_per):
+        off = colpos * 8
+        if k == "str":
+            for ri, s in enumerate(col):
+                b = (s if isinstance(s, str) else "").encode("utf-8")[: ne * 8]
+                cell = b.ljust(ne * 8, b" ")
+                mat[ri, off : off + ne * 8] = np.frombuffer(cell, dtype=np.uint8)
+        else:
+            try:  # pandas Series: nullable-aware bulk conversion
+                vals = col.to_numpy(dtype="float64", na_value=np.nan)
+            except AttributeError:
+                vals = np.array(
+                    [np.nan if v is None else v for v in col], dtype=np.float64
+                )
+            bts = vals.astype("<f8").view(np.uint8).reshape(n, 8)
+            miss = np.isnan(vals)
+            if miss.any():
+                bts = bts.copy()
+                bts[miss] = _SYSMIS_LE
+            mat[:, off : off + 8] = bts
+        colpos += ne
+    return mat.tobytes()
 
 
 class _ZlibSink:

@@ -88,4 +88,43 @@ def test_unsupported_format_raises(spark, tmp_path):
     import polars_readstat_spark as prs
 
     with pytest.raises(NotImplementedError):
-        prs.write_readstat_partitioned(_src(spark, 10, 1), str(tmp_path), ext="sav")
+        prs.write_readstat_partitioned(_src(spark, 10, 1), str(tmp_path), ext="por")
+
+
+def test_sav_roundtrip_dir_write_dir_read(spark, tmp_path):
+    import polars_readstat_spark as prs
+
+    d = str(tmp_path / "out_sav")
+    res = prs.write_readstat_partitioned(_src(spark), d, ext="sav")
+    files = sorted(glob.glob(os.path.join(d, "part-*.sav")))
+    assert len(files) == len(res) >= 2
+    assert sum(r["n_rows"] for r in res) == 10_000
+
+    back = spark.read.format("readstat").load(d)
+    assert back.count() == 10_000
+    rows = {int(r.k): r for r in back.collect()}
+    assert rows[9999].s == "row9999" and rows[9999].v == 9999 * 2.5
+    assert str(rows[0].d) == "2020-01-01"
+
+
+def test_sav_parts_share_string_width(spark, tmp_path):
+    """String width must come from the global pre-pass: a part that
+    only holds short strings still declares the corpus-wide width."""
+    from pyspark.sql import functions as F
+
+    import polars_readstat_spark as prs
+    from polars_readstat_spark.sources.sav.meta import parse_sav_meta
+
+    df = (
+        spark.range(100)
+        .select(F.concat(F.lit("x"), F.expr("repeat('y', cast(id % 40 as int))")).alias("s"))
+        .repartition(4)
+    )
+    d = str(tmp_path / "w")
+    prs.write_readstat_partitioned(df, d, ext="sav")
+    widths = set()
+    for f in glob.glob(os.path.join(d, "part-*.sav")):
+        m = parse_sav_meta(f)
+        widths.add(m.variables[0].string_len or 0)
+    assert len(widths) == 1  # one global width everywhere
+    assert spark.read.format("readstat").load(d).count() == 100
