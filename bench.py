@@ -43,6 +43,24 @@ def _readstat_files(spark, sf_dir: str, sf: str) -> dict[str, str]:
     return {k: paths[k] for k in ("dta", "sav", "xpt")}
 
 
+def _warm_readstat(spark, paths: dict) -> None:
+    """Spin up the Python datasource workers (plain + filtered plans
+    spawn separately) before any timed readstat query — registry
+    scan_* roundtrips and the read benchmarks should measure decode,
+    not interpreter startup."""
+    from pyspark.sql import functions as F
+
+    rd = lambda p, **o: (  # noqa: E731
+        spark.read.format("readstat")
+        .options(**{k: str(v) for k, v in o.items()})
+        .load(p)
+    )
+    warm = next(iter(paths.values()))
+    run_query(rd(warm, n_rows=16))
+    wq = "l_quantity" if not warm.endswith(".xpt") else "L_QUANTI"
+    run_query(rd(warm, n_rows=16).filter(F.col(wq) >= 0))
+
+
 def _bench_readstat(spark, paths: dict, timings: dict) -> None:
     def t(name, df):
         t0 = time.perf_counter()
@@ -56,12 +74,6 @@ def _bench_readstat(spark, paths: dict, timings: dict) -> None:
         .options(**{k: str(v) for k, v in o.items()})
         .load(p)
     )
-    # warm the Python datasource workers (plain + filtered plans spawn
-    # separately) so timings measure decode, not interpreter spin-up
-    warm = next(iter(paths.values()))
-    run_query(rd(warm, n_rows=16))
-    wq = "l_quantity" if not warm.endswith(".xpt") else "L_QUANTI"
-    run_query(rd(warm, n_rows=16).filter(F.col(wq) >= 0))
     for ext, p in paths.items():
         qty = "l_quantity" if ext != "xpt" else "L_QUANTI"
         okey = "l_orderkey" if ext != "xpt" else "L_ORDERK"
@@ -89,6 +101,7 @@ def main() -> None:
     prs.register(spark)
     try:
         readstat_paths = _readstat_files(spark, sf_dir, sf)
+        _warm_readstat(spark, readstat_paths)
     except Exception as e:  # noqa: BLE001
         readstat_paths = {}
         print(f"# bench readstat file gen failed: {e!r}", file=sys.stderr)
