@@ -196,6 +196,16 @@ class ReadstatDataSource(DataSource):
 
         return xpt_spark_schema(parse_xpt_meta(self._path()), self.options)
 
+    def streamReader(self, schema: StructType):
+        """spark.readStream.format("readstat").load(dir_or_glob) —
+        file-arrival streaming ingest, one input partition per landed
+        file, decoded executor-side (sources/streamreader.py)."""
+        from polars_readstat_spark.sources.streamreader import (
+            ReadstatStreamReader,
+        )
+
+        return ReadstatStreamReader(self.options, schema)
+
     def reader(self, schema: StructType) -> DataSourceReader:
         paths = self._paths()
         if len(paths) == 1 and not self.options.get("path_column"):
