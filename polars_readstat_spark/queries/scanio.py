@@ -238,3 +238,54 @@ def scan_dta_pushdown(spark, sf_dir):
             F.col("l_quantity").cast("double").alias("l_quantity"),
         )
     )
+
+
+_META_ORACLE = """
+    SELECT 'l_orderkey' AS name,
+           CASE WHEN MIN(l_orderkey) >= -2147483647
+                 AND MAX(l_orderkey) <= 2147483620
+                THEN '%12.0g' ELSE '%10.0g' END AS fmt,
+           CAST(NULL AS INTEGER) AS str_width
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_partkey',
+           CASE WHEN MIN(l_partkey) >= -2147483647
+                 AND MAX(l_partkey) <= 2147483620
+                THEN '%12.0g' ELSE '%10.0g' END,
+           CAST(NULL AS INTEGER)
+    FROM lineitem
+    UNION ALL SELECT 'l_quantity', '%10.0g', CAST(NULL AS INTEGER)
+    UNION ALL SELECT 'l_extendedprice', '%10.0g', CAST(NULL AS INTEGER)
+    UNION ALL SELECT 'l_discount', '%10.0g', CAST(NULL AS INTEGER)
+    UNION ALL
+    SELECT 'l_returnflag',
+           '%' || CAST(GREATEST(MAX(STRLEN(l_returnflag)), 9) AS VARCHAR) || 's',
+           CAST(MAX(STRLEN(l_returnflag)) AS INTEGER)
+    FROM lineitem
+    UNION ALL SELECT 'l_shipdate', '%tc', CAST(NULL AS INTEGER)
+    UNION ALL
+    SELECT 'l_linestatus',
+           '%' || CAST(GREATEST(MAX(STRLEN(l_linestatus)), 9) AS VARCHAR) || 's',
+           CAST(MAX(STRLEN(l_linestatus)) AS INTEGER)
+    FROM lineitem
+"""
+
+
+@query("scan_dta_metadata_surface", oracle=_META_ORACLE)
+def scan_dta_metadata_surface(spark, sf_dir):
+    """S14 under the driver oracle: the 12-column metadata surface of
+    the written dta file must equal the writer's pre-pass column plan
+    re-derived independently in SQL — display formats encode the
+    bigint range downcast decision (%12.0g long vs %10.0g double) and
+    string widths come from max byte length, so a drift in either
+    the writer plan, the dta metadata encoding, or the reader's
+    metadata parse breaks the hash."""
+    from polars_readstat_spark.operators.metadata import metadata_df
+
+    path = ensure_readstat_file(spark, sf_dir, "dta")
+    mdf = metadata_df(spark, path)
+    return mdf.select(
+        F.col("name"),
+        F.col("format").alias("fmt"),
+        F.col("string_width_bytes").cast("int").alias("str_width"),
+    )
