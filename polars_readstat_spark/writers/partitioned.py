@@ -146,15 +146,82 @@ def write_sav_partitioned(
     return [{"path": r.path, "n_rows": r.n_rows} for r in results]
 
 
+def write_xpt_partitioned(
+    df: DataFrame,
+    dir_path: str,
+    *,
+    dataset_name: str = "DATA",
+    variable_labels: dict | None = None,
+    version: int = 5,
+) -> list[dict]:
+    """Write one .xpt per partition into ``dir_path``. XPT carries no
+    row count in its header, so each task writes header + its packed
+    records + the 80-byte tail pad directly; string widths come from
+    the one global pre-pass."""
+    from polars_readstat_spark.writers.xpt import (
+        _pack_xpt,
+        _xpt_cast,
+        _xpt_columns,
+        _xpt_header,
+        _xpt_widths,
+    )
+
+    variable_labels = variable_labels or {}
+    fields, names, shorts, kinds, aggs = _xpt_columns(df)
+    stats = df.agg(*aggs).collect()[0].asDict()
+    widths = _xpt_widths(fields, kinds, stats)
+    record_width = sum(widths)
+    head = bytes(
+        _xpt_header(
+            fields, shorts, kinds, widths, dataset_name, variable_labels,
+            version,
+        )
+    )
+    os.makedirs(dir_path, exist_ok=True)
+    src = _xpt_cast(df, fields, kinds)
+
+    def write_partition(batches):
+        import pandas as pd
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        data = bytearray()
+        n_rows = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            data += _pack_xpt(
+                [pdf[nm] for nm in names], kinds, widths, record_width
+            )
+            n_rows += len(pdf)
+        if n_rows > 0:
+            path = os.path.join(dir_path, f"part-{pid:05d}.xpt")
+            tmp = path + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(head)
+                f.write(bytes(data))
+                f.write(b" " * ((-len(data)) % 80))
+            os.replace(tmp, path)
+            yield pd.DataFrame({"path": [path], "n_rows": [n_rows]})
+
+    results = (
+        src.mapInPandas(write_partition, schema="path string, n_rows long")
+        .collect()
+    )
+    return [{"path": r.path, "n_rows": r.n_rows} for r in results]
+
+
 def write_readstat_partitioned(df: DataFrame, dir_path: str, ext: str = "dta", **kwargs):
-    """Format-dispatching facade. dta and sav ship distributed; the
-    legacy interchange formats (xpt/por) stream via the driver —
-    route them per-file."""
+    """Format-dispatching facade. dta, sav, and xpt ship distributed;
+    POR stays driver-streamed (legacy eager format)."""
     fmt = ext.lstrip(".").lower()
     if fmt == "dta":
         return write_dta_partitioned(df, dir_path, **kwargs)
     if fmt == "sav":
         return write_sav_partitioned(df, dir_path, **kwargs)
+    if fmt == "xpt":
+        return write_xpt_partitioned(df, dir_path, **kwargs)
     raise NotImplementedError(
         f"write_readstat_partitioned: format {ext!r} not yet distributed; "
         "use write_readstat per file or repartition+loop driver-side"

@@ -111,10 +111,42 @@ def write_xpt(
     if version not in (5, 8):
         raise ValueError("write_xpt: version must be 5 or 8")
     variable_labels = variable_labels or {}
+    fields, names, shorts, kinds, aggs = _xpt_columns(df)
+    stats = df.agg(*aggs).collect()[0].asDict()
+    widths = _xpt_widths(fields, kinds, stats)
+    record_width = sum(widths)
+
+    out = _xpt_header(
+        fields, shorts, kinds, widths, dataset_name, variable_labels, version
+    )
+    src = _xpt_cast(df, fields, kinds)
+
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+        total = 0
+        batch: list = []
+
+        def flush():
+            nonlocal total
+            if not batch:
+                return
+            raw = _pack_xpt(list(zip(*batch)), kinds, widths, record_width)
+            fh.write(raw)
+            total += len(raw)
+            batch.clear()
+
+        for row in src.toLocalIterator(prefetchPartitions=True):
+            batch.append(tuple(row))
+            if len(batch) >= 8192:
+                flush()
+        flush()
+        fh.write(b" " * ((-total) % 80))
+
+
+def _xpt_columns(df: DataFrame):
     fields = df.schema.fields
     names = [f.name for f in fields]
     shorts = _short_names(names)
-
     kinds = []
     aggs = [F.count(F.lit(1)).alias("__n")]
     for f in fields:
@@ -130,9 +162,10 @@ def write_xpt(
             kinds.append("time")
         else:
             kinds.append("num")
+    return fields, names, shorts, kinds, aggs
 
-    stats = df.agg(*aggs).collect()[0].asDict()
 
+def _xpt_widths(fields, kinds, stats) -> list[int]:
     widths = []
     for f, k in zip(fields, kinds):
         if k == "str":
@@ -145,8 +178,12 @@ def write_xpt(
             widths.append(w)
         else:
             widths.append(8)
-    record_width = sum(widths)
+    return widths
 
+
+def _xpt_header(
+    fields, shorts, kinds, widths, dataset_name, variable_labels, version
+) -> bytearray:
     now = datetime.datetime.now()
     ts = now.strftime("%d%b%y:%H:%M:%S").upper()
 
@@ -217,8 +254,10 @@ def write_xpt(
         out += _hdr("OBSV8", "0" * 30)
     else:
         out += _hdr("OBS")
+    return out
 
-    # ---- stream data --------------------------------------------------
+
+def _xpt_cast(df: DataFrame, fields, kinds) -> DataFrame:
     sel = []
     for f, k in zip(fields, kinds):
         c = F.col(f.name)
@@ -232,46 +271,30 @@ def write_xpt(
             sel.append((c.cast("double") / 1e9).alias(f.name))
         else:
             sel.append(c.alias(f.name))
-    src = df.select(*sel)
+    return df.select(*sel)
 
-    with open(path, "wb") as fh:
-        fh.write(bytes(out))
-        total = 0
-        batch: list = []
 
-        def flush():
-            nonlocal total
-            if not batch:
-                return
-            n = len(batch)
-            mat = np.full((n, record_width), 0x20, dtype=np.uint8)
-            off = 0
-            for ci, (k, w) in enumerate(zip(kinds, widths)):
-                if k == "str":
-                    for ri in range(n):
-                        s = batch[ri][ci]
-                        b = (s if s is not None else "").encode(
-                            "latin-1", "replace"
-                        )[:w].ljust(w)
-                        mat[ri, off : off + w] = np.frombuffer(b, dtype=np.uint8)
-                else:
-                    vals = np.array(
-                        [
-                            np.nan if batch[ri][ci] is None else batch[ri][ci]
-                            for ri in range(n)
-                        ],
-                        dtype=np.float64,
-                    )
-                    mask = np.isnan(vals)
-                    mat[:, off : off + 8] = ieee_to_ibm(vals, mask)
-                off += w
-            fh.write(mat.tobytes())
-            total += n * record_width
-            batch.clear()
-
-        for row in src.toLocalIterator(prefetchPartitions=True):
-            batch.append(tuple(row))
-            if len(batch) >= 8192:
-                flush()
-        flush()
-        fh.write(b" " * ((-total) % 80))
+def _pack_xpt(cols_data, kinds, widths, record_width) -> bytes:
+    """Column-wise pack into blank-padded fixed-width records; numerics
+    go through the vectorized IEEE→IBM converter."""
+    n = len(cols_data[0]) if cols_data else 0
+    mat = np.full((n, record_width), 0x20, dtype=np.uint8)
+    off = 0
+    for col, k, w in zip(cols_data, kinds, widths):
+        if k == "str":
+            for ri, s in enumerate(col):
+                b = (s if isinstance(s, str) else "").encode(
+                    "latin-1", "replace"
+                )[:w].ljust(w)
+                mat[ri, off : off + w] = np.frombuffer(b, dtype=np.uint8)
+        else:
+            try:  # pandas Series from the distributed path
+                vals = col.to_numpy(dtype="float64", na_value=np.nan)
+            except AttributeError:
+                vals = np.array(
+                    [np.nan if v is None else v for v in col], dtype=np.float64
+                )
+            mask = np.isnan(vals)
+            mat[:, off : off + 8] = ieee_to_ibm(vals, mask)
+        off += w
+    return mat.tobytes()

@@ -110,3 +110,20 @@ def test_metadata_df_form_merge(spark, tmp_path):
     md = {f.name: f.metadata for f in back.schema.fields}
     assert md["mynum"]["label"] == "NUM2"
     assert md["mylabl"]["label"] == "labeled"
+
+
+def test_sql_ddl_using_readstat(spark, tmp_path):
+    """SQL-first integration: CREATE TEMPORARY VIEW ... USING readstat
+    exposes the data source to pure-SQL users (the Spark analogue of
+    the reference's register_io_source binding)."""
+    import polars_readstat_spark as prs
+
+    p = str(tmp_path / "t.dta")
+    prs.write_readstat(
+        spark.range(5).selectExpr("cast(id as double) as x"), p
+    )
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW stata_ddl USING readstat "
+        f"OPTIONS (path '{p}')"
+    )
+    assert spark.sql("SELECT SUM(x) AS s FROM stata_ddl").collect()[0].s == 10.0

@@ -128,3 +128,17 @@ def test_sav_parts_share_string_width(spark, tmp_path):
         widths.add(m.variables[0].string_len or 0)
     assert len(widths) == 1  # one global width everywhere
     assert spark.read.format("readstat").load(d).count() == 100
+
+
+def test_xpt_roundtrip_dir_write_dir_read(spark, tmp_path):
+    import polars_readstat_spark as prs
+
+    d = str(tmp_path / "out_xpt")
+    res = prs.write_readstat_partitioned(_src(spark), d, ext="xpt")
+    assert len(res) >= 2 and sum(r["n_rows"] for r in res) == 10_000
+
+    back = spark.read.format("readstat").load(d)
+    assert back.count() == 10_000
+    rows = {int(r.K): r for r in back.collect()}
+    assert rows[9999].S == "row9999" and rows[9999].V == 9999 * 2.5
+    assert str(rows[0].D) == "2020-01-01"
