@@ -46,9 +46,14 @@ BENCH_COLS = (
 )
 
 
+# bump when a writer's on-disk layout or the roundtrip column set
+# changes, so stale cached files can't poison the correctness gate
+_CACHE_VERSION = 2
+
+
 def _cache_dir(sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return f"/tmp/spark_graft_scanio_{tag}"
+    return f"/tmp/spark_graft_scanio_v{_CACHE_VERSION}_{tag}"
 
 
 def _source_frame(spark, sf_dir: str, ext: str = "dta"):
