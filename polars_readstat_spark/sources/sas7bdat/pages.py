@@ -99,49 +99,79 @@ def rle_decompress(buf: bytes, result_length: int) -> bytes:
     return bytes(out)
 
 
+def _lz_copy(out: bytearray, ofs: int, ln: int) -> None:
+    """Back-reference copy with LZ overlap semantics: bytes appended
+    during the copy are themselves sources when ln > ofs."""
+    start = len(out) - ofs
+    if ofs >= ln:
+        out += out[start : start + ln]
+        return
+    seg = bytes(out[start:])  # length == ofs
+    while len(seg) < ln:
+        seg += seg
+    out += seg[:ln]
+
+
 def rdc_decompress(buf: bytes, result_length: int) -> bytes:
-    """SASYZCR2 (Ross Data Compression) decompression (public spec)."""
+    """SASYZCR2 (Ross Data Compression) decompression (public spec).
+
+    Batched: literal spans between command bits copy as slices (the
+    per-byte append loop was the SAS scan's hot spot — a control word
+    of 16 zero bits is one 16-byte slice copy now), and pattern
+    back-references use chunked LZ copies instead of per-byte appends.
+    """
     out = bytearray()
     i = 0
     n = len(buf)
-    ctrl_mask = 0
-    ctrl_bits = 0
     while i < n:
-        if ctrl_mask == 0:
-            if i + 2 > n:
-                break
-            ctrl_bits = (buf[i] << 8) | buf[i + 1]
-            i += 2
-            ctrl_mask = 0x8000
-        if (ctrl_bits & ctrl_mask) == 0:
-            out.append(buf[i])
-            i += 1
-        else:
+        if i + 2 > n:
+            break
+        ctrl = (buf[i] << 8) | buf[i + 1]
+        i += 2
+        if ctrl == 0:  # 16 literal bytes at once (common in mixed data)
+            out += buf[i : i + 16]
+            i += 16
+            continue
+        mask = 0x8000
+        while mask and i < n:
+            if (ctrl & mask) == 0:
+                j = i  # batch the run of literal (zero) bits
+                while mask and (ctrl & mask) == 0:
+                    j += 1
+                    mask >>= 1
+                out += buf[i:j]
+                i = j
+                continue
             cmd = buf[i] >> 4
             cnt = buf[i] & 0x0F
             i += 1
             if cmd == 0:  # short RLE
-                cnt += 3
-                out += bytes([buf[i]]) * cnt
+                out += buf[i : i + 1] * (cnt + 3)
                 i += 1
             elif cmd == 1:  # long RLE
                 cnt += (buf[i] << 4) + 19
                 i += 1
-                out += bytes([buf[i]]) * cnt
+                out += buf[i : i + 1] * cnt
                 i += 1
             elif cmd == 2:  # long pattern
                 ofs = cnt + 3 + (buf[i] << 4)
                 i += 1
                 ln = buf[i] + 16
                 i += 1
-                for _ in range(ln):
-                    out.append(out[-ofs])
+                if ofs >= ln:  # inline the non-overlap fast path
+                    start = len(out) - ofs
+                    out += out[start : start + ln]
+                else:
+                    _lz_copy(out, ofs, ln)
             else:  # short pattern
                 ofs = cnt + 3 + (buf[i] << 4)
                 i += 1
-                for _ in range(cmd):
-                    out.append(out[-ofs])
-        ctrl_mask >>= 1
+                if ofs >= cmd:
+                    start = len(out) - ofs
+                    out += out[start : start + cmd]
+                else:
+                    _lz_copy(out, ofs, cmd)
+            mask >>= 1
     if len(out) < result_length:
         out += b"\x00" * (result_length - len(out))
     return bytes(out[:result_length])
