@@ -351,3 +351,72 @@ def pivot_user_event_counts(spark, sf_dir):
     types = ["click", "error", "purchase", "signup", "view"]
     out = ev.groupBy("user_id").pivot("event_type", types).count()
     return out.na.fill(0, subset=types)
+
+
+@query(
+    "rollup_revenue_subtotals",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS gid,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue_subtotals(spark, sf_dir):
+    """OLAP rollup: revenue at (flag, status), per-flag subtotal, and
+    grand total in one pass — Catalyst expands the grouping sets into
+    one aggregation with a grouping-id column, still map-side partial.
+    The grouping id disambiguates subtotal NULLs from data NULLs on
+    both engines (same bit order: 1 = flag rolled up, 2 = status)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (
+                F.grouping("l_returnflag") + F.lit(2) * F.grouping("l_linestatus")
+            ).alias("gid"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "revenue", "n")
+    )
+
+
+@query(
+    "running_revenue_window",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS running_rev,
+           CAST(LAG(CAST(l_quantity AS BIGINT))
+                OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)
+               AS BIGINT) AS prev_qty
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+)
+def running_revenue_window(spark, sf_dir):
+    """Running aggregate + lag over an ordered window: one shuffle on
+    the partition key, sorted within partitions; DECIMAL accumulation
+    keeps the running sum exact in frame order on both engines."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 100 == 0
+    )
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber")
+    frame = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(_dec("l_extendedprice")).over(frame).cast("double").alias(
+            "running_rev"
+        ),
+        F.lag(F.col("l_quantity").cast("bigint")).over(w).cast("bigint").alias(
+            "prev_qty"
+        ),
+    )
