@@ -294,3 +294,101 @@ def scan_dta_metadata_surface(spark, sf_dir):
         F.col("format").alias("fmt"),
         F.col("string_width_bytes").cast("int").alias("str_width"),
     )
+
+
+def ensure_labeled_file(spark, sf_dir: str) -> str:
+    """lineitem slice written as dta WITH a value-label set (partial:
+    codes 1-4 labeled, 5-7 unlabeled) and nulls punched into
+    l_quantity on a deterministic rule — the fixture for scanning
+    label decode and missing sentinels back out of a real file."""
+    import polars_readstat_spark as prs
+
+    d = _cache_dir(sf_dir)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "lineitem_labeled.dta")
+    if os.path.exists(path):
+        return path
+    src = (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.when(F.col("l_orderkey") % 7 != 0, F.col("l_quantity")).alias(
+                "l_quantity"
+            ),
+        )
+    )
+    tmp = os.path.join(d, f".tmp{os.getpid()}.lineitem_labeled.dta")
+    prs.write_readstat(
+        src,
+        tmp,
+        value_labels={
+            "l_linenumber": {1: "first", 2: "second", 3: "third", 4: "fourth"}
+        },
+    )
+    os.replace(tmp, path)
+    return path
+
+
+@query(
+    "scan_dta_value_labels",
+    oracle="""
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CASE l_linenumber
+                WHEN 1 THEN 'first' WHEN 2 THEN 'second'
+                WHEN 3 THEN 'third' WHEN 4 THEN 'fourth'
+                ELSE CAST(l_linenumber AS VARCHAR) END AS line_label
+    FROM lineitem
+    """,
+)
+def scan_dta_value_labels(spark, sf_dir):
+    """T1/T6 through a real file: value labels written into the dta's
+    <value_labels> section decode back as strings on scan
+    (value_labels_as_strings), with unlabeled codes rendering
+    numeric-as-string — the oracle re-derives the mapping in SQL."""
+    path = ensure_labeled_file(spark, sf_dir)
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    df = (
+        spark.read.format("readstat")
+        .option("value_labels_as_strings", "true")
+        .load(path)
+    )
+    return df.select(
+        F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+        F.col("l_linenumber").alias("line_label"),
+    )
+
+
+@query(
+    "scan_dta_informative_nulls",
+    oracle="""
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           CASE WHEN l_orderkey % 7 != 0 THEN l_quantity END AS l_quantity,
+           CASE WHEN l_orderkey % 7 = 0 THEN '.' END AS l_quantity_null
+    FROM lineitem
+    """,
+)
+def scan_dta_informative_nulls(spark, sf_dir):
+    """M1/M2 through a real file: nulls written as Stata sentinel
+    missings come back as nulls, and informative_nulls=separate adds
+    the '.' system-missing indicator column — compared against the
+    same null rule applied directly to the parquet table."""
+    path = ensure_labeled_file(spark, sf_dir)
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    df = (
+        spark.read.format("readstat")
+        .option("informative_nulls", "separate")
+        .option("informative_null_columns", "l_quantity")
+        .load(path)
+    )
+    return df.select(
+        F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_quantity_null").alias("l_quantity_null"),
+    )
