@@ -30,6 +30,7 @@ def _readstat_files(spark, sf_dir: str, sf: str) -> dict[str, str]:
     written and their timings measure the scan, not the write.
     """
     from polars_readstat_spark.queries.scanio import (
+        ensure_labeled_file,
         ensure_multifile_dir,
         ensure_readstat_file,
     )
@@ -39,6 +40,7 @@ def _readstat_files(spark, sf_dir: str, sf: str) -> dict[str, str]:
         for ext in ("dta", "sav", "zsav", "xpt", "por")
     }
     ensure_multifile_dir(spark, sf_dir, "dta")
+    ensure_labeled_file(spark, sf_dir)
     # only the three baseline formats get per-variant read benchmarks
     return {k: paths[k] for k in ("dta", "sav", "xpt")}
 
