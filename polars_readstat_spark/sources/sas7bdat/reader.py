@@ -7,9 +7,13 @@ Partitioning (reference §4.2 translated to Spark):
   seek straight to their pages, zero coordination. At 100 TB the
   prescan is O(pages) metadata reads on the driver; it can itself be
   distributed as a first Spark job if ever needed.
-- RLE/RDC compressed: rows are compressed subheaders chained across
-  pages with no random access (reference PARALLELIZATION.md:34-40
-  keeps these serial too) → one partition, streamed decode.
+- RLE/RDC compressed: each ROW is compressed independently inside a
+  self-contained page, so plain full scans partition by page range —
+  parallel decompression where the reference is serial-only
+  (PARALLELIZATION.md:34-40). Slicing / row_index requests (which
+  need global row offsets that meta-page headers don't reveal) and
+  files with MIX pages (whose trailing-row clamp is position-
+  dependent) fall back to one streamed partition.
 """
 
 from __future__ import annotations
@@ -69,6 +73,28 @@ class SasReader(DataSourceReader):
 
     # -- planning ---------------------------------------------------
 
+    def _has_mix_pages(self) -> bool:
+        """Header-only prescan (6 bytes/page) for MIX-type pages —
+        the one page type whose row extraction needs a global row
+        position (the trailing clamp in page_row_bytes)."""
+        from polars_readstat_spark.sources.sas7bdat.pages import (
+            _PageReader,
+        )
+        from polars_readstat_spark.sources.sas7bdat.meta import (
+            PAGE_MIX_TYPE,
+        )
+
+        m = self.meta
+        with open(self.path, "rb") as f:
+            for i in range(m.page_count):
+                f.seek(m.header_length + i * m.page_length)
+                hdr = f.read(m.page_bit_offset + 8)
+                if len(hdr) < m.page_bit_offset + 8:
+                    break
+                if _PageReader(m, hdr).page_type == PAGE_MIX_TYPE:
+                    return True
+        return False
+
     def _page_rows(self) -> list[int]:
         """Per-page row counts from page headers only (driver-side)."""
         m = self.meta
@@ -95,7 +121,27 @@ class SasReader(DataSourceReader):
         end = start + want
 
         if m.compression:
-            # serial: one partition covering every page
+            # RLE/RDC compress each ROW independently inside its page,
+            # so pages are self-contained decode units — page-range
+            # partitions parallelize what the reference reads serially
+            # (PARALLELIZATION.md:34-40). Two prerequisites:
+            # - no slicing/row_index (global row offsets are unknowable
+            #   from page headers of meta-type pages), and
+            # - no MIX pages (their trailing-row clamp depends on the
+            #   global row position; compressed files in the wild store
+            #   rows in META/DATA pages — verified across the corpus).
+            plain = start == 0 and want == total and not self.row_index_name
+            if plain and m.page_count > 1 and not self._has_mix_pages():
+                per_pages = _opt_int(self.options, "pages_per_partition") or max(
+                    1, (48 << 20) // max(m.page_length, 1)
+                )
+                return [
+                    SasPageRange(
+                        i, min(per_pages, m.page_count - i), 0, 0, -1
+                    )
+                    for i in range(0, m.page_count, per_pages)
+                ]
+            # slicing / row-index / mix pages: serial, exact semantics
             return [SasPageRange(0, m.page_count, 0, start, want)]
 
         counts = self._page_rows()

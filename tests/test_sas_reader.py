@@ -171,3 +171,54 @@ def test_spark_compressed_files(spark):
             continue
         got = prs.scan_readstat(spark, p).count()
         assert got == len(ref), f"{p} ({compression})"
+
+
+def test_compressed_page_parallel_equals_serial(spark):
+    """RLE/RDC rows decompress per-row inside self-contained pages, so
+    plain full scans partition by page range — same rows as the serial
+    path, just parallel (the reference reads compressed files serially;
+    this is the Spark-native improvement)."""
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    for name in ("data_AHS2013/rmov.sas7bdat", "test.sas7bdat"):
+        p = f"{CORPUS}/{name}"
+        if not os.path.isfile(p):
+            pytest.skip("corpus missing")
+        serial = (
+            spark.read.format("readstat")
+            .option("pages_per_partition", "100000")
+            .load(p)
+        )
+        par = (
+            spark.read.format("readstat")
+            .option("pages_per_partition", "3")
+            .load(p)
+        )
+        from polars_readstat_spark.sources.sas7bdat.reader import SasReader
+
+        n_parts = len(
+            SasReader(p, {"path": p, "pages_per_partition": "3"}).partitions()
+        )
+        assert n_parts > 1  # actually parallel
+        a = sorted(map(tuple, serial.collect()), key=repr)
+        b = sorted(map(tuple, par.collect()), key=repr)
+        assert a == b and len(a) > 0
+
+
+def test_compressed_slicing_stays_serial_and_exact(spark):
+    p = f"{CORPUS}/data_AHS2013/rmov.sas7bdat"
+    if not os.path.isfile(p):
+        pytest.skip("corpus missing")
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    full = spark.read.format("readstat").load(p).collect()
+    sliced = (
+        spark.read.format("readstat")
+        .option("offset", "10")
+        .option("n_rows", "5")
+        .load(p)
+        .collect()
+    )
+    assert [tuple(r) for r in sliced] == [tuple(r) for r in full[10:15]]
