@@ -78,71 +78,98 @@ def embedding_l2_norms(spark, sf_dir):
     )
 
 
+# probe shape: per-pair floor(x*y*1e12) dot over the embedding arrays,
+# norms from _NORM_DUCK — matches _pair_cosine_probe bitwise
+_PAIR_COS_PROBE_DUCK = f"""
+    pair_dots AS (
+      SELECT c.{{a}}, c.{{b}},
+             CAST(SUM(CAST(FLOOR(CAST(ea.embedding[i.i] AS DOUBLE)
+                                 * CAST(eb.embedding[i.i] AS DOUBLE)
+                                 * {_SCALE}.0) AS BIGINT)) AS BIGINT) AS dot_s
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.{{a}}
+      JOIN embeddings eb ON eb.vec_id = c.{{b}}
+      CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) i
+      GROUP BY c.{{a}}, c.{{b}}
+    ),
+    pair_cos AS (
+      SELECT d.{{a}}, d.{{b}},
+             (CAST(d.dot_s AS DOUBLE) / {_SCALE}.0)
+               / (SQRT(CAST(na.normsq_s AS DOUBLE) / {_SCALE}.0)
+                  * SQRT(CAST(nb.normsq_s AS DOUBLE) / {_SCALE}.0)) AS cosine
+      FROM pair_dots d
+      JOIN norms na ON na.vec_id = d.{{a}}
+      JOIN norms nb ON nb.vec_id = d.{{b}}
+    )
+"""
+
+# bulk shape: reuses lsh_xi (scaled dims) from lsh_bands_duck — dot and
+# norms are integer sums over the same representation Spark joins on
+_PAIR_COS_BULK_DUCK = f"""
+    pair_dots AS (
+      SELECT c.{{a}}, c.{{b}}, SUM(xa.x * xb.x) AS dot_s
+      FROM cand c
+      JOIN lsh_xi xa ON xa.vec_id = c.{{a}}
+      JOIN lsh_xi xb ON xb.vec_id = c.{{b}} AND xb.d = xa.d
+      GROUP BY c.{{a}}, c.{{b}}
+    ),
+    pair_norms AS (
+      SELECT vec_id, SUM(x * x) AS normsq_s FROM lsh_xi GROUP BY vec_id
+    ),
+    pair_cos AS (
+      SELECT d.{{a}}, d.{{b}},
+             (CAST(d.dot_s AS DOUBLE) / {_SCALE}.0)
+               / (SQRT(CAST(na.normsq_s AS DOUBLE) / {_SCALE}.0)
+                  * SQRT(CAST(nb.normsq_s AS DOUBLE) / {_SCALE}.0)) AS cosine
+      FROM pair_dots d
+      JOIN pair_norms na ON na.vec_id = d.{{a}}
+      JOIN pair_norms nb ON nb.vec_id = d.{{b}}
+    )
+"""
+
+_PAIR_COS_BULK_DUCK_FWD = _PAIR_COS_BULK_DUCK.format(a="q_id", b="c_id")
+
+
 @query(
     "ann_bruteforce_topk",
-    oracle="WITH probes AS (SELECT vec_id AS q_id, embedding AS q FROM embeddings WHERE vec_id % 50 = 0),"
-    + _NORM_DUCK
-    + f"""
-    , dots AS (
-      SELECT p.q_id, e.vec_id AS c_id,
-             CAST(SUM(CAST(FLOOR(CAST(p.q[i.i] AS DOUBLE)
-                                 * CAST(e.embedding[i.i] AS DOUBLE)
-                                 * {_SCALE}.0) AS BIGINT)) AS BIGINT) AS dot_s
-      FROM probes p
-      CROSS JOIN embeddings e
-      CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) i
-      WHERE e.vec_id != p.q_id
-      GROUP BY p.q_id, e.vec_id
+    oracle="WITH "
+    + lsh_bands_duck()  # provides lsh_xi (scaled dims); rest pruned
+    + """
+    , cand AS (
+      SELECT p.vec_id AS q_id, c.vec_id AS c_id
+      FROM embeddings p CROSS JOIN embeddings c
+      WHERE p.vec_id % 50 = 0 AND c.vec_id != p.vec_id
     ),
-    scored AS (
-      SELECT d.q_id, d.c_id,
-             (CAST(d.dot_s AS DOUBLE) / {_SCALE}.0)
-               / (SQRT(CAST(nq.normsq_s AS DOUBLE) / {_SCALE}.0)
-                  * SQRT(CAST(nc.normsq_s AS DOUBLE) / {_SCALE}.0)) AS cosine
-      FROM dots d
-      JOIN norms nq ON nq.vec_id = d.q_id
-      JOIN norms nc ON nc.vec_id = d.c_id
-    )
+    """
+    + _PAIR_COS_BULK_DUCK_FWD
+    + """
     SELECT q_id, c_id, cosine, rk FROM (
       SELECT q_id, c_id, cosine,
              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
-      FROM scored
+      FROM pair_cos
     ) WHERE rk <= 5
     """,
 )
 def ann_bruteforce_topk(spark, sf_dir):
-    """Brute-force cosine top-5 for probe vectors (vec_id % 50 == 0).
+    """Brute-force cosine top-5 for probe vectors (vec_id % 50 == 0):
+    the all-pairs baseline the LSH path is measured against.
 
-    Probes are broadcast against the corpus (the scale shape: a small
-    query batch vs a huge corpus never shuffles the corpus); top-k is a
-    ranked window partitioned by probe, tie-broken on candidate id."""
+    Uses the bulk exact-cosine shape (vectors exploded once into
+    (vec_id, dim, int64) rows, dots as codegen'd SUM equi-joins): the
+    per-pair array-lambda formulation produced the same values but
+    paid a multi-second interpreted-HOF plan-compile penalty on every
+    cold run — WholeStageCodegen handles this shape natively."""
     e = load_table(spark, sf_dir, "embeddings")
-    norms = e.select(
-        "vec_id", F.expr(_normsq_spark("embedding")).alias("normsq_s")
+    ids = e.select("vec_id")
+    probes = ids.filter(F.col("vec_id") % 50 == 0).withColumnRenamed(
+        "vec_id", "q_id"
     )
-    probes = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q")
+    cand = (
+        F.broadcast(probes)
+        .crossJoin(ids.withColumnRenamed("vec_id", "c_id"))
+        .filter(F.col("c_id") != F.col("q_id"))
     )
-    pairs = (
-        e.crossJoin(F.broadcast(probes))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("c_id"),
-            F.expr(_DOT_SPARK.format(a="q", b="embedding")).alias("dot_s"),
-        )
-    )
-    nq = norms.select(F.col("vec_id").alias("q_id"), F.col("normsq_s").alias("q_ns"))
-    nc = norms.select(F.col("vec_id").alias("c_id"), F.col("normsq_s").alias("c_ns"))
-    cosine = (F.col("dot_s").cast("double") / F.lit(float(_SCALE))) / (
-        F.sqrt(F.col("q_ns").cast("double") / F.lit(float(_SCALE)))
-        * F.sqrt(F.col("c_ns").cast("double") / F.lit(float(_SCALE)))
-    )
-    scored = (
-        pairs.join(F.broadcast(nq), "q_id")
-        .join(nc, "c_id")
-        .select("q_id", "c_id", cosine.alias("cosine"))
-    )
+    scored = _pair_cosine_bulk(e, cand, "q_id", "c_id")
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -242,54 +269,6 @@ def _pair_cosine_bulk(e, cand, a_col: str, b_col: str):
     )
 
 
-# probe shape: per-pair floor(x*y*1e12) dot over the embedding arrays,
-# norms from _NORM_DUCK — matches _pair_cosine_probe bitwise
-_PAIR_COS_PROBE_DUCK = f"""
-    pair_dots AS (
-      SELECT c.{{a}}, c.{{b}},
-             CAST(SUM(CAST(FLOOR(CAST(ea.embedding[i.i] AS DOUBLE)
-                                 * CAST(eb.embedding[i.i] AS DOUBLE)
-                                 * {_SCALE}.0) AS BIGINT)) AS BIGINT) AS dot_s
-      FROM cand c
-      JOIN embeddings ea ON ea.vec_id = c.{{a}}
-      JOIN embeddings eb ON eb.vec_id = c.{{b}}
-      CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) i
-      GROUP BY c.{{a}}, c.{{b}}
-    ),
-    pair_cos AS (
-      SELECT d.{{a}}, d.{{b}},
-             (CAST(d.dot_s AS DOUBLE) / {_SCALE}.0)
-               / (SQRT(CAST(na.normsq_s AS DOUBLE) / {_SCALE}.0)
-                  * SQRT(CAST(nb.normsq_s AS DOUBLE) / {_SCALE}.0)) AS cosine
-      FROM pair_dots d
-      JOIN norms na ON na.vec_id = d.{{a}}
-      JOIN norms nb ON nb.vec_id = d.{{b}}
-    )
-"""
-
-# bulk shape: reuses lsh_xi (scaled dims) from lsh_bands_duck — dot and
-# norms are integer sums over the same representation Spark joins on
-_PAIR_COS_BULK_DUCK = f"""
-    pair_dots AS (
-      SELECT c.{{a}}, c.{{b}}, SUM(xa.x * xb.x) AS dot_s
-      FROM cand c
-      JOIN lsh_xi xa ON xa.vec_id = c.{{a}}
-      JOIN lsh_xi xb ON xb.vec_id = c.{{b}} AND xb.d = xa.d
-      GROUP BY c.{{a}}, c.{{b}}
-    ),
-    pair_norms AS (
-      SELECT vec_id, SUM(x * x) AS normsq_s FROM lsh_xi GROUP BY vec_id
-    ),
-    pair_cos AS (
-      SELECT d.{{a}}, d.{{b}},
-             (CAST(d.dot_s AS DOUBLE) / {_SCALE}.0)
-               / (SQRT(CAST(na.normsq_s AS DOUBLE) / {_SCALE}.0)
-                  * SQRT(CAST(nb.normsq_s AS DOUBLE) / {_SCALE}.0)) AS cosine
-      FROM pair_dots d
-      JOIN pair_norms na ON na.vec_id = d.{{a}}
-      JOIN pair_norms nb ON nb.vec_id = d.{{b}}
-    )
-"""
 
 
 @query(
