@@ -275,8 +275,6 @@ def _pair_cosine_bulk(e, cand, a_col: str, b_col: str):
     "ann_lsh_topk",
     oracle="WITH "
     + lsh_bands_duck()
-    + ", "
-    + _NORM_DUCK
     + """
     , cand AS (
       SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
@@ -285,7 +283,7 @@ def _pair_cosine_bulk(e, cand, a_col: str, b_col: str):
       WHERE a.vec_id % 50 = 0 AND b.vec_id != a.vec_id
     ),
     """
-    + _PAIR_COS_PROBE_DUCK.format(a="q_id", b="c_id")
+    + _PAIR_COS_BULK_DUCK_FWD
     + """
     SELECT q_id, c_id, cosine, rk FROM (
       SELECT q_id, c_id, cosine,
@@ -317,7 +315,11 @@ def ann_lsh_topk(spark, sf_dir):
         .select("q_id", F.col("vec_id").alias("c_id"))
         .dropDuplicates()
     )
-    scored = _pair_cosine_probe(e, cand, "q_id", "c_id")
+    # bulk verify (codegen SUM equi-joins): the per-pair array-lambda
+    # probe shape computed the same values but cost seconds of
+    # interpreted-HOF plan compile per cold run; with a broadcastable
+    # candidate list the bulk joins stay shuffle-light
+    scored = _pair_cosine_bulk(e, cand, "q_id", "c_id")
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
