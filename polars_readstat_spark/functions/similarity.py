@@ -102,6 +102,19 @@ def lsh_bands_stack(planes: int = _PLANES, bands: int = _BANDS) -> str:
     return f"stack({bands}, " + ", ".join(parts) + ") AS (band_idx, band_key)"
 
 
+def lsh_xi_duck(table: str = "embeddings") -> str:
+    """DuckDB CTE `lsh_xi(vec_id, d, x)` — every vector exploded into
+    scaled-int64 elements, the shared exact representation for LSH
+    codes, IVF assignment, and bulk cosine verification."""
+    return f"""
+    lsh_xi AS (
+      SELECT e.vec_id, i.i - 1 AS d,
+             CAST(FLOOR(CAST(e.embedding[i.i] AS DOUBLE) * {_XSCALE}) AS BIGINT) AS x
+      FROM {table} e CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) i
+    )
+    """
+
+
 def lsh_bands_duck(
     table: str = "embeddings", planes: int = _PLANES, bands: int = _BANDS
 ) -> str:
@@ -123,12 +136,9 @@ def lsh_bands_duck(
             for i in range(bits_per_band)
         )
         band_rows.append(f"SELECT vec_id, {b} AS band_idx, {key} AS band_key FROM lsh_sums")
-    return f"""
-    lsh_xi AS (
-      SELECT e.vec_id, i.i - 1 AS d,
-             CAST(FLOOR(CAST(e.embedding[i.i] AS DOUBLE) * {_XSCALE}) AS BIGINT) AS x
-      FROM {table} e CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) i
-    ),
+    return (
+        lsh_xi_duck(table)
+        + f""",
     lsh_sums AS (
       SELECT vec_id, {sums} FROM lsh_xi GROUP BY vec_id
     ),
@@ -136,6 +146,7 @@ def lsh_bands_duck(
       {" UNION ALL ".join(band_rows)}
     )
     """
+    )
 
 
 def band_bucket_check(bands_df, cap: int = DEFAULT_BUCKET_CAP):

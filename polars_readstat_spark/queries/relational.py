@@ -76,6 +76,63 @@ def q1_pricing_summary(spark, sf_dir):
 
 
 @query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1998-03-15'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H-Q3-style shipping priority: the canonical 3-table
+    fact-to-fact join (customer ⋈ orders ⋈ lineitem) with filters on
+    all three tables, grouped revenue, and top-10.
+
+    Scale shape: the customer side shrinks to one segment before
+    joining, so it broadcasts; orders⋈lineitem is the real
+    shuffle-on-orderkey join and AQE handles skew. Revenue sums go
+    through DECIMAL (exact, order-independent); the date is emitted as
+    a yyyy-MM-dd string so neither engine's timestamp tz handling
+    touches the comparator. Top-10 ties break on l_orderkey.
+    """
+    cutoff = F.lit("1998-03-15").cast("date")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.to_date("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") > cutoff
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
     "projection_pushdown",
     oracle="SELECT l_orderkey, l_quantity FROM lineitem",
 )

@@ -24,6 +24,7 @@ from polars_readstat_spark.functions.similarity import (
     lsh_bands_stack,
     lsh_coef_rows,
     lsh_scaled_dim_expr,
+    lsh_xi_duck,
 )
 from polars_readstat_spark.queries._cache import scoped_persist
 from polars_readstat_spark.queries.registry import query
@@ -241,16 +242,23 @@ def _pair_cosine_probe(e, cand, a_col: str, b_col: str):
     )
 
 
-def _pair_cosine_bulk(e, cand, a_col: str, b_col: str):
+def _explode_scaled(e):
+    """(vec_id, d, x) — vectors exploded into scaled-int64 elements,
+    the shared exact representation (the oracle's lsh_xi CTE)."""
+    return e.select("vec_id", F.posexplode("embedding").alias("d", "xf")).select(
+        "vec_id", "d", F.expr(lsh_scaled_dim_expr("xf")).alias("x")
+    )
+
+
+def _pair_cosine_bulk(e, cand, a_col: str, b_col: str, xd=None):
     """Exact cosine for an O(corpus) candidate set — the all-pairs
     shape: vectors explode once into (vec_id, d, x) scaled-int64 rows
     (the oracle's lsh_xi representation) and the dot is a codegen'd
     SUM(xa*xb) over two shuffle equi-joins. Nothing broadcasts —
     broadcasting an O(corpus) pair list would stream it through the
     driver — and no interpreted array lambdas run per pair."""
-    xd = e.select("vec_id", F.posexplode("embedding").alias("d", "xf")).select(
-        "vec_id", "d", F.expr(lsh_scaled_dim_expr("xf")).alias("x")
-    )
+    if xd is None:
+        xd = _explode_scaled(e)
     normsq = xd.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("normsq_s"))
     xa = xd.select(F.col("vec_id").alias(a_col), "d", F.col("x").alias("xa"))
     xb = xd.select(F.col("vec_id").alias(b_col), "d", F.col("x").alias("xb"))
@@ -320,6 +328,127 @@ def ann_lsh_topk(spark, sf_dir):
     # interpreted-HOF plan compile per cold run; with a broadcastable
     # candidate list the bulk joins stay shuffle-light
     scored = _pair_cosine_bulk(e, cand, "q_id", "c_id")
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "c_id", "cosine", "rk")
+    )
+
+
+_IVF_DUCK = f"""
+    , cent_xi AS (
+      SELECT vec_id AS cent_id, d, x FROM lsh_xi WHERE vec_id % 25 = 7
+    ),
+    ivf_normsq AS (
+      SELECT vec_id, SUM(x * x) AS normsq_s FROM lsh_xi GROUP BY vec_id
+    ),
+    asn_dots AS (
+      SELECT v.vec_id, c.cent_id, SUM(v.x * c.x) AS dot_s
+      FROM lsh_xi v JOIN cent_xi c ON c.d = v.d
+      GROUP BY v.vec_id, c.cent_id
+    ),
+    asn_cos AS (
+      SELECT d.vec_id, d.cent_id,
+             (CAST(d.dot_s AS DOUBLE) / {_SCALE}.0)
+               / (SQRT(CAST(nv.normsq_s AS DOUBLE) / {_SCALE}.0)
+                  * SQRT(CAST(nc.normsq_s AS DOUBLE) / {_SCALE}.0)) AS cosine
+      FROM asn_dots d
+      JOIN ivf_normsq nv ON nv.vec_id = d.vec_id
+      JOIN ivf_normsq nc ON nc.vec_id = d.cent_id
+    ),
+    asn_ranked AS (
+      SELECT vec_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cosine DESC, cent_id) AS crk
+      FROM asn_cos
+    ),
+    ivf_assign AS (SELECT vec_id, cent_id FROM asn_ranked WHERE crk = 1),
+    probe_cent AS (
+      SELECT vec_id AS q_id, cent_id FROM asn_ranked
+      WHERE vec_id % 50 = 0 AND crk <= 2
+    ),
+    cand AS (
+      SELECT p.q_id, a.vec_id AS c_id
+      FROM probe_cent p JOIN ivf_assign a ON a.cent_id = p.cent_id
+      WHERE a.vec_id != p.q_id
+    )
+"""
+
+
+@query(
+    "ann_ivf_topk",
+    oracle="WITH "
+    + lsh_xi_duck()
+    + _IVF_DUCK
+    + ","
+    + _PAIR_COS_BULK_DUCK_FWD
+    + """
+    SELECT q_id, c_id, cosine, rk FROM (
+      SELECT q_id, c_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+      FROM pair_cos
+    ) WHERE rk <= 5
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN — the inverted-file scale path alongside LSH:
+
+    1. Centroids are a deterministic corpus sample (vec_id % 25 == 7 —
+       medoid-style, so every computation stays in the exact
+       scaled-int representation; k-means float averaging would break
+       cross-engine determinism).
+    2. Every corpus vector is assigned to its nearest centroid by
+       exact cosine (argmax; centroids broadcast, one map-side-combined
+       aggregation of n·K partial products — the classic IVF build
+       cost, no corpus shuffle beyond the per-(vector, centroid) agg).
+    3. Probes (vec_id % 50 == 0) search only the nprobe=2 nearest
+       centroids' inverted lists; exact cosine + top-5 runs on those
+       candidates alone.
+
+    At 100 TB: the assignment table is linear in the corpus and
+    partitioned by cent_id, so each probe's candidate fetch is a
+    pruned equi-join on the centroid key rather than a corpus scan —
+    candidates per probe ≈ nprobe · n/K. Scale K with sqrt(n) (this
+    demo ties K = n/25 to keep the synthetic corpus lists non-trivial).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    xd = scoped_persist(_explode_scaled(e))
+    cent = xd.filter(F.col("vec_id") % 25 == 7).select(
+        F.col("vec_id").alias("cent_id"), "d", F.col("x").alias("cx")
+    )
+    normsq = xd.groupBy("vec_id").agg(
+        F.sum(F.col("x") * F.col("x")).alias("normsq_s")
+    )
+    dots = (
+        xd.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", "cent_id")
+        .agg(F.sum(F.col("x") * F.col("cx")).alias("dot_s"))
+    )
+    nv = normsq.select("vec_id", F.col("normsq_s").alias("a_ns"))
+    nc = normsq.select(
+        F.col("vec_id").alias("cent_id"), F.col("normsq_s").alias("b_ns")
+    )
+    asn_cos = (
+        dots.join(nv, "vec_id")
+        .join(F.broadcast(nc), "cent_id")
+        .select("vec_id", "cent_id", _cosine_expr().alias("cosine"))
+    )
+    wc = W.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("cent_id"))
+    ranked = asn_cos.withColumn("crk", F.row_number().over(wc))
+    assign = ranked.filter(F.col("crk") == 1).select("vec_id", "cent_id")
+    probe_cent = ranked.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("crk") <= 2)
+    ).select(F.col("vec_id").alias("q_id"), "cent_id")
+    # each corpus vector lives in exactly one inverted list, so the
+    # (q_id, c_id) pairs are already distinct — no dedup shuffle needed
+    cand = (
+        F.broadcast(probe_cent)
+        .join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("c_id"))
+    )
+    scored = _pair_cosine_bulk(e, cand, "q_id", "c_id", xd=xd)
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))

@@ -84,6 +84,95 @@ def sessionization_30m(spark, sf_dir):
 
 
 @query(
+    "asof_join_purchase_click",
+    oracle="""
+    WITH refs AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id, value
+      FROM events WHERE event_type = 'click'
+    ),
+    tgts AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT t.event_id, t.user_id, t.ts_us, t.value,
+             r.event_id AS r_eid, r.value AS r_val, r.ts_us AS r_ts_us,
+             ROW_NUMBER() OVER (PARTITION BY t.event_id
+                                ORDER BY r.ts_us DESC NULLS LAST, r.event_id DESC) AS rk
+      FROM tgts t LEFT JOIN refs r
+        ON r.user_id = t.user_id AND r.ts_us <= t.ts_us
+    )
+    SELECT event_id, user_id, ts_us,
+           CAST(value AS DOUBLE) AS purchase_value,
+           r_eid AS click_event_id,
+           CAST(r_val AS DOUBLE) AS click_value,
+           ts_us - r_ts_us AS gap_us
+    FROM j WHERE rk = 1
+    """,
+)
+def asof_join_purchase_click(spark, sf_dir):
+    """Backward as-of join: each purchase event picks the most recent
+    click (ts_click <= ts_purchase) by the same user — the canonical
+    attribution / last-touch operator Spark has no built-in for.
+
+    Implemented the scalable way: union the reference rows (side 0)
+    under the target rows (side 1) and take `last(..., ignorenulls)`
+    over a per-user window ordered by (ts, side, event_id) — ONE
+    shuffle on user_id and a linear window pass, versus the oracle's
+    O(refs × targets) per-user join which only a small engine can
+    afford. Ties: a click at exactly the purchase ts counts (side 0
+    sorts first), and among equal-ts clicks the largest event_id wins
+    (window order is ascending, `last` keeps the latest).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    refs = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("r_eid"),
+        F.col("value").alias("r_val"),
+        F.col("ts").alias("r_ts"),
+        F.lit(None).cast("double").alias("t_val"),
+    )
+    tgts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("r_eid"),
+        F.lit(None).cast("double").alias("r_val"),
+        F.lit(None).cast("timestamp").alias("r_ts"),
+        F.col("value").alias("t_val"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    u = refs.unionByName(tgts)
+    joined = u.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "side",
+        "t_val",
+        F.last("r_eid", ignorenulls=True).over(w).alias("click_event_id"),
+        F.last("r_val", ignorenulls=True).over(w).alias("click_value"),
+        F.last("r_ts", ignorenulls=True).over(w).alias("click_ts"),
+    )
+    return joined.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("t_val").alias("purchase_value"),
+        "click_event_id",
+        "click_value",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+
+
+@query(
     "event_value_quantiles",
     oracle="""
     SELECT event_type,
