@@ -73,6 +73,37 @@ def dedup_exact_hash(spark, sf_dir):
 
 
 @query(
+    "dedup_keep_first_records",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars, MD5(text) AS text_hash
+    FROM (
+      SELECT doc_id, lang, source, n_chars, text,
+             ROW_NUMBER() OVER (PARTITION BY MD5(text)
+                                ORDER BY doc_id) AS rk
+      FROM documents
+    ) WHERE rk = 1
+    """,
+)
+def dedup_keep_first_records(spark, sf_dir):
+    """Exact dedup that yields the surviving RECORDS (all payload
+    columns of the first copy), not group statistics: row_number over
+    a per-hash window, keep rank 1. One shuffle on the 128-bit hash —
+    same cost as the groupBy form but no self-join to recover the
+    keeper's other columns, which is how a production pipeline
+    materializes its deduplicated corpus.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "lang", "source", "n_chars", F.md5("text").alias("text_hash"))
+    )
+
+
+@query(
     "minhash_signatures",
     oracle=_SIG_DUCK + "SELECT * FROM sig",
 )

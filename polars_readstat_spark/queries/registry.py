@@ -64,6 +64,7 @@ def _ensure_loaded() -> None:
         nulls,
         relational,
         rowindex,
+        sampling,
         scanio,
         similarity,
         text,

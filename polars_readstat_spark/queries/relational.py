@@ -133,6 +133,108 @@ def q3_shipping_priority(spark, sf_dir):
 
 
 @query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_items
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H-Q5-style local supplier volume: the 6-table star join
+    (customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region) with
+    the correlated c_nationkey = s_nationkey predicate.
+
+    Scale shape: nation⋈region prune supplier down to one region
+    before anything big joins — supplier×nation broadcasts into the
+    fact join, so the only shuffles are orders⋈customer (on custkey)
+    and lineitem⋈orders (on orderkey); the year filter lands on the
+    orders scan as a pushed predicate. Revenue sums through DECIMAL
+    for order-independent exactness.
+    """
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    sn = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(sn),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "cube_status_priority",
+    oracle="""
+    SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+                ELSE o_orderstatus END AS orderstatus,
+           CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+                ELSE o_orderpriority END AS orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark, sf_dir):
+    """CUBE grouping sets: all 2^2 marginal totals of orders by
+    (status, priority) in one pass — Catalyst expands the cube into a
+    single hash aggregate with a grouping-id column (no re-scan per
+    grouping set), which is the scalable OLAP-rollup shape. GROUPING()
+    flags distinguish subtotal rows from genuine values.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        F.grouping("o_orderstatus").alias("g_status"),
+        F.grouping("o_orderpriority").alias("g_priority"),
+    )
+    return agg.select(
+        F.when(F.col("g_status") == 1, "ALL")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("orderstatus"),
+        F.when(F.col("g_priority") == 1, "ALL")
+        .otherwise(F.col("o_orderpriority"))
+        .alias("orderpriority"),
+        "n_orders",
+        "total_price",
+    )
+
+
+@query(
     "projection_pushdown",
     oracle="SELECT l_orderkey, l_quantity FROM lineitem",
 )

@@ -173,6 +173,118 @@ def asof_join_purchase_click(spark, sf_dir):
 
 
 @query(
+    "range_join_click_purchase_1h",
+    oracle="""
+    WITH tgts AS (
+      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    refs AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT t.event_id, t.user_id, t.ts_us,
+           COUNT(r.ts_us) AS n_clicks_1h,
+           CAST(COALESCE(SUM(CAST(r.value AS DECIMAL(18,2))),
+                         CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS click_value_sum
+    FROM tgts t LEFT JOIN refs r
+      ON r.user_id = t.user_id
+     AND r.ts_us <= t.ts_us
+     AND r.ts_us > t.ts_us - 3600000000
+    GROUP BY t.event_id, t.user_id, t.ts_us
+    """,
+)
+def range_join_click_purchase_1h(spark, sf_dir):
+    """Banded range join: for each purchase, count/sum same-user
+    clicks in the preceding hour — the interval-join operator Spark
+    has no built-in for, expressed the scalable way.
+
+    Instead of the oracle's inequality theta-join (O(refs × targets)
+    per user), clicks land in 1-hour epoch buckets and each purchase
+    probes exactly its own and the previous bucket (explode of a
+    2-element array), turning the range predicate into an equi-join on
+    (user_id, bucket) plus a residual filter. Shuffle volume is
+    2×targets + refs rows on a compound key — the band width equals
+    the bucket width, so candidate fan-in per probe is bounded by the
+    events in two buckets regardless of corpus size.
+    """
+    us_per_h = 3_600_000_000
+    ev = load_table(spark, sf_dir, "events")
+    refs = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("r_uid"),
+        F.unix_micros("ts").alias("r_ts_us"),
+        F.col("value").alias("r_val"),
+        (F.unix_micros("ts") / us_per_h).cast("long").alias("r_hb"),
+    )
+    tgts = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        .withColumn(
+            "hb",
+            F.explode(
+                F.array(
+                    (F.col("ts_us") / us_per_h).cast("long"),
+                    (F.col("ts_us") / us_per_h).cast("long") - 1,
+                )
+            ),
+        )
+    )
+    joined = tgts.join(
+        refs,
+        (F.col("r_uid") == F.col("user_id"))
+        & (F.col("hb") == F.col("r_hb"))
+        & (F.col("r_ts_us") <= F.col("ts_us"))
+        & (F.col("r_ts_us") > F.col("ts_us") - us_per_h),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id", "ts_us").agg(
+        F.count("r_ts_us").alias("n_clicks_1h"),
+        F.coalesce(F.sum(F.col("r_val").cast(DEC)), F.lit(0).cast(DEC))
+        .cast("double")
+        .alias("click_value_sum"),
+    )
+
+
+@query(
+    "window_lag_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+           ROW_NUMBER() OVER w AS seq,
+           epoch_us(CAST(ts AS TIMESTAMP))
+             - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us,
+           CAST(CAST(value AS DOUBLE)
+                - LAG(CAST(value AS DOUBLE)) OVER w AS DOUBLE) AS value_delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_delta(spark, sf_dir):
+    """Per-user event-over-event deltas: row_number + lag over one
+    per-user window — one shuffle on user_id, linear window pass, the
+    feature-engineering primitive for inter-event-time models. Window
+    order ties break on event_id so lag is deterministic. The delta is
+    a single IEEE subtraction (exact, order-independent), so doubles
+    compare bit-identically across engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        ts_us.alias("ts_us"),
+        F.row_number().over(w).alias("seq"),
+        (ts_us - F.lag(ts_us).over(w)).alias("gap_us"),
+        (F.col("value") - F.lag("value").over(w)).cast("double").alias("value_delta"),
+    )
+
+
+@query(
     "event_value_quantiles",
     oracle="""
     SELECT event_type,

@@ -104,3 +104,62 @@ def test_minhash_lsh_reuses_band_table(spark):
 def test_label_and_metadata_joins_broadcast(spark, name):
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan
+
+
+def test_q3_broadcasts_filtered_customer_segment(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # all three scans carry pushed predicates (segment + two dates)
+    assert "PushedFilters: [" in plan
+
+
+def test_q5_broadcasts_supplier_dim_chain(spark):
+    plan = plan_of(spark, "q5_local_supplier_volume")
+    # region→nation→supplier collapses to broadcast builds; the only
+    # sort-merge/shuffle joins are the two fact joins
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
+
+
+def test_cube_is_single_expand_aggregate(spark):
+    plan = plan_of(spark, "cube_status_priority")
+    # one Expand + one aggregate pass — not a union of re-scans
+    assert "Expand" in plan
+    assert "Union" not in plan
+    # formatted plans list each node in the tree and again in the
+    # details section, so a single scan appears exactly twice
+    assert plan.count("Scan parquet") == 2
+
+
+def test_range_join_is_banded_equijoin(spark):
+    plan = plan_of(spark, "range_join_click_purchase_1h")
+    # the bucket trick must keep this an equi-join: a theta-only join
+    # would appear as BroadcastNestedLoopJoin/CartesianProduct
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_asof_join_is_single_window_pass(spark):
+    plan = plan_of(spark, "asof_join_purchase_click")
+    # union + one window — no join at all on the big path
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_assignment_broadcasts_centroids(spark):
+    plan = plan_of(spark, "ann_ivf_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sample_filter_no_shuffle_before_agg(spark):
+    plan = plan_of(spark, "sample_hash_stratified")
+    # the sample itself is a map-side filter; the only exchange is the
+    # summary aggregation's
+    assert plan.count("Exchange") <= 2
+    assert "partial_" in plan
