@@ -250,16 +250,21 @@ def _explode_scaled(e):
     )
 
 
-def _pair_cosine_bulk(e, cand, a_col: str, b_col: str, xd=None):
+def _pair_cosine_bulk(e, cand, a_col: str, b_col: str, xd=None, normsq=None):
     """Exact cosine for an O(corpus) candidate set — the all-pairs
     shape: vectors explode once into (vec_id, d, x) scaled-int64 rows
     (the oracle's lsh_xi representation) and the dot is a codegen'd
     SUM(xa*xb) over two shuffle equi-joins. Nothing broadcasts —
     broadcasting an O(corpus) pair list would stream it through the
-    driver — and no interpreted array lambdas run per pair."""
+    driver — and no interpreted array lambdas run per pair. Callers
+    that already derived the exploded table / norms (e.g. for IVF
+    assignment) pass them in so the plan reuses one persisted scan."""
     if xd is None:
         xd = _explode_scaled(e)
-    normsq = xd.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("normsq_s"))
+    if normsq is None:
+        normsq = xd.groupBy("vec_id").agg(
+            F.sum(F.col("x") * F.col("x")).alias("normsq_s")
+        )
     xa = xd.select(F.col("vec_id").alias(a_col), "d", F.col("x").alias("xa"))
     xb = xd.select(F.col("vec_id").alias(b_col), "d", F.col("x").alias("xb"))
     na = normsq.select(F.col("vec_id").alias(a_col), F.col("normsq_s").alias("a_ns"))
@@ -448,7 +453,7 @@ def ann_ivf_topk(spark, sf_dir):
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", F.col("vec_id").alias("c_id"))
     )
-    scored = _pair_cosine_bulk(e, cand, "q_id", "c_id", xd=xd)
+    scored = _pair_cosine_bulk(e, cand, "q_id", "c_id", xd=xd, normsq=normsq)
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))

@@ -37,6 +37,38 @@ def text_token_count(spark, sf_dir):
     )
 
 
+# BPE-ish pre-tokenizer: letter runs | digit runs | any single
+# non-alphanumeric non-space mark. Plain character classes only, so
+# Java regex (Spark) and RE2 (DuckDB) agree exactly.
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@query(
+    "text_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           LEN(REGEXP_EXTRACT_ALL(text, '{_BPE_RE}')) AS n_bpe_tokens,
+           LEN(LIST_DISTINCT(REGEXP_EXTRACT_ALL(text, '{_BPE_RE}'))) AS n_distinct_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark, sf_dir):
+    """BPE-style pre-tokenization count — the token-budget estimator a
+    training pipeline runs before paying for a real BPE pass: letter
+    runs, digit runs, and punctuation marks each count as one token
+    (the GPT-2 pre-tokenizer's shape, minus the contractions table).
+    Pure regexp codegen, no UDF; distinct-token count doubles as a
+    cheap vocabulary-size proxy.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
 @query(
     "text_quality_score",
     oracle=f"""

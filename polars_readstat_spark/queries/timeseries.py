@@ -285,6 +285,46 @@ def window_lag_delta(spark, sf_dir):
 
 
 @query(
+    "salted_skew_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+           MIN(event_id) AS min_event_id
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_skew_agg(spark, sf_dir):
+    """Two-phase salted aggregation for skewed keys: events has only 5
+    event_type values, so at 100 TB a naive groupBy lands 1/5 of the
+    corpus on single reducers. Phase 1 aggregates on (event_type,
+    salt) with a 16-way deterministic salt — 80 evenly-sized partial
+    groups — then phase 2 re-aggregates the 80 partials on event_type
+    alone. Every aggregate here is re-aggregatable (count→sum,
+    sum→sum, min→min), which is the condition for the pattern; the
+    second shuffle moves 80 rows, not 100 TB.
+
+    (Spark's AQE skew handling covers skewed *joins*; skewed
+    *aggregations* still need the salt, hence the explicit operator.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    phase1 = (
+        ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("n_p"),
+            F.sum(F.col("value").cast(DEC)).alias("sum_p"),
+            F.min("event_id").alias("min_p"),
+        )
+    )
+    return phase1.groupBy("event_type").agg(
+        F.sum("n_p").alias("n"),
+        F.sum("sum_p").cast("double").alias("value_sum"),
+        F.min("min_p").alias("min_event_id"),
+    )
+
+
+@query(
     "event_value_quantiles",
     oracle="""
     SELECT event_type,

@@ -36,6 +36,12 @@ def get_spark(app: str = "polars_readstat_spark", cpus: int | None = None) -> Sp
         # let the readstat data source accept pushed filters (applied
         # per Arrow batch inside the Python worker)
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # keep metastore/warehouse artifacts out of the repo cwd
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Dderby.system.home=/tmp/spark_graft_derby",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -165,6 +165,25 @@ def sessionize_stateful(
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each
+    event_id, with state bounded by the watermark —
+    `dropDuplicatesWithinWatermark` keeps a key in the state store
+    only until the watermark passes its event time, so state is
+    O(events per watermark horizon) instead of O(all history). The
+    batch twin is a plain dropDuplicates on the key.
+
+    This is the streaming half of the pipeline dedup story
+    (queries/dedup.py): at-least-once sources (Kafka, file redelivery)
+    feed through this before any downstream aggregation double-counts.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_available_now(stream_df: DataFrame, query_name: str):
     """Drain everything currently available through a memory sink and
     return the collected rows — the test/bench driver for the
@@ -182,7 +201,11 @@ def run_available_now(stream_df: DataFrame, query_name: str):
 
 
 def _has_agg_complete(df: DataFrame) -> bool:
-    # session_window / applyInPandasWithState require append;
+    # session_window / applyInPandasWithState / dedup require append;
     # plain windowed aggregation drains fully under complete
     plan = df._jdf.queryExecution().logical().toString()
-    return "sessionWindow" not in plan and "FlatMapGroupsInPandasWithState" not in plan
+    return (
+        "sessionWindow" not in plan
+        and "FlatMapGroupsInPandasWithState" not in plan
+        and "Deduplicate" not in plan
+    )

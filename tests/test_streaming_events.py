@@ -142,6 +142,51 @@ def test_session_window_stream(spark, events_dir):
         assert batch.get((r.user_id, r.session_start_s)) == r.n_events
 
 
+@pytest.fixture(scope="module")
+def dup_events_dir(spark, tmp_path_factory):
+    """The events table split into 3 chunks, each written TWICE (the
+    at-least-once redelivery shape a streaming dedup must absorb)."""
+    from polars_readstat_spark.tables import load_table
+
+    d = tmp_path_factory.mktemp("events_stream_dup")
+    ev = load_table(spark, SF, "events").orderBy("ts")
+    pdf = ev.toPandas()
+    chunk = len(pdf) // 3 + 1
+    k = 0
+    for i in range(3):
+        part = pdf.iloc[i * chunk : (i + 1) * chunk]
+        if len(part) == 0:
+            continue
+        for rep in range(2):
+            p = str(d / f"chunk_{i}_{rep}.parquet")
+            part.to_parquet(
+                p, coerce_timestamps="us", allow_truncated_timestamps=True
+            )
+            os.utime(p, (time.time() + k, time.time() + k))
+            k += 1
+    return str(d)
+
+
+def test_dedup_within_watermark_absorbs_redelivery(spark, dup_events_dir):
+    """Every event arrives twice (adjacent micro-batches); the
+    watermarked dedup must emit each event_id exactly once and in
+    total match the batch distinct count."""
+    from polars_readstat_spark.streaming.events import (
+        dedup_within_watermark,
+        run_available_now,
+    )
+    from polars_readstat_spark.tables import load_table
+
+    out = run_available_now(
+        dedup_within_watermark(_stream(spark, dup_events_dir)),
+        "dedup_mem",
+    )
+    ids = [r.event_id for r in out.select("event_id").collect()]
+    assert len(ids) == len(set(ids))
+    want = load_table(spark, SF, "events").select("event_id").distinct().count()
+    assert len(ids) == want
+
+
 def test_stateful_sessionizer(spark, events_dir):
     """applyInPandasWithState custom sessionizer: every emitted closed
     session matches the batch session_window oracle (start floored to
