@@ -579,3 +579,45 @@ def running_revenue_window(spark, sf_dir):
             "prev_qty"
         ),
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1999-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H-Q6-style forecast-revenue: tight conjunctive filter over
+    the fact table feeding a single global sum — the canonical
+    predicate-pushdown + map-side-combine probe (reference exercises it
+    through its host-engine filter/agg surface, SURVEY.md §2.9).
+
+    Scale shape: every predicate reaches the parquet scan (min/max
+    row-group skipping does real work on l_shipdate/l_discount); the
+    aggregate is a partial-final pair carrying one row per partition.
+    DECIMAL accumulation keeps the sum exact and order-independent.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit("1998-01-01").cast("date"))
+            & (F.to_date("l_shipdate") < F.lit("1999-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

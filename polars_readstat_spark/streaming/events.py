@@ -28,6 +28,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 EVENT_SCHEMA = StructType(
@@ -45,14 +46,41 @@ def stream_events_dir(spark: SparkSession, directory: str) -> DataFrame:
     """File-stream source over a directory of events parquet files
     (the test-table schema, TESTDATA.md). New files appearing in the
     directory flow through incrementally — the Spark-native analogue
-    of tailing a drop folder."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .format("parquet")
-        .load(directory)
+    of tailing a drop folder.
+
+    Streaming sources need a declared schema, so one file's footer is
+    probed driver-side to pick the ts layout: TIMESTAMP(NANOS) files
+    stream as long + ns→µs conversion (legacy conf), TIMESTAMP(MICROS)
+    files stream as timestamp directly (NTZ inference off, so the raw
+    stored micros become epoch-µs — same semantics as tables.load_table).
+    """
+    ts_unit = "us"
+    try:  # schema probe: any one footer decides (files share a writer)
+        import glob
+
+        import pyarrow.parquet as pq
+
+        sample = sorted(glob.glob(f"{directory}/*.parquet"))
+        if sample:
+            ts_unit = pq.read_schema(sample[0]).field("ts").type.unit
+    except Exception:
+        pass
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    if ts_unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .format("parquet")
+            .load(directory)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema = StructType(
+        [
+            f if f.name != "ts" else StructField("ts", TimestampType())
+            for f in EVENT_SCHEMA.fields
+        ]
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.readStream.schema(schema).format("parquet").load(directory)
 
 
 def hourly_window(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

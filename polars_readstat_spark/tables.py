@@ -1,10 +1,13 @@
 """Loaders for the driver-provided parquet test tables (TESTDATA.md).
 
 All tables load with the plain JVM parquet scan (columnar, predicate /
-projection pushdown intact). The one wrinkle is ``events``: the file
-stores TIMESTAMP(NANOS) which Spark's vectorized reader rejects, so we
-read it with ``spark.sql.legacy.parquet.nanosAsLong=true`` and convert
-ns→µs in-plan (stays inside WholeStageCodegen; no Python involved).
+projection pushdown intact). The one wrinkle is ``events``: depending
+on generator version the file stores ts as TIMESTAMP(NANOS) — which
+Spark's vectorized reader rejects, handled via
+``spark.sql.legacy.parquet.nanosAsLong=true`` + in-plan ns→µs — or
+TIMESTAMP(MICROS) not-UTC-adjusted, handled by disabling NTZ inference
+so the stored value arrives as tz-independent epoch-µs TIMESTAMP.
+Both conversions stay inside WholeStageCodegen; no Python involved.
 """
 
 from __future__ import annotations
@@ -31,7 +34,15 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        # The events file has stored ts as TIMESTAMP(NANOS) (older
+        # generator) or TIMESTAMP(MICROS, not-UTC-adjusted) (current).
+        # Read it with NTZ inference off so a micros column arrives as
+        # TIMESTAMP carrying the raw stored value as epoch-µs — the
+        # same semantics DuckDB's naive read gives the oracle, and
+        # independent of the session timezone (an NTZ→LTZ cast would
+        # shift by the session offset; this path never does).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         df = spark.read.parquet(path)
         # ts arrives as long ns-since-epoch under the legacy conf.
         if dict(df.dtypes).get("ts") == "bigint":
