@@ -266,3 +266,90 @@ def simhash_fingerprint(spark, sf_dir):
         for b in range(16)
     ]
     return tok.groupBy("doc_id").agg(F.concat(*bits).alias("simhash"))
+
+
+_PAIRS_DUCK = """
+    , bands AS (
+      SELECT doc_id, 0 AS band_idx, MD5(h0 || h1) AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, MD5(h2 || h3) FROM sig
+      UNION ALL SELECT doc_id, 2, MD5(h4 || h5) FROM sig
+      UNION ALL SELECT doc_id, 3, MD5(h6 || h7) FROM sig
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+"""
+
+
+@query(
+    "dedup_connected_components",
+    oracle=_SIG_DUCK.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + _PAIRS_DUCK
+    + """
+    , edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node AS doc_id, MIN(label) AS component_id,
+           node = MIN(label) AS is_keeper
+    FROM walk GROUP BY node
+    """,
+)
+def dedup_connected_components(spark, sf_dir):
+    """Near-dup clustering: connected components over the MinHash-LSH
+    pair graph, assigning every document the min doc_id reachable
+    through candidate-pair edges — the stage that turns pairwise
+    near-dup hits into dedup groups with one keeper each (the endgame
+    of a corpus-dedup pipeline; singletons keep their own id).
+
+    Spark-side this is iterative min-label propagation, the Pregel
+    shape expressed in DataFrames: each round joins current labels to
+    the edge list, takes the per-node MIN of own + neighbor labels,
+    and localCheckpoints to truncate lineage. Convergence is detected
+    by an exact DECIMAL sum of labels (strictly decreasing until
+    fixpoint — one 1-row action per round, no collect of node data).
+    Rounds = graph diameter; each round is one shuffle on node id.
+    At 100 TB the same loop holds (labels are 2 longs/node and edges
+    are bounded by the LSH band joins); diameters of near-dup graphs
+    are small, and the alternating large-star/small-star variant of
+    exactly this loop is the published scale-out when they are not.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst")
+    lbl = d.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    ).localCheckpoint(eager=True)
+    prev_sum = None
+    for _ in range(50):  # diameter cap; near-dup graphs converge in a few
+        msgs = edges.join(lbl, edges.src == lbl.node).select(
+            F.col("dst").alias("node"), "label"
+        )
+        lbl = (
+            lbl.union(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = lbl.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0].s
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return lbl.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("component_id"),
+        (F.col("node") == F.col("label")).alias("is_keeper"),
+    )

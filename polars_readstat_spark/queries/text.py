@@ -160,3 +160,42 @@ def doc_fingerprint(spark, sf_dir):
     return d.select(
         "doc_id", F.md5(F.concat(prefix, F.lit(":"), bucket)).alias("fingerprint")
     )
+
+
+@query(
+    "text_ngram_topk",
+    oracle="""
+    WITH tok AS (SELECT STRING_SPLIT(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
+                    i -> ARRAY_TO_STRING(t[i:i+1], ' '))) AS bigram
+      FROM tok
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def text_ngram_topk(spark, sf_dir):
+    """Corpus-level top-k n-grams (bigrams): the vocabulary/phrase
+    statistic every corpus build reports. Explode adjacent-token
+    pairs, hash-aggregate counts (map-side combinable: the shuffle
+    carries one row per distinct bigram per partition), then a global
+    TakeOrderedAndProject for the top 20 — no single-partition window,
+    so the plan survives any corpus size. Ties break on the bigram
+    string for engine-exact ordering.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "CASE WHEN size(split(text, ' ')) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 2))) END"
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )

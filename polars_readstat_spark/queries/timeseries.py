@@ -348,3 +348,34 @@ def event_value_quantiles(spark, sf_dir):
         F.min("value").cast("double").alias("min_value"),
         F.max("value").cast("double").alias("max_value"),
     )
+
+
+@query(
+    "event_value_histogram",
+    oracle="""
+    SELECT CAST(LEAST(FLOOR(value / 25.0), 19) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY CAST(LEAST(FLOOR(value / 25.0), 19) AS BIGINT)
+    """,
+)
+def event_value_histogram(spark, sf_dir):
+    """Fixed-width histogram over the event value distribution
+    (20 buckets of width 25, top bucket open-ended): the profiling
+    primitive behind dashboards and data-quality checks. Pure
+    hash-aggregate on a computed key — map-side combinable, shuffle
+    carries ≤20 rows per partition at any scale. DECIMAL sum keeps
+    per-bucket totals exact and order-independent.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 25.0), F.lit(19)).cast("bigint")
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "value_sum"
+            ),
+        )
+    )

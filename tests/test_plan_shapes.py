@@ -163,3 +163,42 @@ def test_sample_filter_no_shuffle_before_agg(spark):
     # summary aggregation's
     assert plan.count("Exchange") <= 2
     assert "partial_" in plan
+
+
+def test_ngram_topk_is_take_ordered_not_window(spark):
+    plan = plan_of(spark, "text_ngram_topk")
+    # global top-k must compile to TakeOrderedAndProject — a rank
+    # window over one partition would serialize the whole vocabulary
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "partial_" in plan
+
+
+def test_value_histogram_partial_agg(spark):
+    plan = plan_of(spark, "event_value_histogram")
+    assert "partial_" in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_connected_components_converges_and_labels_consistently(spark):
+    from pyspark.sql import functions as F
+
+    from polars_readstat_spark.queries.dedup import (
+        dedup_connected_components,
+        minhash_lsh_pairs,
+    )
+
+    comp = dedup_connected_components(spark, SF_SMALL)
+    rows = comp.collect()
+    label = {r.doc_id: r.component_id for r in rows}
+    # every doc labeled, component ids are member min
+    assert all(lbl <= d for d, lbl in label.items())
+    by_comp: dict = {}
+    for d, lbl in label.items():
+        by_comp.setdefault(lbl, []).append(d)
+    assert all(min(members) == lbl for lbl, members in by_comp.items())
+    # keeper flag matches
+    assert all(r.is_keeper == (r.doc_id == r.component_id) for r in rows)
+    # both ends of every candidate edge share a component
+    for e in minhash_lsh_pairs(spark, SF_SMALL).collect():
+        assert label[e.doc_a] == label[e.doc_b]
