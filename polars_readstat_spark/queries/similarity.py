@@ -502,3 +502,73 @@ def dedup_embedding_cosine(spark, sf_dir):
     return _pair_cosine_bulk(e, cand, "vec_a", "vec_b").filter(
         F.col("cosine") >= 0.35
     )
+
+
+@query(
+    "kmeans_update_step",
+    oracle="WITH "
+    + lsh_xi_duck()
+    + _IVF_DUCK
+    + f"""
+    SELECT a.cent_id, v.d,
+           CAST(SUM(v.x) AS DOUBLE) / {_SCALE}.0 / COUNT(*) AS new_x,
+           COUNT(*) AS n_members
+    FROM ivf_assign a JOIN lsh_xi v ON v.vec_id = a.vec_id
+    GROUP BY a.cent_id, v.d
+    """,
+)
+def kmeans_update_step(spark, sf_dir):
+    """One exact Lloyd (k-means) update step — the IVF-training
+    primitive: assign every vector to its nearest seed centroid
+    (vec_id % 25 == 7, the same deterministic seeds ann_ivf_topk
+    probes), then recompute each centroid as the member mean per
+    dimension.
+
+    The mean stays engine-exact because members' scaled-int dims sum
+    in BIGINT (associative, order-independent) and only the final
+    division is floating point — identical expression order on both
+    engines. Scale shape: assignment is the IVF build (centroids
+    broadcast, map-side-combined partial products, no corpus shuffle);
+    the update is one combinable aggregation on (cent_id, d) whose
+    output is K·dims rows regardless of corpus size. A full k-means
+    run is this step in a driver loop with localCheckpoint, exactly
+    like dedup_connected_components' propagation rounds.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    xd = scoped_persist(_explode_scaled(e))
+    cent = xd.filter(F.col("vec_id") % 25 == 7).select(
+        F.col("vec_id").alias("cent_id"), "d", F.col("x").alias("cx")
+    )
+    normsq = xd.groupBy("vec_id").agg(
+        F.sum(F.col("x") * F.col("x")).alias("normsq_s")
+    )
+    dots = (
+        xd.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", "cent_id")
+        .agg(F.sum(F.col("x") * F.col("cx")).alias("dot_s"))
+    )
+    nv = normsq.select("vec_id", F.col("normsq_s").alias("a_ns"))
+    nc = normsq.select(
+        F.col("vec_id").alias("cent_id"), F.col("normsq_s").alias("b_ns")
+    )
+    asn_cos = (
+        dots.join(nv, "vec_id")
+        .join(F.broadcast(nc), "cent_id")
+        .select("vec_id", "cent_id", _cosine_expr().alias("cosine"))
+    )
+    wc = W.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("cent_id"))
+    assign = (
+        asn_cos.withColumn("crk", F.row_number().over(wc))
+        .filter(F.col("crk") == 1)
+        .select("vec_id", "cent_id")
+    )
+    return (
+        xd.join(assign, "vec_id")
+        .groupBy("cent_id", "d")
+        .agg(
+            (
+                F.sum("x").cast("double") / float(_SCALE) / F.count(F.lit(1))
+            ).alias("new_x"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
