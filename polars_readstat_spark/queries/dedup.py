@@ -325,9 +325,16 @@ def dedup_connected_components(spark, sf_dir):
     """
     d = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst")
+    # materialize the edge list once: every propagation round joins it,
+    # and without this each round would re-run the whole shingle→
+    # minhash→band-self-join pipeline upstream of `pairs`
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)
+    )
     lbl = d.select(
         F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
     ).localCheckpoint(eager=True)
