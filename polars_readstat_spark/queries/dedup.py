@@ -360,3 +360,67 @@ def dedup_connected_components(spark, sf_dir):
         F.col("label").alias("component_id"),
         (F.col("node") == F.col("label")).alias("is_keeper"),
     )
+
+
+@query(
+    "corpus_clean_pipeline",
+    oracle=_SIG_DUCK.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + _PAIRS_DUCK
+    + """
+    , edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(label) AS component_id
+             FROM walk GROUP BY node),
+    quality AS (
+      SELECT doc_id, lang, source,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+                 / LEN(STRING_SPLIT(text, ' ')) AS distinct_ratio
+      FROM documents
+    )
+    SELECT q.doc_id, q.lang, q.source, q.n_tokens, q.distinct_ratio
+    FROM quality q JOIN comp c ON c.doc_id = q.doc_id
+    WHERE c.doc_id = c.component_id
+      AND q.n_tokens >= 15 AND q.distinct_ratio >= 0.30
+    """,
+)
+def corpus_clean_pipeline(spark, sf_dir):
+    """End-to-end corpus cleaning — the composite every LLM training
+    pipeline runs before tokenization, here as ONE declared plan:
+
+    1. near-dup grouping: connected components over the MinHash-LSH
+       pair graph (exact duplicates share every band, so they land in
+       the same component — no separate exact-dedup pass needed);
+    2. keeper selection: min doc_id per component survives;
+    3. quality gate: minimum length (n_tokens >= 15) and vocabulary
+       diversity (distinct_ratio >= 0.30) filters on the survivors.
+
+    Composes dedup_connected_components (iterative label propagation)
+    with the text_quality_score expressions; the quality filter is
+    pure Catalyst and prunes before the keeper equi-join, so at 100 TB
+    the expensive part stays the LSH band join the components already
+    paid for — cleaning adds one broadcast-sized join of keeper labels
+    back to the filtered corpus."""
+    comp = dedup_connected_components(spark, sf_dir)
+    keepers = comp.filter(F.col("is_keeper")).select("doc_id")
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    quality = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tok.alias("n_tokens"),
+        distinct_ratio.alias("distinct_ratio"),
+    ).filter((F.col("n_tokens") >= 15) & (F.col("distinct_ratio") >= 0.30))
+    return quality.join(keepers, "doc_id").select(
+        "doc_id", "lang", "source", "n_tokens", "distinct_ratio"
+    )
