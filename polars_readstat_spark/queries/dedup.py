@@ -424,3 +424,46 @@ def corpus_clean_pipeline(spark, sf_dir):
     return quality.join(keepers, "doc_id").select(
         "doc_id", "lang", "source", "n_tokens", "distinct_ratio"
     )
+
+
+@query(
+    "dedup_edit_distance_verify",
+    oracle=_SIG_DUCK
+    + _PAIRS_DUCK
+    + """
+    SELECT p.doc_a, p.doc_b,
+           levenshtein(da.text, db.text) AS edit_dist,
+           1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+               / GREATEST(LENGTH(da.text), LENGTH(db.text)) AS edit_sim
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    """,
+)
+def dedup_edit_distance_verify(spark, sf_dir):
+    """Edit-distance verification of LSH candidate pairs: exact
+    Levenshtein on the candidate set only — the character-level
+    sibling of the token-Jaccard verify, used when near-dups differ by
+    small in-place edits. The O(len²) distance runs on |candidates|
+    pairs (LSH-bounded), never all pairs; the two doc-text fetch joins
+    shuffle on doc_id, and at 100 TB the pair list is the small side —
+    broadcast when it fits, shuffle-join when it doesn't (AQE picks)."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    d = load_table(spark, sf_dir, "documents")
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    dist = F.levenshtein("text_a", "text_b")
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.alias("edit_dist"),
+            (
+                F.lit(1.0)
+                - dist.cast("double")
+                / F.greatest(F.length("text_a"), F.length("text_b"))
+            ).alias("edit_sim"),
+        )
+    )

@@ -621,3 +621,37 @@ def q6_forecast_revenue(spark, sf_dir):
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "intersect_except_user_sets",
+    oracle="""
+    SELECT 'both' AS grp, COUNT(*) AS n FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    UNION ALL
+    SELECT 'click_only' AS grp, COUNT(*) AS n FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    """,
+)
+def intersect_except_user_sets(spark, sf_dir):
+    """INTERSECT / EXCEPT set algebra over user cohorts (clickers vs
+    purchasers) — the audience-overlap primitives. Both compile to
+    hash-aggregate + join shapes (one shuffle per side on user_id);
+    counts make the result order-free.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    both = clicks.intersect(buys).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("grp"), "n"
+    )
+    only = clicks.distinct().exceptAll(buys.distinct()).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("click_only").alias("grp"), "n")
+    return both.union(only)

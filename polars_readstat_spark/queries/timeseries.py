@@ -379,3 +379,34 @@ def event_value_histogram(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "event_props_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_props_json_extract(spark, sf_dir):
+    """Semi-structured payload extraction: pull a typed field out of
+    the JSON `props` column and aggregate it per event type — the
+    log-analytics staple. `get_json_object` is a Catalyst expression
+    (codegen'd JSON path evaluation, no Python), and the integer
+    aggregates are exact; at scale the extraction is map-side work
+    that fuses into the scan stage, so the shuffle carries only the
+    per-type partials.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("k_sum"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+    )
