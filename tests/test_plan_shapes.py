@@ -202,3 +202,33 @@ def test_connected_components_converges_and_labels_consistently(spark):
     # both ends of every candidate edge share a component
     for e in minhash_lsh_pairs(spark, SF_SMALL).collect():
         assert label[e.doc_a] == label[e.doc_b]
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "event_props_json_extract",
+        "intersect_except_user_sets",
+        "dedup_edit_distance_verify",
+        "corpus_clean_pipeline",
+        "kmeans_update_step",
+        "q6_forecast_revenue",
+        "event_value_histogram",
+    ],
+)
+def test_new_queries_no_degenerate_joins(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_json_extract_partial_agg_fuses_into_scan(spark):
+    plan = plan_of(spark, "event_props_json_extract")
+    assert "partial_" in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_q6_pushes_all_filters(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    assert "partial_" in plan
