@@ -655,3 +655,78 @@ def intersect_except_user_sets(spark, sf_dir):
         F.count(F.lit(1)).alias("n")
     ).select(F.lit("click_only").alias("grp"), "n")
     return both.union(only)
+
+
+@query(
+    "customer_spend_quartiles",
+    oracle="""
+    SELECT o_custkey, total_spend, spend_quartile, pct_rank FROM (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+             NTILE(4) OVER (ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,2))) DESC,
+                            o_custkey) AS spend_quartile,
+             PERCENT_RANK() OVER (ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,2))) DESC,
+                                  o_custkey) AS pct_rank
+      FROM orders GROUP BY o_custkey
+    ) WHERE o_custkey % 10 = 0
+    """,
+)
+def customer_spend_quartiles(spark, sf_dir):
+    """Distribution ranking: per-customer spend bucketed into NTILE
+    quartiles with PERCENT_RANK — the cohort-scoring shape. The
+    aggregate is combinable; the global ranking window is the one
+    deliberate single-ordering pass (rank semantics require it), with
+    a deterministic (spend DESC, custkey) order so both engines tile
+    identically. The final sample filter keeps the declared result
+    bounded.
+    """
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).alias("spend_dec")
+    )
+    w = W.orderBy(F.col("spend_dec").desc(), "o_custkey")
+    return (
+        spend.select(
+            "o_custkey",
+            F.col("spend_dec").cast("double").alias("total_spend"),
+            F.ntile(4).over(w).alias("spend_quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+        )
+        .filter(F.col("o_custkey") % 10 == 0)
+    )
+
+
+@query(
+    "orders_monthly_rollup",
+    oracle="""
+    SELECT strftime(DATE_TRUNC('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+               AS month_start,
+           o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def orders_monthly_rollup(spark, sf_dir):
+    """Calendar rollup: truncate order timestamps to month boundaries
+    and aggregate per (month, status) — the continuous-aggregate /
+    hypertable-rollup shape. date_trunc is a map-side expression, the
+    aggregate is combinable, and the month string keeps timestamp
+    semantics out of the comparator.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_format(
+                F.date_trunc("month", F.to_date("o_orderdate")), "yyyy-MM-dd"
+            ).alias("month_start"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )
