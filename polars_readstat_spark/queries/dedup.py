@@ -311,51 +311,22 @@ def dedup_connected_components(spark, sf_dir):
     near-dup hits into dedup groups with one keeper each (the endgame
     of a corpus-dedup pipeline; singletons keep their own id).
 
-    Spark-side this is iterative min-label propagation, the Pregel
-    shape expressed in DataFrames: each round joins current labels to
-    the edge list, takes the per-node MIN of own + neighbor labels,
-    and localCheckpoints to truncate lineage. Convergence is detected
-    by an exact DECIMAL sum of labels (strictly decreasing until
-    fixpoint — one 1-row action per round, no collect of node data).
-    Rounds = graph diameter; each round is one shuffle on node id.
-    At 100 TB the same loop holds (labels are 2 longs/node and edges
-    are bounded by the LSH band joins); diameters of near-dup graphs
-    are small, and the alternating large-star/small-star variant of
-    exactly this loop is the published scale-out when they are not.
+    Delegates to functions/graph.py `connected_components` — the
+    general min-label-propagation loop (see its module docstring for
+    the scale analysis); this query wires it to the LSH pair graph
+    over `documents` and derives the keeper flag.
     """
+    from polars_readstat_spark.functions.graph import connected_components
+
     d = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    # materialize the edge list once: every propagation round joins it,
-    # and without this each round would re-run the whole shingle→
-    # minhash→band-self-join pipeline upstream of `pairs`
-    edges = (
-        pairs.union(
-            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        )
-        .toDF("src", "dst")
-        .localCheckpoint(eager=True)
+    comp = connected_components(
+        pairs,
+        src="doc_a",
+        dst="doc_b",
+        nodes=d.select(F.col("doc_id").alias("node")),
     )
-    lbl = d.select(
-        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
-    ).localCheckpoint(eager=True)
-    prev_sum = None
-    for _ in range(50):  # diameter cap; near-dup graphs converge in a few
-        msgs = edges.join(lbl, edges.src == lbl.node).select(
-            F.col("dst").alias("node"), "label"
-        )
-        lbl = (
-            lbl.union(msgs)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = lbl.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0].s
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    return lbl.select(
+    return comp.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("component_id"),
         (F.col("node") == F.col("label")).alias("is_keeper"),

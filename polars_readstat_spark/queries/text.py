@@ -125,8 +125,9 @@ def text_lang_id_score(spark, sf_dir):
     """Language-ID scoring: English function-word hit rate → threshold
     classifier. (The synthetic corpus shares one vocabulary across its
     `lang` tags, so accuracy against `lang` is meaningless here; the
-    deterministic scoring pipeline is what's under test. The real
-    n-gram profiles live in functions/text.py.)"""
+    deterministic scoring pipeline is what's under test — swap the
+    stopword array for per-language function-word or n-gram profiles
+    to extend it to more languages.)"""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     sw = F.array([F.lit(s) for s in _STOPWORDS])
