@@ -22,6 +22,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _snap_persistent(sc):
+    """Map of currently-persisted RDDs (id -> JavaRDD), {} on failure."""
+    try:
+        m = sc._jsc.getPersistentRDDs()
+        return {int(k): m.get(k) for k in m.keySet().toArray()}
+    except Exception:
+        return {}
+
+
+def _free(rdds) -> None:
+    for r in rdds:
+        try:
+            r.unpersist(False)
+        except Exception:
+            pass
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -40,35 +57,49 @@ def connected_components(
     there come back as singleton components. Node ids must be numeric
     (labels propagate through MIN and the convergence test sums them).
     """
-    und = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
-        .localCheckpoint(eager=True)
+    sc = edges.sparkSession.sparkContext
+
+    def checkpoint(df):
+        """localCheckpoint + the persisted blocks it created, so a
+        superseded table's blocks can be freed precisely. A long
+        session (the driver's verify loop builds every registry query
+        in one SparkSession) then holds two checkpointed tables — the
+        edge list and the live labels — not one per round."""
+        before = set(_snap_persistent(sc))
+        out = df.localCheckpoint(eager=True)
+        blocks = [
+            r for i, r in _snap_persistent(sc).items() if i not in before
+        ]
+        return out, blocks
+
+    und, _ = checkpoint(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).union(
+            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+        )
     )
     universe = und.select(F.col("src").alias(node_col))
     if nodes is not None:
         universe = universe.union(nodes.select(F.col(node_col)))
-    lbl = (
-        universe.distinct()
-        .select(F.col(node_col).alias("node"), F.col(node_col).alias("label"))
-        .localCheckpoint(eager=True)
+    lbl, lbl_blocks = checkpoint(
+        universe.distinct().select(
+            F.col(node_col).alias("node"), F.col(node_col).alias("label")
+        )
     )
     prev_sum = None
     for _ in range(max_rounds):
         msgs = und.join(lbl, und.src == lbl.node).select(
             F.col("dst").alias("node"), "label"
         )
-        lbl = (
-            lbl.union(msgs)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+        lbl_new, new_blocks = checkpoint(
+            lbl.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
         )
         cur_sum = (
-            lbl.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
+            lbl_new.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
             .collect()[0]
             .s
         )
+        _free(lbl_blocks)  # superseded round's label blocks
+        lbl, lbl_blocks = lbl_new, new_blocks
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
