@@ -104,3 +104,118 @@ def connected_components(
             break
         prev_sum = cur_sum
     return lbl.select(F.col("node").alias(node_col), "label")
+
+
+def _sym(e: DataFrame) -> DataFrame:
+    """Symmetric closure (u,v)+(v,u), self-loops dropped."""
+    return (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """large-star: connect every strictly-larger neighbor of u to the
+    min of N(u) ∪ {u} (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", algorithm published by Google Research).
+    Input and output are symmetric edge sets."""
+    m = e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    out = (
+        e.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return _sym(out)
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """small-star: point every node and its smaller neighbors at the
+    minimum of that closed neighborhood. Input symmetric; output is
+    the directed star edge set (larger → smaller), re-symmetrized."""
+    pt = e.filter(F.col("v") < F.col("u"))  # keep larger→smaller arcs
+    m = pt.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    nbr = (
+        pt.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(m.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return _sym(nbr)
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    node_col: str = "node",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """`connected_components` by alternating large-star/small-star —
+    same contract and result (node, label=component min), converging
+    in O(log n) rounds instead of O(diameter). Use when components can
+    be long chains (web graphs, transaction link graphs); for shallow
+    near-dup graphs the plain propagation loop does fewer shuffles.
+
+    Each round is two grouped aggregations + joins on node id; the
+    edge set contracts toward stars so per-round volume shrinks.
+    Convergence = edge-set fixpoint, checked with an exact
+    order-independent checksum (sum of per-edge hashes) — a 1-row
+    action per round.
+    """
+    sc = edges.sparkSession.sparkContext
+
+    def checkpoint(df):
+        before = set(_snap_persistent(sc))
+        out = df.localCheckpoint(eager=True)
+        blocks = [
+            r for i, r in _snap_persistent(sc).items() if i not in before
+        ]
+        return out, blocks
+
+    def checksum(e):
+        row = e.agg(
+            F.sum(
+                F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        return (row.s, row.n)
+
+    e, e_blocks = checkpoint(
+        _sym(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    )
+    prev = None
+    for _ in range(max_rounds):
+        e_new, new_blocks = checkpoint(_small_star(_large_star(e)))
+        cur = checksum(e_new)
+        _free(e_blocks)
+        e, e_blocks = e_new, new_blocks
+        if cur == prev:
+            break
+        prev = cur
+    # converged stars: every non-root points at its component min
+    lbl = e.filter(F.col("v") < F.col("u")).select(
+        F.col("u").alias("node"), F.col("v").alias("label")
+    )
+    roots = (
+        _sym(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+        .select(F.col("u").alias("node"))
+        .distinct()
+        .join(lbl, "node", "left_anti")
+        .select("node", F.col("node").alias("label"))
+    )
+    out = lbl.union(roots)
+    if nodes is not None:
+        extra = (
+            nodes.select(F.col(node_col).alias("node"))
+            .distinct()
+            .join(out.select("node"), "node", "left_anti")
+            .select("node", F.col("node").alias("label"))
+        )
+        out = out.union(extra)
+    return out.select(F.col("node").alias(node_col), "label")

@@ -29,3 +29,43 @@ def test_connected_components_long_path_converges(spark):
     labels = {r.label for r in out.collect()}
     assert labels == {100}
     assert out.count() == 12
+
+
+def test_star_equivalent_to_propagation_on_random_graphs(spark):
+    import random
+
+    from polars_readstat_spark.functions.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n = 60
+        n_edges = (8, 25, 60, 120)[trial]
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(n_edges)
+        ]
+        edges = [(a + 1000, b + 1000) for a, b in edges if a != b]
+        if not edges:
+            edges = [(1001, 1002)]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        prop = {r.node: r.label for r in connected_components(e).collect()}
+        star = {
+            r.node: r.label for r in connected_components_star(e).collect()
+        }
+        assert star == prop, f"trial {trial}: star != propagation"
+
+
+def test_star_long_chain(spark):
+    from polars_readstat_spark.functions.graph import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(500, 540)], "src long, dst long"
+    )
+    out = connected_components_star(edges)
+    rows = out.collect()
+    assert {r.label for r in rows} == {500}
+    assert len(rows) == 41
