@@ -20,11 +20,8 @@ from polars_readstat_spark.queries._cache import scoped_persist
 from polars_readstat_spark.queries.registry import query
 from polars_readstat_spark.tables import load_table
 
-# 3-token shingles, k=8 minhash permutations, 4 bands × 2 rows
-_SHINGLES_SPARK = (
-    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), "
-    "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
-)
+# 3-token shingles, k=8 minhash permutations, 4 bands × 2 rows — the
+# Spark side delegates to functions/dedup.py with these as parameters
 _SHINGLES_DUCK = (
     "LIST_TRANSFORM(RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - 2, 1) + 1), "
     "i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' '))"
@@ -44,14 +41,13 @@ _SIG_DUCK = f"""
 
 
 def _signatures(spark, sf_dir):
+    # delegates to the DataFrame-level library (functions/dedup.py);
+    # defaults there are exactly this registry's (k=8, 3-token
+    # shingles), which the DuckDB oracle SQL above replays
+    from polars_readstat_spark.functions.dedup import shingle_minhash
+
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle"))
-    return sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"h{k}")
-            for k in range(_K)
-        ]
-    )
+    return shingle_minhash(d, "doc_id", "text", k=_K, shingle_len=3)
 
 
 @query(
@@ -137,33 +133,18 @@ def minhash_lsh_pairs(spark, sf_dir):
     equi-join on (band_idx, band_key) — linear shuffle, no quadratic
     scan. Bucket skew (a degenerate band key) is the scale risk; AQE
     skew-join handles it, and the band key is itself a hash."""
-    sig = _signatures(spark, sf_dir)
-    stack = (
-        "stack(4, "
-        "0, md5(concat(h0, h1)), "
-        "1, md5(concat(h2, h3)), "
-        "2, md5(concat(h4, h5)), "
-        "3, md5(concat(h6, h7))) AS (band_idx, band_key)"
-    )
-    # persist: the self-join would otherwise run the whole
+    from polars_readstat_spark.functions.dedup import lsh_candidate_pairs
+
+    # persist: the banding self-join would otherwise run the whole
     # shingle→hash→agg pipeline once per side (verified via
     # .explain — broadcast wrapping defeats ReusedExchange); the
-    # band table is tiny (4 rows/doc) so caching it halves the work;
+    # signature table is one row/doc so caching it halves the work;
     # scoped so repeated registry runs don't accumulate cached tables
-    bands = scoped_persist(sig.selectExpr("doc_id", stack))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    sig = scoped_persist(_signatures(spark, sf_dir))
+    return lsh_candidate_pairs(sig, "doc_id", bands=4, rows_per_band=2).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "n_shared_bands",
     )
 
 
