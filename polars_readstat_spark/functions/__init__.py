@@ -1,0 +1,25 @@
+"""DataFrame-level libraries behind the registry queries.
+
+- `similarity`: deterministic sign-random-projection LSH primitives
+  (the exact scaled-int machinery the oracle queries replay in SQL).
+- `ann`: user-facing cosine top-k (exact broadcast and LSH-bucketed).
+- `dedup`: minhash signatures, LSH candidate pairs, near-dup
+  components over any corpus DataFrame.
+- `graph`: connected components (min-label propagation and
+  large-star/small-star).
+- `multimodal`: binary-column decode/feature stages (mapInPandas).
+"""
+
+from polars_readstat_spark.functions.ann import (  # noqa: F401
+    cosine_topk,
+    cosine_topk_lsh,
+)
+from polars_readstat_spark.functions.dedup import (  # noqa: F401
+    lsh_candidate_pairs,
+    near_dup_components,
+    shingle_minhash,
+)
+from polars_readstat_spark.functions.graph import (  # noqa: F401
+    connected_components,
+    connected_components_star,
+)
