@@ -419,3 +419,55 @@ def dedup_edit_distance_verify(spark, sf_dir):
             ).alias("edit_sim"),
         )
     )
+
+
+@query(
+    "ngram_containment_sampled",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS token
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM tok a JOIN tok b ON a.token = b.token
+      WHERE a.doc_id % 100 = 0 AND b.doc_id != a.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b, i.n_inter,
+           CAST(i.n_inter AS DOUBLE) / sa.n_tok AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    WHERE CAST(i.n_inter AS DOUBLE) / sa.n_tok >= 0.8
+    """,
+)
+def ngram_containment_sampled(spark, sf_dir):
+    """Token-set CONTAINMENT (|A∩B| / |A|) for sampled probe docs —
+    the asymmetric near-dup test that catches a document quoted or
+    embedded inside a larger one, where Jaccard stays low because the
+    union is dominated by the host document. Same scale shape as the
+    Jaccard verify: explode + token equi-join on candidates/probes
+    only, one combinable count per pair, then a probe-size join."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    a = tok.filter(F.col("doc_id") % 100 == 0).withColumnRenamed("doc_id", "doc_a")
+    b = tok.withColumnRenamed("doc_id", "doc_b")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("doc_b") != F.col("doc_a"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a")
+    return (
+        inter.join(sa, "doc_a")
+        .withColumn(
+            "containment", F.col("n_inter").cast("double") / F.col("n_tok")
+        )
+        .filter(F.col("containment") >= 0.8)
+        .select("doc_a", "doc_b", "n_inter", "containment")
+    )

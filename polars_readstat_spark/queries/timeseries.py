@@ -410,3 +410,63 @@ def event_props_json_extract(spark, sf_dir):
         F.min(k).alias("k_min"),
         F.max(k).alias("k_max"),
     )
+
+
+@query(
+    "funnel_click_to_purchase",
+    oracle="""
+    WITH first_click AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS c_us
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    converted AS (
+      SELECT f.user_id, MIN(epoch_us(e.ts)) AS p_us
+      FROM first_click f
+      JOIN events e ON e.user_id = f.user_id
+       AND e.event_type = 'purchase' AND epoch_us(e.ts) > f.c_us
+      GROUP BY f.user_id
+    )
+    SELECT COUNT(*) AS n_clickers,
+           COUNT(c.user_id) AS n_converted,
+           CAST(COUNT(c.user_id) AS DOUBLE) / COUNT(*) AS conversion_rate,
+           CAST(SUM(c.p_us - f.c_us) AS BIGINT) AS total_lag_us
+    FROM first_click f LEFT JOIN converted c ON c.user_id = f.user_id
+    """,
+)
+def funnel_click_to_purchase(spark, sf_dir):
+    """Two-stage funnel: of users who clicked, how many purchased
+    AFTER their first click, and with what cumulative lag — the
+    product-analytics sequence primitive. Both stages are combinable
+    per-user MIN aggregates plus one equi-join on user_id (no window
+    over the raw event stream, no inequality join against the full
+    table — the time predicate applies after the per-user reduction).
+    One shuffle per stage at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("c_us"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("p_us")
+    )
+    converted = (
+        first_click.join(purchases, "user_id")
+        .filter(F.col("p_us") > F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("p_us"))
+    )
+    j = first_click.join(
+        converted.withColumnRenamed("user_id", "cu"),
+        first_click.user_id == F.col("cu"),
+        "left",
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_clickers"),
+        F.count("cu").alias("n_converted"),
+        (F.count("cu").cast("double") / F.count(F.lit(1))).alias(
+            "conversion_rate"
+        ),
+        F.sum(F.col("p_us") - F.col("c_us")).cast("bigint").alias("total_lag_us"),
+    )
