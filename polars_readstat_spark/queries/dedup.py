@@ -1,11 +1,15 @@
 """Deduplication queries over `documents` (training-pipeline ops).
 
-Exact dedup (hash-groupBy), MinHash signatures + LSH banding, sampled
-n-gram Jaccard, and SimHash — each expressed with built-in functions
-(explode/groupBy/join), i.e. the shapes that scale: shingling is a
-flatMap, signatures are a map-side-combinable min-aggregate, LSH turns
-the quadratic pair search into an equi-join on band keys, and the
-Jaccard verify joins only candidate pairs.
+Exact dedup (hash-groupBy + record-keeping variants), MinHash
+signatures + LSH banding (via the functions/dedup.py library), sampled
+n-gram Jaccard and containment verifies, edit-distance verification of
+candidate pairs, SimHash, connected-components near-dup clustering
+(functions/graph.py), and the end-to-end corpus-clean composite — each
+expressed with built-in functions (explode/groupBy/join), i.e. the
+shapes that scale: shingling is a flatMap, signatures are a
+map-side-combinable min-aggregate, LSH turns the quadratic pair search
+into an equi-join on band keys, and every verify joins only candidate
+pairs.
 
 Portability: hashes are MD5 hex (identical across Spark/DuckDB) and
 minhash takes the lexicographic MIN of the hex string — no hex→int

@@ -232,3 +232,13 @@ def test_q6_pushes_all_filters(spark):
     plan = plan_of(spark, "q6_forecast_revenue")
     assert "PushedFilters: [" in plan
     assert "partial_" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["ngram_containment_sampled", "funnel_click_to_purchase"]
+)
+def test_containment_and_funnel_no_degenerate_joins(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_" in plan
