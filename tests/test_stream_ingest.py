@@ -102,3 +102,51 @@ def test_stream_include_existing_false(spark, tmp_path):
     _write(spark, os.path.join(src, "new.dta"), 100, 110)
     got = run()
     assert sorted(r.id for r in got) == list(range(100, 110))
+
+
+def test_stream_events_dir_reads_micros_layout(spark, tmp_path):
+    """stream_events_dir must handle the current events layout
+    (TIMESTAMP(MICROS), not-UTC-adjusted) by probing the footer and
+    streaming ts as epoch-µs timestamps — same values as
+    tables.load_table gives the batch twin."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from polars_readstat_spark.streaming.events import (
+        hourly_window,
+        run_available_now,
+        stream_events_dir,
+    )
+    from polars_readstat_spark.queries.timeseries import event_hourly_window
+    from polars_readstat_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    d = tmp_path / "events_us"
+    d.mkdir()
+    # write chunks from the batch table with µs-NTZ timestamps — the
+    # same physical layout the driver's generator now produces
+    pdf = (
+        load_table(spark, sf, "events")
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .toPandas()
+    )
+    half = len(pdf) // 2
+    for i, part in enumerate((pdf.iloc[:half], pdf.iloc[half:])):
+        part.to_parquet(
+            str(d / f"c{i}.parquet"),
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+    out = run_available_now(
+        hourly_window(stream_events_dir(spark, str(d))), "sed_mem"
+    )
+    got = {
+        (r.window_start_s, r.event_type): (r.n, r.value_sum)
+        for r in out.collect()
+    }
+    want = {
+        (r.window_start_s, r.event_type): (r.n, r.value_sum)
+        for r in event_hourly_window(spark, sf).collect()
+    }
+    assert got == want
