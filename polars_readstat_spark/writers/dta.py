@@ -50,14 +50,21 @@ def _plan_columns(df: DataFrame):
     aggs = [F.count(F.lit(1)).alias("__n")]
     for f in df.schema.fields:
         t = f.dataType.simpleString()
-        if t == "tinyint":
-            plan.append((f.name, "byte"))
-        elif t == "smallint":
-            plan.append((f.name, "int"))
-        elif t in ("int",):
-            plan.append((f.name, "long"))
-        elif t == "bigint":
-            plan.append((f.name, "bigint?"))  # decided by pre-pass range
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            # integer widths are decided by the pre-pass range: Stata
+            # reserves the top of each integer range for missing
+            # sentinels (byte > 100, int > 32740, long > 2147483620),
+            # so e.g. an int32 column holding 2147483645 must widen to
+            # the next Stata type or the value reads back as missing.
+            # Each Spark type keeps its natural Stata floor (stable
+            # roundtrip dtypes); the pre-pass only ever promotes.
+            floor = {
+                "tinyint": "byte",
+                "smallint": "int",
+                "int": "long",
+                "bigint": "long",
+            }[t]
+            plan.append((f.name, f"{floor}?"))
             aggs.append(F.min(f.name).alias(f"__min_{f.name}"))
             aggs.append(F.max(f.name).alias(f"__max_{f.name}"))
         elif t == "float":
@@ -83,14 +90,29 @@ def _plan_columns(df: DataFrame):
 def _finalize_cols(plan, stats) -> list[tuple]:
     """Pre-pass stats → concrete (name, kind, width, fmt) per column."""
     cols = []
+    _INT_ORDER = ("byte", "int", "long")
+    _FITS = {
+        "byte": (-127, 100),
+        "int": (-32767, 32740),
+        "long": (-2147483647, 2147483620),
+    }
     for name, kind in plan:
-        if kind == "bigint?":
+        if kind.endswith("?"):
+            # smallest Stata integer type at or above the floor whose
+            # NONMISSING range holds the observed values (all-null →
+            # floor); doubles hold anything the integer types can't
+            floor = kind[:-1]
             lo = stats.get(f"__min_{name}")
             hi = stats.get(f"__max_{name}")
-            if lo is not None and lo >= -2147483647 and hi is not None and hi <= 2147483620:
-                kind = "long"
-            else:
-                kind = "double"
+            kind = floor
+            if lo is not None and hi is not None:
+                for cand in _INT_ORDER[_INT_ORDER.index(floor):]:
+                    flo, fhi = _FITS[cand]
+                    if lo >= flo and hi <= fhi:
+                        kind = cand
+                        break
+                else:
+                    kind = "double"
         if kind == "str":
             w = max(int(stats.get(f"__w_{name}") or 0), 1)
             if w > 2045:

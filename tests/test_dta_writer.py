@@ -130,3 +130,49 @@ def test_strl_write_roundtrip(spark, tmp_path):
     assert got == src
     pdf = pd.read_stata(p).sort_values("i")
     assert pdf["big"].tolist() == [src[k][0] for k in sorted(src)]
+
+
+def test_int_columns_promote_past_stata_missing_sentinels(spark, tmp_path):
+    """Stata reserves the top of each integer range for missing codes
+    (byte > 100, int > 32740, long > 2147483620). Values in the
+    reserved band must promote the column to the next type instead of
+    reading back as missing (hypothesis-found regression)."""
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    rows = [
+        (1, 100, 32740, 2147483620, -127),
+        (2, 101, 32741, 2147483621, -128),
+        (3, None, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, b tinyint, s smallint, i int, t2 tinyint"
+    )
+    p = str(tmp_path / "sentinels.dta")
+    prs.write_readstat(df, p)
+    back = {
+        r.id: (r.b, r.s, r.i, r.t2)
+        for r in spark.read.format("readstat").load(p).collect()
+    }
+    assert back[1] == (100, 32740, 2147483620, -127)
+    assert back[2] == (101, 32741, 2147483621, -128)
+    assert back[3] == (None, None, None, None)
+
+
+def test_int_columns_keep_natural_width_when_in_range(spark, tmp_path):
+    """In-range columns keep their Spark type's natural Stata floor —
+    the pre-pass only promotes, never downcasts (stable dtypes)."""
+    import polars_readstat_spark as prs
+
+    from polars_readstat_spark.sources.dta.meta import parse_dta_meta
+
+    prs.register(spark)
+    df = spark.createDataFrame(
+        [(1, 5, 7), (2, 6, 8)], "i int, s smallint, b tinyint"
+    )
+    p = str(tmp_path / "widths.dta")
+    prs.write_readstat(df, p)
+    codes = {v.name: v.typecode for v in parse_dta_meta(p).variables}
+    assert codes["i"] == 65528  # long
+    assert codes["s"] == 65529  # int
+    assert codes["b"] == 65530  # byte
