@@ -42,6 +42,9 @@ _MISS = {
 }
 _FLOAT_MISS_BITS = 0x7F000000
 _DOUBLE_MISS_BITS = 0x7FE0000000000000
+# smallest float/double interpreted as a missing code on read
+_FLOAT_MISS_VALUE = struct.unpack("<f", struct.pack("<I", _FLOAT_MISS_BITS))[0]
+_DOUBLE_MISS_VALUE = struct.unpack("<d", struct.pack("<Q", _DOUBLE_MISS_BITS))[0]
 
 
 def _plan_columns(df: DataFrame):
@@ -68,7 +71,13 @@ def _plan_columns(df: DataFrame):
             aggs.append(F.min(f.name).alias(f"__min_{f.name}"))
             aggs.append(F.max(f.name).alias(f"__max_{f.name}"))
         elif t == "float":
-            plan.append((f.name, "float"))
+            # Stata float reserves bit patterns >= 0x7F000000
+            # (~1.7014e38) for missing codes, but float32 values run to
+            # 3.4e38 — the pre-pass promotes such columns to double
+            # (exact for every float32)
+            plan.append((f.name, "float?"))
+            aggs.append(F.min(f.name).alias(f"__min_{f.name}"))
+            aggs.append(F.max(f.name).alias(f"__max_{f.name}"))
         elif t == "double":
             plan.append((f.name, "double"))
         elif t == "boolean":
@@ -97,7 +106,15 @@ def _finalize_cols(plan, stats) -> list[tuple]:
         "long": (-2147483647, 2147483620),
     }
     for name, kind in plan:
-        if kind.endswith("?"):
+        if kind == "float?":
+            hi = stats.get(f"__max_{name}")
+            lo = stats.get(f"__min_{name}")
+            kind = "float"
+            if hi is not None and (
+                hi >= _FLOAT_MISS_VALUE or lo <= -_FLOAT_MISS_VALUE
+            ):
+                kind = "double"
+        elif kind.endswith("?"):
             # smallest Stata integer type at or above the floor whose
             # NONMISSING range holds the observed values (all-null →
             # floor); doubles hold anything the integer types can't
@@ -245,6 +262,16 @@ def _pack_batch(cols, rec_dtype, pdf, row_start: int, strls_buf: bytearray) -> b
         else:  # double
             v = s.astype("float64").values.copy()
             nulls = s.isna().values
+            live = v[~nulls]
+            if live.size and float(np.max(live)) >= _DOUBLE_MISS_VALUE:
+                # 0x7FE0... and above are Stata missing codes; there is
+                # no wider numeric type to promote to, so refuse rather
+                # than silently returning missing on read
+                raise ValueError(
+                    f"write_dta: column {name!r} holds values >= "
+                    f"{_DOUBLE_MISS_VALUE:.6g}, Stata's double "
+                    "missing-code threshold; rescale the column first"
+                )
             if nulls.any():
                 v.view("<u8")[nulls] = _DOUBLE_MISS_BITS
             rec[f"f{i}"] = v

@@ -176,3 +176,34 @@ def test_int_columns_keep_natural_width_when_in_range(spark, tmp_path):
     assert codes["i"] == 65528  # long
     assert codes["s"] == 65529  # int
     assert codes["b"] == 65530  # byte
+
+
+def test_float_column_promotes_past_float_missing_threshold(spark, tmp_path):
+    """float32 values above Stata's float missing threshold (~1.7e38)
+    promote the column to double instead of reading back missing."""
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    df = spark.createDataFrame(
+        [(1, 3.0e38), (2, -3.0e38), (3, 1.5), (4, None)],
+        "id long, x float",
+    )
+    p = str(tmp_path / "bigfloat.dta")
+    prs.write_readstat(df, p)
+    back = {r.id: r.x for r in spark.read.format("readstat").load(p).collect()}
+    import pytest as _pt
+
+    assert back[1] == _pt.approx(3.0e38, rel=1e-6)
+    assert back[2] == _pt.approx(-3.0e38, rel=1e-6)
+    assert back[3] == _pt.approx(1.5)
+    assert back[4] is None
+
+
+def test_double_past_missing_threshold_raises(spark, tmp_path):
+    import pytest as _pt
+
+    import polars_readstat_spark as prs
+
+    df = spark.createDataFrame([(1, 9.5e307)], "id long, x double")
+    with _pt.raises(Exception, match="missing-code threshold"):
+        prs.write_readstat(df, str(tmp_path / "huge.dta"))
