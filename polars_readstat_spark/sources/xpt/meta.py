@@ -263,7 +263,13 @@ def decode_xpt_rows(meta: XptMeta, buf: bytes, col_indices, missing_string_as_nu
                 out = []
                 for r in range(rows.shape[0]):
                     s = b[r * w : (r + 1) * w].rstrip(b"\x00 ")
-                    out.append(s.decode(meta.encoding, errors="replace"))
+                    # xpt declares no charset; valid UTF-8 wins (what
+                    # our writer and modern SAS emit), anything else
+                    # falls back to the legacy default per value
+                    try:
+                        out.append(s.decode("utf-8"))
+                    except UnicodeDecodeError:
+                        out.append(s.decode(meta.encoding, errors="replace"))
                 arr = pa.array(out, type=pa.string())
                 if missing_string_as_null:
                     import pyarrow.compute as pc

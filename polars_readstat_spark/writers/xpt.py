@@ -82,7 +82,20 @@ def ieee_to_ibm(vals: np.ndarray, mask: np.ndarray) -> np.ndarray:
     if ovf.any():
         mant[ovf] >>= np.uint64(4)
         e16[ovf] += 1
-    expb = np.clip(e16 + 64, 0, 127).astype(np.uint64)
+    eb = e16 + 64
+    # IBM hex-float range is 16^-65 .. ~7.24e75 — narrower than IEEE
+    # double on both ends. Below it, flush to zero (standard underflow);
+    # above it there is nothing valid to write, so refuse loudly rather
+    # than wrap the exponent into a wrong finite value.
+    over = nonzero & (eb > 127)
+    if over.any():
+        bad = float(np.max(m[over]))
+        raise ValueError(
+            f"write_xpt: magnitude {bad:.6g} exceeds the IBM/370 double "
+            "range (~7.24e75) used by the xpt transport format"
+        )
+    nonzero &= eb >= 0
+    expb = np.where(nonzero, np.clip(eb, 0, 127), 0).astype(np.uint64)
     b0 = (neg.astype(np.uint64) << np.uint64(7)) | np.where(nonzero, expb, 0)
     out[:, 0] = b0.astype(np.uint8)
     for i in range(7):
@@ -283,9 +296,23 @@ def _pack_xpt(cols_data, kinds, widths, record_width) -> bytes:
     for col, k, w in zip(cols_data, kinds, widths):
         if k == "str":
             for ri, s in enumerate(col):
-                b = (s if isinstance(s, str) else "").encode(
-                    "latin-1", "replace"
-                )[:w].ljust(w)
+                # UTF-8, truncated at a character boundary: the xpt
+                # container is raw bytes with no declared charset, and
+                # UTF-8 is what modern SAS sessions (and our reader's
+                # auto-detection) expect — latin-1/replace silently
+                # destroyed non-Latin text
+                full = (s if isinstance(s, str) else "").encode("utf-8")
+                b = full[:w]
+                if len(b) < len(full):
+                    # width-truncated: back off (≤3 bytes) to the last
+                    # complete character so the cell stays valid UTF-8
+                    for _ in range(3):
+                        try:
+                            b.decode("utf-8")
+                            break
+                        except UnicodeDecodeError:
+                            b = b[:-1]
+                b = b.ljust(w)
                 mat[ri, off : off + w] = np.frombuffer(b, dtype=np.uint8)
         else:
             try:  # pandas Series from the distributed path

@@ -54,12 +54,28 @@ def _register(spark):
 def _roundtrip(spark, tmp_path, ext, rows):
     import polars_readstat_spark as prs
 
+    if ext == "xpt":
+        # fold xpt's documented format semantics into `want`:
+        # - IBM/370 hex floats flush magnitudes below the normalized
+        #   minimum (2^-260 after hex normalization) to zero, and have
+        #   no signed zero;
+        # - cells are space-padded, so trailing spaces don't survive
+        #   (rstrip both sides so the sort keys align)
+        rows = [
+            (
+                s.rstrip(),
+                0.0 if x is not None and abs(x) < 2.0**-260 else x,
+                n,
+            )
+            for s, x, n in rows
+        ]
     df = spark.createDataFrame(
         rows, "s string, x double, n int"
     ).repartition(3)
     p = str(tmp_path / f"prop_rt.{ext}")
     prs.write_readstat(df, p)
     back = spark.read.format("readstat").load(p)
+    back = back.toDF(*[c.lower() for c in back.columns])  # xpt v5 uppercases
     def key(t):
         s, x, n = t
         return (s, x is None, x if x is not None else 0.0,
@@ -110,7 +126,7 @@ def _generate_row_sets(n=12):
     return sets
 
 
-@pytest.mark.parametrize("ext", ["dta", "sav"])
+@pytest.mark.parametrize("ext", ["dta", "sav", "xpt"])
 def test_property_roundtrip(spark, tmp_path, ext):
     row_sets = _generate_row_sets()
     # merge all drawn sets into one corpus: one Spark roundtrip per
