@@ -6,10 +6,12 @@ records, base-30 encoded values wrapped at 80-column lines, 'Z'
 padding at EOF.
 
 Numbers are written sign + base-30 integer part + '.' fraction (up to
-50 base-30 digits — beyond double precision, so read-back
-reconstructs the same double) + optional '+exp' for trailing-zero
-compression, '/'-terminated; '*.' for missing (same grammar our
-reader parses).
+50 base-30 digits) + optional '±exp' (trailing-zero compression for
+big integers, normalization for magnitudes < 1/30), '/'-terminated;
+'*.' for missing (same grammar our reader parses). Read-back is exact
+for short-mantissa values and within ~1 ulp for full-precision
+doubles — the reader accumulates digits in rounded float ops, the
+same approximation the C readstat/pyreadstat parsers make.
 
 POR is an eager, driver-assembled single file (the format is legacy
 interchange, not a data-plane format at scale); rows stream through
@@ -73,6 +75,33 @@ class _PorWriter:
         if v < 0:
             self.write("-")
         a = abs(v)
+        if 0.0 < a < 1.0 / 30.0:
+            # normalize tiny magnitudes to mantissa × 30^-E: the plain
+            # positional form spends its PRECISION budget on leading
+            # zeros (a 1e-300 underflowed to literal zero). The reader
+            # grammar accepts the trailing -exp just like +exp.
+            m, e = a, 0
+            while m < 1.0:
+                m *= 30.0
+                e += 1
+            d0 = int(m)
+            self.write(chr(ord("0") + d0) if d0 < 10 else chr(ord("A") + d0 - 10))
+            frac = m - d0
+            if frac != 0.0:
+                self.write(".")
+                printed = 1
+                while frac != 0.0 and printed < PRECISION:
+                    frac *= 30.0
+                    d = int(frac)
+                    frac -= d
+                    self.write(
+                        chr(ord("0") + d) if d < 10 else chr(ord("A") + d - 10)
+                    )
+                    printed += 1
+            self.write("-")
+            self.b30_int(e)
+            self.write("/")
+            return
         int_part = int(a)
         frac = a - int_part
         exponent = 0
