@@ -239,19 +239,30 @@ def _pack_batch(cols, rec_dtype, pdf, row_start: int, strls_buf: bytearray) -> b
                 nulls, _MISS["long"], days - STATA_EPOCH_DAYS
             ).astype("<i4")
         elif kind == "datetime":
-            import pandas as pd
+            import datetime as _dt
 
-            ts = pd.to_datetime(s)
-            nulls = ts.isna().values
-            ns = ts.values.astype("datetime64[ns]").astype("int64")
-            ms = ns // 1_000_000 - STATA_EPOCH_MS
-            v = np.where(
-                nulls,
-                np.frombuffer(
-                    struct.pack("<Q", _DOUBLE_MISS_BITS), dtype="<f8"
-                )[0],
-                ms.astype("float64"),
-            )
+            # exact integer delta from the Stata epoch — a pandas ns
+            # coercion here would reject timestamps outside 1677-2262,
+            # which %tc (ms since 1960) represents fine
+            nulls = s.isna().values
+            epoch = _dt.datetime(1960, 1, 1)
+            miss = np.frombuffer(
+                struct.pack("<Q", _DOUBLE_MISS_BITS), dtype="<f8"
+            )[0]
+            v = np.empty(n, dtype="<f8")
+            for r, x in enumerate(s):
+                if nulls[r]:
+                    v[r] = miss
+                    continue
+                xp = x.to_pydatetime() if hasattr(x, "to_pydatetime") else x
+                if xp.tzinfo is not None:
+                    xp = xp.replace(tzinfo=None)
+                d = xp - epoch
+                v[r] = (
+                    d.days * 86_400_000.0
+                    + d.seconds * 1_000.0
+                    + d.microseconds / 1_000.0
+                )
             rec[f"f{i}"] = v
         elif kind == "float":
             v = s.astype("float32").values.copy()

@@ -207,3 +207,31 @@ def test_double_past_missing_threshold_raises(spark, tmp_path):
     df = spark.createDataFrame([(1, 9.5e307)], "id long, x double")
     with _pt.raises(Exception, match="missing-code threshold"):
         prs.write_readstat(df, str(tmp_path / "huge.dta"))
+
+
+def test_datetime_full_calendar_range(spark, tmp_path):
+    """%tc is ms since 1960 stored as double — timestamps far outside
+    pandas' ns bounds (year 1 .. 9999) must roundtrip (regression: the
+    pack path coerced through datetime64[ns] and raised)."""
+    import datetime as dt
+
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    tss = [
+        dt.datetime(1, 1, 2, 0, 0, 0),
+        dt.datetime(1582, 10, 15, 12, 30, 0),
+        dt.datetime(1959, 12, 31, 23, 59, 59),
+        dt.datetime(1960, 1, 1),
+        dt.datetime(2262, 4, 11, 23, 47, 16),
+        dt.datetime(9999, 12, 31, 23, 59, 59),
+        None,
+    ]
+    df = spark.createDataFrame(list(enumerate(tss)), "i long, ts timestamp")
+    p = str(tmp_path / "range.dta")
+    prs.write_readstat(df, p)
+    back = {
+        int(r.i): r.ts for r in spark.read.format("readstat").load(p).collect()
+    }
+    for i, t in enumerate(tss):
+        assert back[i] == t, (i, t, back[i])
