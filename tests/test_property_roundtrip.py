@@ -133,3 +133,40 @@ def test_property_roundtrip(spark, tmp_path, ext):
     # format covers every generated example
     rows = [t for s in row_sets for t in s]
     _roundtrip(spark, tmp_path, ext, rows)
+
+
+def test_property_partitioned_roundtrip_dta(spark, tmp_path):
+    """Same generated corpus through the DISTRIBUTED export path
+    (write_readstat_partitioned: executor-side pack, one file per
+    partition, shared column plan) and back through the multi-file
+    directory scan — partition boundaries must not change any value."""
+    import math
+
+    import polars_readstat_spark as prs
+
+    rows = [t for s in _generate_row_sets() for t in s]
+    df = spark.createDataFrame(rows, "s string, x double, n int").repartition(5)
+    d = str(tmp_path / "prop_parts")
+    prs.write_readstat_partitioned(df, d, ext="dta")
+    back = spark.read.format("readstat").load(d)
+
+    def key(t):
+        s, x, n = t
+        return (s, x is None, x if x is not None else 0.0,
+                n is None, n if n is not None else 0)
+
+    want = sorted((((r.s or ""), r.x, r.n) for r in df.collect()), key=key)
+    got = sorted(
+        (
+            (
+                (r.s or ""),
+                None
+                if r.x is None or (isinstance(r.x, float) and math.isnan(r.x))
+                else r.x,
+                None if r.n is None else int(r.n),
+            )
+            for r in back.collect()
+        ),
+        key=key,
+    )
+    assert got == want
