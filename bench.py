@@ -156,17 +156,21 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"# bench readstat failed: {e!r}", file=sys.stderr)
     total = round(time.perf_counter() - t_all, 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # compact separators + a durable on-disk copy: the driver captures a
+    # bounded tail of stdout, and round-2's ~2.5 KB pretty line was
+    # truncated mid-JSON (BENCH_r02.json parsed=null). The file is the
+    # canonical artifact; the stdout line is the driver's fast path.
+    line = json.dumps(payload, separators=(",", ":"))
+    with open(os.path.join(REPO, "BENCH.json"), "w") as f:
+        f.write(line + "\n")
+    print(line, flush=True)
     spark.stop()
 
 

@@ -39,14 +39,66 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# The driver samples a fixed-size prefix of the registry (50 rows in
+# round 2, while the registry holds 77+ queries), so insertion order is
+# load-bearing: queries that still lack a green CORRECTNESS row from a
+# previous round are listed here and surfaced first, ahead of queries
+# that already have driver-verified evidence. Update per round as rows
+# come back green.
+_PRIORITY: tuple[str, ...] = (
+    # new this round — no row could exist yet
+    "scan_sas7bdat_types",
+    "scan_sas7bdat_rle",
+    "scan_sas7bdat_rdc",
+    "scan_sas7bdat_bigendian",
+    "scan_sas7bdat_roundtrip",
+    # red in round 2 (oracle typing, fixed): needs a fresh row
+    "sample_hash_stratified",
+    # never driver-checked through round 2
+    "scan_dta_multifile",
+    "scan_dta_pushdown",
+    "scan_dta_metadata_surface",
+    "scan_dta_value_labels",
+    "scan_dta_informative_nulls",
+    "ann_ivf_topk",
+    "kmeans_update_step",
+    "text_bpe_token_count",
+    "text_ngram_topk",
+    "asof_join_purchase_click",
+    "range_join_click_purchase_1h",
+    "window_lag_delta",
+    "salted_skew_agg",
+    "event_value_histogram",
+    "event_props_json_extract",
+    "funnel_click_to_purchase",
+    # green in round 1 only — refresh driver evidence
+    "embedding_l2_norms",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "dedup_embedding_cosine",
+    "text_token_count",
+    "text_quality_score",
+    "text_lang_id_score",
+    "doc_fingerprint",
+    "event_hourly_window",
+    "sessionization_30m",
+    "event_value_quantiles",
+)
+
+
+def _prioritized(d: dict) -> dict:
+    head = {n: d[n] for n in _PRIORITY if n in d}
+    return head | {n: v for n, v in d.items() if n not in head}
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_loaded()
-    return dict(QUERIES)
+    return _prioritized(QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
     _ensure_loaded()
-    return dict(ORACLES)
+    return _prioritized(ORACLES)
 
 
 _LOADED = False

@@ -27,7 +27,7 @@ from polars_readstat_spark.tables import load_table
     oracle="""
     SELECT lang,
            COUNT(*) AS n_kept,
-           SUM(n_chars) AS chars_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
            MIN(doc_id) AS min_doc_id
     FROM documents
     WHERE MD5(text) < CASE WHEN lang = 'en' THEN '2' ELSE '8' END
