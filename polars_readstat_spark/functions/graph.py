@@ -18,6 +18,8 @@ where it is not.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -54,8 +56,9 @@ def connected_components(
 
     `edges` is treated as undirected (both directions are added).
     `nodes` optionally supplies the node universe; ids appearing only
-    there come back as singleton components. Node ids must be numeric
-    (labels propagate through MIN and the convergence test sums them).
+    there come back as singleton components. Node ids may be any
+    orderable type (labels propagate through MIN; convergence is a
+    type-agnostic exact checksum of the (node, label) assignment).
     """
     sc = edges.sparkSession.sparkContext
 
@@ -85,7 +88,23 @@ def connected_components(
             F.col(node_col).alias("node"), F.col(node_col).alias("label")
         )
     )
-    prev_sum = None
+    def checksum(assign):
+        """Exact order-independent fingerprint of the (node, label)
+        assignment: sum of per-row xxhash64 in decimal (no overflow,
+        no float wobble) + row count. Works for ANY id type — a cast
+        of the raw labels to decimal would NULL out on strings and
+        make every round's sum None, falsely 'converging' after one
+        round on graphs of diameter >= 2."""
+        row = assign.agg(
+            F.sum(
+                F.xxhash64(F.col("node"), F.col("label")).cast("decimal(38,0)")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        return (row.s, row.n)
+
+    prev = None
+    converged = False
     for _ in range(max_rounds):
         msgs = und.join(lbl, und.src == lbl.node).select(
             F.col("dst").alias("node"), "label"
@@ -93,16 +112,20 @@ def connected_components(
         lbl_new, new_blocks = checkpoint(
             lbl.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
         )
-        cur_sum = (
-            lbl_new.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
-            .collect()[0]
-            .s
-        )
+        cur = checksum(lbl_new)
         _free(lbl_blocks)  # superseded round's label blocks
         lbl, lbl_blocks = lbl_new, new_blocks
-        if cur_sum == prev_sum:
+        if cur == prev:
+            converged = True
             break
-        prev_sum = cur_sum
+        prev = cur
+    if not converged:
+        warnings.warn(
+            f"connected_components: no fixpoint after {max_rounds} rounds; "
+            "labels may span partial components (graph diameter exceeds "
+            "max_rounds)",
+            stacklevel=2,
+        )
     return lbl.select(F.col("node").alias(node_col), "label")
 
 
@@ -190,17 +213,32 @@ def connected_components_star(
         _sym(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     )
     prev = None
+    converged = False
     for _ in range(max_rounds):
         e_new, new_blocks = checkpoint(_small_star(_large_star(e)))
         cur = checksum(e_new)
         _free(e_blocks)
         e, e_blocks = e_new, new_blocks
         if cur == prev:
+            converged = True
             break
         prev = cur
-    # converged stars: every non-root points at its component min
-    lbl = e.filter(F.col("v") < F.col("u")).select(
-        F.col("u").alias("node"), F.col("v").alias("label")
+    if not converged:
+        warnings.warn(
+            f"connected_components_star: edge set did not reach the star "
+            f"fixpoint in {max_rounds} rounds; labels below are the min "
+            "remaining neighbor per node, which may merge incompletely",
+            stacklevel=2,
+        )
+    # converged stars: every non-root points at its component min. The
+    # MIN aggregate is a no-op at fixpoint (each node has exactly one
+    # smaller neighbor, the root) and a safety net when max_rounds ran
+    # out — without it a node with several smaller neighbors would
+    # emit duplicate (node, label) rows with conflicting labels.
+    lbl = (
+        e.filter(F.col("v") < F.col("u"))
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("label"))
     )
     roots = (
         _sym(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))

@@ -257,19 +257,27 @@ def decode_xpt_rows(meta: XptMeta, buf: bytes, col_indices, missing_string_as_nu
             arr = strdecode.try_vectorized(
                 m, strdecode.lengths_rstrip(m, strip=(0, 0x20)), meta.encoding
             )
-            if arr is None:  # non-ASCII bytes: per-value decode
+            if arr is None:  # non-ASCII bytes present
                 b = m.tobytes()
                 w = v.width
-                out = []
-                for r in range(rows.shape[0]):
-                    s = b[r * w : (r + 1) * w].rstrip(b"\x00 ")
-                    # xpt declares no charset; valid UTF-8 wins (what
-                    # our writer and modern SAS emit), anything else
-                    # falls back to the legacy default per value
-                    try:
-                        out.append(s.decode("utf-8"))
-                    except UnicodeDecodeError:
-                        out.append(s.decode(meta.encoding, errors="replace"))
+                raw = [
+                    b[r * w : (r + 1) * w].rstrip(b"\x00 ")
+                    for r in range(rows.shape[0])
+                ]
+                # xpt declares no charset. Decide the codec for the
+                # whole column, not per value: UTF-8 only if EVERY cell
+                # is valid UTF-8 (what our writer and modern SAS emit),
+                # else the legacy default for all of them — a per-value
+                # choice would mis-decode legacy bytes that happen to
+                # form valid UTF-8 (e.g. CP1252 'é' pairs) and mix two
+                # encodings inside one column.
+                try:
+                    out = [s.decode("utf-8") for s in raw]
+                except UnicodeDecodeError:
+                    out = [
+                        s.decode(meta.encoding, errors="replace")
+                        for s in raw
+                    ]
                 arr = pa.array(out, type=pa.string())
                 if missing_string_as_null:
                     import pyarrow.compute as pc

@@ -45,6 +45,10 @@ _DOUBLE_MISS_BITS = 0x7FE0000000000000
 # smallest float/double interpreted as a missing code on read
 _FLOAT_MISS_VALUE = struct.unpack("<f", struct.pack("<I", _FLOAT_MISS_BITS))[0]
 _DOUBLE_MISS_VALUE = struct.unpack("<d", struct.pack("<Q", _DOUBLE_MISS_BITS))[0]
+# largest magnitude a double holds exactly for every integer
+_DOUBLE_EXACT_INT = 1 << 53
+# µs from 1970-01-01 back to the Stata epoch (1960-01-01)
+_STATA_EPOCH_US = -315_619_200_000_000
 
 
 def _plan_columns(df: DataFrame):
@@ -129,6 +133,18 @@ def _finalize_cols(plan, stats) -> list[tuple]:
                         kind = cand
                         break
                 else:
+                    # Stata has no int64; values past long fall back to
+                    # double, which is exact only up to 2^53. Refuse
+                    # loudly beyond that (mirrors the double
+                    # missing-code guard) instead of silently changing
+                    # values on roundtrip.
+                    if lo < -_DOUBLE_EXACT_INT or hi > _DOUBLE_EXACT_INT:
+                        raise ValueError(
+                            f"write_dta: column {name!r} holds integers "
+                            f"outside ±2^53 ({lo}..{hi}); Stata's widest "
+                            "numeric type (double) cannot represent them "
+                            "exactly — rescale or split the column first"
+                        )
                     kind = "double"
         if kind == "str":
             w = max(int(stats.get(f"__w_{name}") or 0), 1)
@@ -239,30 +255,50 @@ def _pack_batch(cols, rec_dtype, pdf, row_start: int, strls_buf: bytearray) -> b
                 nulls, _MISS["long"], days - STATA_EPOCH_DAYS
             ).astype("<i4")
         elif kind == "datetime":
-            import datetime as _dt
-
-            # exact integer delta from the Stata epoch — a pandas ns
-            # coercion here would reject timestamps outside 1677-2262,
-            # which %tc (ms since 1960) represents fine
             nulls = s.isna().values
-            epoch = _dt.datetime(1960, 1, 1)
             miss = np.frombuffer(
                 struct.pack("<Q", _DOUBLE_MISS_BITS), dtype="<f8"
             )[0]
-            v = np.empty(n, dtype="<f8")
-            for r, x in enumerate(s):
-                if nulls[r]:
-                    v[r] = miss
-                    continue
-                xp = x.to_pydatetime() if hasattr(x, "to_pydatetime") else x
-                if xp.tzinfo is not None:
-                    xp = xp.replace(tzinfo=None)
-                d = xp - epoch
-                v[r] = (
-                    d.days * 86_400_000.0
-                    + d.seconds * 1_000.0
-                    + d.microseconds / 1_000.0
+            v = np.full(n, miss, dtype="<f8")
+            ss = s
+            if getattr(ss.dtype, "tz", None) is not None:
+                # wall-clock semantics, matching the scalar path's
+                # tzinfo strip
+                ss = ss.dt.tz_localize(None)
+            try:
+                # vectorized fast path: any datetime64 unit (and object
+                # arrays of datetimes, full year 1-9999 range — µs
+                # resolution spans ±290k years, so nothing %tc can
+                # express overflows it). Exact integer µs math, then
+                # split into whole ms + fractional µs like the scalar
+                # path.
+                us = ss.values.astype("datetime64[us]").astype("<i8")
+                q, rem = np.divmod(us - _STATA_EPOCH_US, 1000)
+                live = ~nulls
+                v[live] = (
+                    q[live].astype("<f8") + rem[live].astype("<f8") / 1000.0
                 )
+            except (TypeError, ValueError):
+                # exotic object batches numpy can't coerce — per-row
+                import datetime as _dt
+
+                epoch = _dt.datetime(1960, 1, 1)
+                for r, x in enumerate(ss):
+                    if nulls[r]:
+                        continue
+                    xp = (
+                        x.to_pydatetime()
+                        if hasattr(x, "to_pydatetime")
+                        else x
+                    )
+                    if xp.tzinfo is not None:
+                        xp = xp.replace(tzinfo=None)
+                    d = xp - epoch
+                    v[r] = (
+                        d.days * 86_400_000.0
+                        + d.seconds * 1_000.0
+                        + d.microseconds / 1_000.0
+                    )
             rec[f"f{i}"] = v
         elif kind == "float":
             v = s.astype("float32").values.copy()

@@ -209,6 +209,29 @@ def test_double_past_missing_threshold_raises(spark, tmp_path):
         prs.write_readstat(df, str(tmp_path / "huge.dta"))
 
 
+def test_bigint_past_double_exactness_raises(spark, tmp_path):
+    """Stata has no int64; bigint past long falls back to double, which
+    is exact only to 2^53 — beyond that the writer must refuse rather
+    than silently round values on roundtrip."""
+    import pytest as _pt
+
+    import polars_readstat_spark as prs
+
+    df = spark.createDataFrame(
+        [(1, (1 << 53) + 1)], "id long, big long"
+    )
+    with _pt.raises(Exception, match="2\\^53"):
+        prs.write_readstat(df, str(tmp_path / "big.dta"))
+
+    # at exactly the boundary it still writes (value representable)
+    ok = spark.createDataFrame([(1, 1 << 53)], "id long, big long")
+    p = str(tmp_path / "edge.dta")
+    prs.write_readstat(ok, p)
+    prs.register(spark)
+    back = spark.read.format("readstat").load(p).collect()
+    assert back[0].big == float(1 << 53)
+
+
 def test_datetime_full_calendar_range(spark, tmp_path):
     """%tc is ms since 1960 stored as double — timestamps far outside
     pandas' ns bounds (year 1 .. 9999) must roundtrip (regression: the

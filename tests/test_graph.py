@@ -57,6 +57,55 @@ def test_star_equivalent_to_propagation_on_random_graphs(spark):
         assert star == prop, f"trial {trial}: star != propagation"
 
 
+def test_connected_components_string_ids_diameter_ge_2(spark):
+    """Non-numeric node ids must still converge on multi-round graphs.
+
+    Regression: the convergence test used to cast labels to decimal,
+    which NULLs on strings — the sum came back None every round, so
+    None == None broke the loop after ONE propagation round and a
+    string-id chain of diameter >= 2 came back partially merged.
+    """
+    from polars_readstat_spark.functions.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # chain a-b-c-d-e needs >= 4 propagation rounds to label e with 'a'
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")],
+        "src string, dst string",
+    )
+    for fn in (connected_components, connected_components_star):
+        got = {r.node: r.label for r in fn(edges).collect()}
+        assert got == {
+            "a": "a",
+            "b": "a",
+            "c": "a",
+            "d": "a",
+            "e": "a",
+            "x": "x",
+            "y": "x",
+        }, fn.__name__
+
+
+def test_star_max_rounds_exhausted_warns_no_duplicates(spark):
+    import warnings as w
+
+    from polars_readstat_spark.functions.graph import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(300, 330)], "src long, dst long"
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        out = connected_components_star(edges, max_rounds=1).collect()
+    assert any("fixpoint" in str(c.message) for c in caught)
+    # one row per node even without convergence (MIN safety net)
+    assert len(out) == len({r.node for r in out}) == 31
+
+
 def test_star_long_chain(spark):
     from polars_readstat_spark.functions.graph import (
         connected_components_star,
