@@ -51,7 +51,7 @@ _PRIORITY: tuple[str, ...] = (
     "scan_sas7bdat_rle",
     "scan_sas7bdat_rdc",
     "scan_sas7bdat_bigendian",
-    "scan_sas7bdat_roundtrip",
+    "scan_sas7bdat_mixpage",
     # red in round 2 (oracle typing, fixed): needs a fresh row
     "sample_hash_stratified",
     # never driver-checked through round 2
@@ -117,6 +117,7 @@ def _ensure_loaded() -> None:
         relational,
         rowindex,
         sampling,
+        sas7bdat_scan,
         scanio,
         similarity,
         text,
