@@ -81,12 +81,12 @@ def decompress_bytecode(raw: bytes, meta: SavMeta) -> np.ndarray:
     test helper; the scan path streams via iter_compressed_elements)."""
     nb8 = len(raw) // 8
     blocks = np.frombuffer(raw, dtype=np.uint8, count=nb8 * 8).reshape(-1, 8)
-    c253 = (blocks == 253).sum(axis=1)
+    c253 = (blocks == 253).sum(axis=1).tolist()
     cmd_idx_l = []
     i = 0
     while i < nb8:
         cmd_idx_l.append(i)
-        i += 1 + int(c253[i])
+        i += 1 + c253[i]
     out, _ = _decode_cmd_group(
         blocks, np.asarray(cmd_idx_l, dtype=np.int64), meta
     )
@@ -129,11 +129,15 @@ def iter_compressed_elements(meta: SavMeta, chunk_bytes: int = 4 << 20):
         data = pend + chunk if pend else chunk
         nb8 = len(data) // 8
         blocks = np.frombuffer(data, dtype=np.uint8, count=nb8 * 8).reshape(-1, 8)
-        c253 = (blocks == 253).sum(axis=1)
+        # plain-list walk: numpy scalar indexing in this hot sequential
+        # loop costs ~5x a list index (one iteration per command group,
+        # ~600k/chunk) and the walk is inherently serial — measured
+        # faster than an O(n log n) pointer-doubling vectorization
+        c253 = (blocks == 253).sum(axis=1).tolist()
         cmd_idx_l = []
         i = 0
         while i < nb8:
-            need = 1 + int(c253[i])
+            need = 1 + c253[i]
             if i + need > nb8:
                 break  # group's literals spill into the next chunk
             cmd_idx_l.append(i)

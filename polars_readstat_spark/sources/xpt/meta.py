@@ -189,26 +189,23 @@ def ibm_to_ieee(raw: np.ndarray) -> np.ndarray:
     right). IBM layout: 1 sign bit, 7-bit base-16 exponent (bias 64),
     56-bit hex mantissa with value = 0.mantissa * 16^(exp-64).
     """
-    n = raw.shape[0]
-    sign = (raw[:, 0] >> 7).astype(np.int64)
-    exp = (raw[:, 0] & 0x7F).astype(np.int64)
-    mant = np.zeros(n, dtype=np.uint64)
-    for i in range(7):
-        mant = (mant << np.uint64(8)) | raw[:, 1 + i].astype(np.uint64)
-    out = np.empty(n, dtype=np.float64)
-    zero = mant == 0
-    vals = mant.astype(np.float64) * np.power(2.0, -56.0) * np.power(
-        16.0, (exp - 64).astype(np.float64)
-    )
-    out[:] = np.where(zero & (exp == 0), 0.0, vals)
-    out = np.where(sign == 1, -out, out)
+    # One big-endian u64 view replaces the per-byte shift-or loop, and
+    # ldexp replaces two transcendental np.power passes: the value is
+    # mant * 2^(4*exp - 256 - 56), a pure power-of-two scale that ldexp
+    # applies exactly (incl. gradual underflow into subnormals).
+    be = np.ascontiguousarray(raw).view(">u8").ravel()
+    b0 = (be >> np.uint64(56)).astype(np.int64)
+    mant = be & np.uint64(0x00FF_FFFF_FFFF_FFFF)
+    exp = (b0 & 0x7F).astype(np.int32)
+    out = np.ldexp(mant.astype(np.float64), 4 * exp - 312)
+    np.negative(out, out=out, where=b0 >= 0x80)
     # SAS missing values: '.' and .A-.Z/._ are stored as the tag char in
     # byte 0 with zero mantissa: 0x2e ('.'), 0x41-0x5a, 0x5f
-    b0 = raw[:, 0]
+    zero = mant == np.uint64(0)
     missing = zero & (
         (b0 == 0x2E) | ((b0 >= 0x41) & (b0 <= 0x5A)) | (b0 == 0x5F)
     )
-    out = np.where(missing, np.nan, out)
+    out[missing] = np.nan
     return out, missing
 
 
