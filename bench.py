@@ -37,12 +37,14 @@ def _readstat_files(spark, sf_dir: str, sf: str) -> dict[str, str]:
 
     paths = {
         ext: ensure_readstat_file(spark, sf_dir, ext)
-        for ext in ("dta", "sav", "zsav", "xpt", "por")
+        for ext in ("dta", "sas7bdat", "sav", "zsav", "xpt", "por")
     }
     ensure_multifile_dir(spark, sf_dir, "dta")
     ensure_labeled_file(spark, sf_dir)
-    # only the three baseline formats get per-variant read benchmarks
-    return {k: paths[k] for k in ("dta", "sav", "xpt")}
+    # the four BASELINE.md formats get per-variant read benchmarks
+    # (sas7bdat files come from our own writer — no public engine
+    # writes the format, so the bench surface is self-hosted)
+    return {k: paths[k] for k in ("dta", "sas7bdat", "sav", "xpt")}
 
 
 def _warm_readstat(spark, paths: dict) -> None:

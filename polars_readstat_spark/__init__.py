@@ -272,6 +272,8 @@ def write_readstat(df, path, metadata=None, **kwargs) -> None:
     lower = p.lower()
     if lower.endswith(".dta"):
         from polars_readstat_spark.writers.dta import write_dta as w
+    elif lower.endswith(".sas7bdat"):
+        from polars_readstat_spark.writers.sas7bdat import write_sas7bdat as w
     elif lower.endswith(".sav") or lower.endswith(".zsav"):
         from polars_readstat_spark.writers.sav import write_sav as w
     elif lower.endswith(".xpt"):

@@ -167,6 +167,19 @@ def scan_dta_roundtrip(spark, sf_dir):
     return _canon(_scan(spark, ensure_readstat_file(spark, sf_dir, "dta")))
 
 
+@query("scan_sas7bdat_roundtrip", oracle=_CANON_ORACLE)
+def scan_sas7bdat_roundtrip(spark, sf_dir):
+    """S4 write→scan under the driver oracle: the new sas7bdat writer
+    (writers/sas7bdat.py — a capability the reference lacks; its
+    sas7bdat path is read-only) makes the format self-roundtrippable
+    like dta/sav/xpt/por. Numerics are IEEE doubles on disk (identity
+    roundtrip); shipdate goes out as SAS DATE days and comes back as
+    date32."""
+    return _canon(
+        _scan(spark, ensure_readstat_file(spark, sf_dir, "sas7bdat"))
+    )
+
+
 @query("scan_sav_roundtrip", oracle=_CANON_ORACLE)
 def scan_sav_roundtrip(spark, sf_dir):
     """S10/W3: SPSS SAV write → scan (uncompressed records)."""

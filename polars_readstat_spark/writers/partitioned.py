@@ -212,9 +212,68 @@ def write_xpt_partitioned(
     return [{"path": r.path, "n_rows": r.n_rows} for r in results]
 
 
+def write_sas7bdat_partitioned(
+    df: DataFrame,
+    dir_path: str,
+    *,
+    dataset_name: str = "DATA",
+    variable_labels: dict | None = None,
+    page_length: int | None = None,
+) -> list[dict]:
+    """Write one .sas7bdat per partition into ``dir_path``. Each task
+    assembles a complete file (header + meta page + data pages) and
+    back-patches its own row/page counts locally, so no global count
+    job is needed — only the string-width pre-pass is shared."""
+    from polars_readstat_spark.writers.sas7bdat import (
+        _sas_cast,
+        _sas_columns,
+        _sas_widths,
+        _SasFileSink,
+    )
+
+    variable_labels = variable_labels or {}
+    fields, names, kinds, aggs = _sas_columns(df)
+    stats = df.agg(*aggs).collect()[0].asDict() if aggs else {}
+    widths = _sas_widths(fields, kinds, stats)
+    src = _sas_cast(df, fields, kinds)
+    os.makedirs(dir_path, exist_ok=True)
+
+    def write_partition(batches):
+        import pandas as pd
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(dir_path, f"part-{pid:05d}.sas7bdat")
+        tmp = path + f".tmp{os.getpid()}"
+        fh = sink = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if fh is None:
+                fh = open(tmp, "wb")
+                sink = _SasFileSink(
+                    fh, fields, names, kinds, widths, dataset_name,
+                    variable_labels, page_length,
+                )
+            sink.write_batch([pdf[nm] for nm in names])
+        if fh is not None:
+            n_rows = sink.n_rows
+            sink.close()
+            fh.close()
+            os.replace(tmp, path)
+            yield pd.DataFrame({"path": [path], "n_rows": [n_rows]})
+
+    results = (
+        src.mapInPandas(write_partition, schema="path string, n_rows long")
+        .collect()
+    )
+    return [{"path": r.path, "n_rows": r.n_rows} for r in results]
+
+
 def write_readstat_partitioned(df: DataFrame, dir_path: str, ext: str = "dta", **kwargs):
-    """Format-dispatching facade. dta, sav, and xpt ship distributed;
-    POR stays driver-streamed (legacy eager format)."""
+    """Format-dispatching facade. dta, sav, xpt, and sas7bdat ship
+    distributed; POR stays driver-streamed (legacy eager format)."""
     fmt = ext.lstrip(".").lower()
     if fmt == "dta":
         return write_dta_partitioned(df, dir_path, **kwargs)
@@ -222,6 +281,8 @@ def write_readstat_partitioned(df: DataFrame, dir_path: str, ext: str = "dta", *
         return write_sav_partitioned(df, dir_path, **kwargs)
     if fmt == "xpt":
         return write_xpt_partitioned(df, dir_path, **kwargs)
+    if fmt == "sas7bdat":
+        return write_sas7bdat_partitioned(df, dir_path, **kwargs)
     raise NotImplementedError(
         f"write_readstat_partitioned: format {ext!r} not yet distributed; "
         "use write_readstat per file or repartition+loop driver-side"
