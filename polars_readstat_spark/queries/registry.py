@@ -48,6 +48,7 @@ def query(name: str, oracle: str | None = None):
 _PRIORITY: tuple[str, ...] = (
     # new this round — no row could exist yet
     "scan_sas7bdat_roundtrip",
+    "scan_sas7bdat_rle_roundtrip",
     "scan_sas7bdat_types",
     "scan_sas7bdat_rle",
     "scan_sas7bdat_rdc",

@@ -180,6 +180,38 @@ def scan_sas7bdat_roundtrip(spark, sf_dir):
     )
 
 
+@query(
+    "scan_sas7bdat_rle_roundtrip",
+    oracle="""
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_partkey AS BIGINT) AS l_partkey,
+           l_quantity, l_extendedprice, l_discount,
+           l_returnflag, l_linestatus,
+           CAST(l_shipdate AS DATE) AS l_shipdate
+    FROM lineitem WHERE l_orderkey % 10 = 0
+    """,
+)
+def scan_sas7bdat_rle_roundtrip(spark, sf_dir):
+    """S4-S5 compressed write→scan: SASYZCRL per-row compression out
+    through writers/sas7bdat.py (compress='rle'), back in through the
+    reader's page-parallel compressed scan — the RLE encoder is the
+    exact inverse of pages.py:rle_decompress and is property-tested
+    against it. Verifies a deterministic 10% slice (POR precedent):
+    per-row Python RLE encode of the full sf0.1 table would dominate
+    the bench's one-time file build without adding coverage."""
+    import polars_readstat_spark as prs
+
+    d = _cache_dir(sf_dir)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "lineitem_rle.sas7bdat")
+    if not os.path.exists(path):
+        src = _source_frame(spark, sf_dir).filter(F.col("l_orderkey") % 10 == 0)
+        tmp = os.path.join(d, f".tmp{os.getpid()}.lineitem_rle.sas7bdat")
+        prs.write_readstat(src, tmp, compress="rle")
+        os.replace(tmp, path)
+    return _canon(_scan(spark, path))
+
+
 @query("scan_sav_roundtrip", oracle=_CANON_ORACLE)
 def scan_sav_roundtrip(spark, sf_dir):
     """S10/W3: SPSS SAV write → scan (uncompressed records)."""

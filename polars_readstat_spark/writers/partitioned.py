@@ -219,11 +219,13 @@ def write_sas7bdat_partitioned(
     dataset_name: str = "DATA",
     variable_labels: dict | None = None,
     page_length: int | None = None,
+    compress: str | None = None,
 ) -> list[dict]:
     """Write one .sas7bdat per partition into ``dir_path``. Each task
     assembles a complete file (header + meta page + data pages) and
     back-patches its own row/page counts locally, so no global count
-    job is needed — only the string-width pre-pass is shared."""
+    job is needed — only the string-width pre-pass is shared.
+    ``compress='rle'`` emits SASYZCRL row-compressed META pages."""
     from polars_readstat_spark.writers.sas7bdat import (
         _sas_cast,
         _sas_columns,
@@ -254,7 +256,7 @@ def write_sas7bdat_partitioned(
                 fh = open(tmp, "wb")
                 sink = _SasFileSink(
                     fh, fields, names, kinds, widths, dataset_name,
-                    variable_labels, page_length,
+                    variable_labels, page_length, compress,
                 )
             sink.write_batch([pdf[nm] for nm in names])
         if fh is not None:

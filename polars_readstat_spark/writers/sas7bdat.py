@@ -3,11 +3,15 @@
 Emits the publicly documented sas7bdat binary layout (Shotwell's
 "SAS7BDAT Database Binary Format" spec, the same one our reader
 implements): 64-bit little-endian variant, UTF-8 text (encoding code
-20), uncompressed DATA pages. One META page carries the row_size /
+20), uncompressed DATA pages or (``compress='rle'``) SASYZCRL
+row-compressed META pages. One META page carries the row_size /
 col_size / col_text / col_name / col_attrs subheaders plus one
 fmt_label subheader per column; rows stream onto fixed-size DATA
-pages. Row count and page count are back-patched with two seeks when
-the stream ends, so the writer is single-pass over the data and
+pages (uncompressed) or as per-row compressed subheaders (RLE — the
+exact inverse of our reader's rle_decompress, which also means the
+reader's page-parallel compressed scan applies to our own output).
+Row count and page count are back-patched with two seeks when the
+stream ends, so the writer is single-pass over the data and
 memory-bounded regardless of row count.
 
 Independently verified: files written here are read back by
@@ -127,6 +131,107 @@ def _sas_cast(df: DataFrame, fields, kinds) -> DataFrame:
     return df.select(*sel)
 
 
+RLE_LITERAL = b"SASYZCRL"
+
+# subheader signature prefixes (4-byte spellings included — the
+# readers also match on sig[:4]): a compressed row whose first bytes
+# collide with one would be misread as metadata, so the encoder pins
+# the first emitted command to a literal-copy control byte (0x80-0xBF,
+# which no signature starts with) and the raw fallback refuses the
+# astronomically-unlikely colliding incompressible row.
+_SIG_PREFIXES = (
+    b"\xf7\xf7\xf7\xf7", b"\xf6\xf6\xf6\xf6", b"\x00\xfc\xff\xff",
+    b"\xff\xff\xfc\x00", b"\xfd\xff\xff\xff", b"\xff\xff\xff\xfd",
+    b"\xff\xff\xff\xff", b"\xfc\xff\xff\xff", b"\xff\xff\xff\xfc",
+    b"\xfe\xfb\xff\xff", b"\xff\xff\xfb\xfe", b"\xfe\xff\xff\xff",
+    b"\xff\xff\xff\xfe",
+)
+
+
+def _rle_encode_row(arr: np.ndarray) -> bytes | None:
+    """SASYZCRL-encode one row (uint8 vector). Returns None when the
+    encoding is not strictly shorter than the raw row (both readers
+    treat length == row_length as an uncompressed row).
+
+    Exact inverse of sources/sas7bdat/pages.py:rle_decompress — the
+    public control-byte table: literal copies (0x8-0xB short, 0x0
+    long), same-byte runs (0xC short / 0x4 long), and dedicated
+    zero/blank/'@' runs (0xF/0xE/0xD short, 0x7/0x6/0x5 long)."""
+    n = arr.shape[0]
+    if n == 0:
+        return None
+    bounds = np.flatnonzero(arr[1:] != arr[:-1]) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [n]))
+    out = bytearray()
+    lit0 = lit1 = 0  # pending literal span [lit0, lit1)
+
+    def emit_literal(a: int, b: int) -> None:
+        i = a
+        while i < b:
+            take = min(b - i, 4159)
+            if not out and take > 64:
+                take = 64  # first command stays in 0x80-0xBF
+            if take <= 16:
+                out.append(0x80 | (take - 1))
+            elif take <= 32:
+                out.append(0x90 | (take - 17))
+            elif take <= 48:
+                out.append(0xA0 | (take - 33))
+            elif take <= 64:
+                out.append(0xB0 | (take - 49))
+            else:
+                out.append((take - 64) >> 8)
+                out.append((take - 64) & 0xFF)
+            out.extend(arr[i : i + take].tobytes())
+            i += take
+
+    for s, e in zip(starts, ends):
+        b = int(arr[s])
+        L = e - s
+        special = 0x70 if b == 0 else 0x60 if b == 0x20 else 0x50 if b == 0x40 else 0
+        if L < (3 if special else 4):
+            lit1 = e
+            continue
+        if lit1 > lit0:
+            emit_literal(lit0, lit1)
+        if not out:  # a run may not open the stream (signature guard)
+            emit_literal(s, s + 1)
+            s += 1
+            L -= 1
+        while L > 0:
+            if special:
+                if L > 17:
+                    take = min(L, 4112)
+                    out.append(special | ((take - 17) >> 8))
+                    out.append((take - 17) & 0xFF)
+                else:
+                    take = max(L, 2)  # L >= 2 by threshold
+                    out.append((special | 0x80) | (take - 2))
+            else:
+                if L > 18:
+                    take = min(L, 4113)
+                    out.append(0x40 | ((take - 18) >> 8))
+                    out.append((take - 18) & 0xFF)
+                    out.append(b)
+                else:
+                    take = L  # >= 4 (or remainder >= ... see below)
+                    if take < 3:
+                        # leftover shorter than the short form: literal
+                        emit_literal(e - take, e)
+                        break
+                    out.append(0xC0 | (take - 3))
+                    out.append(b)
+            L -= take
+            if 0 < L < (2 if special else 3):
+                emit_literal(e - L, e)
+                L = 0
+        lit0 = lit1 = e
+    if lit1 > lit0:
+        emit_literal(lit0, lit1)
+    return bytes(out) if len(out) < n else None
+
+
 class _TextBlob:
     """col_text block builder: [0:2] = block size (u16, counted from
     the block start per the spec), strings appended 4-byte aligned.
@@ -158,13 +263,18 @@ class _TextBlob:
 
 
 def _build_meta_page(
-    fields, names, kinds, widths, variable_labels, page_length
+    fields, names, kinds, widths, variable_labels, page_length,
+    compression: bytes = b"",
 ) -> tuple[bytes, int]:
     """One META page holding every metadata subheader. Returns
     (page bytes, offset-within-page of the u64 row_count field) so the
     caller can back-patch the count after streaming."""
     ncols = len(fields)
     text = _TextBlob()
+    if compression:
+        # the compression literal lives in the first col_text block —
+        # that is how every reader (ours, pandas) detects RLE
+        text.add(compression.decode("ascii"))
     fmt_refs, label_refs = [], []
     for f, k in zip(fields, kinds):
         fmt = {"date": "DATE", "datetime": "DATETIME", "time": "TIME"}.get(k, "")
@@ -321,21 +431,29 @@ class _SasFileSink:
 
     def __init__(
         self, fh, fields, names, kinds, widths, dataset_name,
-        variable_labels, page_length=None,
+        variable_labels, page_length=None, compress: str | None = None,
     ):
+        if compress not in (None, "", "rle"):
+            raise ValueError(
+                f"write_sas7bdat: unsupported compress={compress!r} "
+                "(only 'rle')"
+            )
         self.fh = fh
         self.kinds = kinds
         self.widths = widths
         self.row_length = sum(widths)
+        self.compress = compress or None
+        literal = RLE_LITERAL if self.compress else b""
         pl = page_length or 0x10000
-        # every page must hold ≥1 row after the 40-byte page prefix;
-        # metadata must fit the meta page — grow in 4 KiB steps
-        pl = max(pl, self.row_length + BIT_OFFSET + 8)
+        # every page must hold ≥1 row (plus one subheader pointer in
+        # the compressed layout); metadata must fit the meta page
+        pl = max(pl, self.row_length + BIT_OFFSET + 8 + PTR_LEN)
         while True:
             pl = (pl + 0xFFF) & ~0xFFF
             try:
                 meta_page, self._rc_off = _build_meta_page(
-                    fields, names, kinds, widths, variable_labels, pl
+                    fields, names, kinds, widths, variable_labels, pl,
+                    literal,
                 )
                 break
             except ValueError:
@@ -349,19 +467,69 @@ class _SasFileSink:
         self.pending = bytearray()
         self.n_rows = 0
         self.n_data_pages = 0
+        # compressed layout: rows pending for the current META page as
+        # (blob, is_compressed); bodies pack after the pointer array
+        self._crows: list[tuple[bytes, bool]] = []
+        self._crows_bytes = 0
 
     def write_batch(self, cols_data) -> None:
         n = len(cols_data[0]) if cols_data else 0
         if n == 0:
             return
-        self.pending += _pack_rows(
-            cols_data, self.kinds, self.widths, self.row_length
-        )
+        packed = _pack_rows(cols_data, self.kinds, self.widths, self.row_length)
         self.n_rows += n
+        if self.compress:
+            rows = np.frombuffer(packed, np.uint8).reshape(n, self.row_length)
+            for i in range(n):
+                self._add_compressed_row(rows[i])
+            return
+        self.pending += packed
         chunk = self.rows_per_page * self.row_length
         while len(self.pending) >= chunk:
             self._emit_page(self.pending[:chunk], self.rows_per_page)
             del self.pending[:chunk]
+
+    def _add_compressed_row(self, row: np.ndarray) -> None:
+        enc = _rle_encode_row(row)
+        if enc is None:
+            raw = row.tobytes()
+            if raw[:4] in _SIG_PREFIXES:
+                raise ValueError(
+                    "write_sas7bdat: incompressible row collides with a "
+                    "subheader signature prefix; cannot be stored in a "
+                    "compressed file — write without compress"
+                )
+            blob, comp = raw, False
+        else:
+            blob, comp = enc, True
+        need = PTR_LEN + len(blob)
+        avail = self.page_length - (BIT_OFFSET + 8) - (
+            PTR_LEN * len(self._crows) + self._crows_bytes
+        )
+        if self._crows and need > avail:
+            self._flush_compressed_page()
+        self._crows.append((blob, comp))
+        self._crows_bytes += len(blob)
+
+    def _flush_compressed_page(self) -> None:
+        if not self._crows:
+            return
+        nsub = len(self._crows)
+        page = bytearray(self.page_length)
+        # META-type page whose subheaders are the compressed rows
+        struct.pack_into("<4H", page, BIT_OFFSET, 0x0000, nsub, nsub, 0)
+        pos = BIT_OFFSET + 8 + PTR_LEN * nsub
+        for i, (blob, comp) in enumerate(self._crows):
+            p = BIT_OFFSET + 8 + PTR_LEN * i
+            struct.pack_into("<QQ", page, p, pos, len(blob))
+            page[p + 16] = 4 if comp else 0  # COMPRESSED_SUBHEADER_ID
+            page[p + 17] = 1  # COMPRESSED_SUBHEADER_TYPE
+            page[pos : pos + len(blob)] = blob
+            pos += len(blob)
+        self.fh.write(page)
+        self.n_data_pages += 1
+        self._crows.clear()
+        self._crows_bytes = 0
 
     def _emit_page(self, rows_bytes, nrows) -> None:
         page = bytearray(self.page_length)
@@ -371,6 +539,7 @@ class _SasFileSink:
         self.n_data_pages += 1
 
     def close(self) -> None:
+        self._flush_compressed_page()
         if self.pending:
             self._emit_page(
                 self.pending, len(self.pending) // max(self.row_length, 1)
@@ -390,6 +559,7 @@ def write_sas7bdat(
     dataset_name: str = "DATA",
     variable_labels: dict | None = None,
     page_length: int | None = None,
+    compress: str | None = None,
 ) -> None:
     """Write a Spark DataFrame as an uncompressed 64-bit LE sas7bdat.
 
@@ -408,7 +578,7 @@ def write_sas7bdat(
     with open(path, "wb") as fh:
         sink = _SasFileSink(
             fh, fields, names, kinds, widths, dataset_name,
-            variable_labels, page_length,
+            variable_labels, page_length, compress,
         )
         batch: list = []
         for row in src.toLocalIterator(prefetchPartitions=True):

@@ -214,6 +214,78 @@ def test_partitioned_dir_roundtrip(spark, tmp_path):
     assert back.agg(F.sum("k")).collect()[0][0] == sum(range(3000))
 
 
+def test_rle_roundtrip_both_readers(spark, tmp_path):
+    """compress='rle' emits SASYZCRL row subheaders on META pages;
+    both our scan and pandas must decode them, and padded text must
+    actually shrink the file."""
+    import os
+
+    import pandas as pd
+
+    import polars_readstat_spark as prs
+    from pyspark.sql import functions as F
+
+    df = spark.range(4000).select(
+        F.col("id").cast("double").alias("x"),
+        F.rpad(F.concat(F.lit("cat_"), F.col("id") % 20), 60, " ").alias("pad"),
+        F.concat(F.lit("tag"), F.col("id")).alias("tag"),
+    )
+    p_raw = str(tmp_path / "raw.sas7bdat")
+    p_rle = str(tmp_path / "rle.sas7bdat")
+    prs.write_readstat(df, p_raw)
+    prs.write_readstat(df, p_rle, compress="rle")
+    assert os.path.getsize(p_rle) < os.path.getsize(p_raw)
+
+    back = spark.read.format("readstat").load(p_rle)
+    assert back.count() == 4000
+    assert back.agg(F.sum("x")).collect()[0][0] == sum(range(4000))
+    got = back.filter(F.col("tag") == "tag3999").collect()
+    assert len(got) == 1 and got[0]["pad"] == "cat_19"
+
+    pdf = pd.read_sas(p_rle, encoding="utf-8")
+    assert len(pdf) == 4000
+    assert pdf["x"].sum() == sum(range(4000))
+    assert set(pdf["pad"]) == {f"cat_{i}" for i in range(20)}
+
+
+def test_rle_multipage_parallel_scan(spark, tmp_path):
+    """Small pages force many compressed META pages; the reader's
+    compressed page-range fan-out must parallelize the scan."""
+    import polars_readstat_spark as prs
+    from pyspark.sql import functions as F
+
+    df = spark.range(6000).select(
+        F.col("id").cast("double").alias("v"),
+        F.rpad(F.lit("z"), 120, "z").alias("fill"),
+    )
+    path = str(tmp_path / "многостр.sas7bdat")
+    prs.write_readstat(df, path, compress="rle", page_length=4096)
+    scan = (
+        spark.read.format("readstat")
+        .option("pages_per_partition", 16)
+        .load(path)
+    )
+    assert scan.rdd.getNumPartitions() > 1
+    assert scan.count() == 6000
+    assert scan.agg(F.sum("v")).collect()[0][0] == sum(range(6000))
+
+
+def test_rle_incompressible_rows_fall_back_raw(spark, tmp_path):
+    """Pure random doubles rarely compress; rows are stored raw inside
+    the compressed file (length == row_length) and still roundtrip."""
+    import polars_readstat_spark as prs
+    from pyspark.sql import functions as F
+
+    df = spark.range(500).select(
+        (F.rand(7) * 1e9).alias("a"), (F.rand(8) - 0.5).alias("b")
+    )
+    src = {r["a"]: r["b"] for r in df.collect()}
+    path = str(tmp_path / "rand.sas7bdat")
+    prs.write_readstat(df, path, compress="rle")
+    back = spark.read.format("readstat").load(path).collect()
+    assert {r["a"]: r["b"] for r in back} == src
+
+
 def test_name_too_long_raises(spark, tmp_path):
     import polars_readstat_spark as prs
     from pyspark.sql import functions as F
