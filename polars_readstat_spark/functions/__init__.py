@@ -17,7 +17,10 @@ from polars_readstat_spark.functions.ann import (  # noqa: F401
 from polars_readstat_spark.functions.dedup import (  # noqa: F401
     lsh_candidate_pairs,
     near_dup_components,
+    recommended_simhash,
     shingle_minhash,
+    simhash_bits,
+    simhash_candidate_pairs,
 )
 from polars_readstat_spark.functions.graph import (  # noqa: F401
     connected_components,

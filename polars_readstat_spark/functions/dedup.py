@@ -92,6 +92,142 @@ def lsh_candidate_pairs(
     )
 
 
+def simhash_bits(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+) -> DataFrame:
+    """Per-document SimHash as a '0'/'1' bit string: (id, simhash).
+
+    Classic Charikar fingerprint: each bit is the majority vote of the
+    corresponding token-hash bit over the document's tokens — one
+    explode plus one combinable aggregation. Bit b reads the high bit
+    of hex nibble b%32 of a salted MD5 (salt = b//32, so fingerprints
+    wider than one digest — e.g. the 64/96-bit production sizes
+    ``recommended_simhash`` returns — just add salted hash columns),
+    which any SQL engine can replay exactly.
+    """
+    if bits < 1:
+        raise ValueError("simhash_bits: bits must be >= 1")
+    nh = (bits + 31) // 32
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(text_col, " ")).alias("t")
+    ).select(
+        id_col,
+        F.md5("t").alias("h0"),
+        *[
+            F.md5(F.concat(F.lit(f"s{k}:"), F.col("t"))).alias(f"h{k}")
+            for k in range(1, nh)
+        ],
+    )
+    n = F.count(F.lit(1))
+    hi = ("8", "9", "a", "b", "c", "d", "e", "f")
+    cols = [
+        F.when(
+            F.count(
+                F.when(
+                    F.substring(f"h{b // 32}", b % 32 + 1, 1).isin(*hi), 1
+                )
+            )
+            * 2
+            > n,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for b in range(bits)
+    ]
+    return tok.groupBy(id_col).agg(F.concat(*cols).alias("simhash"))
+
+
+def recommended_simhash(n_docs: int, max_hamming: int = 2) -> dict:
+    """Size a simhash banding for ~corpus scale: pigeonhole-exact
+    recall needs bands = max_hamming + 1, and expected bucket size
+    n_docs / 2^band_width stays ≤ ~64 when band_width ≥
+    log2(n_docs/64) — the same sizing rule as ``recommended_lsh``.
+    Returns {bits, bands} to pass to simhash_bits /
+    simhash_candidate_pairs. At 10⁹ docs: bands=3, width=24 → 72-bit
+    fingerprint; candidate volume stays linear in the corpus."""
+    import math
+
+    bands = max_hamming + 1
+    width = max(8, math.ceil(math.log2(max(n_docs, 128) / 64)))
+    return {"bits": bands * width, "bands": bands}
+
+
+def simhash_candidate_pairs(
+    sim: DataFrame,
+    id_col: str,
+    bits: int = 16,
+    bands: int = 2,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup pairs from banded SimHash: (id_a, id_b, hamming).
+
+    The fingerprint is cut into ``bands`` equal slices; documents
+    sharing any slice meet in an equi-join on (band_idx, band_val) —
+    by the pigeonhole principle every pair within Hamming distance
+    < ``bands`` shares at least one band, so recall is exact for
+    max_hamming <= bands - 1 and the quadratic scan never happens.
+    Survivors are verified with an exact bitwise Hamming distance.
+
+    Scaling the band width is the knob: 64-bit fingerprints with 4×16
+    bands keep buckets tiny at corpus scale; the 16-bit default here
+    matches the registry's demonstration fingerprint.
+    """
+    nbits = bits
+    if nbits < bands or nbits % bands:
+        raise ValueError(
+            "simhash_candidate_pairs: bits must be a positive multiple "
+            "of bands"
+        )
+    width = nbits // bands
+    bt = sim.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.substring("simhash", i * width + 1, width).alias(
+                            "band_val"
+                        ),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+    a, b = bt.alias("a"), bt.alias("b")
+    ham = sum(
+        F.when(
+            F.substring(F.col("sa"), i + 1, 1)
+            != F.substring(F.col("sb"), i + 1, 1),
+            1,
+        ).otherwise(0)
+        for i in range(nbits)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+        .select(
+            "id_a", "id_b", ham.cast("int").alias("hamming")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def near_dup_components(
     df: DataFrame,
     id_col: str,

@@ -228,29 +228,74 @@ _HI_NIBBLE = "('8','9','a','b','c','d','e','f')"
 )
 def simhash_fingerprint(spark, sf_dir):
     """SimHash (16-bit variant): per-bit majority vote over token
-    hashes — one explode + one combinable aggregation per document."""
+    hashes — one explode + one combinable aggregation per document
+    (delegates to functions/dedup.py simhash_bits)."""
+    from polars_readstat_spark.functions.dedup import simhash_bits
+
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("t")
-    ).select("doc_id", F.md5("t").alias("h"))
-    n = F.count(F.lit(1))
-    bits = [
-        F.when(
-            F.count(
-                F.when(
-                    F.substring("h", b + 1, 1).isin(
-                        "8", "9", "a", "b", "c", "d", "e", "f"
-                    ),
-                    1,
-                )
-            )
-            * 2
-            > n,
-            F.lit("1"),
-        ).otherwise(F.lit("0"))
-        for b in range(16)
-    ]
-    return tok.groupBy("doc_id").agg(F.concat(*bits).alias("simhash"))
+    return simhash_bits(d, "doc_id", "text", bits=16)
+
+
+_SIMHASH_DUCK = f"""
+    WITH raw AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents
+    ),
+    tok AS (SELECT doc_id, MD5(t) AS h FROM raw),
+    sim AS (
+      SELECT doc_id,
+             {" || ".join(
+                 f"CASE WHEN COUNT(CASE WHEN SUBSTR(h, {b + 1}, 1) IN {_HI_NIBBLE} "
+                 f"THEN 1 END) * 2 > COUNT(*) THEN '1' ELSE '0' END"
+                 for b in range(16)
+             )} AS simhash
+      FROM tok GROUP BY doc_id
+    )
+"""
+
+_HAMMING_DUCK = " + ".join(
+    f"(CASE WHEN SUBSTR(sa, {i + 1}, 1) <> SUBSTR(sb, {i + 1}, 1) "
+    "THEN 1 ELSE 0 END)"
+    for i in range(16)
+)
+
+
+@query(
+    "simhash_band_pairs",
+    oracle=_SIMHASH_DUCK
+    + f""",
+    bands AS (
+      SELECT doc_id, simhash, 0 AS band_idx, SUBSTR(simhash, 1, 8) AS band_val FROM sim
+      UNION ALL
+      SELECT doc_id, simhash, 1, SUBSTR(simhash, 9, 8) FROM sim
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                  AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST({_HAMMING_DUCK} AS INT) AS hamming
+    FROM cand WHERE {_HAMMING_DUCK} <= 2
+    """,
+)
+def simhash_band_pairs(spark, sf_dir):
+    """SimHash near-dup candidate pairs: the fingerprint is banded
+    (2 × 8 bits here; 4 × 16 on 64-bit production fingerprints) and
+    pairs meet in an equi-join on band slices — pigeonhole guarantees
+    exact recall for Hamming ≤ bands-1, and the quadratic scan never
+    happens. Survivors verified with an exact bitwise Hamming count
+    (functions/dedup.py simhash_candidate_pairs)."""
+    from polars_readstat_spark.functions.dedup import (
+        simhash_bits,
+        simhash_candidate_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sim = simhash_bits(d, "doc_id", "text", bits=16)
+    return simhash_candidate_pairs(
+        sim, "doc_id", bits=16, bands=2, max_hamming=2
+    )
 
 
 _PAIRS_DUCK = """

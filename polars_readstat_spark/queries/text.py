@@ -200,3 +200,46 @@ def text_ngram_topk(spark, sf_dir):
         .orderBy(F.col("n").desc(), "bigram")
         .limit(20)
     )
+
+
+@query(
+    "text_rare_token_ratio",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents
+    ),
+    vocab AS (SELECT t, COUNT(*) AS freq FROM tok GROUP BY t)
+    SELECT tok.doc_id,
+           CAST(COUNT(CASE WHEN vocab.freq <= 2 THEN 1 END) AS BIGINT)
+               AS n_rare,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           COUNT(CASE WHEN vocab.freq <= 2 THEN 1 END)
+               / CAST(COUNT(*) AS DOUBLE) AS rare_ratio
+    FROM tok JOIN vocab ON tok.t = vocab.t
+    GROUP BY tok.doc_id
+    """,
+)
+def text_rare_token_ratio(spark, sf_dir):
+    """OOV/rare-token-rate quality filter (the deterministic stand-in
+    for a perplexity gate): per document, the fraction of tokens whose
+    corpus frequency is ≤ 2 — high ratios flag gibberish, boilerplate
+    mangling, or wrong-language text. Two map-side-combinable
+    aggregations plus one token equi-join; the vocabulary table is
+    the only shuffle that grows with corpus size, and the final ratio
+    is a double division of exact integer counts so both engines agree
+    bit-for-bit (no transcendental log-prob in the compare surface)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    )
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("freq"))
+    rare = F.count(F.when(F.col("freq") <= 2, 1))
+    return (
+        tok.join(vocab, "t")
+        .groupBy("doc_id")
+        .agg(
+            rare.cast("bigint").alias("n_rare"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            (rare / F.count(F.lit(1)).cast("double")).alias("rare_ratio"),
+        )
+    )

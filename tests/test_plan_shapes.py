@@ -242,3 +242,22 @@ def test_containment_and_funnel_no_degenerate_joins(spark, name):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_" in plan
+
+
+def test_simhash_band_pairs_is_equijoin(spark):
+    """Band join must be a hash equi-join on (band_idx, band_val) —
+    never a nested-loop pair scan — and the simhash aggregation must
+    combine map-side."""
+    plan = plan_of(spark, "simhash_band_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_" in plan
+
+
+def test_rare_token_ratio_shape(spark):
+    """Vocabulary build and per-doc rollup both partial-aggregate;
+    the tok-vocab join is an equi-join on the token."""
+    plan = plan_of(spark, "text_rare_token_ratio")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_" in plan
