@@ -206,6 +206,20 @@ class ReadstatDataSource(DataSource):
 
         return ReadstatStreamReader(self.options, schema)
 
+    def writer(self, schema: StructType, overwrite: bool):
+        """df.write.format("readstat").option("format", ...).save(dir)
+        — one part-file per partition, staged + committed atomically
+        (writers/spark_sink.py). sas7bdat (optionally RLE), sav, xpt;
+        dta needs the global sentinel pre-pass and stays on
+        write_dta_partitioned."""
+        from polars_readstat_spark.writers.spark_sink import (
+            ReadstatDataSourceWriter,
+        )
+
+        return ReadstatDataSourceWriter(
+            self.options.get("path"), schema, self.options, overwrite
+        )
+
     def reader(self, schema: StructType) -> DataSourceReader:
         paths = self._paths()
         if len(paths) == 1 and not self.options.get("path_column"):

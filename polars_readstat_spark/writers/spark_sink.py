@@ -1,0 +1,303 @@
+"""Spark-native write surface: ``df.write.format("readstat")``.
+
+Completes the idiomatic Spark mapping SURVEY §2.7 (W1) promises: the
+same data source that reads statistical files is also a sink —
+
+    df.write.format("readstat").option("format", "sav") \\
+      .mode("overwrite").save("/lake/export_sav")
+
+Each executor task assembles one complete part-file for its partition
+(the multi-file directory layout the readers union back), staged under
+a dot-prefixed name and renamed by the driver-side ``commit`` so a
+failed job never leaves torn files visible; ``abort`` removes the
+staging. On a real cluster the directory must be storage both the
+executors and the driver can reach (the same contract as
+writers/partitioned.py).
+
+Supported formats: ``sas7bdat`` (plus ``compress=rle``), ``sav``,
+``xpt`` — the formats whose on-disk numerics are always float64, so a
+partition-local string-width pass yields part-files that union under
+one Spark schema. ``dta`` is deliberately not offered here: its
+integer storage types are chosen from global min/max (Stata missing
+sentinels), and partition-local choices would give the part-files
+conflicting column types — use ``write_dta_partitioned`` (global
+pre-pass) for distributed dta export.
+
+Timestamps are converted executor-side from the Arrow representation:
+tz-aware arrays go through ``pyarrow.compute.local_timestamp`` first,
+so the wall-clock-seconds semantics match the facade writers'
+``ts_epoch_seconds`` under any session timezone.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceArrowWriter, WriterCommitMessage
+
+# SAS epoch 1960-01-01 / SPSS epoch 1582-10-14 vs Unix epoch
+_EPOCH = {
+    "sas7bdat": (1.0, 3653.0, 315_619_200.0),
+    "xpt": (1.0, 3653.0, 315_619_200.0),
+    "sav": (86400.0, 12_219_379_200.0 / 86400.0, 12_219_379_200.0),
+}
+_STR_LIMIT = {"sas7bdat": 32767, "sav": 255, "xpt": 200}
+
+
+@dataclass
+class _PartMessage(WriterCommitMessage):
+    staged: str
+    final: str
+    n_rows: int
+
+
+def plan_write(schema, options):
+    """Driver-side column plan from the declared schema alone.
+
+    Returns (fmt, fields, names, shorts, kinds): `shorts` is None for
+    formats that keep full names. Raises for unsupported formats —
+    including dta, whose sentinel-safe integer typing needs a global
+    pre-pass this API cannot run (see module docstring)."""
+    fmt = (options.get("format") or options.get("ext") or "").lstrip(".").lower()
+    if not fmt:
+        path = options.get("path", "")
+        tail = os.path.basename(path)
+        fmt = tail.rsplit(".", 1)[-1].lower() if "." in tail else ""
+    if fmt == "dta":
+        raise NotImplementedError(
+            "df.write.format('readstat'): dta needs the global integer "
+            "range pre-pass (Stata missing sentinels) — use "
+            "write_dta_partitioned / write_readstat instead"
+        )
+    if fmt not in _EPOCH:
+        raise ValueError(
+            f"df.write.format('readstat'): set .option('format', ...) to "
+            f"one of {sorted(_EPOCH)} (got {fmt!r})"
+        )
+    # this runs inside the Python planning worker (no SparkSession),
+    # so the kind mapping is replicated here without pyspark Columns —
+    # the rules mirror each writer's _*_columns exactly
+    fields = schema.fields
+    names = [f.name for f in fields]
+    kinds = []
+    for f in fields:
+        t = f.dataType.simpleString()
+        if t == "string":
+            kinds.append("str")
+        elif t == "date":
+            kinds.append("date")
+        elif t.startswith("timestamp"):
+            kinds.append("datetime")
+        elif t == "bigint" and f.metadata.get("time") == "ns_since_midnight":
+            kinds.append("time")
+        elif t in (
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+            "boolean",
+        ) or t.startswith("decimal"):
+            kinds.append("num")
+        else:
+            raise ValueError(
+                f"df.write.format('readstat'): unsupported type {t} "
+                f"for column {f.name}"
+            )
+    if fmt == "sas7bdat":
+        for n in names:
+            if len(n.encode("utf-8")) > 32:
+                raise ValueError(
+                    f"write readstat: column name {n!r} exceeds the "
+                    "32-byte sas7bdat name limit"
+                )
+        shorts = None
+    elif fmt == "sav":
+        from polars_readstat_spark.writers.sav import _short_names
+
+        shorts = _short_names(names)
+    else:
+        from polars_readstat_spark.writers.xpt import _short_names
+
+        shorts = _short_names(names)
+    return fmt, fields, names, shorts, kinds
+
+
+def convert_batches(batches, names, kinds, fmt):
+    """Arrow RecordBatches → pandas frames in the format's numeric
+    representation (dates/datetimes shifted to the format epoch,
+    numerics float64), plus the partition-wide string byte widths."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    date_mul, date_add, sec_add = _EPOCH[fmt]
+    widths = {n: 1 for n, k in zip(names, kinds) if k == "str"}
+    frames = []
+    for batch in batches:
+        cols = {}
+        for i, (name, k) in enumerate(zip(names, kinds)):
+            arr = batch.column(i)
+            if k == "str":
+                s = arr.to_pandas()
+                if len(s):
+                    w = int(
+                        s.fillna("").map(
+                            lambda x: len(str(x).encode("utf-8"))
+                        ).max()
+                    )
+                    widths[name] = max(widths[name], w)
+            elif k == "date":
+                days = pc.cast(arr, pa.int32()).cast(pa.float64()).to_pandas()
+                s = days * date_mul + (date_add * date_mul)
+            elif k == "datetime":
+                a = arr
+                if isinstance(a.type, pa.TimestampType) and a.type.tz:
+                    a = pc.local_timestamp(a)
+                us = pc.cast(
+                    pc.cast(a, pa.timestamp("us")), pa.int64()
+                ).cast(pa.float64()).to_pandas()
+                s = us / 1e6 + sec_add
+            elif k == "time":
+                s = arr.cast(pa.float64()).to_pandas() / 1e9
+            else:
+                s = arr.cast(pa.float64()).to_pandas()
+            cols[name] = s
+        frames.append(pd.DataFrame(cols))
+    return frames, widths
+
+
+def write_partition_file(
+    staged_path, fmt, fields, names, shorts, kinds, frames, widths_map,
+    options,
+):
+    """Assemble one part-file from converted pandas frames."""
+    limit = _STR_LIMIT[fmt]
+    widths = []
+    for f, k in zip(fields, kinds):
+        if k == "str":
+            w = widths_map.get(f.name, 1)
+            if w > limit:
+                raise ValueError(
+                    f"write readstat: column {f.name} wider than {limit} "
+                    f"bytes ({fmt} char limit)"
+                )
+            widths.append(w)
+        else:
+            widths.append(0 if fmt == "sav" else 8)
+    n_rows = sum(len(p) for p in frames)
+
+    if fmt == "sas7bdat":
+        from polars_readstat_spark.writers.sas7bdat import _SasFileSink
+
+        with open(staged_path, "wb") as fh:
+            sink = _SasFileSink(
+                fh, fields, names, kinds, widths,
+                options.get("dataset_name", "DATA"), {},
+                int(options["page_length"]) if options.get("page_length") else None,
+                options.get("compress"),
+            )
+            for pdf in frames:
+                if len(pdf):
+                    sink.write_batch([pdf[n] for n in names])
+            sink.close()
+    elif fmt == "sav":
+        from polars_readstat_spark.writers.sav import (
+            _pack_columns,
+            _sav_dictionary,
+        )
+
+        el_per = [max((w + 7) // 8, 1) if w else 1 for w in widths]
+        case_size = sum(el_per)
+        head = _sav_dictionary(
+            fields, names, shorts, kinds, widths, el_per, case_size,
+            n_rows, False, options.get("data_label", ""), {}, {}, {},
+        )
+        with open(staged_path, "wb") as fh:
+            fh.write(bytes(head))
+            for pdf in frames:
+                if len(pdf):
+                    fh.write(
+                        _pack_columns(
+                            [pdf[n] for n in names], kinds, widths,
+                            el_per, case_size,
+                        )
+                    )
+    else:  # xpt
+        from polars_readstat_spark.writers.xpt import _pack_xpt, _xpt_header
+
+        record_width = sum(w if k == "str" else 8 for w, k in zip(widths, kinds))
+        head = bytes(
+            _xpt_header(
+                fields, shorts, kinds, widths,
+                options.get("dataset_name", "DATA"), {}, 5,
+            )
+        )
+        with open(staged_path, "wb") as fh:
+            fh.write(head)
+            total = 0
+            for pdf in frames:
+                if len(pdf):
+                    raw = _pack_xpt(
+                        [pdf[n] for n in names], kinds, widths, record_width
+                    )
+                    fh.write(raw)
+                    total += len(raw)
+            fh.write(b" " * ((-total) % 80))
+    return n_rows
+
+
+class ReadstatDataSourceWriter(DataSourceArrowWriter):
+    def __init__(self, path, schema, options, overwrite):
+        if not path:
+            raise ValueError("df.write.format('readstat') requires save(path)")
+        self.path = path
+        self.options = dict(options)
+        self.options["path"] = path
+        self.overwrite = overwrite
+        self.fmt, self.fields, self.names, self.shorts, self.kinds = (
+            plan_write(schema, self.options)
+        )
+        self.run_id = uuid.uuid4().hex[:12]
+        os.makedirs(path, exist_ok=True)
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        attempt = ctx.taskAttemptId()
+        batches = list(iterator)
+        frames, widths = convert_batches(
+            batches, self.names, self.kinds, self.fmt
+        )
+        if not any(len(p) for p in frames):
+            return _PartMessage("", "", 0)
+        final = os.path.join(
+            self.path, f"part-{pid:05d}-{self.run_id}.{self.fmt}"
+        )
+        # attempt id in the staged name: a speculative/retried task
+        # must never write the same staging file as its sibling
+        staged = os.path.join(
+            self.path,
+            f".staged-{self.run_id}-a{attempt}-part-{pid:05d}.{self.fmt}",
+        )
+        n = write_partition_file(
+            staged, self.fmt, self.fields, self.names, self.shorts,
+            self.kinds, frames, widths, self.options,
+        )
+        return _PartMessage(staged, final, n)
+
+    def commit(self, messages):
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(f".{self.fmt}") and not f.startswith("."):
+                    if self.run_id not in f:
+                        os.remove(os.path.join(self.path, f))
+        for m in messages:
+            if m and m.staged:
+                os.replace(m.staged, m.final)
+
+    def abort(self, messages):
+        for m in messages or []:
+            if m and m.staged and os.path.exists(m.staged):
+                os.remove(m.staged)

@@ -1,0 +1,124 @@
+"""df.write.format("readstat") — the Spark-native write surface
+(writers/spark_sink.py): one part-file per partition, staged names,
+driver-side atomic commit, read back by the same data source."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+
+
+@pytest.fixture(scope="module")
+def src(spark):
+    return spark.range(2000).repartition(3).select(
+        F.col("id").cast("double").alias("x"),
+        F.concat(F.lit("n"), F.col("id")).alias("name"),
+        F.date_add(
+            F.lit(datetime.date(2020, 1, 2)), F.col("id").cast("int") % 300
+        ).alias("d"),
+        F.timestamp_seconds(F.col("id") * 977).alias("ts"),
+    )
+
+
+@pytest.mark.parametrize("fmt", ["sas7bdat", "sav", "xpt"])
+def test_write_read_roundtrip(spark, src, tmp_path, fmt):
+    path = str(tmp_path / f"out_{fmt}")
+    src.write.format("readstat").option("format", fmt).mode(
+        "overwrite"
+    ).save(path)
+    parts = [f for f in os.listdir(path) if not f.startswith(".")]
+    assert len(parts) == 3
+    assert all(f.endswith(f".{fmt}") for f in parts)
+
+    back = spark.read.format("readstat").load(path)
+    assert back.count() == 2000
+    xcol = "x" if fmt != "xpt" else "X"
+    assert back.agg(F.sum(xcol)).collect()[0][0] == sum(range(2000))
+
+
+def test_values_exact_incl_dates(spark, src, tmp_path):
+    path = str(tmp_path / "vals")
+    src.write.format("readstat").option("format", "sas7bdat").mode("append").save(path)
+    back = spark.read.format("readstat").load(path)
+    want = {r["x"]: r for r in src.collect()}
+    got = {r["x"]: r for r in back.collect()}
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert g["name"] == w["name"]
+        assert g["d"] == w["d"]
+        assert g["ts"] == w["ts"]
+
+
+def test_overwrite_replaces_previous_parts(spark, src, tmp_path):
+    path = str(tmp_path / "ovw")
+    src.write.format("readstat").option("format", "sav").mode("append").save(path)
+    first = {f for f in os.listdir(path) if not f.startswith(".")}
+    small = src.limit(10).repartition(1)
+    small.write.format("readstat").option("format", "sav").mode(
+        "overwrite"
+    ).save(path)
+    second = {f for f in os.listdir(path) if not f.startswith(".")}
+    assert first.isdisjoint(second)
+    assert spark.read.format("readstat").load(path).count() == 10
+
+
+def test_no_staged_files_after_commit(spark, src, tmp_path):
+    path = str(tmp_path / "clean")
+    src.write.format("readstat").option("format", "xpt").mode("append").save(path)
+    assert not [f for f in os.listdir(path) if f.startswith(".staged")]
+
+
+def test_dta_points_at_global_prepass_path(spark, src, tmp_path):
+    with pytest.raises(Exception, match="pre-pass|write_dta_partitioned"):
+        src.write.format("readstat").option("format", "dta").mode(
+            "append"
+        ).save(str(tmp_path / "nope"))
+
+
+def test_missing_format_option_is_a_clear_error(spark, src, tmp_path):
+    with pytest.raises(Exception, match="option"):
+        src.write.format("readstat").mode("append").save(
+            str(tmp_path / "nofmt")
+        )
+
+
+def test_rle_compress_option(spark, tmp_path):
+    df = spark.range(3000).repartition(2).select(
+        F.col("id").cast("double").alias("v"),
+        F.rpad(F.lit("pad"), 80, " ").alias("pad"),
+    )
+    path = str(tmp_path / "rle_sink")
+    df.write.format("readstat").option("format", "sas7bdat").option(
+        "compress", "rle"
+    ).mode("append").save(path)
+    back = spark.read.format("readstat").load(path)
+    assert back.count() == 3000
+    assert back.agg(F.sum("v")).collect()[0][0] == sum(range(3000))
+
+
+def test_pandas_reads_sink_output(spark, src, tmp_path):
+    """External oracle on the sink path: every part-file is a valid
+    sas7bdat per pandas.read_sas."""
+    import pandas as pd
+
+    path = str(tmp_path / "pd_check")
+    src.write.format("readstat").option("format", "sas7bdat").mode("append").save(path)
+    total = 0
+    for f in sorted(os.listdir(path)):
+        if f.startswith("."):
+            continue
+        pdf = pd.read_sas(os.path.join(path, f), encoding="utf-8")
+        total += len(pdf)
+    assert total == 2000
