@@ -220,6 +220,18 @@ class ReadstatDataSource(DataSource):
             self.options.get("path"), schema, self.options, overwrite
         )
 
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        """df.writeStream.format("readstat").start(dir) — continuous
+        micro-batch export as part-b<batch>-p<pid> statistical files
+        with exactly-once visible contents."""
+        from polars_readstat_spark.writers.spark_sink import (
+            ReadstatStreamWriter,
+        )
+
+        return ReadstatStreamWriter(
+            self.options.get("path"), schema, self.options
+        )
+
     def reader(self, schema: StructType) -> DataSourceReader:
         paths = self._paths()
         if len(paths) == 1 and not self.options.get("path_column"):

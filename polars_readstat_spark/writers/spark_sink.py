@@ -35,7 +35,11 @@ import os
 import uuid
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSourceArrowWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
+    WriterCommitMessage,
+)
 
 # SAS epoch 1960-01-01 / SPSS epoch 1582-10-14 vs Unix epoch
 _EPOCH = {
@@ -51,6 +55,7 @@ class _PartMessage(WriterCommitMessage):
     staged: str
     final: str
     n_rows: int
+    pid: int = -1
 
 
 def plan_write(schema, options):
@@ -298,6 +303,64 @@ class ReadstatDataSourceWriter(DataSourceArrowWriter):
                 os.replace(m.staged, m.final)
 
     def abort(self, messages):
+        for m in messages or []:
+            if m and m.staged and os.path.exists(m.staged):
+                os.remove(m.staged)
+
+
+class ReadstatStreamWriter(DataSourceStreamArrowWriter):
+    """df.writeStream.format("readstat") — continuous export of
+    micro-batches as statistical part-files.
+
+    Per micro-batch, each task stages its partition's file under a
+    unique attempt name; ``commit(messages, batchId)`` renames them to
+    ``part-b<batchId>-p<pid>.<fmt>``. Batch replays after a failure
+    re-stage and re-rename the same final names, so the visible
+    directory converges to exactly-once contents (the same layout the
+    batch and streaming readers consume)."""
+
+    def __init__(self, path, schema, options):
+        if not path:
+            raise ValueError(
+                "writeStream.format('readstat') requires .start(path)"
+            )
+        self.path = path
+        self.options = dict(options)
+        self.options["path"] = path
+        self.fmt, self.fields, self.names, self.shorts, self.kinds = (
+            plan_write(schema, self.options)
+        )
+        os.makedirs(path, exist_ok=True)
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        frames, widths = convert_batches(
+            list(iterator), self.names, self.kinds, self.fmt
+        )
+        if not any(len(p) for p in frames):
+            return _PartMessage("", "", 0, pid)
+        staged = os.path.join(
+            self.path,
+            f".staged-stream-{uuid.uuid4().hex[:12]}-p{pid:05d}.{self.fmt}",
+        )
+        n = write_partition_file(
+            staged, self.fmt, self.fields, self.names, self.shorts,
+            self.kinds, frames, widths, self.options,
+        )
+        return _PartMessage(staged, "", n, pid)
+
+    def commit(self, messages, batchId):
+        for m in messages:
+            if m and m.staged:
+                final = os.path.join(
+                    self.path, f"part-b{batchId:08d}-p{m.pid:05d}.{self.fmt}"
+                )
+                os.replace(m.staged, final)
+
+    def abort(self, messages, batchId):
         for m in messages or []:
             if m and m.staged and os.path.exists(m.staged):
                 os.remove(m.staged)

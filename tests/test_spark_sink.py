@@ -122,3 +122,33 @@ def test_pandas_reads_sink_output(spark, src, tmp_path):
         pdf = pd.read_sas(os.path.join(path, f), encoding="utf-8")
         total += len(pdf)
     assert total == 2000
+
+
+def test_stream_writer_exports_microbatches(spark, tmp_path):
+    """df.writeStream.format('readstat'): deterministic file-source →
+    availableNow → part-b<batch>-p<pid>.sav files, read back batch."""
+    src_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    spark.range(500).select(
+        F.col("id").cast("double").alias("v"),
+        F.concat(F.lit("g"), F.col("id") % 5).alias("tag"),
+    ).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("v double, tag string")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.format("readstat")
+        .option("format", "sav")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    q.awaitTermination(120)
+    files = [f for f in os.listdir(out) if not f.startswith(".")]
+    assert files and all(f.startswith("part-b") and f.endswith(".sav") for f in files)
+    back = spark.read.format("readstat").load(out)
+    assert back.count() == 500
+    assert back.agg(F.sum("v")).collect()[0][0] == sum(range(500))
