@@ -209,6 +209,41 @@ def ibm_to_ieee(raw: np.ndarray) -> np.ndarray:
     return out, missing
 
 
+def file_text_is_utf8(meta: XptMeta) -> bool:
+    """File-level codec decision for the charset-less xpt container,
+    cached on the meta object: sample the leading records' string
+    regions (≤1 MiB) — UTF-8 iff every sampled cell decodes. A
+    file-level choice is deterministic under any batch size or
+    partitioning (a per-batch choice made output depend on
+    rows_per_partition) and keeps one column from mixing codecs;
+    cells outside the sample that still fail the chosen codec fall
+    back individually in the decoder."""
+    cached = getattr(meta, "_text_utf8", None)
+    if cached is not None:
+        return cached
+    ok = True
+    str_vars = [v for v in meta.variables if not v.is_numeric]
+    if str_vars and meta.record_width:
+        with open(meta.path, "rb") as f:
+            f.seek(meta.data_offset)
+            chunk = f.read(min(1 << 20, meta.record_width * 8192))
+        for r in range(len(chunk) // meta.record_width):
+            base = r * meta.record_width
+            for v in str_vars:
+                cell = chunk[
+                    base + v.position : base + v.position + v.width
+                ].rstrip(b"\x00 ")
+                try:
+                    cell.decode("utf-8")
+                except UnicodeDecodeError:
+                    ok = False
+                    break
+            if not ok:
+                break
+    meta._text_utf8 = ok
+    return ok
+
+
 def decode_xpt_rows(meta: XptMeta, buf: bytes, col_indices, missing_string_as_null):
     import pyarrow as pa
 
@@ -261,20 +296,27 @@ def decode_xpt_rows(meta: XptMeta, buf: bytes, col_indices, missing_string_as_nu
                     b[r * w : (r + 1) * w].rstrip(b"\x00 ")
                     for r in range(rows.shape[0])
                 ]
-                # xpt declares no charset. Decide the codec for the
-                # whole column, not per value: UTF-8 only if EVERY cell
-                # is valid UTF-8 (what our writer and modern SAS emit),
-                # else the legacy default for all of them — a per-value
-                # choice would mis-decode legacy bytes that happen to
-                # form valid UTF-8 (e.g. CP1252 'é' pairs) and mix two
-                # encodings inside one column.
-                try:
-                    out = [s.decode("utf-8") for s in raw]
-                except UnicodeDecodeError:
-                    out = [
-                        s.decode(meta.encoding, errors="replace")
-                        for s in raw
-                    ]
+                # xpt declares no charset. The codec is decided once
+                # per FILE (sampled at first need, file_text_is_utf8):
+                # a per-batch or per-value choice would make the output
+                # depend on batch boundaries, or mix legacy bytes that
+                # happen to form valid UTF-8 (CP1252 'é' pairs) with
+                # UTF-8 inside one column. Cells the chosen codec
+                # cannot decode (corrupt byte, or legacy text past the
+                # sampled prefix) fall back individually.
+                if file_text_is_utf8(meta):
+                    first, second = "utf-8", meta.encoding
+                else:
+                    first, second = meta.encoding, "utf-8"
+                out = []
+                for s in raw:
+                    try:
+                        out.append(s.decode(first))
+                    except (UnicodeDecodeError, LookupError):
+                        try:
+                            out.append(s.decode(second))
+                        except (UnicodeDecodeError, LookupError):
+                            out.append(s.decode("latin-1", errors="replace"))
                 arr = pa.array(out, type=pa.string())
                 if missing_string_as_null:
                     import pyarrow.compute as pc

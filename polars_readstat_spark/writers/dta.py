@@ -265,6 +265,20 @@ def _pack_batch(cols, rec_dtype, pdf, row_start: int, strls_buf: bytearray) -> b
                 # wall-clock semantics, matching the scalar path's
                 # tzinfo strip
                 ss = ss.dt.tz_localize(None)
+            elif ss.dtype == object and any(
+                getattr(x, "tzinfo", None) is not None
+                for x in ss if x is not None
+            ):
+                # object batches can hide tz-aware datetimes, and
+                # numpy's datetime64 coercion silently converts those
+                # to UTC (DeprecationWarning only) — strip tzinfo
+                # first so they keep the wall-clock semantics of the
+                # tz-dtype branch above
+                ss = ss.map(
+                    lambda x: x.replace(tzinfo=None)
+                    if getattr(x, "tzinfo", None) is not None
+                    else x
+                )
             try:
                 # vectorized fast path: any datetime64 unit (and object
                 # arrays of datetimes, full year 1-9999 range — µs

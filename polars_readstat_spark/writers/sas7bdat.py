@@ -133,19 +133,18 @@ def _sas_cast(df: DataFrame, fields, kinds) -> DataFrame:
 
 RLE_LITERAL = b"SASYZCRL"
 
-# subheader signature prefixes (4-byte spellings included — the
-# readers also match on sig[:4]): a compressed row whose first bytes
-# collide with one would be misread as metadata, so the encoder pins
-# the first emitted command to a literal-copy control byte (0x80-0xBF,
-# which no signature starts with) and the raw fallback refuses the
-# astronomically-unlikely colliding incompressible row.
-_SIG_PREFIXES = (
-    b"\xf7\xf7\xf7\xf7", b"\xf6\xf6\xf6\xf6", b"\x00\xfc\xff\xff",
-    b"\xff\xff\xfc\x00", b"\xfd\xff\xff\xff", b"\xff\xff\xff\xfd",
-    b"\xff\xff\xff\xff", b"\xfc\xff\xff\xff", b"\xff\xff\xff\xfc",
-    b"\xfe\xfb\xff\xff", b"\xff\xff\xfb\xfe", b"\xfe\xff\xff\xff",
-    b"\xff\xff\xff\xfe",
-)
+
+def _collides_with_signature(raw: bytes) -> bool:
+    """True when a raw row's leading bytes would be classified as a
+    metadata subheader by the readers, which match the full 8-byte
+    signature AND its 4-byte prefix (sources/sas7bdat/meta.py _SIGS —
+    the exact same table, so the guard can't drift). A compressed row
+    can't collide (the encoder pins its first command byte to
+    0x80-0xBF, which no signature starts with); an incompressible raw
+    row that collides is refused rather than written corrupt."""
+    from polars_readstat_spark.sources.sas7bdat.meta import _SIGS
+
+    return bool(_SIGS.get(raw[:8]) or _SIGS.get(raw[:4]))
 
 
 def _rle_encode_row(arr: np.ndarray) -> bytes | None:
@@ -230,6 +229,12 @@ def _rle_encode_row(arr: np.ndarray) -> bytes | None:
     if lit1 > lit0:
         emit_literal(lit0, lit1)
     return bytes(out) if len(out) < n else None
+
+
+class _MetaOverflow(ValueError):
+    """Metadata doesn't fit the current page_length — growable by
+    retrying with a larger page (unlike e.g. the 64 KiB col_text
+    limit, which no page size fixes)."""
 
 
 class _TextBlob:
@@ -348,7 +353,7 @@ def _build_meta_page(
     ptr_end = BIT_OFFSET + 8 + PTR_LEN * n_sub
     need = ptr_end + sum(len(b) for b in bodies)
     if need > page_length:
-        raise ValueError(
+        raise _MetaOverflow(
             f"write_sas7bdat: metadata ({need} bytes) exceeds the "
             f"{page_length}-byte page; raise page_length"
         )
@@ -456,7 +461,9 @@ class _SasFileSink:
                     literal,
                 )
                 break
-            except ValueError:
+            except _MetaOverflow:
+                # growable; terminal errors (e.g. the 64 KiB col_text
+                # limit) propagate immediately instead of looping
                 if pl >= 1 << 26:
                     raise
                 pl *= 2
@@ -493,7 +500,7 @@ class _SasFileSink:
         enc = _rle_encode_row(row)
         if enc is None:
             raw = row.tobytes()
-            if raw[:4] in _SIG_PREFIXES:
+            if _collides_with_signature(raw):
                 raise ValueError(
                     "write_sas7bdat: incompressible row collides with a "
                     "subheader signature prefix; cannot be stored in a "

@@ -41,11 +41,18 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-# SAS epoch 1960-01-01 / SPSS epoch 1582-10-14 vs Unix epoch
+from polars_readstat_spark.writers.sas7bdat import (
+    SAS_DAY_SHIFT,
+    SAS_SEC_SHIFT,
+)
+from polars_readstat_spark.writers.sav import SPSS_SEC_SHIFT
+
+# (date multiplier, date shift, datetime seconds shift) per format,
+# from the writers' canonical epoch constants
 _EPOCH = {
-    "sas7bdat": (1.0, 3653.0, 315_619_200.0),
-    "xpt": (1.0, 3653.0, 315_619_200.0),
-    "sav": (86400.0, 12_219_379_200.0 / 86400.0, 12_219_379_200.0),
+    "sas7bdat": (1.0, float(SAS_DAY_SHIFT), float(SAS_SEC_SHIFT)),
+    "xpt": (1.0, float(SAS_DAY_SHIFT), float(SAS_SEC_SHIFT)),
+    "sav": (86400.0, SPSS_SEC_SHIFT / 86400.0, float(SPSS_SEC_SHIFT)),
 }
 _STR_LIMIT = {"sas7bdat": 32767, "sav": 255, "xpt": 200}
 
@@ -271,9 +278,10 @@ class ReadstatDataSourceWriter(DataSourceArrowWriter):
         ctx = TaskContext.get()
         pid = ctx.partitionId()
         attempt = ctx.taskAttemptId()
-        batches = list(iterator)
+        # stream straight off the iterator: holding the Arrow batches
+        # AND the converted frames would double the partition's peak
         frames, widths = convert_batches(
-            batches, self.names, self.kinds, self.fmt
+            iterator, self.names, self.kinds, self.fmt
         )
         if not any(len(p) for p in frames):
             return _PartMessage("", "", 0)
@@ -338,7 +346,7 @@ class ReadstatStreamWriter(DataSourceStreamArrowWriter):
         ctx = TaskContext.get()
         pid = ctx.partitionId()
         frames, widths = convert_batches(
-            list(iterator), self.names, self.kinds, self.fmt
+            iterator, self.names, self.kinds, self.fmt
         )
         if not any(len(p) for p in frames):
             return _PartMessage("", "", 0, pid)

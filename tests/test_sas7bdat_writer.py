@@ -311,3 +311,81 @@ def test_wide_strings_grow_page(spark, tmp_path):
     back = spark.read.format("readstat").load(path).collect()
     assert sorted(len(r["big"]) for r in back) == [30000] * 3
     assert {r["big"][:2] for r in back} == {"v0", "v1", "v2"}
+
+
+def test_rle_encoder_property_vs_decoder():
+    """The advertised property test: encoder output must decode to the
+    exact input via the reader's own rle_decompress, across random,
+    run-heavy, constant, and >4112-byte-run rows; the first command
+    byte must stay in the literal range (signature guard)."""
+    import numpy as np
+
+    from polars_readstat_spark.sources.sas7bdat.pages import rle_decompress
+    from polars_readstat_spark.writers.sas7bdat import _rle_encode_row
+
+    rng = np.random.default_rng(20260814)
+    compressed = 0
+    for trial in range(2500):
+        n = int(rng.integers(1, 700))
+        style = trial % 5
+        if style == 0:
+            arr = rng.integers(0, 256, n).astype(np.uint8)
+        elif style == 1:  # padded-string-like runs
+            parts = []
+            while sum(map(len, parts)) < n:
+                if rng.random() < 0.5:
+                    parts.append(
+                        np.full(
+                            int(rng.integers(1, 90)),
+                            int(rng.choice([0, 0x20, 0x40])),
+                            np.uint8,
+                        )
+                    )
+                else:
+                    parts.append(
+                        rng.integers(0, 256, int(rng.integers(1, 20))).astype(
+                            np.uint8
+                        )
+                    )
+            arr = np.concatenate(parts)[:n]
+        elif style == 2:
+            arr = np.zeros(n, np.uint8)
+        elif style == 3:
+            arr = np.full(n, int(rng.integers(1, 256)), np.uint8)
+        else:  # runs longer than the 4112/4113 long-command caps
+            arr = np.full(n * 20, int(rng.integers(0, 256)), np.uint8)
+        enc = _rle_encode_row(arr)
+        if enc is None:
+            continue
+        compressed += 1
+        assert rle_decompress(enc, len(arr)) == arr.tobytes()
+        assert 0x80 <= enc[0] <= 0xBF  # literal-range first command
+    assert compressed > 1500  # the suite actually exercised the encoder
+
+
+def test_rle_signature_collision_guard():
+    """An incompressible raw row whose first 8 bytes spell a metadata
+    subheader signature must be refused — both the 8-byte and 4-byte
+    signature spellings the readers match on."""
+    import numpy as np
+
+    from polars_readstat_spark.writers.sas7bdat import (
+        _collides_with_signature,
+        _rle_encode_row,
+    )
+
+    rng = np.random.default_rng(7)
+    for sig in (
+        b"\x00\x00\x00\x00\xf7\xf7\xf7\xf7",  # 8-byte-only row_size
+        b"\x00\x00\x00\x00\xf6\xf6\xf6\xf6",  # 8-byte-only col_size
+        b"\xf7\xf7\xf7\xf7\x00\x00\x00\x00",
+        b"\xfc\xff\xff\xff\xff\xff\xff\xff",
+    ):
+        row = np.frombuffer(
+            sig + bytes(rng.integers(0, 256, 4200).astype(np.uint8)),
+            np.uint8,
+        )
+        if _rle_encode_row(row) is None:
+            assert _collides_with_signature(row.tobytes())
+    # honest rows never trip the guard
+    assert not _collides_with_signature(b"\x41" * 64)
