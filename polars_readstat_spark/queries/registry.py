@@ -49,6 +49,7 @@ _PRIORITY: tuple[str, ...] = (
     # new this round — no row could exist yet
     "scan_sas7bdat_roundtrip",
     "scan_sas7bdat_rle_roundtrip",
+    "scan_sink_dir_roundtrip",
     "simhash_band_pairs",
     "text_rare_token_ratio",
     "scan_sas7bdat_types",

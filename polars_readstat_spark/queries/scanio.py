@@ -212,6 +212,32 @@ def scan_sas7bdat_rle_roundtrip(spark, sf_dir):
     return _canon(_scan(spark, path))
 
 
+@query("scan_sink_dir_roundtrip", oracle=_CANON_ORACLE)
+def scan_sink_dir_roundtrip(spark, sf_dir):
+    """The Spark-native sink under the driver oracle:
+    df.write.format("readstat") fans lineitem out as 4 sav part-files
+    (writers/spark_sink.py staged-commit path), read back as one
+    directory scan — write-side partition fan-out plus read-side
+    multi-file union in a single check."""
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    d = os.path.join(_cache_dir(sf_dir), "sink_sav")
+    done = os.path.join(d, ".done")
+    if not os.path.exists(done):
+        (
+            _source_frame(spark, sf_dir)
+            .repartition(4)
+            .write.format("readstat")
+            .option("format", "sav")
+            .mode("overwrite")
+            .save(d)
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return _canon(_scan(spark, d))
+
+
 @query("scan_sav_roundtrip", oracle=_CANON_ORACLE)
 def scan_sav_roundtrip(spark, sf_dir):
     """S10/W3: SPSS SAV write → scan (uncompressed records)."""
