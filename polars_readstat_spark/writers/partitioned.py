@@ -86,11 +86,15 @@ def write_sav_partitioned(
     variable_labels: dict | None = None,
     value_labels: dict | None = None,
     measures: dict | None = None,
+    zsav: bool = False,
 ) -> list[dict]:
     """Write one .sav per partition into ``dir_path`` (uncompressed
     system files — each re-partitionable by our own reader). Same
     shape as the dta path: one global pre-pass fixes string widths so
-    all parts share a dictionary layout."""
+    all parts share a dictionary layout. ``zsav=True`` wraps each
+    part's case data in the ZLIB block container (one .zsav per
+    partition; blocks stay independently decompressible for the
+    reader's block-range partitioning)."""
     from polars_readstat_spark.writers.sav import (
         _pack_columns,
         _sav_cast,
@@ -128,14 +132,22 @@ def write_sav_partitioned(
         if n_rows > 0:
             head = _sav_dictionary(
                 fields, names, shorts, kinds, widths, el_per, case_size,
-                n_rows, False, data_label, variable_labels, value_labels,
+                n_rows, zsav, data_label, variable_labels, value_labels,
                 measures,
             )
-            path = os.path.join(dir_path, f"part-{pid:05d}.sav")
+            ext = "zsav" if zsav else "sav"
+            path = os.path.join(dir_path, f"part-{pid:05d}.{ext}")
             tmp = path + f".tmp{os.getpid()}"
             with open(tmp, "wb") as f:
                 f.write(bytes(head))
-                f.write(bytes(data))
+                if zsav:
+                    from polars_readstat_spark.writers.sav import _ZlibSink
+
+                    zs = _ZlibSink(f, len(head))
+                    zs.write(bytes(data))
+                    zs.close()
+                else:
+                    f.write(bytes(data))
             os.replace(tmp, path)
             yield pd.DataFrame({"path": [path], "n_rows": [n_rows]})
 
@@ -281,6 +293,8 @@ def write_readstat_partitioned(df: DataFrame, dir_path: str, ext: str = "dta", *
         return write_dta_partitioned(df, dir_path, **kwargs)
     if fmt == "sav":
         return write_sav_partitioned(df, dir_path, **kwargs)
+    if fmt == "zsav":
+        return write_sav_partitioned(df, dir_path, zsav=True, **kwargs)
     if fmt == "xpt":
         return write_xpt_partitioned(df, dir_path, **kwargs)
     if fmt == "sas7bdat":

@@ -15,9 +15,9 @@ executors and the driver can reach (the same contract as
 writers/partitioned.py).
 
 Supported formats: ``sas7bdat`` (plus ``compress=rle``), ``sav``,
-``xpt`` — the formats whose on-disk numerics are always float64, so a
-partition-local string-width pass yields part-files that union under
-one Spark schema. ``dta`` is deliberately not offered here: its
+``zsav`` (zlib block container), ``xpt`` — the formats whose on-disk
+numerics are always float64, so a partition-local string-width pass
+yields part-files that union under one Spark schema. ``dta`` is deliberately not offered here: its
 integer storage types are chosen from global min/max (Stata missing
 sentinels), and partition-local choices would give the part-files
 conflicting column types — use ``write_dta_partitioned`` (global
@@ -53,8 +53,9 @@ _EPOCH = {
     "sas7bdat": (1.0, float(SAS_DAY_SHIFT), float(SAS_SEC_SHIFT)),
     "xpt": (1.0, float(SAS_DAY_SHIFT), float(SAS_SEC_SHIFT)),
     "sav": (86400.0, SPSS_SEC_SHIFT / 86400.0, float(SPSS_SEC_SHIFT)),
+    "zsav": (86400.0, SPSS_SEC_SHIFT / 86400.0, float(SPSS_SEC_SHIFT)),
 }
-_STR_LIMIT = {"sas7bdat": 32767, "sav": 255, "xpt": 200}
+_STR_LIMIT = {"sas7bdat": 32767, "sav": 255, "zsav": 255, "xpt": 200}
 
 
 @dataclass
@@ -122,7 +123,7 @@ def plan_write(schema, options):
                     "32-byte sas7bdat name limit"
                 )
         shorts = None
-    elif fmt == "sav":
+    elif fmt in ("sav", "zsav"):
         from polars_readstat_spark.writers.sav import _short_names
 
         shorts = _short_names(names)
@@ -195,7 +196,7 @@ def write_partition_file(
                 )
             widths.append(w)
         else:
-            widths.append(0 if fmt == "sav" else 8)
+            widths.append(0 if fmt in ("sav", "zsav") else 8)
     n_rows = sum(len(p) for p in frames)
 
     if fmt == "sas7bdat":
@@ -212,28 +213,33 @@ def write_partition_file(
                 if len(pdf):
                     sink.write_batch([pdf[n] for n in names])
             sink.close()
-    elif fmt == "sav":
+    elif fmt in ("sav", "zsav"):
         from polars_readstat_spark.writers.sav import (
             _pack_columns,
             _sav_dictionary,
+            _ZlibSink,
         )
 
+        zsav = fmt == "zsav"
         el_per = [max((w + 7) // 8, 1) if w else 1 for w in widths]
         case_size = sum(el_per)
         head = _sav_dictionary(
             fields, names, shorts, kinds, widths, el_per, case_size,
-            n_rows, False, options.get("data_label", ""), {}, {}, {},
+            n_rows, zsav, options.get("data_label", ""), {}, {}, {},
         )
         with open(staged_path, "wb") as fh:
             fh.write(bytes(head))
+            sink = _ZlibSink(fh, len(head)) if zsav else fh
             for pdf in frames:
                 if len(pdf):
-                    fh.write(
+                    sink.write(
                         _pack_columns(
                             [pdf[n] for n in names], kinds, widths,
                             el_per, case_size,
                         )
                     )
+            if zsav:
+                sink.close()
     else:  # xpt
         from polars_readstat_spark.writers.xpt import _pack_xpt, _xpt_header
 

@@ -152,3 +152,42 @@ def test_stream_writer_exports_microbatches(spark, tmp_path):
     back = spark.read.format("readstat").load(out)
     assert back.count() == 500
     assert back.agg(F.sum("v")).collect()[0][0] == sum(range(500))
+
+
+def test_zsav_sink_and_partitioned(spark, src, tmp_path):
+    """zsav through both distributed write paths: compressed part
+    files, read back by the block-partitioning zsav reader."""
+    from polars_readstat_spark.writers.partitioned import (
+        write_readstat_partitioned,
+    )
+
+    p1 = str(tmp_path / "zsink")
+    src.write.format("readstat").option("format", "zsav").mode(
+        "overwrite"
+    ).save(p1)
+    files = [f for f in os.listdir(p1) if not f.startswith(".")]
+    assert files and all(f.endswith(".zsav") for f in files)
+    back = spark.read.format("readstat").load(p1)
+    assert back.count() == 2000
+    assert back.agg(F.sum("x")).collect()[0][0] == sum(range(2000))
+
+    p2 = str(tmp_path / "zpart")
+    parts = write_readstat_partitioned(src, p2, ext="zsav")
+    assert sum(p["n_rows"] for p in parts) == 2000
+    assert all(p["path"].endswith(".zsav") for p in parts)
+    back2 = spark.read.format("readstat").load(p2)
+    assert back2.count() == 2000
+    # compressed parts are smaller than the plain-sav sink output
+    sz_z = sum(
+        os.path.getsize(os.path.join(p1, f))
+        for f in os.listdir(p1) if not f.startswith(".")
+    )
+    p3 = str(tmp_path / "plain")
+    src.write.format("readstat").option("format", "sav").mode(
+        "overwrite"
+    ).save(p3)
+    sz_s = sum(
+        os.path.getsize(os.path.join(p3, f))
+        for f in os.listdir(p3) if not f.startswith(".")
+    )
+    assert sz_z < sz_s
