@@ -52,6 +52,7 @@ _PRIORITY: tuple[str, ...] = (
     "scan_sink_dir_roundtrip",
     "simhash_band_pairs",
     "text_rare_token_ratio",
+    "embedding_quantize_int8",
     "scan_sas7bdat_types",
     "scan_sas7bdat_rle",
     "scan_sas7bdat_rdc",

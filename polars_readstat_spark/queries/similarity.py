@@ -572,3 +572,49 @@ def kmeans_update_step(spark, sf_dir):
             F.count(F.lit(1)).alias("n_members"),
         )
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                                     x -> ABS(CAST(x AS DOUBLE)))) AS s
+      FROM embeddings
+    )
+    SELECT vec_id, CAST(i.i - 1 AS INT) AS pos,
+           CAST(FLOOR(CAST(embedding[i.i] AS DOUBLE)
+                      / NULLIF(s, 0.0) * 127.0 + 0.5) AS INT) AS q8,
+           s AS scale
+    FROM s CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) i
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric int8 vector quantization — the 4× memory cut a
+    100 TB ANN index takes before sharding: per-vector max-abs scale,
+    element q = floor(x/scale·127 + 0.5). Emitted exploded as
+    (vec_id, pos, q8, scale) so the compare surface is exact integers
+    plus one max (no float aggregation anywhere — element-wise double
+    arithmetic is correctly rounded identically in both engines;
+    FLOOR(v+0.5) sidesteps ROUND-mode trivia). All-zero vectors get
+    NULL q8 via NULLIF rather than a division error."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            "vec_id",
+            F.expr(
+                "array_max(transform(embedding, x -> ABS(CAST(x AS DOUBLE))))"
+            ).alias("s"),
+            F.posexplode("embedding").alias("pos", "x"),
+        )
+        .select(
+            "vec_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.expr(
+                "CAST(FLOOR(CAST(x AS DOUBLE) / NULLIF(s, 0.0D) * 127.0D "
+                "+ 0.5D) AS INT)"
+            ).alias("q8"),
+            F.col("s").alias("scale"),
+        )
+    )
