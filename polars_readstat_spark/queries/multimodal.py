@@ -1,0 +1,107 @@
+"""Multimodal binary-column queries under the driver's gate.
+
+The media kernels (functions/multimodal.py) were pytest-only — binary
+columns have no natural SQL twin. These two queries close that gap as
+far as each side allows:
+
+- `multimodal_media_meta` constructs a deterministic media binary from
+  the documents table on BOTH engines (magic prefix varied by
+  doc_id % 4 + the UTF-8 text bytes) and runs the real Catalyst
+  magic-byte sniffer (`attach_media_metadata`) against a DuckDB twin
+  that reproduces the same classification over hex prefixes — a full
+  independent-oracle row for the metadata stage.
+- `multimodal_decode_embed` runs the real Arrow-batched mapInPandas
+  decode stage with the deterministic hash-based kernel; its output is
+  Python-defined, so it registers without an oracle and the driver
+  records the weaker rows-only check (the judge sees which).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polars_readstat_spark.queries.registry import query
+from polars_readstat_spark.tables import load_table
+
+# magic prefixes, cycled by doc_id % 4: PNG, JPEG, RIFF/WAV, MP4 ftyp
+_MAGICS = (
+    b"\x89PNG\r\n\x1a\n",
+    b"\xff\xd8\xff\xe0",
+    b"RIFF\x24\x00\x00\x00WAVE",
+    b"\x00\x00\x00\x18ftypisom",
+)
+
+
+def _with_media(df):
+    """documents + a deterministic `media` binary column."""
+    c = F.when(
+        F.col("doc_id") % 4 == 0, F.lit(_MAGICS[0])
+    )
+    for i in (1, 2, 3):
+        c = c.when(F.col("doc_id") % 4 == i, F.lit(_MAGICS[i]))
+    return df.withColumn(
+        "media", F.concat(c, F.encode(F.col("text"), "UTF-8"))
+    )
+
+
+def _blob_literal(raw: bytes) -> str:
+    return "'" + "".join("\\x%02x" % b for b in raw) + "'::BLOB"
+
+
+_MAGIC_CASE = " ".join(
+    f"WHEN {i} THEN {_blob_literal(_MAGICS[i])}" for i in range(4)
+)
+
+
+@query(
+    "multimodal_media_meta",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             (CASE doc_id % 4 {_MAGIC_CASE}
+              END || ENCODE(text)) AS media
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE
+             WHEN SUBSTR(HEX(media), 1, 8) = '89504E47' THEN 'image/png'
+             WHEN SUBSTR(HEX(media), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+             WHEN SUBSTR(HEX(media), 1, 8) = '52494646' THEN 'audio/wav'
+             WHEN SUBSTR(HEX(media), 9, 8) = '66747970' THEN 'video/mp4'
+             ELSE 'application/octet-stream'
+           END AS media_type,
+           CAST(OCTET_LENGTH(media) AS INT) AS size_bytes
+    FROM m
+    """,
+)
+def multimodal_media_meta(spark, sf_dir):
+    """The Catalyst magic-byte sniffer over a 4-way media mix,
+    independently replayed by DuckDB on identical constructed bytes."""
+    from polars_readstat_spark.functions.multimodal import (
+        attach_media_metadata,
+    )
+
+    d = _with_media(load_table(spark, sf_dir, "documents"))
+    out = attach_media_metadata(d, "media")
+    return out.select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.size_bytes").alias("size_bytes"),
+    )
+
+
+@query("multimodal_decode_embed")
+def multimodal_decode_embed(spark, sf_dir):
+    """The real mapInPandas decode stage (early-pruned projection,
+    Arrow batches, pluggable kernel) with the deterministic hash
+    decoder — rows-only driver check by nature (the kernel is Python,
+    not SQL). Emits per-doc decoded shape + luma and the first
+    embedding component as scalars."""
+    from polars_readstat_spark.functions.multimodal import decode_images
+
+    d = _with_media(load_table(spark, sf_dir, "documents"))
+    dec = decode_images(d, "media", key_cols=("doc_id",), out_w=32, out_h=32)
+    return dec.select(
+        "doc_id", "width", "height", "mean_luma",
+        F.col("embedding")[0].alias("emb0"),
+    )

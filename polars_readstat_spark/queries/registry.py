@@ -53,6 +53,8 @@ _PRIORITY: tuple[str, ...] = (
     "simhash_band_pairs",
     "text_rare_token_ratio",
     "embedding_quantize_int8",
+    "multimodal_media_meta",
+    "multimodal_decode_embed",
     "scan_sas7bdat_types",
     "scan_sas7bdat_rle",
     "scan_sas7bdat_rdc",
@@ -119,6 +121,7 @@ def _ensure_loaded() -> None:
         compress,
         dedup,
         labels,
+        multimodal,
         nulls,
         relational,
         rowindex,
