@@ -66,3 +66,47 @@ def catalog_label_case_decode(spark, sf_dir):
         expr = cond if expr is None else expr.when(F.col("o_orderstatus") == code, F.lit(lab))
     expr = expr.otherwise(F.col("o_orderstatus").cast("string"))
     return o.groupBy(expr.alias("status_label")).agg(F.count(F.lit(1)).alias("n"))
+
+
+_CAT_FIXTURE = "tests/fixtures/sas7bcat/formats.sas7bcat"
+_CAT_FORMATS = ("REGIONF", "LEVELF", "$FRAMEF")
+
+
+@query(
+    "catalog_scan_formats",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('$FRAMEF', 'AREA', 'School is part of area frame'),
+      ('$FRAMEF', 'LIST', 'School is part of list frame'),
+      ('LEVELF', '1', 'Elementary'),
+      ('LEVELF', '2', 'Secondary'),
+      ('LEVELF', '3', 'Combined elementary and secondary'),
+      ('REGIONF', '1', 'Northeast'),
+      ('REGIONF', '2', 'Midwest'),
+      ('REGIONF', '3', 'South'),
+      ('REGIONF', '4', 'West')
+    ) AS t(fmt, key, label)
+    """,
+)
+def catalog_scan_formats(spark, sf_dir):
+    """S8 under the driver gate: parse the committed public-corpus
+    catalog fixture (a real NCES private-school-survey .sas7bcat,
+    formats publicly documented) and emit three representative
+    formats as (fmt, key, label) rows; the oracle is the documented
+    truth as a VALUES literal, so the binary catalog parser is
+    checked against fixed external facts rather than itself. Numeric
+    keys render as integers (catalog stores them as doubles)."""
+    import os
+
+    import polars_readstat_spark as prs
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    cat = prs.read_sas7bcat(os.path.join(repo, _CAT_FIXTURE))
+    rows = []
+    for fmt in _CAT_FORMATS:
+        for k, v in cat[fmt].items():
+            key = str(int(k)) if isinstance(k, float) else str(k)
+            rows.append((fmt, key, v))
+    return spark.createDataFrame(rows, "fmt string, key string, label string")

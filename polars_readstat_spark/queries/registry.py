@@ -55,6 +55,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_quantize_int8",
     "multimodal_media_meta",
     "multimodal_decode_embed",
+    "catalog_scan_formats",
     "scan_sas7bdat_types",
     "scan_sas7bdat_rle",
     "scan_sas7bdat_rdc",
