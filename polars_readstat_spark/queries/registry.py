@@ -56,6 +56,10 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_media_meta",
     "multimodal_decode_embed",
     "catalog_scan_formats",
+    "q4_order_priority_exists",
+    "q10_returned_item_revenue",
+    "q14_promo_effect",
+    "q18_large_volume_customer",
     "scan_sas7bdat_types",
     "scan_sas7bdat_rle",
     "scan_sas7bdat_rdc",

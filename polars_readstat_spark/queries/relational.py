@@ -730,3 +730,151 @@ def orders_monthly_rollup(spark, sf_dir):
             F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
         )
     )
+
+
+@query(
+    "q4_order_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority_exists(spark, sf_dir):
+    """Q4 shape: EXISTS decorrelates to a LEFT SEMI hash join on the
+    order key — the fact side shuffles once on its join key, the
+    priority rollup partial-aggregates."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1996-07-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q10_returned_item_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_item_revenue(spark, sf_dir):
+    """Q10 shape: returned-item revenue per customer. The filter on
+    l_returnflag cuts the fact before the joins; nation broadcasts;
+    the top-20 is a TakeOrderedAndProject, never a global sort."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        F.sum(
+            _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+        ).cast("double")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_effect",
+    oracle="""
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                     THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-03-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1997-04-01'
+    """,
+)
+def q14_promo_effect(spark, sf_dir):
+    """Q14 shape: conditional aggregate over a fact-dim join. The
+    month filter prunes the fact scan; both DECIMAL sums are exact so
+    the final double division matches bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1997-03-01"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-04-01"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    disc = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    promo = F.sum(
+        F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(zero)
+    ).cast("double")
+    total = F.sum(disc).cast("double")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg((F.lit(100.0) * promo / total).cast("double").alias(
+            "promo_revenue_pct"
+        ))
+    )
+
+
+@query(
+    "q18_large_volume_customer",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+               AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 210
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, b.total_qty,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q18_large_volume_customer(spark, sf_dir):
+    """Q18 shape: group-having on the fact builds a small key set that
+    then drives the joins — the classic aggregate-then-join reduction
+    (joining first would shuffle the whole fact twice)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .filter(F.col("total_qty") > 210)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.col("total_qty").cast("bigint").alias("total_qty"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+    )

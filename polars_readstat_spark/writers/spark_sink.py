@@ -267,7 +267,10 @@ def write_partition_file(
 class ReadstatDataSourceWriter(DataSourceArrowWriter):
     def __init__(self, path, schema, options, overwrite):
         if not path:
-            raise ValueError("df.write.format('readstat') requires save(path)")
+            raise ValueError(
+                "df.write.format('readstat') requires save(path) "
+                f"(got options: {sorted(options)})"
+            )
         self.path = path
         self.options = dict(options)
         self.options["path"] = path

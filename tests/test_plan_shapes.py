@@ -261,3 +261,26 @@ def test_rare_token_ratio_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_" in plan
+
+
+def test_q4_exists_is_semi_join(spark):
+    plan = plan_of(spark, "q4_order_priority_exists")
+    assert "LeftSemi" in plan
+    assert "partial_" in plan
+
+
+def test_q10_broadcasts_nation_and_takes_ordered(spark):
+    plan = plan_of(spark, "q10_returned_item_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_aggregates_before_join(spark):
+    """The group-having must run before the orders/customer joins —
+    aggregate-then-join, not join-then-aggregate."""
+    plan = plan_of(spark, "q18_large_volume_customer")
+    assert "partial_" in plan
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
