@@ -138,7 +138,6 @@ def convert_batches(batches, names, kinds, fmt):
     """Arrow RecordBatches → pandas frames in the format's numeric
     representation (dates/datetimes shifted to the format epoch,
     numerics float64), plus the partition-wide string byte widths."""
-    import numpy as np
     import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
