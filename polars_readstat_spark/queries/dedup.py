@@ -295,7 +295,11 @@ def simhash_band_pairs(spark, sf_dir):
     )
 
     d = load_table(spark, sf_dir, "documents")
-    sim = simhash_bits(d, "doc_id", "text", bits=32)
+    # persist: the band self-join would otherwise run the whole
+    # token→hash→32-bit-tally pipeline once per side (same shape as
+    # the minhash persist above); the fingerprint table is one short
+    # row per doc
+    sim = scoped_persist(simhash_bits(d, "doc_id", "text", bits=32))
     return simhash_candidate_pairs(
         sim, "doc_id", bits=32, bands=2, max_hamming=1
     )
