@@ -15,13 +15,15 @@ executors and the driver can reach (the same contract as
 writers/partitioned.py).
 
 Supported formats: ``sas7bdat`` (plus ``compress=rle``), ``sav``,
-``zsav`` (zlib block container), ``xpt`` — the formats whose on-disk
-numerics are always float64, so a partition-local string-width pass
-yields part-files that union under one Spark schema. ``dta`` is deliberately not offered here: its
-integer storage types are chosen from global min/max (Stata missing
-sentinels), and partition-local choices would give the part-files
-conflicting column types — use ``write_dta_partitioned`` (global
-pre-pass) for distributed dta export.
+``zsav`` (zlib block container), ``xpt``, and ``dta``. The first four
+store all numerics as float64 on disk, so a partition-local
+string-width pass yields part-files that union under one Spark
+schema; ``dta`` instead uses a schema-deterministic sentinel-safe
+type plan (tinyint→int, smallint→long, int/bigint→double exact to
+±2^53 with a loud per-partition guard beyond) so every partition
+emits identical column types — ``write_dta_partitioned`` remains the
+path that narrows integer storage from global min/max when file size
+matters more than schema-only planning.
 
 Timestamps are converted executor-side from the Arrow representation:
 tz-aware arrays go through ``pyarrow.compute.local_timestamp`` first,
@@ -78,13 +80,7 @@ def plan_write(schema, options):
         path = options.get("path", "")
         tail = os.path.basename(path)
         fmt = tail.rsplit(".", 1)[-1].lower() if "." in tail else ""
-    if fmt == "dta":
-        raise NotImplementedError(
-            "df.write.format('readstat'): dta needs the global integer "
-            "range pre-pass (Stata missing sentinels) — use "
-            "write_dta_partitioned / write_readstat instead"
-        )
-    if fmt not in _EPOCH:
+    if fmt != "dta" and fmt not in _EPOCH:
         raise ValueError(
             f"df.write.format('readstat'): set .option('format', ...) to "
             f"one of {sorted(_EPOCH)} (got {fmt!r})"
@@ -115,13 +111,14 @@ def plan_write(schema, options):
                 f"df.write.format('readstat'): unsupported type {t} "
                 f"for column {f.name}"
             )
-    if fmt == "sas7bdat":
-        for n in names:
-            if len(n.encode("utf-8")) > 32:
-                raise ValueError(
-                    f"write readstat: column name {n!r} exceeds the "
-                    "32-byte sas7bdat name limit"
-                )
+    if fmt in ("sas7bdat", "dta"):
+        if fmt == "sas7bdat":
+            for n in names:
+                if len(n.encode("utf-8")) > 32:
+                    raise ValueError(
+                        f"write readstat: column name {n!r} exceeds the "
+                        "32-byte sas7bdat name limit"
+                    )
         shorts = None
     elif fmt in ("sav", "zsav"):
         from polars_readstat_spark.writers.sav import _short_names
@@ -142,9 +139,26 @@ def convert_batches(batches, names, kinds, fmt):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    date_mul, date_add, sec_add = _EPOCH[fmt]
     widths = {n: 1 for n, k in zip(names, kinds) if k == "str"}
     frames = []
+    if fmt == "dta":
+        # the dta packer (_pack_batch) consumes raw Arrow→pandas
+        # representations (datetime64, float-with-NaN ints, strings)
+        # and does its own epoch/missing-sentinel conversions — only
+        # the string widths are gathered here
+        for batch in batches:
+            pdf = batch.to_pandas()
+            for name, k in zip(names, kinds):
+                if k == "str" and len(pdf):
+                    w = int(
+                        pdf[name].fillna("").map(
+                            lambda x: len(str(x).encode("utf-8"))
+                        ).max()
+                    )
+                    widths[name] = max(widths[name], w)
+            frames.append(pdf)
+        return frames, widths
+    date_mul, date_add, sec_add = _EPOCH[fmt]
     for batch in batches:
         cols = {}
         for i, (name, k) in enumerate(zip(names, kinds)):
@@ -183,6 +197,10 @@ def write_partition_file(
     options,
 ):
     """Assemble one part-file from converted pandas frames."""
+    if fmt == "dta":
+        return _write_dta_part(
+            staged_path, fields, names, frames, widths_map, options
+        )
     limit = _STR_LIMIT[fmt]
     widths = []
     for f, k in zip(fields, kinds):
@@ -260,6 +278,73 @@ def write_partition_file(
                     fh.write(raw)
                     total += len(raw)
             fh.write(b" " * ((-total) % 80))
+    return n_rows
+
+
+def _write_dta_part(staged_path, fields, names, frames, widths_map, options):
+    """dta part-file with a schema-deterministic, sentinel-safe column
+    plan: every partition maps the same Spark type to the same Stata
+    type regardless of its values, so part-files always union under
+    one schema (write_dta's stats-tightened narrowing would let two
+    partitions disagree). tinyint→int and smallint→long clear the
+    Stata missing-sentinel bands; int/bigint→double is exact to ±2^53
+    with a loud per-partition guard beyond (mirroring write_dta)."""
+    from polars_readstat_spark.writers.dta import (
+        _DOUBLE_EXACT_INT,
+        _assemble_dta,
+        _pack_stream,
+    )
+
+    cols = []
+    bigcheck = []
+    for f in fields:
+        t = f.dataType.simpleString()
+        n = f.name
+        if t == "string":
+            w = widths_map.get(n, 1)
+            if w > 2045:
+                cols.append((n, "strl", 8, "%9s"))
+            else:
+                cols.append((n, "str", w, f"%{max(w, 9)}s"))
+        elif t == "boolean":
+            cols.append((n, "byte", 1, "%8.0g"))
+        elif t == "tinyint":
+            cols.append((n, "int", 2, "%8.0g"))
+        elif t == "smallint":
+            cols.append((n, "long", 4, "%12.0g"))
+        elif t in ("int", "bigint"):
+            if t == "bigint":
+                bigcheck.append(n)
+            cols.append((n, "double", 8, "%10.0g"))
+        elif t in ("float", "double") or t.startswith("decimal"):
+            cols.append((n, "double", 8, "%10.0g"))
+        elif t == "date":
+            cols.append((n, "date", 4, "%td"))
+        elif t.startswith("timestamp"):
+            cols.append((n, "datetime", 8, "%tc"))
+        else:
+            raise ValueError(
+                f"write readstat: unsupported dta sink type {t} for {n}"
+            )
+    for n in bigcheck:
+        for pdf in frames:
+            if len(pdf) == 0:
+                continue
+            s = pdf[n].dropna()
+            if len(s) and (
+                s.min() < -_DOUBLE_EXACT_INT or s.max() > _DOUBLE_EXACT_INT
+            ):
+                raise ValueError(
+                    f"write readstat: bigint column {n!r} holds values "
+                    "outside ±2^53; Stata's widest numeric type (double) "
+                    "cannot represent them exactly"
+                )
+    data, strls, n_rows = _pack_stream(cols, frames)
+    out = _assemble_dta(
+        cols, data, strls, n_rows, options.get("data_label", ""), {}, {},
+    )
+    with open(staged_path, "wb") as fh:
+        fh.write(out)
     return n_rows
 
 

@@ -31,7 +31,7 @@ def src(spark):
     )
 
 
-@pytest.mark.parametrize("fmt", ["sas7bdat", "sav", "xpt"])
+@pytest.mark.parametrize("fmt", ["sas7bdat", "sav", "xpt", "dta"])
 def test_write_read_roundtrip(spark, src, tmp_path, fmt):
     path = str(tmp_path / f"out_{fmt}")
     src.write.format("readstat").option("format", fmt).mode(
@@ -80,11 +80,41 @@ def test_no_staged_files_after_commit(spark, src, tmp_path):
     assert not [f for f in os.listdir(path) if f.startswith(".staged")]
 
 
-def test_dta_points_at_global_prepass_path(spark, src, tmp_path):
-    with pytest.raises(Exception, match="pre-pass|write_dta_partitioned"):
-        src.write.format("readstat").option("format", "dta").mode(
+def test_dta_sink_schema_deterministic_types(spark, tmp_path):
+    """dta parts use the schema-only sentinel-safe plan: every
+    partition maps int→double/smallint→long identically regardless of
+    its values, so parts union; pandas.read_stata decodes each."""
+    import pandas as pd
+
+    from pyspark.sql import Row
+
+    rows = [Row(i=i, s=i * 3, big=i * 10**9, tag=f"t{i}") for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "i int, s smallint, big bigint, tag string"
+    ).repartition(2)
+    path = str(tmp_path / "dta_parts")
+    df.write.format("readstat").option("format", "dta").mode(
+        "append"
+    ).save(path)
+    back = spark.read.format("readstat").load(path)
+    assert back.count() == 40
+    got = {r["tag"]: r for r in back.collect()}
+    assert got["t39"]["big"] == 39 * 10**9
+    for f in os.listdir(path):
+        if not f.startswith("."):
+            assert len(pd.read_stata(os.path.join(path, f))) > 0
+
+
+def test_dta_sink_bigint_guard(spark, tmp_path):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(v=(1 << 60))], "v bigint"
+    )
+    with pytest.raises(Exception, match="2\\^53"):
+        df.write.format("readstat").option("format", "dta").mode(
             "append"
-        ).save(str(tmp_path / "nope"))
+        ).save(str(tmp_path / "guard"))
 
 
 def test_missing_format_option_is_a_clear_error(spark, src, tmp_path):
