@@ -189,13 +189,17 @@ def main() -> None:
     wall = round(time.perf_counter() - t_all, 3)
     # the headline value is the sum of recorded per-query times: the
     # wall clock additionally contains cache-file generation and the
-    # outlier re-timing pass, which are not query runtime
+    # outlier re-timing pass, which are not query runtime. Failed
+    # queries (-1 markers) are listed explicitly so a breakage can
+    # never read as a speedup.
     total = round(sum(t for t in timings.values() if t > 0), 3)
+    errors = sorted(n for n, t in timings.items() if t < 0)
     payload = {
         "metric": "total_query_runtime",
         "value": total,
         "unit": "sec",
         "wall_s": wall,
+        "errors": errors,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -209,9 +209,10 @@ class ReadstatDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool):
         """df.write.format("readstat").option("format", ...).save(dir)
         — one part-file per partition, staged + committed atomically
-        (writers/spark_sink.py). sas7bdat (optionally RLE), sav, xpt;
-        dta needs the global sentinel pre-pass and stays on
-        write_dta_partitioned."""
+        (writers/spark_sink.py). sas7bdat (optionally RLE), sav, zsav,
+        xpt, and dta (schema-deterministic sentinel-safe types so
+        parts always union; write_dta_partitioned keeps the
+        stats-narrowed storage)."""
         from polars_readstat_spark.writers.spark_sink import (
             ReadstatDataSourceWriter,
         )

@@ -72,9 +72,9 @@ def plan_write(schema, options):
     """Driver-side column plan from the declared schema alone.
 
     Returns (fmt, fields, names, shorts, kinds): `shorts` is None for
-    formats that keep full names. Raises for unsupported formats —
-    including dta, whose sentinel-safe integer typing needs a global
-    pre-pass this API cannot run (see module docstring)."""
+    formats that keep full names (sas7bdat, dta). dta's kinds are
+    unused — its column plan is built schema-only in _write_dta_part
+    (see module docstring)."""
     fmt = (options.get("format") or options.get("ext") or "").lstrip(".").lower()
     if not fmt:
         path = options.get("path", "")
@@ -83,7 +83,7 @@ def plan_write(schema, options):
     if fmt != "dta" and fmt not in _EPOCH:
         raise ValueError(
             f"df.write.format('readstat'): set .option('format', ...) to "
-            f"one of {sorted(_EPOCH)} (got {fmt!r})"
+            f"one of {sorted([*_EPOCH, 'dta'])} (got {fmt!r})"
         )
     # this runs inside the Python planning worker (no SparkSession),
     # so the kind mapping is replicated here without pyspark Columns —

@@ -284,3 +284,7 @@ def test_q18_aggregates_before_join(spark):
     agg_pos = plan.find("HashAggregate")
     join_pos = plan.find("Join")
     assert agg_pos != -1 and join_pos != -1
+    # the formatted tree prints parents before children, so the
+    # aggregate feeding the join must appear AFTER the join node;
+    # join-then-aggregate would print the aggregate first
+    assert join_pos < agg_pos
