@@ -60,6 +60,7 @@ _PRIORITY: tuple[str, ...] = (
     "q10_returned_item_revenue",
     "q14_promo_effect",
     "q18_large_volume_customer",
+    "ann_lsh_recall",
     "scan_sas7bdat_types",
     "scan_sas7bdat_rle",
     "scan_sas7bdat_rdc",

@@ -618,3 +618,70 @@ def embedding_quantize_int8(spark, sf_dir):
             F.col("s").alias("scale"),
         )
     )
+
+
+@query(
+    "ann_lsh_recall",
+    oracle="WITH "
+    + lsh_bands_duck()
+    + """
+    , cand_lsh AS (
+      SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
+      FROM lsh_bands a
+      JOIN lsh_bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+      WHERE a.vec_id % 50 = 0 AND b.vec_id != a.vec_id
+    ),
+    cand AS (
+      SELECT p.vec_id AS q_id, c.vec_id AS c_id
+      FROM embeddings p CROSS JOIN embeddings c
+      WHERE p.vec_id % 50 = 0 AND c.vec_id != p.vec_id
+    ),
+    """
+    + _PAIR_COS_BULK_DUCK_FWD
+    + """
+    , bf_top AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, c_id) AS rk
+        FROM pair_cos
+      ) WHERE rk <= 5
+    ),
+    lsh_top AS (
+      SELECT q_id, c_id FROM (
+        SELECT p.q_id, p.c_id,
+               ROW_NUMBER() OVER (PARTITION BY p.q_id
+                                  ORDER BY p.cosine DESC, p.c_id) AS rk
+        FROM pair_cos p
+        JOIN cand_lsh cl ON cl.q_id = p.q_id AND cl.c_id = p.c_id
+      ) WHERE rk <= 5
+    )
+    SELECT CAST((SELECT COUNT(*) FROM bf_top) AS BIGINT) AS n_exact,
+           CAST((SELECT COUNT(*) FROM bf_top t
+                 JOIN lsh_top l ON l.q_id = t.q_id AND l.c_id = t.c_id)
+                AS BIGINT) AS n_hits,
+           CAST((SELECT COUNT(*) FROM bf_top t
+                 JOIN lsh_top l ON l.q_id = t.q_id AND l.c_id = t.c_id)
+                AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM bf_top) AS DOUBLE) AS recall
+    """,
+)
+def ann_lsh_recall(spark, sf_dir):
+    """ANN quality evaluation — recall@5 of the LSH-bucketed path
+    against the exact brute-force baseline, the measurement every ANN
+    deployment runs before trusting its index. Both top-k sets come
+    from the already-verified queries; the summary is exact integer
+    counts plus one int/int double division, so the compare surface
+    is deterministic. At 100 TB this runs on a probe sample, exactly
+    the shape here (vec_id % 50)."""
+    bf = ann_bruteforce_topk(spark, sf_dir).select("q_id", "c_id")
+    lsh = ann_lsh_topk(spark, sf_dir).select("q_id", "c_id")
+    hits = bf.join(lsh, ["q_id", "c_id"])
+    ne = bf.groupBy().agg(F.count(F.lit(1)).alias("n_exact"))
+    nh = hits.groupBy().agg(F.count(F.lit(1)).alias("n_hits"))
+    return ne.crossJoin(nh).select(
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        (F.col("n_hits").cast("double") / F.col("n_exact").cast("double"))
+        .alias("recall"),
+    )
