@@ -72,8 +72,11 @@ def _roundtrip(spark, tmp_path, ext, rows):
     df = spark.createDataFrame(
         rows, "s string, x double, n int"
     ).repartition(3)
+    kwargs = {}
+    if ext == "sas7bdat_rle":
+        ext, kwargs = "sas7bdat", {"compress": "rle"}
     p = str(tmp_path / f"prop_rt.{ext}")
-    prs.write_readstat(df, p)
+    prs.write_readstat(df, p, **kwargs)
     back = spark.read.format("readstat").load(p)
     back = back.toDF(*[c.lower() for c in back.columns])  # xpt v5 uppercases
     def key(t):
@@ -126,7 +129,9 @@ def _generate_row_sets(n=12):
     return sets
 
 
-@pytest.mark.parametrize("ext", ["dta", "sav", "xpt"])
+@pytest.mark.parametrize(
+    "ext", ["dta", "sav", "xpt", "sas7bdat", "sas7bdat_rle"]
+)
 def test_property_roundtrip(spark, tmp_path, ext):
     row_sets = _generate_row_sets()
     # merge all drawn sets into one corpus: one Spark roundtrip per
