@@ -7,6 +7,9 @@
   components over any corpus DataFrame.
 - `graph`: connected components (min-label propagation and
   large-star/small-star).
+- `kmeans`: full iterative Lloyd fit (map-only assignment against
+  literal centroids, k·dim-bounded update shuffle) for IVF builds
+  and semantic clustering.
 - `multimodal`: binary-column decode/feature stages (mapInPandas).
 """
 
@@ -25,4 +28,8 @@ from polars_readstat_spark.functions.dedup import (  # noqa: F401
 from polars_readstat_spark.functions.graph import (  # noqa: F401
     connected_components,
     connected_components_star,
+)
+from polars_readstat_spark.functions.kmeans import (  # noqa: F401
+    assign_clusters,
+    kmeans_fit,
 )

@@ -243,3 +243,98 @@ def text_rare_token_ratio(spark, sf_dir):
             (rare / F.count(F.lit(1)).cast("double")).alias("rare_ratio"),
         )
     )
+
+
+@query(
+    "text_gopher_quality_rules",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(LEN(toks) AS BIGINT) AS n_words,
+             CAST(LEN(LIST_FILTER(toks, t -> LEN(t) >= 3)) AS BIGINT)
+               AS n_longish,
+             CAST(LEN(LIST_FILTER(toks, t -> t IN {_SW_SQL})) AS BIGINT)
+               AS n_stop
+      FROM tok
+    ),
+    tri AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 2, 0) + 1),
+                    i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) AS tg
+      FROM tok
+    ),
+    rep AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tri,
+             CAST(COUNT(DISTINCT tg) AS BIGINT) AS n_tri_distinct
+      FROM tri GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_words,
+           s.n_longish / CAST(s.n_words AS DOUBLE) AS longish_ratio,
+           s.n_stop / CAST(s.n_words AS DOUBLE) AS stop_ratio,
+           1.0 - (r.n_tri_distinct / CAST(r.n_tri AS DOUBLE))
+             AS dup_trigram_ratio,
+           (s.n_words BETWEEN 50 AND 100000
+            AND s.n_longish * 5 >= s.n_words * 2
+            AND s.n_stop > 0
+            AND (r.n_tri_distinct * 10) >= (r.n_tri * 7)) AS keep
+    FROM stats s JOIN rep r ON r.doc_id = s.doc_id
+    """,
+)
+def text_gopher_quality_rules(spark, sf_dir):
+    """Gopher-style rule-based quality gate — the standard pre-train
+    corpus filter, as one Catalyst pass: word-count bounds, a
+    short-word ratio (≥40% of words ≥3 chars), stopword presence, and
+    a repetition rule (≤30% duplicate trigrams). All ratios are
+    double divisions of exact integer counts; the keep flag is pure
+    integer arithmetic, so both engines agree bit-for-bit. Shapes:
+    one explode + two partial aggregations per doc, no joins beyond
+    the per-doc stats merge — linear at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stats = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.size(F.filter(toks, lambda t: F.length(t) >= 3))
+        .cast("bigint")
+        .alias("n_longish"),
+        F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    tri = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text,' ')) - 2, 0)),"
+                " i -> concat_ws(' ', slice(split(text,' '), i, 3)))"
+            )
+        ).alias("tg"),
+    )
+    rep = tri.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tri"),
+        F.countDistinct("tg").cast("bigint").alias("n_tri_distinct"),
+    )
+    return stats.join(rep, "doc_id").select(
+        "doc_id",
+        "n_words",
+        (F.col("n_longish") / F.col("n_words").cast("double")).alias(
+            "longish_ratio"
+        ),
+        (F.col("n_stop") / F.col("n_words").cast("double")).alias(
+            "stop_ratio"
+        ),
+        (
+            F.lit(1.0)
+            - F.col("n_tri_distinct") / F.col("n_tri").cast("double")
+        ).alias("dup_trigram_ratio"),
+        (
+            F.col("n_words").between(50, 100000)
+            & (F.col("n_longish") * 5 >= F.col("n_words") * 2)
+            & (F.col("n_stop") > 0)
+            & (F.col("n_tri_distinct") * 10 >= F.col("n_tri") * 7)
+        ).alias("keep"),
+    )
