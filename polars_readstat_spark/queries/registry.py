@@ -61,6 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     "q14_promo_effect",
     "q18_large_volume_customer",
     "ann_lsh_recall",
+    "text_gopher_quality_rules",
     "scan_sas7bdat_types",
     "scan_sas7bdat_rle",
     "scan_sas7bdat_rdc",
