@@ -15,7 +15,9 @@
 
 from polars_readstat_spark.functions.ann import (  # noqa: F401
     cosine_topk,
+    cosine_topk_ivf,
     cosine_topk_lsh,
+    ivf_build,
 )
 from polars_readstat_spark.functions.dedup import (  # noqa: F401
     lsh_candidate_pairs,

@@ -186,3 +186,82 @@ def cosine_topk_lsh(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
+
+
+def ivf_build(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int = 256,
+    kmeans_iters: int = 5,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Build an IVF index: k-means centroids (functions/kmeans.py
+    Lloyd fit) + the inverted-list assignment table (id, cluster).
+
+    Returns (assignments, centroids). The assignment table is the
+    index — persist or write it once, then serve probes through
+    ``cosine_topk_ivf``. Sizing: n_lists ~ sqrt(n) keeps candidate
+    fetches at nprobe·sqrt(n) per probe."""
+    from polars_readstat_spark.functions.kmeans import kmeans_fit
+
+    assignments, centroids, _ = kmeans_fit(
+        corpus, id_col, vec_col, k=n_lists, max_iters=kmeans_iters
+    )
+    return assignments, centroids
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    assignments: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-flat search: each probe scores only the inverted lists of
+    its ``nprobe`` nearest centroids. Returns (q_id, c_id, cosine, rk).
+
+    Shapes: centroid ranking is map-only (literal centroid matrix in
+    codegen, same as assignment); candidate fetch is an equi-join on
+    the cluster id — per-probe work is nprobe·n/n_lists instead of n,
+    and nothing O(corpus) is broadcast."""
+    from polars_readstat_spark.functions.kmeans import _dist2_expr
+
+    dists = F.array(*[_dist2_expr(vec_col, c) for c in centroids])
+    ranked = F.transform(
+        F.array_sort(
+            F.zip_with(
+                dists,
+                F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+            )
+        ),
+        lambda s: s["i"],
+    )
+    q = probes.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(F.slice(ranked, 1, nprobe)).alias("cluster"),
+    )
+    cand = q.join(
+        assignments.withColumnRenamed(id_col, "c_id"), "cluster"
+    ).filter(F.col("c_id") != F.col("q_id"))
+    scored = cand.join(
+        corpus.select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "c_id",
+    ).select(
+        "q_id",
+        "c_id",
+        (
+            _dot("q_vec", "c_vec") / (_norm("q_vec") * _norm("c_vec"))
+        ).alias("cosine"),
+    ).dropDuplicates(["q_id", "c_id"])
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )

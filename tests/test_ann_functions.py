@@ -77,3 +77,46 @@ def test_cosine_topk_broadcasts_probes(spark, corpus):
         plan_df.explain("formatted")
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_build_and_search(spark):
+    """IVF index from the Lloyd fit + pruned search: results must
+    match exact brute-force top-k whenever the probe's true neighbors
+    live in the probed lists (guaranteed here by tight blobs)."""
+    import numpy as np
+
+    from polars_readstat_spark.functions.ann import (
+        cosine_topk,
+        cosine_topk_ivf,
+        ivf_build,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(0, 1, (4, 8))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = []
+    for c in centers:
+        for _ in range(25):
+            v = c + rng.normal(0, 0.02, 8)
+            pts.append(v / np.linalg.norm(v))
+    # interleave so the deterministic first-k init spans the blobs
+    order = [b * 25 + i for i in range(25) for b in range(4)]
+    rows = [
+        (rank, [float(x) for x in pts[p]]) for rank, p in enumerate(order)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(3)
+
+    assignments, cents = ivf_build(
+        corpus, "vec_id", "embedding", n_lists=4, kmeans_iters=8
+    )
+    probes = corpus.filter("vec_id % 10 = 0")
+    got = cosine_topk_ivf(
+        corpus, probes, "vec_id", "embedding", assignments, cents,
+        k=3, nprobe=2,
+    )
+    exact = cosine_topk(corpus, probes, "vec_id", "embedding", k=3)
+    g = {(r.q_id, r.rk): r.c_id for r in got.collect()}
+    e = {(r.q_id, r.rk): r.c_id for r in exact.collect()}
+    assert g == e
