@@ -288,3 +288,12 @@ def test_q18_aggregates_before_join(spark):
     # aggregate feeding the join must appear AFTER the join node;
     # join-then-aggregate would print the aggregate first
     assert join_pos < agg_pos
+
+
+@pytest.mark.parametrize(
+    "name", ["text_gopher_quality_rules", "text_rare_token_ratio", "ann_lsh_recall"]
+)
+def test_round3_queries_no_degenerate_joins(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
