@@ -62,9 +62,12 @@ SIG_COL_NAME = b"\xff\xff\xff\xff\xff\xff\xff\xff"
 SIG_COL_ATTRS = b"\xfc\xff\xff\xff\xff\xff\xff\xff"
 SIG_FMT_LABEL = b"\xfe\xfb\xff\xff\xff\xff\xff\xff"
 
-# SAS epoch 1960-01-01 relative to Unix epoch
-SAS_DAY_SHIFT = 3653
-SAS_SEC_SHIFT = 315_619_200
+# SAS epoch 1960-01-01 relative to Unix epoch (shared with the xpt
+# writer, which targets the same epoch)
+from polars_readstat_spark.writers.xpt import (  # noqa: E402
+    SAS_DAY_SHIFT,
+    SAS_SEC_SHIFT,
+)
 
 
 def _sas_columns(df: DataFrame):

@@ -131,6 +131,15 @@ def plan_write(schema, options):
     return fmt, fields, names, shorts, kinds
 
 
+def _utf8_width(series) -> int:
+    """Max UTF-8 byte width of a pandas string series (0 if empty)."""
+    if not len(series):
+        return 0
+    return int(
+        series.fillna("").map(lambda x: len(str(x).encode("utf-8"))).max()
+    )
+
+
 def convert_batches(batches, names, kinds, fmt):
     """Arrow RecordBatches → pandas frames in the format's numeric
     representation (dates/datetimes shifted to the format epoch,
@@ -149,13 +158,8 @@ def convert_batches(batches, names, kinds, fmt):
         for batch in batches:
             pdf = batch.to_pandas()
             for name, k in zip(names, kinds):
-                if k == "str" and len(pdf):
-                    w = int(
-                        pdf[name].fillna("").map(
-                            lambda x: len(str(x).encode("utf-8"))
-                        ).max()
-                    )
-                    widths[name] = max(widths[name], w)
+                if k == "str":
+                    widths[name] = max(widths[name], _utf8_width(pdf[name]))
             frames.append(pdf)
         return frames, widths
     date_mul, date_add, sec_add = _EPOCH[fmt]
@@ -165,13 +169,7 @@ def convert_batches(batches, names, kinds, fmt):
             arr = batch.column(i)
             if k == "str":
                 s = arr.to_pandas()
-                if len(s):
-                    w = int(
-                        s.fillna("").map(
-                            lambda x: len(str(x).encode("utf-8"))
-                        ).max()
-                    )
-                    widths[name] = max(widths[name], w)
+                widths[name] = max(widths[name], _utf8_width(s))
             elif k == "date":
                 days = pc.cast(arr, pa.int32()).cast(pa.float64()).to_pandas()
                 s = days * date_mul + (date_add * date_mul)
