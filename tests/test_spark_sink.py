@@ -154,9 +154,10 @@ def test_pandas_reads_sink_output(spark, src, tmp_path):
     assert total == 2000
 
 
-def test_stream_writer_exports_microbatches(spark, tmp_path):
+@pytest.mark.parametrize("fmt", ["sav", "sas7bdat", "dta"])
+def test_stream_writer_exports_microbatches(spark, tmp_path, fmt):
     """df.writeStream.format('readstat'): deterministic file-source →
-    availableNow → part-b<batch>-p<pid>.sav files, read back batch."""
+    availableNow → part-b<batch>-p<pid> files, read back batch."""
     src_dir = str(tmp_path / "in")
     out = str(tmp_path / "out")
     cp = str(tmp_path / "cp")
@@ -171,14 +172,16 @@ def test_stream_writer_exports_microbatches(spark, tmp_path):
     )
     q = (
         stream.writeStream.format("readstat")
-        .option("format", "sav")
+        .option("format", fmt)
         .option("checkpointLocation", cp)
         .trigger(availableNow=True)
         .start(out)
     )
     q.awaitTermination(120)
     files = [f for f in os.listdir(out) if not f.startswith(".")]
-    assert files and all(f.startswith("part-b") and f.endswith(".sav") for f in files)
+    assert files and all(
+        f.startswith("part-b") and f.endswith(f".{fmt}") for f in files
+    )
     back = spark.read.format("readstat").load(out)
     assert back.count() == 500
     assert back.agg(F.sum("v")).collect()[0][0] == sum(range(500))
