@@ -40,11 +40,12 @@ def query(name: str, oracle: str | None = None):
 
 
 # The driver samples a fixed-size prefix of the registry (50 rows in
-# round 2, while the registry holds 77+ queries), so insertion order is
-# load-bearing: queries that still lack a green CORRECTNESS row from a
-# previous round are listed here and surfaced first, ahead of queries
-# that already have driver-verified evidence. Update per round as rows
-# come back green.
+# round 2, while the registry has grown to 97 queries), so insertion
+# order is load-bearing: queries that still lack a green CORRECTNESS
+# row from a previous round are listed here and surfaced first —
+# round-3 additions, then the round-2 red/unchecked set, then
+# round-1-only greens needing refresh. Update per round as rows come
+# back green.
 _PRIORITY: tuple[str, ...] = (
     # new this round — no row could exist yet
     "scan_sas7bdat_roundtrip",
