@@ -54,8 +54,13 @@ def configure_existing(spark: SparkSession) -> SparkSession:
     for k, v in [
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.python.filterPushdown.enabled", "true"),
+        # runtime-settable: a handed-in session otherwise keeps the
+        # 200-partition default, which at sf0.01 means 200 tiny tasks
+        # per shuffle in the driver's correctness sweep
+        ("spark.sql.shuffle.partitions", str(DEFAULT_CPUS)),
     ]:
         try:
             spark.conf.set(k, v)
