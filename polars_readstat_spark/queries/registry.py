@@ -87,6 +87,23 @@ _PRIORITY: tuple[str, ...] = (
     "event_value_histogram",
     "event_props_json_extract",
     "funnel_click_to_purchase",
+    # new TPC-H completions (round 3, second batch) — after the
+    # never-checked set; whatever falls past the driver's 50-row
+    # window picks up its row next round
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_value_share",
+    "q12_linestatus_priority",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q19_or_predicate_revenue",
+    "q20_excess_shipments",
+    "q21_waiting_supplier",
+    "q22_idle_customer_balance",
     # green in round 1 only — refresh driver evidence
     "embedding_l2_norms",
     "ann_bruteforce_topk",
@@ -139,6 +156,7 @@ def _ensure_loaded() -> None:
         similarity,
         text,
         timeseries,
+        tpch,
     )
 
     _LOADED = True

@@ -297,3 +297,63 @@ def test_round3_queries_no_degenerate_joins(spark, name):
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan
     assert "partial_" in plan
+
+
+TPCH_COMPLETIONS = [
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_value_share",
+    "q12_linestatus_priority",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q19_or_predicate_revenue",
+    "q20_excess_shipments",
+    "q21_waiting_supplier",
+    "q22_idle_customer_balance",
+]
+
+
+@pytest.mark.parametrize("name", TPCH_COMPLETIONS)
+def test_tpch_completions_no_degenerate_joins(spark, name):
+    """Every TPC-H completion partial-aggregates and never degenerates
+    into a cartesian product (the scalar-subquery cross joins must plan
+    as broadcast against 1-row sides, not CartesianProduct). q2's only
+    aggregate is the distinct pair-set — a two-phase HashAggregate with
+    no aggregate functions, so the partial_ marker never prints."""
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+    if name != "q2_min_cost_supplier":
+        assert "partial_" in plan
+
+
+def test_q21_exists_pair_decorrelates_to_semi_and_anti(spark):
+    plan = plan_of(spark, "q21_waiting_supplier")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q22_anti_join_and_broadcast_threshold(spark):
+    plan = plan_of(spark, "q22_idle_customer_balance")
+    assert "LeftAnti" in plan
+    # the 1-row average broadcasts; the customer pool is never shuffled
+    # for the threshold compare
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q15_max_is_broadcast_not_global_window(spark):
+    plan = plan_of(spark, "q15_top_supplier")
+    # the max-revenue compare must come from a broadcast 1-row join,
+    # not a whole-table single-partition window
+    assert "Window" not in plan
+    assert "partial_" in plan
+
+
+def test_q2_window_is_partitioned_by_part(spark):
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    assert "Window" in plan
+    # partitioned window (per part), not the single-partition variant
+    assert "partitionBy" not in plan or "p_partkey" in plan
