@@ -1,0 +1,223 @@
+"""Training-corpus curation operators: decontamination, sequence
+packing, PII-pattern scanning.
+
+The pieces of a large-scale LLM data pipeline that sit between dedup
+(queries/dedup.py) and export: removing benchmark contamination,
+packing documents into fixed token budgets, and counting sensitive-
+pattern hits before redaction. All pure Catalyst — no UDFs — and each
+shape is chosen for the 100 TB case (see docstrings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from polars_readstat_spark.queries.registry import query
+from polars_readstat_spark.tables import load_table
+
+#: n-gram width for decontamination. Real pipelines use 8–13 tokens
+#: (e.g. GPT-3's 13-gram eval scrub); the synthetic word-salad corpus
+#: has no 8-gram collisions at all, so 4 keeps the overlap set real
+#: (non-empty, still selective) at test SF. The width is a constant,
+#: not a semantic: the plan is identical at any n.
+NGRAM_N = 4
+
+
+def _spark_ngrams(arr_col: str, n: int):
+    """Contiguous word n-grams of an array column as an array<string>.
+
+    Spark's sequence(1, k) is DESCENDING for k < 1 (it would emit
+    [1, 0] rather than an empty array), so short documents need the
+    explicit size guard.
+    """
+    arr = F.col(arr_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(arr, i, n)),
+    )
+    return F.when(F.size(arr) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# DuckDB twin of _spark_ngrams: list slice a[i:i+n-1] is 1-based and
+# end-inclusive (n elements); generate_series(1, k) is empty for k < 1,
+# so no guard is needed on that side.
+_DUCK_NGRAMS = (
+    "list_transform(generate_series(1, len(arr) - {nm1}),"
+    " i -> array_to_string(arr[i:i+{nm1}], ' '))"
+).format(nm1=NGRAM_N - 1)
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, UNNEST({_DUCK_NGRAMS}) AS gram FROM tok
+    ),
+    eval_grams AS (
+      SELECT DISTINCT gram, doc_id AS eval_id FROM grams
+      WHERE doc_id % 97 = 0
+    ),
+    train_grams AS (
+      SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 97 <> 0
+    )
+    SELECT t.doc_id,
+           COUNT(DISTINCT t.gram) AS n_shared_ngrams,
+           COUNT(DISTINCT e.eval_id) AS n_eval_docs_hit
+    FROM train_grams t JOIN eval_grams e ON e.gram = t.gram
+    GROUP BY t.doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing an 8-gram with
+    the eval set.
+
+    The eval set (stand-in: doc_id % 97 == 0 — a real pipeline unions
+    its benchmark suites here) explodes to distinct (gram, eval_id)
+    pairs and BROADCASTS: benchmarks are fixed-size (~10⁷ n-grams for
+    every major suite combined, a few hundred MB hashed), so at 100 TB
+    the contamination scan is one map-side hash probe per training
+    n-gram — no shuffle of the corpus, cost linear in corpus tokens.
+    Per-doc distinct counts partial-aggregate on doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("arr")
+    )
+    grams = docs.select(
+        "doc_id", F.explode(_spark_ngrams("arr", NGRAM_N)).alias("gram")
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("gram"), F.col("doc_id").alias("eval_id"))
+        .distinct()
+    )
+    train_grams = grams.filter(F.col("doc_id") % 97 != 0).distinct()
+    return (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_ngrams"),
+            F.countDistinct("eval_id").alias("n_eval_docs_hit"),
+        )
+    )
+
+
+@query(
+    "sequence_packing_bins",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(FLOOR(
+               CAST(SUM(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS DOUBLE) / 256.0) AS BIGINT) AS bin_id
+      FROM tok
+    )
+    SELECT source, COALESCE(bin_id, 0) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed
+    GROUP BY source, COALESCE(bin_id, 0)
+    """,
+)
+def sequence_packing_bins(spark, sf_dir):
+    """Sequence packing: assign documents to fixed token-budget bins.
+
+    The distributed variant of greedy concat-and-chunk packing: within
+    each source shard, docs pack contiguously in doc_id order and the
+    bin is floor(exclusive-running-token-count / budget) — one window
+    pass, one shuffle on the shard key. True first-fit bin packing is
+    inherently sequential; contiguous packing is what production
+    pipelines actually run because it preserves shard locality and
+    needs no coordination — each source partition packs independently,
+    so 100 TB packs in one pass regardless of executor count. The
+    first row's exclusive cumsum is NULL → bin 0 on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = docs.withColumn(
+        "bin_id",
+        F.coalesce(
+            F.floor(F.sum("n_tokens").over(w).cast("double") / F.lit(256.0)),
+            F.lit(0),
+        ).cast("bigint"),
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+    )
+
+
+#: Stand-in sensitive patterns. The synthetic corpus has no real
+#: emails/SSNs, so alongside the real-shaped patterns (which must
+#: legitimately return 0) one term pattern exercises the nonzero path.
+#: A production run swaps this table for its compliance regex set.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone_us", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("secret_term", r"\b(key|hash)\b"),
+)
+
+
+@query(
+    "pii_pattern_counts",
+    oracle="""
+    SELECT p.pattern_name,
+           CAST(SUM(len(regexp_extract_all(d.text, p.pat))) AS BIGINT)
+             AS n_hits,
+           CAST(SUM(CASE WHEN len(regexp_extract_all(d.text, p.pat)) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit
+    FROM documents d
+    CROSS JOIN (VALUES
+      ('email', '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'),
+      ('phone_us', '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b'),
+      ('ssn', '\\b\\d{3}-\\d{2}-\\d{4}\\b'),
+      ('secret_term', '\\b(key|hash)\\b')
+    ) AS p(pattern_name, pat)
+    GROUP BY p.pattern_name
+    """,
+)
+def pii_pattern_counts(spark, sf_dir):
+    """PII scan: per-pattern hit counts across the corpus.
+
+    The redaction pre-pass: every document is scanned against the
+    pattern table (broadcast — compliance regex sets are tiny) and
+    per-pattern totals partial-aggregate map-side, so the whole scan
+    is one linear pass with a 4-row shuffle. regexp_count runs in
+    codegen (JVM regex); both engines use RE2-class syntax on these
+    patterns, so hit counts match exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pats = spark.createDataFrame(
+        list(PII_PATTERNS), ["pattern_name", "pat"]
+    )
+    hits = docs.crossJoin(F.broadcast(pats)).select(
+        "pattern_name",
+        F.regexp_count(F.col("text"), F.col("pat")).alias("c"),
+    )
+    return hits.groupBy("pattern_name").agg(
+        F.sum("c").cast("bigint").alias("n_hits"),
+        F.sum(F.when(F.col("c") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_hit"),
+    )

@@ -104,6 +104,10 @@ _PRIORITY: tuple[str, ...] = (
     "q20_excess_shipments",
     "q21_waiting_supplier",
     "q22_idle_customer_balance",
+    # corpus-curation additions (round 3, second batch)
+    "decontaminate_ngram_overlap",
+    "sequence_packing_bins",
+    "pii_pattern_counts",
     # green in round 1 only — refresh driver evidence
     "embedding_l2_norms",
     "ann_bruteforce_topk",
@@ -144,6 +148,7 @@ def _ensure_loaded() -> None:
     # import for side effect: each module registers its queries
     from polars_readstat_spark.queries import (  # noqa: F401
         compress,
+        curation,
         dedup,
         labels,
         multimodal,

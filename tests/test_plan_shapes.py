@@ -357,3 +357,26 @@ def test_q2_window_is_partitioned_by_part(spark):
     assert "Window" in plan
     # partitioned window (per part), not the single-partition variant
     assert "partitionBy" not in plan or "p_partkey" in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval-set gram table must broadcast — the corpus side is the
+    100 TB side and must never shuffle for the contamination probe."""
+    plan = plan_of(spark, "decontaminate_ngram_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sequence_packing_window_is_per_source(spark):
+    plan = plan_of(spark, "sequence_packing_bins")
+    assert "Window" in plan
+    # partitioned by the shard key — a global (single-partition) window
+    # would serialize the whole corpus through one task
+    assert "source" in plan
+    assert "partial_" in plan
+
+
+def test_pii_scan_broadcasts_pattern_table(spark):
+    plan = plan_of(spark, "pii_pattern_counts")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_" in plan
