@@ -176,7 +176,14 @@ def decode_column(
             out = [s if s != "" else None for s in out]
         return pa.array(out, type=pa.string())
 
+    # contiguous copy first: the structured-array field is a strided
+    # view, and every downstream op (mask compares, bit views, and
+    # especially pa.array — ~50× slower on strided input) pays for it
+    # otherwise; one gather here makes the whole column path dense
+    col = np.ascontiguousarray(col)
     vals, mask, _tags = decode_numeric(col, var, meta.version)
+    has_missing = bool(mask.any())
+    pa_mask = mask if has_missing else None
 
     labels = (
         meta.value_labels.get(var.lblname)
@@ -192,13 +199,13 @@ def decode_column(
 
     tk = var.time_kind
     if tk == "date":
-        clean = np.where(mask, 0, vals)
+        clean = np.where(mask, 0, vals) if has_missing else vals
         days = clean.astype(np.int64) + STATA_EPOCH_DAYS
-        return pa.array(days.astype(np.int32), type=pa.date32(), mask=mask)
+        return pa.array(days.astype(np.int32), type=pa.date32(), mask=pa_mask)
     if tk == "datetime":
-        clean = np.where(mask, 0, vals)
+        clean = np.where(mask, 0, vals) if has_missing else vals
         us = (clean.astype(np.int64) + STATA_EPOCH_MS) * 1000
-        return pa.array(us, type=pa.timestamp("us"), mask=mask)
+        return pa.array(us, type=pa.timestamp("us"), mask=pa_mask)
 
     pa_type = {
         "byte": pa.int8(),
@@ -207,7 +214,7 @@ def decode_column(
         "float": pa.float32(),
         "double": pa.float64(),
     }[var.kind]
-    return pa.array(vals, type=pa_type, mask=mask)
+    return pa.array(vals, type=pa_type, mask=pa_mask)
 
 
 def build_strl_lookup(meta: DtaMeta) -> dict[int, str]:

@@ -31,6 +31,8 @@ import pyarrow as pa
 
 from pyspark.sql.datasource import DataSourceReader, InputPartition
 
+from polars_readstat_spark.sources import strdecode
+
 LINE_LEN = 80
 SPSS_SEC_SHIFT = 12_219_379_200
 SEC_PER_DAY = 86_400
@@ -493,10 +495,10 @@ class PorReader(DataSourceReader):
                     days = ((iv - SPSS_SEC_SHIFT) / SEC_PER_DAY).astype(np.int64)
                     mask2 = mask | (days < -719_162) | (days > 2_932_896)
                     arrays.append(
-                        pa.array(
+                        strdecode.pa_masked(
                             np.where(mask2, 0, days).astype(np.int32),
-                            type=pa.date32(),
-                            mask=mask2,
+                            pa.date32(),
+                            mask2,
                         )
                     )
                 elif v.time_kind == "datetime":
@@ -504,19 +506,19 @@ class PorReader(DataSourceReader):
                     secs = iv - SPSS_SEC_SHIFT
                     mask2 = mask | (secs < -62_135_596_800) | (secs > 253_402_300_799)
                     arrays.append(
-                        pa.array(
+                        strdecode.pa_masked(
                             np.where(mask2, 0, secs) * 1_000_000,
-                            type=pa.timestamp("us"),
-                            mask=mask2,
+                            pa.timestamp("us"),
+                            mask2,
                         )
                     )
                 elif v.time_kind == "time":
                     iv = np.where(mask, 0, fv).astype(np.int64)
                     arrays.append(
-                        pa.array(iv * 1_000_000_000, type=pa.int64(), mask=mask)
+                        strdecode.pa_masked(iv * 1_000_000_000, pa.int64(), mask)
                     )
                 else:
-                    arrays.append(pa.array(fv, type=pa.float64(), mask=mask))
+                    arrays.append(strdecode.pa_masked(fv, pa.float64(), mask))
             names.append(v.name)
         if self.row_index_name:
             arrays.append(pa.array(np.arange(end - start, dtype=np.int64)))

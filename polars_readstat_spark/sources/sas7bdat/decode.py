@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from polars_readstat_spark.sources import strdecode
 from polars_readstat_spark.sources.sas7bdat.meta import SasColumn, SasMeta
 
 SAS_EPOCH_DAYS = -3653  # 1960-01-01 relative to Unix epoch
@@ -45,8 +46,6 @@ def decode_column(
     missing_string_as_null: bool,
 ) -> pa.Array:
     if col.ctype == "s":
-        from polars_readstat_spark.sources import strdecode
-
         m = np.ascontiguousarray(rows[:, col.offset : col.offset + col.width])
         arr = strdecode.try_vectorized(
             m, strdecode.lengths_rstrip(m, strip=(0, 0x20)), meta.encoding
@@ -75,14 +74,14 @@ def decode_column(
     tk = col.time_kind
     if tk == "date":
         days = np.round(np.where(mask, 0, vals)).astype(np.int64) + SAS_EPOCH_DAYS
-        return pa.array(days.astype(np.int32), type=pa.date32(), mask=mask)
+        return strdecode.pa_masked(days.astype(np.int32), pa.date32(), mask)
     if tk == "datetime":
         us = np.round(np.where(mask, 0, vals) * 1e6).astype(np.int64) + SAS_EPOCH_US
-        return pa.array(us, type=pa.timestamp("us"), mask=mask)
+        return strdecode.pa_masked(us, pa.timestamp("us"), mask)
     if tk == "time":
         ns = np.round(np.where(mask, 0, vals) * 1e9).astype(np.int64)
-        return pa.array(ns, type=pa.int64(), mask=mask)
-    return pa.array(vals, type=pa.float64(), mask=mask)
+        return strdecode.pa_masked(ns, pa.int64(), mask)
+    return strdecode.pa_masked(vals, pa.float64(), mask)
 
 
 def decode_rows(

@@ -26,6 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from polars_readstat_spark.sources import strdecode
 from polars_readstat_spark.sources.sav.meta import (
     HIGHEST_BITS,
     LOWEST_BITS,
@@ -269,8 +270,6 @@ def _decode_string_vectorized(
     Returns None when any row needs the exact slow-path semantics
     (interior NUL removal, unicode rstrip of multi-byte whitespace,
     charset fallback)."""
-    from polars_readstat_spark.sources import strdecode
-
     m = np.ascontiguousarray(blob[:, :declared])
     lens = strdecode.lengths_rstrip(m, strip=(0, 0x20))
     keep = np.arange(declared, dtype=np.int64)[None, :] < lens[:, None]
@@ -305,8 +304,6 @@ def decode_string_column(
         arr = _decode_string_vectorized(blob, declared, meta)
         if arr is not None:
             import pyarrow.compute as pc
-
-            from polars_readstat_spark.sources import strdecode
 
             if missing_string_as_null:
                 arr = strdecode.empty_to_null(arr)
@@ -359,7 +356,6 @@ def decode_column(
 
     if value_labels_as_strings and var.value_labels:
         vl = var.value_labels
-        from polars_readstat_spark.sources import strdecode
 
         def render(v):
             v = float(v)
@@ -384,20 +380,18 @@ def decode_column(
             # out-of-python-range dates → null (pandas NaT behavior);
             # corrupt fixtures exist in the wild (haven datetime.sav)
             mask = mask | (days < -719_162) | (days > 2_932_896)
-            return pa.array(
-                np.where(mask, 0, days).astype(np.int32),
-                type=pa.date32(),
-                mask=mask,
+            return strdecode.pa_masked(
+                np.where(mask, 0, days).astype(np.int32), pa.date32(), mask
             )
         if tk == "datetime":
             secs = iv - SPSS_SEC_SHIFT
             mask = mask | (secs < -62_135_596_800) | (secs > 253_402_300_799)
             us = np.where(mask, 0, secs) * 1_000_000
-            return pa.array(us, type=pa.timestamp("us"), mask=mask)
+            return strdecode.pa_masked(us, pa.timestamp("us"), mask)
         # time: ns since midnight (SURVEY.md §1.3 — no Spark TimeType)
-        return pa.array(iv * 1_000_000_000, type=pa.int64(), mask=mask)
+        return strdecode.pa_masked(iv * 1_000_000_000, pa.int64(), mask)
 
-    return pa.array(vals, type=pa.float64(), mask=mask)
+    return strdecode.pa_masked(vals, pa.float64(), mask)
 
 
 def sav_indicator(

@@ -166,3 +166,17 @@ def map_int_labels(
     return map_via_unique(
         codes, mask, lambda c: labels.get(int(c), str(int(c)))
     )
+
+
+def pa_masked(vals, pa_type, mask):
+    """pa.array that drops a no-op mask and densifies strided input.
+
+    Two silent pa.array costs the readers must never pay per column:
+    a mask kwarg forces the slow masked path even when every row is
+    valid (~30× on an all-false mask), and strided (structured-field /
+    sliced) input hits an element-wise copy (~50× vs contiguous).
+    ascontiguousarray is free on already-dense arrays.
+    """
+    if mask is not None and not mask.any():
+        mask = None
+    return pa.array(np.ascontiguousarray(vals), type=pa_type, mask=mask)

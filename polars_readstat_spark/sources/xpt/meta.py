@@ -270,18 +270,20 @@ def decode_xpt_rows(meta: XptMeta, buf: bytes, col_indices, missing_string_as_nu
             full[:, : v.width] = sl
             vals, missing = ibm_to_ieee(full)
             mask = missing | ~np.isfinite(vals)
+            from polars_readstat_spark.sources import strdecode
+
             tk = v.time_kind
             if tk == "date":
                 days = np.round(np.where(mask, 0, vals)).astype(np.int64) + SAS_EPOCH_DAYS
-                arr = pa.array(days.astype(np.int32), type=pa.date32(), mask=mask)
+                arr = strdecode.pa_masked(days.astype(np.int32), pa.date32(), mask)
             elif tk == "datetime":
                 us = np.round(np.where(mask, 0, vals) * 1e6).astype(np.int64) + SAS_EPOCH_US
-                arr = pa.array(us, type=pa.timestamp("us"), mask=mask)
+                arr = strdecode.pa_masked(us, pa.timestamp("us"), mask)
             elif tk == "time":
                 ns_ = np.round(np.where(mask, 0, vals) * 1e9).astype(np.int64)
-                arr = pa.array(ns_, type=pa.int64(), mask=mask)
+                arr = strdecode.pa_masked(ns_, pa.int64(), mask)
             else:
-                arr = pa.array(vals, type=pa.float64(), mask=mask)
+                arr = strdecode.pa_masked(vals, pa.float64(), mask)
         else:
             from polars_readstat_spark.sources import strdecode
 
