@@ -47,7 +47,7 @@ def _readstat_files(spark, sf_dir: str, sf: str) -> dict[str, str]:
     return {k: paths[k] for k in ("dta", "sas7bdat", "sav", "xpt")}
 
 
-def _warm_readstat(spark, paths: dict) -> None:
+def _warm_readstat(spark, paths: dict, sf_dir: str) -> None:
     """Spin up the Python datasource workers (plain + filtered plans
     spawn separately) before any timed readstat query — registry
     scan_* roundtrips and the read benchmarks should measure decode,
@@ -67,6 +67,14 @@ def _warm_readstat(spark, paths: dict) -> None:
     warm = next(iter(paths.values()))
     wq = "l_quantity" if not warm.endswith(".xpt") else "L_QUANTI"
     run_query(rd(warm, n_rows=16).filter(F.col(wq) >= 0))
+    # the multifile-union and metadata plans spawn their own worker
+    # pools too (measured ~4-5 s of first-touch otherwise landing on
+    # scan_dta_multifile / scan_dta_metadata_surface)
+    from polars_readstat_spark.operators.metadata import metadata_df
+    from polars_readstat_spark.queries.scanio import ensure_multifile_dir
+
+    run_query(metadata_df(spark, paths["dta"]))
+    run_query(rd(ensure_multifile_dir(spark, sf_dir, "dta"), n_rows=16))
 
 
 def _bench_readstat(spark, paths: dict, timings: dict) -> None:
@@ -143,7 +151,7 @@ def main() -> None:
     prs.register(spark)
     try:
         readstat_paths = _readstat_files(spark, sf_dir, sf)
-        _warm_readstat(spark, readstat_paths)
+        _warm_readstat(spark, readstat_paths, sf_dir)
     except Exception as e:  # noqa: BLE001
         readstat_paths = {}
         print(f"# bench readstat file gen failed: {e!r}", file=sys.stderr)
