@@ -546,3 +546,65 @@ def ngram_containment_sampled(spark, sf_dir):
         .filter(F.col("containment") >= 0.8)
         .select("doc_a", "doc_b", "n_inter", "containment")
     )
+
+
+@query(
+    "dedup_keep_best_quality",
+    oracle=_SIG_DUCK.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + _PAIRS_DUCK
+    + """
+    , edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(label) AS component_id
+             FROM walk GROUP BY node),
+    scored AS (
+      SELECT c.component_id, d.doc_id,
+             CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents d JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT component_id, doc_id, n_tokens
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY component_id ORDER BY n_tokens DESC, doc_id
+    ) = 1
+    """,
+)
+def dedup_keep_best_quality(spark, sf_dir):
+    """Near-dup keeper selection by QUALITY, not position: in each
+    connected component the longest document survives (ties broken by
+    doc_id) — the production policy when near-dup clusters mix a full
+    article with truncated or boilerplate-wrapped copies and "keep the
+    first id seen" would throw away the best copy.
+
+    Reuses the memoized component labels (the propagation loop runs
+    once per corpus per session); the argmax is one row_number window
+    partitioned by component — a shuffle on component_id, linear in
+    docs, no ordering assumptions anywhere. The score here is token
+    count (exact on both engines); swapping in a model-based quality
+    column changes nothing structural.
+    """
+    comp = _cc_labels(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    from pyspark.sql import Window
+
+    scored = d.join(comp, "doc_id")
+    w = (
+        Window.partitionBy("component_id")
+        .orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("component_id", "doc_id", "n_tokens")
+    )

@@ -108,6 +108,7 @@ _PRIORITY: tuple[str, ...] = (
     "decontaminate_ngram_overlap",
     "sequence_packing_bins",
     "pii_pattern_counts",
+    "dedup_keep_best_quality",
     # green in round 1 only — refresh driver evidence
     "embedding_l2_norms",
     "ann_bruteforce_topk",
