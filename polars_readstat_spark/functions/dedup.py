@@ -52,6 +52,30 @@ def shingle_minhash(
     )
 
 
+def lsh_bands(
+    sig: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Band table of a minhash signature table: (id, band_idx,
+    band_key), `bands` rows per document. This is the joinable LSH
+    index — self-join it for candidate pairs (lsh_candidate_pairs),
+    or equi-join a new batch's bands against a persisted index's for
+    incremental dedup. The signature must have at least
+    bands*rows_per_band hash columns named h0..hN."""
+    parts = []
+    for b in range(bands):
+        cols = [
+            f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+        ]
+        parts.append(f"{b}, md5(concat({', '.join(cols)}))")
+    stack = (
+        f"stack({bands}, {', '.join(parts)}) AS (band_idx, band_key)"
+    )
+    return sig.selectExpr(id_col, stack)
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     id_col: str,
@@ -65,16 +89,7 @@ def lsh_candidate_pairs(
     (band_idx, band_key) — linear shuffle, never an all-pairs scan.
     The signature must have at least bands*rows_per_band hash columns.
     """
-    parts = []
-    for b in range(bands):
-        cols = [
-            f"h{b * rows_per_band + r}" for r in range(rows_per_band)
-        ]
-        parts.append(f"{b}, md5(concat({', '.join(cols)}))")
-    stack = (
-        f"stack({bands}, {', '.join(parts)}) AS (band_idx, band_key)"
-    )
-    bt = sig.selectExpr(id_col, stack)
+    bt = lsh_bands(sig, id_col, bands, rows_per_band)
     a = bt.alias("a")
     b = bt.alias("b")
     return (

@@ -74,8 +74,8 @@ _DUCK_NGRAMS = (
     """,
 )
 def decontaminate_ngram_overlap(spark, sf_dir):
-    """Benchmark decontamination: training docs sharing an 8-gram with
-    the eval set.
+    """Benchmark decontamination: training docs sharing an NGRAM_N-gram
+    with the eval set.
 
     The eval set (stand-in: doc_id % 97 == 0 — a real pipeline unions
     its benchmark suites here) explodes to distinct (gram, eval_id)
@@ -220,4 +220,50 @@ def pii_pattern_counts(spark, sf_dir):
         F.sum(F.when(F.col("c") > 0, 1).otherwise(0))
         .cast("bigint")
         .alias("n_docs_hit"),
+    )
+
+
+@query(
+    "source_mixing_weights",
+    oracle="""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS w_raw
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_chars,
+           CAST(w_raw AS DOUBLE) / t.total AS mix_weight
+    FROM counts, (SELECT SUM(w_raw) AS total FROM counts) t
+    """,
+)
+def source_mixing_weights(spark, sf_dir):
+    """Data-mixture weights: temperature-sampled source proportions
+    (α = 0.5, the multilingual/multi-source upsampling standard — raw
+    proportions starve small sources, uniform over-trains them).
+
+    w_s ∝ n_s^α via integer sqrt so the weights come from exact
+    BIGINT arithmetic on both engines (a float Σ n^α would wobble in
+    the last ulp with summation order); the final normalization is one
+    bigint/bigint divide. Per-source counts partial-aggregate; the
+    1-row total broadcasts back — the output is |sources| rows no
+    matter the corpus size, and the weights drive the downstream
+    per-source sampling rates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    ).withColumn(
+        "w_raw", F.floor(F.sqrt(F.col("n_docs"))).cast("bigint")
+    )
+    total = counts.agg(F.sum("w_raw").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            (F.col("w_raw").cast("double") / F.col("total")).alias("mix_weight"),
+        )
     )

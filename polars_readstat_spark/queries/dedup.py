@@ -608,3 +608,48 @@ def dedup_keep_best_quality(spark, sf_dir):
         .filter(F.col("__rn") == 1)
         .select("component_id", "doc_id", "n_tokens")
     )
+
+
+@query(
+    "dedup_incremental_vs_index",
+    oracle=_SIG_DUCK
+    + _PAIRS_DUCK
+    + """
+    SELECT n.doc_id,
+           COUNT(DISTINCT i.doc_id) AS n_index_hits,
+           MIN(i.doc_id) AS first_index_hit
+    FROM bands n
+    JOIN bands i ON i.band_idx = n.band_idx AND i.band_key = n.band_key
+    WHERE n.doc_id % 10 = 0 AND i.doc_id % 10 <> 0
+    GROUP BY n.doc_id
+    """,
+)
+def dedup_incremental_vs_index(spark, sf_dir):
+    """Incremental dedup: a newly-landed batch checked against the
+    existing corpus's persisted LSH index — the shape a 100 TB
+    pipeline actually runs daily (re-banding the whole corpus per
+    arrival would be quadratic over the pipeline's lifetime; the index
+    is append-only band rows keyed by (band_idx, band_key)).
+
+    Stand-in split: doc_id % 10 == 0 is the new batch, the rest the
+    index. Per new doc: how many distinct index docs collide on any
+    band and the smallest such id. One equi-join of |new|·bands rows
+    against the index — cost scales with the BATCH, not the corpus;
+    the unused `pairs` CTE in the oracle is pruned by DuckDB.
+    """
+    from polars_readstat_spark.functions.dedup import lsh_bands
+
+    sig = scoped_persist(_signatures(spark, sf_dir))
+    bt = lsh_bands(sig, "doc_id", bands=4, rows_per_band=2)
+    new = bt.filter(F.col("doc_id") % 10 == 0)
+    idx = bt.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("index_doc"), "band_idx", "band_key"
+    )
+    return (
+        new.join(idx, ["band_idx", "band_key"])
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("index_doc").alias("n_index_hits"),
+            F.min("index_doc").alias("first_index_hit"),
+        )
+    )

@@ -109,6 +109,8 @@ _PRIORITY: tuple[str, ...] = (
     "sequence_packing_bins",
     "pii_pattern_counts",
     "dedup_keep_best_quality",
+    "dedup_incremental_vs_index",
+    "source_mixing_weights",
     # green in round 1 only — refresh driver evidence
     "embedding_l2_norms",
     "ann_bruteforce_topk",

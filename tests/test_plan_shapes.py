@@ -380,3 +380,15 @@ def test_pii_scan_broadcasts_pattern_table(spark):
     plan = plan_of(spark, "pii_pattern_counts")
     assert "BroadcastNestedLoopJoin" in plan
     assert "partial_" in plan
+
+
+def test_incremental_dedup_is_band_equijoin(spark):
+    plan = plan_of(spark, "dedup_incremental_vs_index")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mixing_weights_broadcasts_total(spark):
+    plan = plan_of(spark, "source_mixing_weights")
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
