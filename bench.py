@@ -74,7 +74,9 @@ def _warm_readstat(spark, paths: dict, sf_dir: str) -> None:
     from polars_readstat_spark.queries.scanio import ensure_multifile_dir
 
     run_query(metadata_df(spark, paths["dta"]))
-    run_query(rd(ensure_multifile_dir(spark, sf_dir, "dta"), n_rows=16))
+    # n_rows is per-file (rejected on directory reads) — warm with a
+    # plain multi-file scan limited Spark-side
+    run_query(rd(ensure_multifile_dir(spark, sf_dir, "dta")).limit(16))
 
 
 def _bench_readstat(spark, paths: dict, timings: dict) -> None:
