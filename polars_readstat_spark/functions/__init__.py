@@ -11,6 +11,8 @@
   literal centroids, k·dim-bounded update shuffle) for IVF builds
   and semantic clustering.
 - `multimodal`: binary-column decode/feature stages (mapInPandas).
+- `curation`: decontamination n-gram overlap, sequence packing,
+  regex pattern scan, temperature mixture weights.
 """
 
 from polars_readstat_spark.functions.ann import (  # noqa: F401
@@ -19,7 +21,15 @@ from polars_readstat_spark.functions.ann import (  # noqa: F401
     cosine_topk_lsh,
     ivf_build,
 )
+from polars_readstat_spark.functions.curation import (  # noqa: F401
+    mixture_weights,
+    ngram_overlap,
+    pack_sequences,
+    pattern_scan,
+    word_ngrams,
+)
 from polars_readstat_spark.functions.dedup import (  # noqa: F401
+    lsh_bands,
     lsh_candidate_pairs,
     near_dup_components,
     recommended_simhash,

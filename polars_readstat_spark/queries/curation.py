@@ -10,7 +10,6 @@ shape is chosen for the 100 TB case (see docstrings).
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from polars_readstat_spark.queries.registry import query
@@ -24,24 +23,8 @@ from polars_readstat_spark.tables import load_table
 NGRAM_N = 4
 
 
-def _spark_ngrams(arr_col: str, n: int):
-    """Contiguous word n-grams of an array column as an array<string>.
-
-    Spark's sequence(1, k) is DESCENDING for k < 1 (it would emit
-    [1, 0] rather than an empty array), so short documents need the
-    explicit size guard.
-    """
-    arr = F.col(arr_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(arr) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(arr, i, n)),
-    )
-    return F.when(F.size(arr) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
-
-
-# DuckDB twin of _spark_ngrams: list slice a[i:i+n-1] is 1-based and
+# DuckDB twin of functions.curation.word_ngrams: list slice
+# a[i:i+n-1] is 1-based and
 # end-inclusive (n elements); generate_series(1, k) is empty for k < 1,
 # so no guard is needed on that side.
 _DUCK_NGRAMS = (
@@ -84,26 +67,15 @@ def decontaminate_ngram_overlap(spark, sf_dir):
     the contamination scan is one map-side hash probe per training
     n-gram — no shuffle of the corpus, cost linear in corpus tokens.
     Per-doc distinct counts partial-aggregate on doc_id.
+    Delegates to functions.curation.ngram_overlap.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.col("text"), " ").alias("arr")
-    )
-    grams = docs.select(
-        "doc_id", F.explode(_spark_ngrams("arr", NGRAM_N)).alias("gram")
-    )
-    eval_grams = (
-        grams.filter(F.col("doc_id") % 97 == 0)
-        .select(F.col("gram"), F.col("doc_id").alias("eval_id"))
-        .distinct()
-    )
-    train_grams = grams.filter(F.col("doc_id") % 97 != 0).distinct()
-    return (
-        train_grams.join(F.broadcast(eval_grams), "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.countDistinct("gram").alias("n_shared_ngrams"),
-            F.countDistinct("eval_id").alias("n_eval_docs_hit"),
-        )
+    from polars_readstat_spark.functions.curation import ngram_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_overlap(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        n=NGRAM_N,
     )
 
 
@@ -143,24 +115,16 @@ def sequence_packing_bins(spark, sf_dir):
     needs no coordination — each source partition packs independently,
     so 100 TB packs in one pass regardless of executor count. The
     first row's exclusive cumsum is NULL → bin 0 on both engines.
+    Delegates to functions.curation.pack_sequences.
     """
+    from polars_readstat_spark.functions.curation import pack_sequences
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    packed = docs.withColumn(
-        "bin_id",
-        F.coalesce(
-            F.floor(F.sum("n_tokens").over(w).cast("double") / F.lit(256.0)),
-            F.lit(0),
-        ).cast("bigint"),
-    )
+    packed = pack_sequences(docs, budget=256)
     return packed.groupBy("source", "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
@@ -208,19 +172,9 @@ def pii_pattern_counts(spark, sf_dir):
     patterns, so hit counts match exactly.
     """
     docs = load_table(spark, sf_dir, "documents")
-    pats = spark.createDataFrame(
-        list(PII_PATTERNS), ["pattern_name", "pat"]
-    )
-    hits = docs.crossJoin(F.broadcast(pats)).select(
-        "pattern_name",
-        F.regexp_count(F.col("text"), F.col("pat")).alias("c"),
-    )
-    return hits.groupBy("pattern_name").agg(
-        F.sum("c").cast("bigint").alias("n_hits"),
-        F.sum(F.when(F.col("c") > 0, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_docs_hit"),
-    )
+    from polars_readstat_spark.functions.curation import pattern_scan
+
+    return pattern_scan(docs, PII_PATTERNS)
 
 
 @query(
@@ -250,20 +204,14 @@ def source_mixing_weights(spark, sf_dir):
     matter the corpus size, and the weights drive the downstream
     per-source sampling rates.
     """
+    from polars_readstat_spark.functions.curation import mixture_weights
+
     docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").cast("bigint").alias("n_chars"),
-    ).withColumn(
-        "w_raw", F.floor(F.sqrt(F.col("n_docs"))).cast("bigint")
+    chars = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("n_chars")
     )
-    total = counts.agg(F.sum("w_raw").alias("total"))
     return (
-        counts.crossJoin(F.broadcast(total))
-        .select(
-            "source",
-            "n_docs",
-            "n_chars",
-            (F.col("w_raw").cast("double") / F.col("total")).alias("mix_weight"),
-        )
+        mixture_weights(docs)
+        .join(F.broadcast(chars), "source")
+        .select("source", "n_docs", "n_chars", "mix_weight")
     )
