@@ -389,3 +389,65 @@ def test_rle_signature_collision_guard():
             assert _collides_with_signature(row.tobytes())
     # honest rows never trip the guard
     assert not _collides_with_signature(b"\x41" * 64)
+
+
+def test_rle_wavefront_matches_scalar_decompressor(spark, tmp_path):
+    """The vectorized batch RLE decoder must be byte-identical to the
+    scalar reference walk on every compressed row our writer emits."""
+    from polars_readstat_spark.sources.sas7bdat.meta import (
+        COMPRESSED_SUBHEADER_ID,
+        COMPRESSED_SUBHEADER_TYPE,
+        PAGE_META_TYPES,
+        TRUNCATED_SUBHEADER_ID,
+        _SIGS,
+        parse_sas_meta,
+        _PageReader,
+    )
+    from polars_readstat_spark.sources.sas7bdat.pages import (
+        rle_decompress,
+        rle_decompress_rows,
+    )
+    import polars_readstat_spark as prs
+    from pyspark.sql import functions as F
+
+    # strings with runs of blanks/zeros/repeats to exercise every fill op
+    df = spark.range(4000).select(
+        F.col("id").cast("double").alias("x"),
+        F.concat(
+            F.lit("@@@@@@@@@@"),
+            F.rpad(F.conv(F.col("id") % 997, 10, 16), 12, "z"),
+            F.lit("          "),
+        ).alias("s"),
+    )
+    path = str(tmp_path / "wave.sas7bdat")
+    prs.write_readstat(df, path, compress="rle")
+    meta = parse_sas_meta(path)
+    rl = meta.row_length
+    n_checked = 0
+    with open(path, "rb") as f:
+        f.seek(meta.header_length)
+        for _ in range(meta.page_count):
+            page = f.read(meta.page_length)
+            pr = _PageReader(meta, page)
+            if pr.page_type not in PAGE_META_TYPES:
+                continue
+            spans = []
+            for sh_off, sh_len, comp, styp in pr.subheader_pointers():
+                if sh_len == 0 or comp == TRUNCATED_SUBHEADER_ID:
+                    continue
+                if (
+                    comp in (0, COMPRESSED_SUBHEADER_ID)
+                    and styp == COMPRESSED_SUBHEADER_TYPE
+                ):
+                    sig = page[sh_off : sh_off + meta.int_len]
+                    if _SIGS.get(sig) or _SIGS.get(sig[:4]):
+                        continue
+                    if sh_len != rl:
+                        spans.append((sh_off, sh_len))
+            if not spans:
+                continue
+            mat = rle_decompress_rows(page, spans, rl)
+            for i, (o, ln) in enumerate(spans):
+                assert mat[i].tobytes() == rle_decompress(page[o : o + ln], rl)
+                n_checked += 1
+    assert n_checked > 100  # the writer actually compressed rows
