@@ -212,6 +212,38 @@ def scan_sas7bdat_rle_roundtrip(spark, sf_dir):
     return _canon(_scan(spark, path))
 
 
+@query(
+    "scan_sas7bdat_rdc_roundtrip",
+    oracle="""
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_partkey AS BIGINT) AS l_partkey,
+           l_quantity, l_extendedprice, l_discount,
+           l_returnflag, l_linestatus,
+           CAST(l_shipdate AS DATE) AS l_shipdate
+    FROM lineitem WHERE l_orderkey % 10 = 5
+    """,
+)
+def scan_sas7bdat_rdc_roundtrip(spark, sf_dir):
+    """S4/S6 compressed write→scan, RDC codec: SASYZCR2 per-row
+    compression out through writers/sas7bdat.py (compress='rdc' —
+    literal+RLE command forms, property-tested as the exact inverse of
+    pages.py:rdc_decompress and cross-checked against pandas'
+    independent RDC decompressor), back in through the reader. Same
+    deterministic slice rationale as the RLE twin (disjoint parity so
+    the two queries can't mask each other)."""
+    import polars_readstat_spark as prs
+
+    d = _cache_dir(sf_dir)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "lineitem_rdc.sas7bdat")
+    if not os.path.exists(path):
+        src = _source_frame(spark, sf_dir).filter(F.col("l_orderkey") % 10 == 5)
+        tmp = os.path.join(d, f".tmp{os.getpid()}.lineitem_rdc.sas7bdat")
+        prs.write_readstat(src, tmp, compress="rdc")
+        os.replace(tmp, path)
+    return _canon(_scan(spark, path))
+
+
 @query("scan_sink_dir_roundtrip", oracle=_CANON_ORACLE)
 def scan_sink_dir_roundtrip(spark, sf_dir):
     """The Spark-native sink under the driver oracle:

@@ -204,6 +204,178 @@ def rle_decompress_rows(
     return out.reshape(r, row_length)
 
 
+def rdc_decompress_rows(
+    page: bytes, spans: list[tuple[int, int]], row_length: int
+):
+    """Batch SASYZCR2 decompression — the RDC sibling of
+    rle_decompress_rows. One wavefront iteration executes one item
+    (a literal run, one command, or a control-word load) for every
+    still-active row. LZ pattern copies gather from the row's own
+    already-written output; when the pattern overlaps (ofs < ln) the
+    gather index is taken modulo ofs, which reproduces the byte-serial
+    append semantics exactly (the copied region has period ofs).
+    Byte-identical to the scalar rdc_decompress (equivalence-tested).
+    """
+    import numpy as np
+
+    buf = np.frombuffer(page, dtype=np.uint8)
+    nb_total = len(buf)
+    r = len(spans)
+    out = np.zeros(r * row_length, dtype=np.uint8)
+    ip = np.fromiter((s for s, _ in spans), dtype=np.int64, count=r)
+    iend = ip + np.fromiter((l for _, l in spans), dtype=np.int64, count=r)
+    op = np.arange(r, dtype=np.int64) * row_length
+    oend = op + row_length
+    ctrl = np.zeros(r, dtype=np.int64)
+    nbits = np.zeros(r, dtype=np.int64)
+
+    # bit_length lookup for the 16-bit control word (literal-run scan)
+    global _BITLEN16
+    try:
+        bl = _BITLEN16
+    except NameError:
+        bl = _BITLEN16 = np.array(
+            [x.bit_length() for x in range(1 << 16)], dtype=np.int64
+        )
+
+    def gcount(cnt):
+        cs = np.cumsum(cnt)
+        return np.arange(int(cs[-1]), dtype=np.int64) - np.repeat(
+            cs - cnt, cnt
+        )
+
+    def scatter_copy(dst, src, cnt):
+        if not cnt.size or not int(cnt.sum()):
+            return
+        idx = gcount(cnt)
+        out[np.repeat(dst, cnt) + idx] = buf[np.repeat(src, cnt) + idx]
+
+    def scatter_fill(dst, val, cnt):
+        if not cnt.size or not int(cnt.sum()):
+            return
+        idx = gcount(cnt)
+        out[np.repeat(dst, cnt) + idx] = np.repeat(val, cnt)
+
+    def scatter_lz(dst, ofs, cnt):
+        """out[dst+i] = out[dst-ofs + (i mod ofs)] — exact overlap
+        semantics of the byte-serial LZ append."""
+        if not cnt.size or not int(cnt.sum()):
+            return
+        idx = gcount(cnt)
+        rofs = np.repeat(ofs, cnt)
+        src = np.repeat(dst - ofs, cnt) + idx % rofs
+        out[np.repeat(dst, cnt) + idx] = out[src]
+
+    while ip.size:
+        # rows needing a fresh control word
+        m_load = nbits == 0
+        if m_load.any():
+            sel = np.flatnonzero(m_load)
+            p = ip[sel]
+            # i+2 > n ends the scalar loop before reading a word
+            ok = p + 2 <= iend[sel]
+            c = (
+                buf[np.minimum(p, nb_total - 1)].astype(np.int64) << 8
+            ) | buf[np.minimum(p + 1, nb_total - 1)]
+            c = np.where(ok, c, 0)
+            # ctrl == 0 → 16 literal bytes immediately, word consumed
+            z = ok & (c == 0)
+            if z.any():
+                s2 = sel[z]
+                eff = np.maximum(
+                    np.minimum(
+                        np.minimum(16, oend[s2] - op[s2]),
+                        iend[s2] - (p[z] + 2),
+                    ),
+                    0,
+                )
+                scatter_copy(op[s2], p[z] + 2, eff)
+                op[s2] += 16
+            ctrl[sel] = c
+            nbits[sel] = np.where(ok & (c != 0), 16, 0)
+            # !ok retires the row (cursor to end); ctrl==0 consumed
+            # its 16 payload bytes as well as the word
+            ip[sel] = np.where(ok, p + 2 + np.where(z, 16, 0), iend[sel])
+        m = nbits > 0
+        if m.any():
+            sel = np.flatnonzero(m)
+            cw = ctrl[sel]
+            nb_ = nbits[sel]
+            rem = cw & ((1 << nb_) - 1)
+            topbit = ((cw >> (nb_ - 1)) & 1).astype(bool)
+
+            # literal run: leading zero bits of the remaining word
+            ml = ~topbit
+            if ml.any():
+                s2 = sel[ml]
+                zeros = np.where(
+                    rem[ml] == 0, nb_[ml], nb_[ml] - bl[rem[ml]]
+                )
+                # clip to input/output room
+                eff = np.maximum(
+                    np.minimum(
+                        np.minimum(zeros, oend[s2] - op[s2]),
+                        iend[s2] - ip[s2],
+                    ),
+                    0,
+                )
+                scatter_copy(op[s2], ip[s2], eff)
+                ip[s2] += zeros
+                op[s2] += zeros
+                nbits[s2] -= zeros
+
+            mc = topbit
+            if mc.any():
+                s2 = sel[mc]
+                p = ip[s2]
+                cb = buf[np.minimum(p, nb_total - 1)].astype(np.int64)
+                cmd = cb >> 4
+                low = cb & 0x0F
+                b1 = buf[np.minimum(p + 1, nb_total - 1)].astype(np.int64)
+                b2 = buf[np.minimum(p + 2, nb_total - 1)].astype(np.int64)
+
+                is_srle = cmd == 0
+                is_lrle = cmd == 1
+                is_lpat = cmd == 2
+                is_spat = cmd >= 3
+
+                cnt = (
+                    is_srle * (low + 3)
+                    + is_lrle * (low + (b1 << 4) + 19)
+                    + is_lpat * (b2 + 16)
+                    + is_spat * cmd
+                )
+                eff = np.maximum(np.minimum(cnt, oend[s2] - op[s2]), 0)
+
+                mm = is_srle
+                if mm.any():
+                    scatter_fill(op[s2][mm], buf[np.minimum(p[mm] + 1, nb_total - 1)], eff[mm])
+                mm = is_lrle
+                if mm.any():
+                    scatter_fill(op[s2][mm], buf[np.minimum(p[mm] + 2, nb_total - 1)], eff[mm])
+                mm = is_lpat | is_spat
+                if mm.any():
+                    ofs = low[mm] + 3 + (b1[mm] << 4)
+                    # a back-reference before the row start is corrupt;
+                    # clamp the copy to what exists (scalar would read
+                    # its own empty prefix and effectively emit zeros)
+                    row_start = (op[s2][mm] // row_length) * row_length
+                    ok2 = op[s2][mm] - ofs >= row_start
+                    e2 = np.where(ok2, eff[mm], 0)
+                    scatter_lz(op[s2][mm], ofs, e2)
+
+                ip[s2] = p + 1 + is_srle + 2 * is_lrle + 2 * is_lpat + is_spat
+                op[s2] += cnt
+                nbits[s2] -= 1
+
+        keep = ip < iend
+        if not keep.all():
+            ip, iend, op, oend = ip[keep], iend[keep], op[keep], oend[keep]
+            ctrl, nbits = ctrl[keep], nbits[keep]
+
+    return out.reshape(r, row_length)
+
+
 def _lz_copy(out: bytearray, ofs: int, ln: int) -> None:
     """Back-reference copy with LZ overlap semantics: bytes appended
     during the copy are themselves sources when ln > ofs."""
@@ -341,6 +513,89 @@ def page_row_bytes(meta: SasMeta, page: bytes, rows_before: int) -> bytes:
             )
         return b"".join(payload for _, payload in chunks)
     return b""
+
+
+def page_compressed_items(meta: SasMeta, page: bytes):
+    """Row items of a compressed file's META page WITHOUT decompressing:
+    list of (0, raw_row_bytes) | (1, (offset, length) span). Returns
+    None when the page is not a META page (caller falls back to
+    page_row_bytes). This split lets the reader group many pages'
+    compressed spans into one vectorized wavefront call — the batch
+    size, not the page size, then sets the amortization."""
+    from polars_readstat_spark.sources.sas7bdat.meta import _SIGS
+
+    pr = _PageReader(meta, page)
+    if pr.page_type not in PAGE_META_TYPES:
+        return None
+    rl = meta.row_length
+    items: list[tuple[int, object]] = []
+    for sh_off, sh_len, comp, styp in pr.subheader_pointers():
+        if sh_len == 0 or comp == TRUNCATED_SUBHEADER_ID:
+            continue
+        if comp in (0, COMPRESSED_SUBHEADER_ID) and styp == COMPRESSED_SUBHEADER_TYPE:
+            sig = page[sh_off : sh_off + meta.int_len]
+            if _SIGS.get(sig) or _SIGS.get(sig[:4]):
+                continue
+            if sh_len == rl:
+                items.append((0, page[sh_off : sh_off + rl]))
+            elif meta.compression in (RLE, RDC):
+                items.append((1, (sh_off, sh_len)))
+            else:
+                # undeclared compression with a short row: surface the
+                # same error the scalar path raises
+                _decompress_row(meta, page[sh_off : sh_off + sh_len])
+    return items
+
+
+def batch_decompress_pages(meta: SasMeta, pages_items) -> list[bytes]:
+    """Decompress a GROUP of META pages' rows in one wavefront call.
+
+    pages_items: [(page_bytes, items)] from page_compressed_items.
+    Returns one row-bytes blob per page, rows in on-page order. The
+    group's compressed spans concatenate into a single buffer so the
+    vectorized decoder amortizes over the whole group (measured sweet
+    spot ~5k-20k rows — pages alone are ~10x smaller)."""
+    rl = meta.row_length
+    bases: list[int] = []
+    base = 0
+    for page, _ in pages_items:
+        bases.append(base)
+        base += len(page)
+    joined = (
+        pages_items[0][0]
+        if len(pages_items) == 1
+        else b"".join(p for p, _ in pages_items)
+    )
+    spans: list[tuple[int, int]] = []
+    for (page, items), pb in zip(pages_items, bases):
+        for kind, payload in items:
+            if kind == 1:
+                spans.append((pb + payload[0], payload[1]))
+    mat = None
+    if spans:
+        fn = (
+            rle_decompress_rows
+            if meta.compression == RLE
+            else rdc_decompress_rows
+        )
+        mat = fn(joined, spans, rl)
+    out: list[bytes] = []
+    k = 0
+    for page, items in pages_items:
+        ncomp = sum(1 for kind, _ in items if kind == 1)
+        if ncomp == len(items):
+            out.append(mat[k : k + ncomp].tobytes() if ncomp else b"")
+            k += ncomp
+            continue
+        parts: list[bytes] = []
+        for kind, payload in items:
+            if kind == 1:
+                parts.append(mat[k].tobytes())
+                k += 1
+            else:
+                parts.append(payload)
+        out.append(b"".join(parts))
+    return out
 
 
 def page_row_count(meta: SasMeta, page_header: bytes, rows_before: int) -> int:

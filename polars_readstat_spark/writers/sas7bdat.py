@@ -3,12 +3,13 @@
 Emits the publicly documented sas7bdat binary layout (Shotwell's
 "SAS7BDAT Database Binary Format" spec, the same one our reader
 implements): 64-bit little-endian variant, UTF-8 text (encoding code
-20), uncompressed DATA pages or (``compress='rle'``) SASYZCRL
-row-compressed META pages. One META page carries the row_size /
-col_size / col_text / col_name / col_attrs subheaders plus one
-fmt_label subheader per column; rows stream onto fixed-size DATA
-pages (uncompressed) or as per-row compressed subheaders (RLE — the
-exact inverse of our reader's rle_decompress, which also means the
+20), uncompressed DATA pages or row-compressed META pages with
+``compress='rle'`` (SASYZCRL) / ``compress='rdc'`` (SASYZCR2). One
+META page carries the row_size / col_size / col_text / col_name /
+col_attrs subheaders plus one fmt_label subheader per column; rows
+stream onto fixed-size DATA pages (uncompressed) or as per-row
+compressed subheaders (each codec's encoder is the exact inverse of
+our reader's decompressor — property-tested — which also means the
 reader's page-parallel compressed scan applies to our own output).
 Row count and page count are back-patched with two seeks when the
 stream ends, so the writer is single-pass over the data and
@@ -135,6 +136,7 @@ def _sas_cast(df: DataFrame, fields, kinds) -> DataFrame:
 
 
 RLE_LITERAL = b"SASYZCRL"
+RDC_LITERAL = b"SASYZCR2"
 
 
 def _collides_with_signature(raw: bytes) -> bool:
@@ -232,6 +234,67 @@ def _rle_encode_row(arr: np.ndarray) -> bytes | None:
     if lit1 > lit0:
         emit_literal(lit0, lit1)
     return bytes(out) if len(out) < n else None
+
+
+def _rdc_encode_row(arr: np.ndarray) -> bytes | None:
+    """SASYZCR2-encode one row (uint8 vector). Returns None when the
+    encoding is not strictly shorter than the raw row, or when the
+    compressed stream would collide with a subheader signature prefix
+    (a literal-opening RDC stream begins with a 0x0000 control word,
+    so the guard matters here where RLE's 0x80-0xBF first byte made
+    it structurally impossible).
+
+    Exact inverse of sources/sas7bdat/pages.py:rdc_decompress's
+    literal and RLE forms: 16-bit big-endian control words, clear bit
+    = one literal byte, set bit = a command group — short RLE
+    (0x0n + value, runs 3..18) or long RLE (0x1n + count + value,
+    runs 19..4114). The format's LZ pattern commands are decoder-side
+    freedom this encoder doesn't use; every conforming decompressor
+    (ours, pandas, readstat) accepts literal+RLE-only streams."""
+    n = arr.shape[0]
+    if n == 0:
+        return None
+    bounds = np.flatnonzero(arr[1:] != arr[:-1]) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [n]))
+    # items: (bit, payload) — literal items are single bytes
+    items: list[tuple[int, bytes]] = []
+    row = arr.tobytes()
+    for s, e in zip(starts, ends):
+        L = e - s
+        if L < 3:
+            for k in range(s, e):
+                items.append((0, row[k : k + 1]))
+            continue
+        b = row[s : s + 1]
+        while L > 0:
+            if L > 18:
+                take = min(L, 4114)
+                cnt = take - 19
+                items.append(
+                    (1, bytes([0x10 | (cnt & 0x0F), cnt >> 4]) + b)
+                )
+            elif L >= 3:
+                take = L
+                items.append((1, bytes([0x00 | (take - 3)]) + b))
+            else:  # 1-2 leftover bytes after a long run
+                take = L
+                for _ in range(take):
+                    items.append((0, b))
+            L -= take
+    out = bytearray()
+    for c in range(0, len(items), 16):
+        chunk = items[c : c + 16]
+        ctrl = 0
+        for pos, (bit, _) in enumerate(chunk):
+            ctrl |= bit << (15 - pos)
+        out += ctrl.to_bytes(2, "big")
+        for _, payload in chunk:
+            out += payload
+    if len(out) >= n:
+        return None
+    enc = bytes(out)
+    return None if _collides_with_signature(enc) else enc
 
 
 class _MetaOverflow(ValueError):
@@ -441,17 +504,24 @@ class _SasFileSink:
         self, fh, fields, names, kinds, widths, dataset_name,
         variable_labels, page_length=None, compress: str | None = None,
     ):
-        if compress not in (None, "", "rle"):
+        if compress not in (None, "", "rle", "rdc"):
             raise ValueError(
                 f"write_sas7bdat: unsupported compress={compress!r} "
-                "(only 'rle')"
+                "(only 'rle' or 'rdc')"
             )
         self.fh = fh
         self.kinds = kinds
         self.widths = widths
         self.row_length = sum(widths)
         self.compress = compress or None
-        literal = RLE_LITERAL if self.compress else b""
+        self._encode_row = (
+            _rdc_encode_row if compress == "rdc" else _rle_encode_row
+        )
+        literal = (
+            RDC_LITERAL if compress == "rdc"
+            else RLE_LITERAL if self.compress
+            else b""
+        )
         pl = page_length or 0x10000
         # every page must hold ≥1 row (plus one subheader pointer in
         # the compressed layout); metadata must fit the meta page
@@ -500,7 +570,7 @@ class _SasFileSink:
             del self.pending[:chunk]
 
     def _add_compressed_row(self, row: np.ndarray) -> None:
-        enc = _rle_encode_row(row)
+        enc = self._encode_row(row)
         if enc is None:
             raw = row.tobytes()
             if _collides_with_signature(raw):
