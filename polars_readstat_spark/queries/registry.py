@@ -112,6 +112,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_incremental_vs_index",
     "source_mixing_weights",
     "scan_sas7bdat_rdc_roundtrip",
+    "retention_weekly_cohorts",
     # green in round 1 only — refresh driver evidence
     "embedding_l2_norms",
     "ann_bruteforce_topk",

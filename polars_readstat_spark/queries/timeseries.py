@@ -470,3 +470,54 @@ def funnel_click_to_purchase(spark, sf_dir):
         ),
         F.sum(F.col("p_us") - F.col("c_us")).cast("bigint").alias("total_lag_us"),
     )
+
+
+@query(
+    "retention_weekly_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(FLOOR(MIN(epoch(CAST(ts AS TIMESTAMP))) / 604800)
+                  AS BIGINT) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(FLOOR(epoch(CAST(e.ts AS TIMESTAMP)) / 604800)
+                  AS BIGINT) - f.cohort_week AS weeks_since
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+    )
+    SELECT cohort_week, weeks_since,
+           COUNT(*) AS active_users
+    FROM activity GROUP BY cohort_week, weeks_since
+    """,
+)
+def retention_weekly_cohorts(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity week, counted
+    in each subsequent week they return — the product-analytics staple
+    every event pipeline ships.
+
+    Two aggregations and one equi-join, all integer arithmetic (epoch
+    seconds / 604800), so the result is exact on both engines. Scale:
+    the first-seen table is one shuffle on user_id (at 100 TB this is
+    the incremental-materialize candidate — first_seen never changes
+    once written); the activity distinct and the final rollup
+    partial-aggregate, and the join key is user_id so the event side
+    shuffles once. No windows, no driver-side state.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.floor(F.col("ts").cast("long") / 604800).alias("wk")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("wk") - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "weeks_since").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )

@@ -392,3 +392,10 @@ def test_mixing_weights_broadcasts_total(spark):
     plan = plan_of(spark, "source_mixing_weights")
     assert "CartesianProduct" not in plan
     assert "partial_" in plan
+
+
+def test_retention_cohorts_partial_agg_no_window(spark):
+    plan = plan_of(spark, "retention_weekly_cohorts")
+    assert "partial_" in plan
+    assert "Window" not in plan  # pure aggregate-join-aggregate
+    assert "CartesianProduct" not in plan
