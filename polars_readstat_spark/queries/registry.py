@@ -113,6 +113,7 @@ _PRIORITY: tuple[str, ...] = (
     "source_mixing_weights",
     "scan_sas7bdat_rdc_roundtrip",
     "retention_weekly_cohorts",
+    "event_dau_wau_stickiness",
     # green in round 1 only — refresh driver evidence
     "embedding_l2_norms",
     "ann_bruteforce_topk",

@@ -521,3 +521,58 @@ def retention_weekly_cohorts(spark, sf_dir):
     return activity.groupBy("cohort_week", "weeks_since").agg(
         F.count(F.lit(1)).alias("active_users")
     )
+
+
+@query(
+    "event_dau_wau_stickiness",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+                 AS day_n,
+             COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1
+    ),
+    weekly AS (
+      SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 604800) AS BIGINT)
+                 AS week_n,
+             COUNT(DISTINCT user_id) AS wau
+      FROM events GROUP BY 1
+    )
+    SELECT d.day_n, d.dau, w.wau,
+           CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+    FROM daily d
+    JOIN weekly w ON w.week_n = CAST(FLOOR(d.day_n / 7.0) AS BIGINT)
+    """,
+)
+def event_dau_wau_stickiness(spark, sf_dir):
+    """DAU/WAU stickiness per day — the engagement ratio every event
+    pipeline reports. Two distinct-count aggregates (shuffled on their
+    bucket keys, partial-deduped map-side) joined on the containing
+    week; the ratio divides two exact BIGINTs so both engines emit the
+    identical double. Output is |days| rows at any event volume.
+
+    Week buckets are epoch/604800 — the same convention as
+    retention_weekly_cohorts, so day_n/7 must floor through the same
+    epoch alignment (86400*7 = 604800; day 0 and week 0 share the
+    epoch origin).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("ts").cast("long") / 86400).alias("day_n"),
+    )
+    daily = ev.groupBy("day_n").agg(F.countDistinct("user_id").alias("dau"))
+    weekly = (
+        ev.select("user_id", F.floor(F.col("day_n") / 7.0).alias("week_n"))
+        .groupBy("week_n")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        daily.withColumn("week_n", F.floor(F.col("day_n") / 7.0))
+        .join(weekly, "week_n")
+        .select(
+            "day_n",
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+    )
