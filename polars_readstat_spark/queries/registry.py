@@ -47,64 +47,12 @@ def query(name: str, oracle: str | None = None):
 # round-1-only greens needing refresh. Update per round as rows come
 # back green.
 _PRIORITY: tuple[str, ...] = (
-    # new this round — no row could exist yet
-    "scan_sas7bdat_roundtrip",
-    "scan_sas7bdat_rle_roundtrip",
-    "scan_sink_dir_roundtrip",
-    "simhash_band_pairs",
-    "text_rare_token_ratio",
-    "embedding_quantize_int8",
-    "multimodal_media_meta",
-    "multimodal_decode_embed",
-    "catalog_scan_formats",
-    "q4_order_priority_exists",
-    "q10_returned_item_revenue",
-    "q14_promo_effect",
-    "q18_large_volume_customer",
-    "ann_lsh_recall",
-    "text_gopher_quality_rules",
-    "scan_sas7bdat_types",
-    "scan_sas7bdat_rle",
-    "scan_sas7bdat_rdc",
-    "scan_sas7bdat_bigendian",
-    "scan_sas7bdat_mixpage",
-    # red in round 2 (oracle typing, fixed): needs a fresh row
-    "sample_hash_stratified",
-    # never driver-checked through round 2
-    "scan_dta_multifile",
-    "scan_dta_pushdown",
-    "scan_dta_metadata_surface",
-    "scan_dta_value_labels",
-    "scan_dta_informative_nulls",
-    "ann_ivf_topk",
-    "kmeans_update_step",
-    "text_bpe_token_count",
-    "text_ngram_topk",
-    "asof_join_purchase_click",
-    "range_join_click_purchase_1h",
-    "window_lag_delta",
-    "salted_skew_agg",
-    "event_value_histogram",
-    "event_props_json_extract",
-    "funnel_click_to_purchase",
-    # new TPC-H completions (round 3, second batch) — after the
-    # never-checked set; whatever falls past the driver's 50-row
-    # window picks up its row next round
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q11_important_value_share",
-    "q12_linestatus_priority",
-    "q13_customer_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q19_or_predicate_revenue",
-    "q20_excess_shipments",
-    "q21_waiting_supplier",
+    # round 4: new-this-round queries are inserted here as they land
+    # (no driver row can exist yet), then the 10 queries that have
+    # never received a driver row through r01-r03, then the one red
+    # row from r03 (oracle typing, fixed this round). Everything past
+    # this block already has a green row in the r01∪r02∪r03 union.
     "q22_idle_customer_balance",
-    # corpus-curation additions (round 3, second batch)
     "decontaminate_ngram_overlap",
     "sequence_packing_bins",
     "pii_pattern_counts",
@@ -114,7 +62,11 @@ _PRIORITY: tuple[str, ...] = (
     "scan_sas7bdat_rdc_roundtrip",
     "retention_weekly_cohorts",
     "event_dau_wau_stickiness",
-    # green in round 1 only — refresh driver evidence
+    # red in round 3 (uncast SUM -> HUGEINT in the oracle, fixed):
+    # needs a fresh green row
+    "event_props_json_extract",
+    # greens that are oldest (round-1-only evidence) come next so the
+    # remaining window refreshes the stalest rows first
     "embedding_l2_norms",
     "ann_bruteforce_topk",
     "ann_lsh_topk",

@@ -386,7 +386,7 @@ def event_value_histogram(spark, sf_dir):
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
            MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
     FROM events
