@@ -47,11 +47,13 @@ def query(name: str, oracle: str | None = None):
 # round-1-only greens needing refresh. Update per round as rows come
 # back green.
 _PRIORITY: tuple[str, ...] = (
-    # round 4: new-this-round queries are inserted here as they land
-    # (no driver row can exist yet), then the 10 queries that have
-    # never received a driver row through r01-r03, then the one red
-    # row from r03 (oracle typing, fixed this round). Everything past
-    # this block already has a green row in the r01∪r02∪r03 union.
+    # round 4: new-this-round queries first (no driver row can exist
+    # yet), then the 10 queries that never received a driver row
+    # through r01-r03, then the one red row from r03 (oracle typing,
+    # fixed this round). Everything past those blocks already has a
+    # green row in the r01∪r02∪r03 union.
+    "scan_sas7bdat_informative_nulls",
+    "scan_xpt_informative_nulls",
     "q22_idle_customer_balance",
     "decontaminate_ngram_overlap",
     "sequence_packing_bins",

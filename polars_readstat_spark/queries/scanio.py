@@ -495,3 +495,104 @@ def scan_dta_informative_nulls(spark, sf_dir):
         F.col("l_quantity").cast("double").alias("l_quantity"),
         F.col("l_quantity_null").alias("l_quantity_null"),
     )
+
+
+def ensure_tagged_file(spark, sf_dir: str, ext: str) -> str:
+    """lineitem slice written with SAS tagged missings punched into
+    l_quantity on a deterministic rule (l_orderkey % 11 == 0 → '._',
+    else % 7 == 0 → '.'+letter cycling A-Z) via the writers'
+    tagged_missing option — the fixture for scanning `.A`-`.Z`/`._`
+    NaN-payload tags (sas7bdat) / byte-0 tags (xpt) back out
+    (reference decode src/sas/value.rs:181-194, src/sas/xpt.rs:396)."""
+    import polars_readstat_spark as prs
+
+    d = _cache_dir(sf_dir)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"lineitem_tagged.{ext}")
+    if os.path.exists(path):
+        return path
+    src = (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("double").alias("l_quantity"),
+            F.when(F.col("l_orderkey") % 11 == 0, F.lit("._"))
+            .when(
+                F.col("l_orderkey") % 7 == 0,
+                F.concat(
+                    F.lit("."),
+                    F.char((F.lit(65) + F.col("l_orderkey") % 26).cast("int")),
+                ),
+            )
+            .alias("q_tag"),
+        )
+    )
+    tmp = os.path.join(d, f".tmp{os.getpid()}.lineitem_tagged.{ext}")
+    prs.write_readstat(src, tmp, tagged_missing={"l_quantity": "q_tag"})
+    os.replace(tmp, path)
+    return path
+
+
+_TAGGED_ORACLE = """
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           CASE WHEN l_orderkey % 11 != 0 AND l_orderkey % 7 != 0
+                THEN CAST(l_quantity AS DOUBLE) END AS l_quantity,
+           CASE WHEN l_orderkey % 11 = 0 THEN '._'
+                WHEN l_orderkey % 7 = 0
+                THEN '.' || chr(CAST(65 + l_orderkey % 26 AS INT))
+           END AS l_quantity_null
+    FROM lineitem
+"""
+
+
+@query("scan_sas7bdat_informative_nulls", oracle=_TAGGED_ORACLE)
+def scan_sas7bdat_informative_nulls(spark, sf_dir):
+    """M2 for the SAS family: `.A`-`.Z`/`._` tags written into the
+    NaN payload (bits [47:40], ones-complement — the pattern real SAS
+    emits, verified against a SAS-generated fixture in
+    tests/test_informative_sas_xpt.py) decode back into the
+    informative_nulls=separate indicator column; the oracle re-derives
+    both the null rule and the indicator strings from the parquet
+    source in SQL."""
+    path = ensure_tagged_file(spark, sf_dir, "sas7bdat")
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    df = (
+        spark.read.format("readstat")
+        .option("informative_nulls", "separate")
+        .option("informative_null_columns", "l_quantity")
+        .load(path)
+    )
+    return df.select(
+        F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_quantity_null").alias("l_quantity_null"),
+    )
+
+
+@query("scan_xpt_informative_nulls", oracle=_TAGGED_ORACLE)
+def scan_xpt_informative_nulls(spark, sf_dir):
+    """M2 for the transport format: tag characters in byte 0 of an
+    otherwise-zero IBM-double field (TS-140) decode into the
+    indicator column; same derived oracle as the sas7bdat twin. XPT
+    v5 uppercases and truncates variable names to 8 chars, so the
+    scan re-aliases back to the oracle's full lowercase names."""
+    path = ensure_tagged_file(spark, sf_dir, "xpt")
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    df = (
+        spark.read.format("readstat")
+        .option("informative_nulls", "separate")
+        .load(path)
+    )
+    return df.select(
+        F.col("L_ORDERK").cast("bigint").alias("l_orderkey"),
+        F.col("L_LINENU").cast("bigint").alias("l_linenumber"),
+        F.col("L_QUANTI").cast("double").alias("l_quantity"),
+        F.col("L_QUANTI_null").alias("l_quantity_null"),
+    )

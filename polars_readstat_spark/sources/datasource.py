@@ -425,6 +425,7 @@ def sas_spark_schema(meta, options) -> StructType:
     else:
         selected = list(meta.columns)
     fields = []
+    eligible = set()
     for c in selected:
         if c.ctype == "s":
             t = StringType()
@@ -437,6 +438,10 @@ def sas_spark_schema(meta, options) -> StructType:
             t = LongType()
         else:
             t = DoubleType()
+        if c.ctype != "s":
+            # every SAS numeric can carry `.A`-`.Z`/`._` tags in its
+            # NaN payload (reference src/sas/value.rs:181-194)
+            eligible.add(c.name)
         md = {}
         if c.fmt:
             md["format"] = c.fmt
@@ -445,6 +450,7 @@ def sas_spark_schema(meta, options) -> StructType:
         if c.time_kind == "time":
             md["time"] = "ns_since_midnight"
         fields.append(StructField(c.name, t, True, metadata=md))
+    fields = _shape_informative(fields, options, eligible)
     ri = options.get("row_index_name")
     if ri:
         if any(f.name == ri for f in fields):
@@ -541,6 +547,7 @@ def xpt_spark_schema(meta, options) -> StructType:
     else:
         selected = list(meta.variables)
     fields = []
+    eligible = set()
     for v in selected:
         if not v.is_numeric:
             t = StringType()
@@ -552,12 +559,17 @@ def xpt_spark_schema(meta, options) -> StructType:
             t = LongType()
         else:
             t = DoubleType()
+        if v.is_numeric:
+            # XPT numerics carry tags in byte 0 of an otherwise-zero
+            # field (reference is_xpt_missing, src/sas/xpt.rs:396-408)
+            eligible.add(v.name)
         md = {}
         if v.fmt:
             md["format"] = v.fmt
         if v.label:
             md["label"] = v.label
         fields.append(StructField(v.name, t, True, metadata=md))
+    fields = _shape_informative(fields, options, eligible)
     ri = options.get("row_index_name")
     if ri:
         if any(f.name == ri for f in fields):

@@ -39,6 +39,67 @@ def decode_numeric_raw(rows: np.ndarray, col: SasColumn, little: bool) -> np.nda
     return full.view(">f8").ravel().astype("<f8")
 
 
+def numeric_missing_tags(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized tagged-missing classification of decoded doubles.
+
+    SAS stores `.A`-`.Z` / `._` as NaNs whose payload byte at bits
+    [47:40] is the ones-complement of the tag (reference
+    decode_numeric_bytes_mask_tagged + sas_tag_to_offset,
+    src/sas/value.rs:142-194; real-SAS fixture `.X` = 0xffffe6…,
+    complement 0x19 = 25 under the alternate 2..27 scheme).
+
+    Returns (mask, offsets): mask True where the pattern is any
+    non-finite (missing), offsets uint8 with 1-26 = `.A`-`.Z`,
+    27 = `._`, 0 = plain system missing `.` (or a valid value).
+    """
+    bits = vals.view(np.uint64)
+    mask = (bits & np.uint64(0x7FFF_FFFF_FFFF_FFFF)) >= np.uint64(
+        0x7FF0_0000_0000_0000
+    )
+    decoded = (~(bits >> np.uint64(40)).astype(np.uint8))
+    offsets = np.zeros(len(vals), dtype=np.uint8)
+    offsets[(decoded == 0) | (decoded == 0x5F)] = 27  # 0 / '_'
+    alt = (decoded >= 2) & (decoded <= 27)  # ReadStat alternate scheme
+    offsets[alt] = decoded[alt] - 1
+    upper = (decoded >= 0x41) & (decoded <= 0x5A)  # literal 'A'-'Z'
+    offsets[upper] = decoded[upper] - 0x40
+    offsets[~mask] = 0
+    return mask, offsets
+
+
+def sas_indicator(mask: np.ndarray, offsets: np.ndarray) -> pa.Array:
+    """Indicator strings '.A'-'.Z' / '._' (reference
+    sas_offset_to_label, src/sas/value.rs:197-204); null where the
+    value is present AND for plain system missing — in the SAS family
+    `.` carries no information beyond the null itself (reference
+    src/lib.rs:113 'System missing (`.`) always becomes a plain
+    null'), unlike Stata where '.' is emitted."""
+    out: list[str | None] = [None] * len(mask)
+    for i in np.flatnonzero(mask & (offsets != 0)):
+        o = int(offsets[i])
+        if o == 27:
+            out[i] = "._"
+        else:
+            out[i] = "." + chr(ord("A") + o - 1)
+    return pa.array(out, type=pa.string())
+
+
+def finish_numeric(vals: np.ndarray, mask: np.ndarray, col: SasColumn) -> pa.Array:
+    """Decoded doubles + missing mask → typed arrow array by the
+    column's display-format class (date/datetime/time promotions)."""
+    tk = col.time_kind
+    if tk == "date":
+        days = np.round(np.where(mask, 0, vals)).astype(np.int64) + SAS_EPOCH_DAYS
+        return strdecode.pa_masked(days.astype(np.int32), pa.date32(), mask)
+    if tk == "datetime":
+        us = np.round(np.where(mask, 0, vals) * 1e6).astype(np.int64) + SAS_EPOCH_US
+        return strdecode.pa_masked(us, pa.timestamp("us"), mask)
+    if tk == "time":
+        ns = np.round(np.where(mask, 0, vals) * 1e9).astype(np.int64)
+        return strdecode.pa_masked(ns, pa.int64(), mask)
+    return strdecode.pa_masked(vals, pa.float64(), mask)
+
+
 def decode_column(
     rows: np.ndarray,
     col: SasColumn,
@@ -70,18 +131,7 @@ def decode_column(
         return pa.array(out, type=pa.string())
 
     vals = decode_numeric_raw(rows, col, meta.little_endian)
-    mask = ~np.isfinite(vals)
-    tk = col.time_kind
-    if tk == "date":
-        days = np.round(np.where(mask, 0, vals)).astype(np.int64) + SAS_EPOCH_DAYS
-        return strdecode.pa_masked(days.astype(np.int32), pa.date32(), mask)
-    if tk == "datetime":
-        us = np.round(np.where(mask, 0, vals) * 1e6).astype(np.int64) + SAS_EPOCH_US
-        return strdecode.pa_masked(us, pa.timestamp("us"), mask)
-    if tk == "time":
-        ns = np.round(np.where(mask, 0, vals) * 1e9).astype(np.int64)
-        return strdecode.pa_masked(ns, pa.int64(), mask)
-    return strdecode.pa_masked(vals, pa.float64(), mask)
+    return finish_numeric(vals, ~np.isfinite(vals), col)
 
 
 def decode_rows(
@@ -89,7 +139,10 @@ def decode_rows(
     buf: bytes,
     col_indices: list[int],
     missing_string_as_null: bool,
+    informative: dict | None = None,
 ) -> pa.RecordBatch:
+    from polars_readstat_spark.sources import informative as inf
+
     rl = max(meta.row_length, 1)
     n = len(buf) // rl
     rows = np.frombuffer(buf, dtype=np.uint8, count=n * rl).reshape(n, rl)
@@ -97,6 +150,21 @@ def decode_rows(
     names = []
     for i in col_indices:
         c = meta.columns[i]
+        if (
+            informative
+            and c.ctype != "s"
+            and inf.eligible(informative, c.name)
+        ):
+            vals = decode_numeric_raw(rows, c, meta.little_endian)
+            mask, offsets = numeric_missing_tags(vals)
+            col_arr = finish_numeric(vals, mask, c)
+            ind = sas_indicator(mask, offsets)
+            for nm, arr in inf.assemble(
+                informative["mode"], c.name, informative["suffix"], col_arr, ind
+            ):
+                arrays.append(arr)
+                names.append(nm)
+            continue
         arrays.append(decode_column(rows, c, meta, missing_string_as_null))
         names.append(c.name)
     return pa.RecordBatch.from_arrays(arrays, names=names)

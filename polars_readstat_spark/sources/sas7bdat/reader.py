@@ -70,6 +70,9 @@ class SasReader(DataSourceReader):
         self.offset = _opt_int(options, "offset", 0) or 0
         self.batch_size = _opt_int(options, "batch_size")
         self.rows_per_partition = _opt_int(options, "rows_per_partition")
+        from polars_readstat_spark.sources import informative as inf
+
+        self.informative = inf.parse_opts(options)
 
     # -- planning ---------------------------------------------------
 
@@ -199,7 +202,8 @@ class SasReader(DataSourceReader):
 
         def emit(chunk: bytes, global_start: int):
             batch = decode_rows(
-                m, chunk, self.col_indices, self.missing_string_as_null
+                m, chunk, self.col_indices, self.missing_string_as_null,
+                informative=self.informative,
             )
             if self.row_index_name:
                 idx = pa.array(

@@ -244,12 +244,32 @@ def file_text_is_utf8(meta: XptMeta) -> bool:
     return ok
 
 
-def decode_xpt_rows(meta: XptMeta, buf: bytes, col_indices, missing_string_as_null):
+def xpt_missing_offsets(b0: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Tag offsets from an XPT numeric field's byte 0 (reference
+    is_xpt_missing, src/sas/xpt.rs:396-408): 'A'-'Z' → 1-26, '_' → 27,
+    '.' (or any other missing pattern) → 0 = plain system missing."""
+    offsets = np.zeros(len(b0), dtype=np.uint8)
+    upper = (b0 >= 0x41) & (b0 <= 0x5A)
+    offsets[upper] = (b0[upper] - 0x40).astype(np.uint8)
+    offsets[b0 == 0x5F] = 27
+    offsets[~mask] = 0
+    return offsets
+
+
+def decode_xpt_rows(
+    meta: XptMeta,
+    buf: bytes,
+    col_indices,
+    missing_string_as_null,
+    informative: dict | None = None,
+):
     import pyarrow as pa
 
+    from polars_readstat_spark.sources import informative as inf
     from polars_readstat_spark.sources.sas7bdat.decode import (
         SAS_EPOCH_DAYS,
         SAS_EPOCH_US,
+        sas_indicator,
     )
 
     rl = meta.record_width
@@ -284,6 +304,16 @@ def decode_xpt_rows(meta: XptMeta, buf: bytes, col_indices, missing_string_as_nu
                 arr = strdecode.pa_masked(ns_, pa.int64(), mask)
             else:
                 arr = strdecode.pa_masked(vals, pa.float64(), mask)
+            if informative and inf.eligible(informative, v.name):
+                b0 = full[:, 0].astype(np.int64)
+                ind = sas_indicator(mask, xpt_missing_offsets(b0, mask))
+                for nm, a in inf.assemble(
+                    informative["mode"], v.name, informative["suffix"],
+                    arr, ind,
+                ):
+                    arrays.append(a)
+                    names.append(nm)
+                continue
         else:
             from polars_readstat_spark.sources import strdecode
 

@@ -53,6 +53,9 @@ class XptReader(DataSourceReader):
         self.offset = _opt_int(options, "offset", 0) or 0
         self.rows_per_partition = _opt_int(options, "rows_per_partition")
         self.batch_size = _opt_int(options, "batch_size")
+        from polars_readstat_spark.sources import informative as inf
+
+        self.informative = inf.parse_opts(options)
 
     def partitions(self):
         total = self.meta.n_rows
@@ -93,7 +96,10 @@ class XptReader(DataSourceReader):
 
         if partition.n == 0:
             yield finish(
-                decode_xpt_rows(m, b"", self.col_indices, self.missing_string_as_null),
+                decode_xpt_rows(
+                    m, b"", self.col_indices, self.missing_string_as_null,
+                    informative=self.informative,
+                ),
                 partition.start,
             )
             return
@@ -106,7 +112,8 @@ class XptReader(DataSourceReader):
                 f.seek(m.data_offset + pos * rl)
                 buf = f.read(cnt * rl)
                 batch = decode_xpt_rows(
-                    m, buf, self.col_indices, self.missing_string_as_null
+                    m, buf, self.col_indices, self.missing_string_as_null,
+                    informative=self.informative,
                 )
                 yield finish(batch, pos)
                 pos += cnt

@@ -114,7 +114,7 @@ def _sas_widths(fields, kinds, stats) -> list[int]:
     return widths
 
 
-def _sas_cast(df: DataFrame, fields, kinds) -> DataFrame:
+def _sas_cast(df: DataFrame, fields, kinds, extra=()) -> DataFrame:
     sel = []
     for f, k in zip(fields, kinds):
         c = F.col(f.name)
@@ -132,7 +132,7 @@ def _sas_cast(df: DataFrame, fields, kinds) -> DataFrame:
             sel.append((c.cast("double") / 1e9).alias(f.name))
         else:
             sel.append(c.alias(f.name))
-    return df.select(*sel)
+    return df.select(*sel, *extra)
 
 
 RLE_LITERAL = b"SASYZCRL"
@@ -469,12 +469,16 @@ def _build_header(dataset_name: str, page_length: int) -> bytes:
     return bytes(h)
 
 
-def _pack_rows(cols_data, kinds, widths, row_length) -> bytes:
-    """Column-wise vectorized row packing: (n, row_length) uint8."""
+def _pack_rows(cols_data, kinds, widths, row_length, tags_data=None) -> bytes:
+    """Column-wise vectorized row packing: (n, row_length) uint8.
+
+    tags_data: optional per-column list of tag-offset arrays (None for
+    untagged columns) — tagged rows overwrite the numeric cell with
+    the SAS tagged-missing NaN pattern (writers/tagged.py)."""
     n = len(cols_data[0]) if cols_data else 0
     mat = np.zeros((n, row_length), dtype=np.uint8)
     off = 0
-    for col, k, w in zip(cols_data, kinds, widths):
+    for ci, (col, k, w) in enumerate(zip(cols_data, kinds, widths)):
         if k == "str":
             mat[:, off : off + w] = 0x20
             for ri, s in enumerate(col):
@@ -492,6 +496,18 @@ def _pack_rows(cols_data, kinds, widths, row_length) -> bytes:
             # IEEE NaN is a SAS missing on disk (any non-finite decodes
             # to null in both our reader and pandas)
             mat[:, off : off + 8] = vals.astype("<f8").view(np.uint8).reshape(n, 8)
+            offs = tags_data[ci] if tags_data else None
+            if offs is not None:
+                from polars_readstat_spark.writers.tagged import (
+                    NO_TAG,
+                    sas7bdat_tag_rows,
+                )
+
+                tagged = offs != NO_TAG
+                if tagged.any():
+                    mat[tagged, off : off + 8] = sas7bdat_tag_rows(
+                        offs[tagged]
+                    )
         off += w
     return mat.tobytes()
 
@@ -552,11 +568,13 @@ class _SasFileSink:
         self._crows: list[tuple[bytes, bool]] = []
         self._crows_bytes = 0
 
-    def write_batch(self, cols_data) -> None:
+    def write_batch(self, cols_data, tags_data=None) -> None:
         n = len(cols_data[0]) if cols_data else 0
         if n == 0:
             return
-        packed = _pack_rows(cols_data, self.kinds, self.widths, self.row_length)
+        packed = _pack_rows(
+            cols_data, self.kinds, self.widths, self.row_length, tags_data
+        )
         self.n_rows += n
         if self.compress:
             rows = np.frombuffer(packed, np.uint8).reshape(n, self.row_length)
@@ -640,6 +658,7 @@ def write_sas7bdat(
     variable_labels: dict | None = None,
     page_length: int | None = None,
     compress: str | None = None,
+    tagged_missing: dict | None = None,
 ) -> None:
     """Write a Spark DataFrame as an uncompressed 64-bit LE sas7bdat.
 
@@ -650,10 +669,40 @@ def write_sas7bdat(
     the distributed bulk-export path.
     """
     variable_labels = variable_labels or {}
-    fields, names, kinds, aggs = _sas_columns(df)
+    tagged_missing = dict(tagged_missing or {})
+    ind_names = list(tagged_missing.values())
+    data_df = df.drop(*ind_names) if ind_names else df
+    fields, names, kinds, aggs = _sas_columns(data_df)
+    for vcol, icol in tagged_missing.items():
+        if vcol not in names or kinds[names.index(vcol)] == "str":
+            raise ValueError(
+                f"tagged_missing: {vcol!r} is not a numeric data column"
+            )
+        if icol not in df.columns:
+            raise ValueError(
+                f"tagged_missing: indicator column {icol!r} not in DataFrame"
+            )
     stats = df.agg(*aggs).collect()[0].asDict() if aggs else {}
     widths = _sas_widths(fields, kinds, stats)
-    src = _sas_cast(df, fields, kinds)
+    # indicator columns ride at the end of the stream, consumed at pack
+    src = _sas_cast(
+        df, fields, kinds,
+        extra=[F.col(c).cast("string").alias(f"__tag_{i}")
+               for i, c in enumerate(ind_names)],
+    )
+    ncols = len(names)
+    tag_slot = {names.index(v): ncols + ind_names.index(i)
+                for v, i in tagged_missing.items()}
+
+    def tags_for(cols):
+        if not tag_slot:
+            return None
+        from polars_readstat_spark.writers.tagged import parse_tag_offsets
+
+        return [
+            parse_tag_offsets(cols[tag_slot[ci]]) if ci in tag_slot else None
+            for ci in range(ncols)
+        ]
 
     with open(path, "wb") as fh:
         sink = _SasFileSink(
@@ -661,11 +710,16 @@ def write_sas7bdat(
             variable_labels, page_length, compress,
         )
         batch: list = []
+
+        def flush():
+            cols = list(zip(*batch))
+            sink.write_batch(cols[:ncols], tags_for(cols))
+            batch.clear()
+
         for row in src.toLocalIterator(prefetchPartitions=True):
             batch.append(tuple(row))
             if len(batch) >= 8192:
-                sink.write_batch(list(zip(*batch)))
-                batch.clear()
+                flush()
         if batch:
-            sink.write_batch(list(zip(*batch)))
+            flush()
         sink.close()

@@ -115,6 +115,7 @@ def write_xpt(
     dataset_name: str = "DATA",
     variable_labels: dict | None = None,
     version: int = 5,
+    tagged_missing: dict | None = None,
 ) -> None:
     """version=8 writes the V8 transport layout (public "Record Layout
     of a SAS Version 8 or 9 Data Set in SAS Transport Format"): LIBV8/
@@ -124,15 +125,44 @@ def write_xpt(
     if version not in (5, 8):
         raise ValueError("write_xpt: version must be 5 or 8")
     variable_labels = variable_labels or {}
-    fields, names, shorts, kinds, aggs = _xpt_columns(df)
+    tagged_missing = dict(tagged_missing or {})
+    ind_names = list(tagged_missing.values())
+    data_df = df.drop(*ind_names) if ind_names else df
+    fields, names, shorts, kinds, aggs = _xpt_columns(data_df)
+    for vcol, icol in tagged_missing.items():
+        if vcol not in names or kinds[names.index(vcol)] == "str":
+            raise ValueError(
+                f"tagged_missing: {vcol!r} is not a numeric data column"
+            )
+        if icol not in df.columns:
+            raise ValueError(
+                f"tagged_missing: indicator column {icol!r} not in DataFrame"
+            )
     stats = df.agg(*aggs).collect()[0].asDict()
     widths = _xpt_widths(fields, kinds, stats)
     record_width = sum(widths)
+    ncols = len(names)
+    tag_slot = {names.index(v): ncols + ind_names.index(i)
+                for v, i in tagged_missing.items()}
+
+    def tags_for(cols):
+        if not tag_slot:
+            return None
+        from polars_readstat_spark.writers.tagged import parse_tag_offsets
+
+        return [
+            parse_tag_offsets(cols[tag_slot[ci]]) if ci in tag_slot else None
+            for ci in range(ncols)
+        ]
 
     out = _xpt_header(
         fields, shorts, kinds, widths, dataset_name, variable_labels, version
     )
-    src = _xpt_cast(df, fields, kinds)
+    src = _xpt_cast(
+        df, fields, kinds,
+        extra=[F.col(c).cast("string").alias(f"__tag_{i}")
+               for i, c in enumerate(ind_names)],
+    )
 
     with open(path, "wb") as fh:
         fh.write(bytes(out))
@@ -143,7 +173,10 @@ def write_xpt(
             nonlocal total
             if not batch:
                 return
-            raw = _pack_xpt(list(zip(*batch)), kinds, widths, record_width)
+            cols = list(zip(*batch))
+            raw = _pack_xpt(
+                cols[:ncols], kinds, widths, record_width, tags_for(cols)
+            )
             fh.write(raw)
             total += len(raw)
             batch.clear()
@@ -270,7 +303,7 @@ def _xpt_header(
     return out
 
 
-def _xpt_cast(df: DataFrame, fields, kinds) -> DataFrame:
+def _xpt_cast(df: DataFrame, fields, kinds, extra=()) -> DataFrame:
     sel = []
     for f, k in zip(fields, kinds):
         c = F.col(f.name)
@@ -284,16 +317,18 @@ def _xpt_cast(df: DataFrame, fields, kinds) -> DataFrame:
             sel.append((c.cast("double") / 1e9).alias(f.name))
         else:
             sel.append(c.alias(f.name))
-    return df.select(*sel)
+    return df.select(*sel, *extra)
 
 
-def _pack_xpt(cols_data, kinds, widths, record_width) -> bytes:
+def _pack_xpt(cols_data, kinds, widths, record_width, tags_data=None) -> bytes:
     """Column-wise pack into blank-padded fixed-width records; numerics
-    go through the vectorized IEEE→IBM converter."""
+    go through the vectorized IEEE→IBM converter. tags_data: optional
+    per-column tag-offset arrays (writers/tagged.py) — tagged rows
+    write the tag char in byte 0 over a zeroed field."""
     n = len(cols_data[0]) if cols_data else 0
     mat = np.full((n, record_width), 0x20, dtype=np.uint8)
     off = 0
-    for col, k, w in zip(cols_data, kinds, widths):
+    for ci, (col, k, w) in enumerate(zip(cols_data, kinds, widths)):
         if k == "str":
             for ri, s in enumerate(col):
                 # UTF-8, truncated at a character boundary: the xpt
@@ -323,5 +358,16 @@ def _pack_xpt(cols_data, kinds, widths, record_width) -> bytes:
                 )
             mask = np.isnan(vals)
             mat[:, off : off + 8] = ieee_to_ibm(vals, mask)
+            offs = tags_data[ci] if tags_data else None
+            if offs is not None:
+                from polars_readstat_spark.writers.tagged import (
+                    NO_TAG,
+                    xpt_tag_byte0,
+                )
+
+                tagged = offs != NO_TAG
+                if tagged.any():
+                    mat[tagged, off : off + 8] = 0
+                    mat[tagged, off] = xpt_tag_byte0(offs[tagged])
         off += w
     return mat.tobytes()
