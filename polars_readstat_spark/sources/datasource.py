@@ -686,9 +686,11 @@ class DtaReader(DataSourceReader):
         rw = max(self.meta.record_width, 1)
         per = self.rows_per_partition
         if per is None:
-            # ~48 MB of raw record bytes per partition, ≥64k rows so
-            # tiny files stay single-partition
-            per = max(65536, (48 << 20) // rw)
+            from polars_readstat_spark.sources.partplan import (
+                rows_per_partition,
+            )
+
+            per = rows_per_partition(rw, n)
         parts = []
         pos = start
         while pos < start + n:

@@ -135,9 +135,13 @@ class SasReader(DataSourceReader):
             #   rows in META/DATA pages — verified across the corpus).
             plain = start == 0 and want == total and not self.row_index_name
             if plain and m.page_count > 1 and not self._has_mix_pages():
-                per_pages = _opt_int(self.options, "pages_per_partition") or max(
-                    1, (48 << 20) // max(m.page_length, 1)
+                from polars_readstat_spark.sources.partplan import (
+                    pages_per_partition,
                 )
+
+                per_pages = _opt_int(
+                    self.options, "pages_per_partition"
+                ) or pages_per_partition(m.page_length, m.page_count)
                 return [
                     SasPageRange(
                         i, min(per_pages, m.page_count - i), 0, 0, -1
@@ -150,7 +154,11 @@ class SasReader(DataSourceReader):
         counts = self._page_rows()
         per = self.rows_per_partition
         if per is None:
-            per = max(65536, (48 << 20) // max(m.row_length, 1))
+            from polars_readstat_spark.sources.partplan import (
+                rows_per_partition,
+            )
+
+            per = rows_per_partition(m.row_length, want)
         parts: list[SasPageRange] = []
         rows_before = 0
         range_first = None

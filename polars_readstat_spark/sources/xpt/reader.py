@@ -63,9 +63,14 @@ class XptReader(DataSourceReader):
         n = total - start
         if self.limit is not None:
             n = min(n, self.limit)
-        per = self.rows_per_partition or max(
-            65536, (48 << 20) // max(self.meta.record_width, 1)
-        )
+        if self.rows_per_partition:
+            per = self.rows_per_partition
+        else:
+            from polars_readstat_spark.sources.partplan import (
+                rows_per_partition,
+            )
+
+            per = rows_per_partition(self.meta.record_width, n)
         parts = []
         pos = start
         while pos < start + n:
