@@ -48,7 +48,7 @@ BENCH_COLS = (
 
 # bump when a writer's on-disk layout or the roundtrip column set
 # changes, so stale cached files can't poison the correctness gate
-_CACHE_VERSION = 2
+_CACHE_VERSION = 3
 
 
 def _cache_dir(sf_dir: str) -> str:

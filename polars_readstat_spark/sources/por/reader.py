@@ -350,9 +350,9 @@ _B30 = {c: i for i, c in enumerate("0123456789ABCDEFGHIJKLMNOPQRST")}
 def _fast_b30(tok: str) -> float:
     """Fast base-30 token parse, bit-identical to _parse_base30.
 
-    Integer parts ≤10 digits go through int(tok, 30) — exact, and
+    Integer parts ≤11 digits go through int(tok, 30) — exact, and
     equal to the float accumulator since every intermediate stays
-    below 2^53 (30^10 ≈ 5.9e14). Fractions replay the accumulator's
+    below 2^53 (30^11 ≈ 5.3e15). Fractions replay the accumulator's
     exact operation order (num += d/denom; denom *= 30) so the result
     bits match; exponents and oversized tokens fall back."""
     neg = tok[:1] == "-"
@@ -365,12 +365,12 @@ def _fast_b30(tok: str) -> float:
     dot = mant.find(".")
     try:
         if dot < 0:
-            if len(mant) > 10:
+            if len(mant) > 11:
                 return _parse_base30(tok)
             num = float(int(mant, 30)) if mant else 0.0
         else:
             ip, fp = mant[:dot], mant[dot + 1 :]
-            if len(ip) > 10:
+            if len(ip) > 11:
                 return _parse_base30(tok)
             num = float(int(ip, 30)) if ip else 0.0
             denom = 30.0
@@ -388,11 +388,328 @@ def _fast_b30(tok: str) -> float:
     return -num if neg else num
 
 
-def read_por_columns(path: str) -> tuple[PorMeta, list[list]]:
-    """Eager read of all cases → per-variable python lists (numeric
-    float-or-None, string str)."""
+def read_por_columns(path: str) -> tuple[PorMeta, list]:
+    """Eager read of all cases → per-variable columns (numeric columns
+    as float64 ndarrays with NaN missing, or python lists from the
+    scalar path; string columns as python lists of str).
+
+    Dispatch: the vectorized case-data parser (numpy over the whole
+    stream — ~20× the scalar walk) handles the two shapes that cover
+    real files, with structural validation; anything it cannot prove
+    falls back to the per-token scalar walk, so results are identical
+    by construction (the vectorized base-30 parse replays the scalar
+    accumulator's operation order bit-for-bit, tested in
+    tests/test_por_reader.py)."""
     meta, st = parse_por(path)
     s = _bulk_chars(st)
+    cols = _read_cases_vectorized(meta, s)
+    if cols is None:
+        cols = _read_cases_scalar(meta, s)
+    return meta, cols
+
+
+_SLASH = ord("/")
+_STAR = ord("*")
+_DOT = ord(".")
+_ZPAD = ord("Z")
+
+# base-30 digit lookup: '0'-'9' → 0-9, 'A'-'T' → 10-29, else 255
+_DIG_LUT = np.full(256, 255, dtype=np.uint8)
+for _i in range(10):
+    _DIG_LUT[ord("0") + _i] = _i
+for _i in range(20):
+    _DIG_LUT[ord("A") + _i] = 10 + _i
+
+
+def _b30_batch(
+    u: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized base-30 parse of tokens u[starts[i]:ends[i]).
+
+    Returns (values, ok). Bit-identical to _fast_b30/_parse_base30 for
+    plain [-]int[.frac] tokens: the integer part accumulates exactly
+    (≤10 digits fit int64 and float53), the fraction replays the
+    scalar's num += d/denom; denom *= 30 sequence via np.cumprod (the
+    same multiply chain) in the same ascending order. Tokens with an
+    exponent, >10 integer digits, >64 chars, or any invalid char get
+    ok=False — the caller routes those through the scalar parser.
+    Empty tokens parse to 0.0 like the scalar path."""
+    n = len(starts)
+    vals = np.zeros(n, dtype=np.float64)
+    lens = ends - starts
+    ok = lens >= 0
+    t_max = int(lens.max()) if n else 0
+    if t_max == 0:
+        return vals, ok
+    if t_max > 64:  # full-precision doubles print ~50 base-30 chars
+        ok &= lens <= 64
+        t_max = 64
+    # pad so gathers past the stream end stay in bounds; int32 indices
+    # halve the index-matrix memory traffic (positions are < 2^31: the
+    # stream is an in-memory str)
+    up = np.concatenate([u, np.zeros(t_max, dtype=np.uint8)])
+    idx = starts.astype(np.int32)[:, None] + np.arange(t_max, dtype=np.int32)
+    valid = np.arange(t_max) < lens[:, None]
+    mt = up[idx]
+    mt[~valid] = 0
+    dig = _DIG_LUT[mt]
+
+    first = mt[:, 0]
+    neg = first == ord("-")
+    off = (neg | (first == ord("+"))).astype(np.int64)
+    isdot = (mt == _DOT) & valid
+    # a sign past position 0 opens the base-30 exponent suffix
+    signs = ((mt == ord("-")) | (mt == ord("+"))) & valid
+    signs[:, 0] = False
+    has_exp = signs.any(axis=1)
+    any_exp = bool(has_exp.any())
+    if any_exp:
+        epos = np.where(has_exp, signs.argmax(axis=1), lens)
+        ok &= signs.sum(axis=1) <= 1
+        isdot &= np.arange(t_max) < epos[:, None]  # '.' in exp: bad
+    else:
+        epos = lens
+    ok &= isdot.sum(axis=1) <= 1
+    # every in-range char must be a digit, the mantissa dot, the lead
+    # sign, or the exponent sign
+    bad = valid & (dig == 255) & ~isdot & ~signs
+    bad[:, 0] &= ~(neg | (first == ord("+")))
+    ok &= ~bad.any(axis=1)
+
+    dotpos = np.where(isdot.any(axis=1), isdot.argmax(axis=1), epos)
+    ip_len = dotpos - off
+    # 11 base-30 digits: 30^11 ≈ 5.3e15 < 2^53, so both the int64
+    # accumulation here and the scalar's float accumulation are exact
+    ok &= ip_len <= 11
+
+    # one aligned gather per region, then cheap 1-D passes per digit —
+    # gathering the full matrix once per position was the hot spot
+    mi = min(int(ip_len.max(initial=0)), 11)
+    acc = np.zeros(n, dtype=np.int64)
+    if mi:
+        iidx = np.minimum(off[:, None] + np.arange(mi), t_max - 1)
+        digi = np.take_along_axis(dig, iidx, axis=1).astype(np.int64)
+        for k in range(mi):
+            acc = np.where((k < ip_len) & ok, acc * 30 + digi[:, k], acc)
+    num = acc.astype(np.float64)
+
+    frac_len = np.where(dotpos < epos, epos - dotpos - 1, 0)
+    mf = int(frac_len.max(initial=0))
+    if mf:
+        fidx = np.minimum(dotpos[:, None] + 1 + np.arange(mf), t_max - 1)
+        digf = np.take_along_axis(dig, fidx, axis=1).astype(np.float64)
+        denom = np.cumprod(np.full(mf, 30.0))  # 30, 900, … like *= 30
+        # contributions keep the scalar's per-term d/denom division;
+        # the add runs left-to-right per token, matching the scalar
+        # accumulator's rounding exactly (cumsum would regroup)
+        contrib = digf / denom
+        contrib[np.arange(mf) >= frac_len[:, None]] = 0.0
+        for j in range(mf):
+            num = num + contrib[:, j]
+
+    if any_exp:
+        exp_len = lens - epos - 1
+        ok &= ~has_exp | ((exp_len >= 0) & (exp_len <= 7))
+        me = min(int(exp_len.max(initial=0)), 7)
+        eacc = np.zeros(n, dtype=np.int64)
+        if me:
+            eidx = np.minimum(epos[:, None] + 1 + np.arange(me), t_max - 1)
+            dige = np.take_along_axis(dig, eidx, axis=1).astype(np.int64)
+            for k in range(me):
+                eacc = np.where(
+                    (k < exp_len) & has_exp & ok, eacc * 30 + dige[:, k], eacc
+                )
+        eneg = np.take_along_axis(
+            mt, np.minimum(epos, t_max - 1)[:, None], axis=1
+        )[:, 0] == ord("-")
+        signed = np.where(eneg, -eacc, eacc)
+        signed[~has_exp] = 0
+        # multiply by 30.0 ** exp computed with PYTHON pow per unique
+        # exponent — np.power differs from the scalar's ** in the last
+        # ulp, a Python-level pow per distinct value does not
+        apply = has_exp & ok & (signed != 0)
+        uniq = np.unique(signed[apply])
+        if uniq.size:
+            lut = np.ones(uniq.size, dtype=np.float64)
+            for i, v in enumerate(uniq):
+                try:
+                    lut[i] = 30.0 ** float(v)
+                except OverflowError:
+                    # scalar raises here too; route through it
+                    ok &= signed != v
+                    apply &= signed != v
+            mult = lut[np.searchsorted(uniq, np.where(apply, signed, uniq[0]))]
+            num = np.where(apply, num * mult, num)
+    vals = np.where(neg, -num, num)
+    return vals, ok
+
+
+def _scalar_patch(s: str, vals, starts, ends, ok) -> None:
+    """Route the rare tokens the batch parser declined through the
+    exact scalar parser (exponents, overlong, odd charset)."""
+    for i in np.flatnonzero(~ok):
+        vals[i] = _fast_b30(s[starts[i] : ends[i]])
+
+
+def _read_cases_vectorized(meta: PorMeta, s: str) -> list | None:
+    """Whole-stream numpy case parser. Two proven shapes:
+
+    A. no string variables: sysmis '*.' pairs and '/'-terminated
+       numeric tokens interleave; stars are located globally and
+       validated to be leading-contiguous per segment.
+    B. string variables present, no '*' in the stream, and no '/'
+       inside any string payload (validated: each payload must end
+       before the next slash, and every numeric token must parse) —
+       then every value owns exactly one '/'-terminated segment, so
+       segment index mod n_vars IS the column, and each column parses
+       as one vectorized batch. Any structural violation returns None
+       and the scalar walk takes over.
+    """
+    n_vars = len(meta.variables)
+    if n_vars == 0 or not s:
+        return None
+    is_str = [v.is_str for v in meta.variables]
+    u = np.frombuffer(s.encode("latin-1"), dtype=np.uint8)
+    slashes = np.flatnonzero(u == _SLASH)
+    if slashes.size == 0:
+        return None
+    seg_start = np.empty(slashes.size, dtype=np.int64)
+    seg_start[0] = 0
+    seg_start[1:] = slashes[:-1] + 1
+    stars = np.flatnonzero(u == _STAR)
+
+    if not any(is_str):
+        return _vec_numeric_only(s, u, seg_start, slashes, stars, n_vars)
+    if stars.size:
+        return None  # sysmis + strings: ambiguous prefixes → scalar
+    if all(is_str):
+        return None  # every value chains through payloads → scalar
+    return _vec_with_strings(meta, s, u, seg_start, slashes, n_vars, is_str)
+
+
+def _vec_numeric_only(s, u, seg_start, slashes, stars, n_vars):
+    m = slashes.size
+    if stars.size:
+        if stars[-1] + 1 >= len(u) or not (u[stars + 1] == _DOT).all():
+            return None
+        lo = np.searchsorted(stars, seg_start)
+        hi = np.searchsorted(stars, slashes)
+        cnt = hi - lo
+        has = cnt > 0
+        # stars must sit contiguously at the segment head ('*.'*k tok/)
+        first_star = stars[np.minimum(lo, stars.size - 1)]
+        last_star = stars[np.maximum(hi - 1, 0)]
+        good = ~has | (
+            (first_star == seg_start) & (last_star - first_star == 2 * (cnt - 1))
+        )
+        if not good.all():
+            return None
+        tok_start = np.where(has, last_star + 2, seg_start)
+    else:
+        cnt = np.zeros(m, dtype=np.int64)
+        tok_start = seg_start
+
+    zmask = u[np.minimum(tok_start, len(u) - 1)] == _ZPAD
+    zmask &= tok_start < slashes  # 'Z…' with room before the slash
+    cutoff = len(u)
+    if zmask.any():
+        cutoff = int(tok_start[int(np.argmax(zmask))])
+
+    vals_tok, ok = _b30_batch(u, tok_start, slashes)
+    if not ok.all():
+        allowed = (_DIG_LUT[u[np.minimum(tok_start, len(u) - 1)]] != 255) | (
+            tok_start >= slashes
+        )
+        # exponent-shaped tokens are fine (scalar patch); anything
+        # whose first char isn't base-30-ish means misparse → bail
+        if not allowed[~ok].all():
+            return None
+        _scalar_patch(s, vals_tok, tok_start, slashes, ok)
+
+    # merge star values (NaN at star positions) and token values into
+    # file order, truncate at the Z terminator and to whole rows
+    positions = np.concatenate([stars, tok_start])
+    merged = np.concatenate([np.full(stars.size, np.nan), vals_tok])
+    order = np.argsort(positions, kind="stable")
+    positions = positions[order]
+    merged = merged[order]
+    keep = positions < cutoff
+    merged = merged[keep]
+    n_rows = merged.size // n_vars
+    merged = merged[: n_rows * n_vars]
+    grid = merged.reshape(n_rows, n_vars)
+    return [grid[:, j].copy() for j in range(n_vars)]
+
+
+def _vec_with_strings(meta, s, u, seg_start, slashes, n_vars, is_str):
+    m = slashes.size
+    if m % n_vars != 0:
+        return None  # partial trailing row (or payload slash) → scalar
+    n_rows = m // n_vars
+    if n_rows == 0:
+        return None
+    idx = np.arange(m, dtype=np.int64).reshape(n_rows, n_vars)
+    prefix = np.zeros((n_rows, n_vars), dtype=np.int64)
+    str_len: dict[int, np.ndarray] = {}
+
+    # resolve payload-prefix chains starting from a column whose left
+    # neighbour is numeric (exists: not all columns are strings)
+    start_c = next(c for c in range(n_vars) if not is_str[c - 1])
+    cols_order = [(start_c + k) % n_vars for k in range(n_vars)]
+    out: list = [None] * n_vars
+    for c in cols_order:
+        left = c - 1 if c > 0 else n_vars - 1
+        if is_str[left]:
+            lp = str_len[left]
+            prefix[:, c] = (
+                lp if c > 0 else np.concatenate([[0], lp[:-1]])
+            )
+        segs = idx[:, c]
+        t0 = seg_start[segs] + prefix[:, c]
+        t1 = slashes[segs]
+        if (t0 > t1).any():
+            return None
+        if is_str[c]:
+            lens, ok = _b30_batch(u, t0, t1)
+            if not ok.all():
+                return None
+            ln = lens.astype(np.int64)
+            if (ln < 0).any() or (lens != ln).any():
+                return None
+            p0 = t1 + 1
+            p1 = p0 + ln
+            nxt = np.empty(n_rows, dtype=np.int64)
+            follow = segs + 1
+            inb = follow < m
+            nxt[inb] = slashes[follow[inb]]
+            nxt[~inb] = len(u)
+            if (p1 > nxt).any():
+                return None  # payload would cross a slash → speculation wrong
+            str_len[c] = ln
+            out[c] = [s[a:b].rstrip() for a, b in zip(p0, p1)]
+        else:
+            vals, ok = _b30_batch(u, t0, t1)
+            if not ok.all():
+                first_ok = (
+                    _DIG_LUT[u[np.minimum(t0, len(u) - 1)]] != 255
+                ) | (t0 >= t1)
+                if not first_ok[~ok].all():
+                    return None
+                _scalar_patch(s, vals, t0, t1, ok)
+            out[c] = vals
+    # trailing region must be Z padding / blanks, or the structure was
+    # a lie (e.g. a truncated final payload)
+    tail_at = slashes[-1] + 1
+    if is_str[n_vars - 1]:
+        tail_at = tail_at + int(str_len[n_vars - 1][-1])
+    tail = s[tail_at : tail_at + 8].strip()
+    if tail and not tail.startswith("Z"):
+        return None
+    return out
+
+
+def _read_cases_scalar(meta: PorMeta, s: str) -> list[list]:
+    """Per-token walk (exact reference semantics, any input shape)."""
     n = len(s)
     cols: list[list] = [[] for _ in meta.variables]
     n_vars = len(meta.variables)
@@ -426,7 +743,7 @@ def read_por_columns(path: str) -> tuple[PorMeta, list[list]]:
             break
         for j in range(n_vars):
             cols[j].append(row[j])
-    return meta, cols
+    return cols
 
 
 class PorPartition(InputPartition):
@@ -469,10 +786,13 @@ class PorReader(DataSourceReader):
                     vals = [vl.get(s, s) for s in vals]
                 arrays.append(pa.array(vals, type=pa.string()))
             else:
-                fv = np.array(
-                    [float("nan") if x is None else x for x in vals],
-                    dtype=np.float64,
-                )
+                if isinstance(vals, np.ndarray):
+                    fv = vals.astype(np.float64, copy=False)
+                else:
+                    fv = np.array(
+                        [float("nan") if x is None else x for x in vals],
+                        dtype=np.float64,
+                    )
                 mask = np.isnan(fv)
                 if self.value_labels_as_strings and v.value_labels:
                     vl = v.value_labels

@@ -74,59 +74,7 @@ class _PorWriter:
             return
         if v < 0:
             self.write("-")
-        a = abs(v)
-        if 0.0 < a < 1.0 / 30.0:
-            # normalize tiny magnitudes to mantissa × 30^-E: the plain
-            # positional form spends its PRECISION budget on leading
-            # zeros (a 1e-300 underflowed to literal zero). The reader
-            # grammar accepts the trailing -exp just like +exp.
-            m, e = a, 0
-            while m < 1.0:
-                m *= 30.0
-                e += 1
-            d0 = int(m)
-            self.write(chr(ord("0") + d0) if d0 < 10 else chr(ord("A") + d0 - 10))
-            frac = m - d0
-            if frac != 0.0:
-                self.write(".")
-                printed = 1
-                while frac != 0.0 and printed < PRECISION:
-                    frac *= 30.0
-                    d = int(frac)
-                    frac -= d
-                    self.write(
-                        chr(ord("0") + d) if d < 10 else chr(ord("A") + d - 10)
-                    )
-                    printed += 1
-            self.write("-")
-            self.b30_int(e)
-            self.write("/")
-            return
-        int_part = int(a)
-        frac = a - int_part
-        exponent = 0
-        n = int_part
-        if n == 0:
-            self.write("0")
-        else:
-            while frac == 0.0 and n and n % 30 == 0:
-                n //= 30
-                exponent += 1
-            self.b30_int(n)
-        if frac != 0.0:
-            self.write(".")
-            printed = 1 if int_part == 0 else len(self._b30s(int_part))
-            while frac != 0.0 and printed < PRECISION:
-                frac *= 30.0
-                d = int(frac)
-                frac -= d
-                self.write(
-                    chr(ord("0") + d) if d < 10 else chr(ord("A") + d - 10)
-                )
-                printed += 1
-        if exponent > 0:
-            self.write("+")
-            self.b30_int(exponent)
+        self.write(_shortest_b30(abs(v)))
         self.write("/")
 
     @staticmethod
@@ -147,6 +95,160 @@ class _PorWriter:
         while self.pos != 0:
             self.byte(ord("Z"))
 
+
+def _b30_chr(d: int) -> str:
+    return chr(ord("0") + d) if d < 10 else chr(ord("A") + d - 10)
+
+
+def _b30_int_str(n: int) -> str:
+    if n == 0:
+        return "0"
+    out = []
+    while n:
+        out.append(_b30_chr(n % 30))
+        n //= 30
+    return "".join(reversed(out))
+
+
+def _render_b30(a: float, budget: int, rounded: bool) -> str | None:
+    """Token text (no sign, no '/') for abs value a, with at most
+    `budget` significant base-30 digits, optionally rounding the cut
+    digit (carry-propagated; None when the carry can't be applied
+    cleanly, e.g. it would renormalize the exponent form)."""
+    if 0.0 < a < 1.0 / 30.0:
+        # mantissa × 30^-E (the plain positional form would spend the
+        # whole budget on leading zeros)
+        m, e = a, 0
+        while m < 1.0:
+            m *= 30.0
+            e += 1
+        digits = [int(m)]
+        frac = m - digits[0]
+        while frac != 0.0 and len(digits) < budget:
+            frac *= 30.0
+            d = int(frac)
+            frac -= d
+            digits.append(d)
+        if rounded and frac != 0.0 and int(frac * 30.0) >= 15:
+            i = len(digits) - 1
+            while i >= 0 and digits[i] == 29:
+                digits[i] = 0
+                i -= 1
+            if i < 0:
+                return None  # carry past the lead digit: renormalizes
+            digits[i] += 1
+            if i == 0 and digits[0] >= 30:
+                return None
+        head = _b30_chr(digits[0])
+        tail = "".join(_b30_chr(d) for d in digits[1:]).rstrip("0")
+        return (
+            head + ("." + tail if tail else "") + "-" + _b30_int_str(e)
+        )
+    int_part = int(a)
+    frac = a - int_part
+    exponent = 0
+    n = int_part
+    if n:
+        while frac == 0.0 and n % 30 == 0:
+            n //= 30
+            exponent += 1
+    istr = _b30_int_str(n)
+    fdigits: list[int] = []
+    if frac != 0.0:
+        printed = 1 if int_part == 0 else len(istr)
+        while frac != 0.0 and printed < budget:
+            frac *= 30.0
+            d = int(frac)
+            frac -= d
+            fdigits.append(d)
+            printed += 1
+        if rounded and frac != 0.0 and int(frac * 30.0) >= 15:
+            i = len(fdigits) - 1
+            while i >= 0 and fdigits[i] == 29:
+                fdigits[i] = 0
+                i -= 1
+            if i >= 0:
+                fdigits[i] += 1
+            else:
+                istr = _b30_int_str(n + 1)  # carry into the integer
+    out = istr
+    tail = "".join(_b30_chr(d) for d in fdigits).rstrip("0")
+    if tail:
+        out += "." + tail
+    if exponent > 0:
+        out += "+" + _b30_int_str(exponent)
+    return out
+
+
+def _shortest_b30(a: float) -> str:
+    """Shortest base-30 token that parses back to `a` bit-for-bit
+    under the reader's grammar (sources/por/reader.py _parse_base30).
+
+    Every candidate is VERIFIED through the actual parser before use,
+    so this only ever changes token length, never the value. Ladder:
+
+    1. the positional form with a 12/13-digit cut (integers and
+       terminating fractions exit here — the parser's left-to-right
+       fraction accumulation is only exact when the cut loses
+       nothing, so non-terminating fractions rarely verify short);
+    2. integer-mantissa × 30^±e ("M-e"/"M+e"): an ≤11-digit mantissa
+       parses exactly (float int-accumulation below 2^53) and the
+       single 30.0**e multiply is one rounding — candidates M0±1 at
+       two scales verify for almost every double, cutting the data
+       section ~4× vs the flat PRECISION=50 expansion;
+    3. the full exact expansion (always verifies: the fraction terms
+       replay the expansion's own digits)."""
+    from polars_readstat_spark.sources.por.reader import _parse_base30
+
+    if a == 0.0:
+        return "0"
+    for budget in (12, 13):
+        for rounded in (True, False):
+            tok = _render_b30(a, budget, rounded)
+            if tok is not None and _parse_base30(tok) == a:
+                return tok
+    full = _render_b30(a, PRECISION, False)
+    err_full = abs(_parse_base30(full) - a)
+
+    x, e = a, 0
+    lo, hi = 30.0**10, 30.0**11
+    while x < lo:
+        x *= 30.0
+        e += 1
+    while x >= hi:
+        x /= 30.0
+        e -= 1
+    m0 = round(x)
+    best_tok, best_err = None, None
+    for me in (m0, m0 - 1, m0 + 1, m0 - 2, m0 + 2):
+        if me <= 0:
+            continue
+        if e == 0:
+            tok = _b30_int_str(me)
+        elif e > 0:
+            tok = _b30_int_str(me) + "-" + _b30_int_str(e)
+        else:
+            tok = _b30_int_str(me) + "+" + _b30_int_str(-e)
+        err = abs(_parse_base30(tok) - a)
+        if err == 0.0:
+            return tok
+        if best_err is None or err < best_err:
+            best_tok, best_err = tok, err
+    if err_full == 0.0:
+        # exact long form exists; take the shortest budget that stays
+        # exact rather than the short-but-1ulp mantissa form
+        for budget in (20, 30):
+            tok = _render_b30(a, budget, False)
+            if tok is not None and _parse_base30(tok) == a:
+                return tok
+        return full
+    # nothing parses exactly (the reader's fraction accumulation is
+    # ~1 ulp lossy for such values — pre-existing format behavior):
+    # keep the short mantissa form when it reads back at least as
+    # close to the true value as the 50-digit expansion would
+    if best_err is not None and best_err <= err_full:
+        return best_tok
+    return full
 
 def _por_names(names: list[str]) -> list[str]:
     out, seen = [], set()

@@ -99,3 +99,148 @@ def test_fast_b30_bit_identical_to_reference_parser():
         checked += 1
         assert struct.pack("<d", _fast_b30(tok)) == struct.pack("<d", ref), tok
     assert checked > 10000
+
+
+# ── vectorized case-data parser (round 4) ──────────────────────────
+
+
+def _roundtrip_cols(spark, tmp_path, df, name):
+    import polars_readstat_spark as prs
+    from polars_readstat_spark.sources.por import reader as R
+
+    p = str(tmp_path / name)
+    prs.write_readstat(df, p)
+    meta, st = R.parse_por(p)
+    s = R._bulk_chars(st)
+    return meta, s
+
+
+def _assert_vec_equals_scalar(meta, s, expect_vec=True):
+    import numpy as np
+
+    from polars_readstat_spark.sources.por import reader as R
+
+    vec = R._read_cases_vectorized(meta, s)
+    if expect_vec:
+        assert vec is not None, "vectorized path unexpectedly declined"
+    sc = R._read_cases_scalar(meta, s)
+    if vec is None:
+        return
+    assert len(vec) == len(sc)
+    for j, (a, b) in enumerate(zip(vec, sc)):
+        if isinstance(a, np.ndarray):
+            bb = np.asarray(b, dtype=np.float64)
+            assert a.shape == bb.shape, (j, a.shape, bb.shape)
+            assert (a.view(np.uint64) == bb.view(np.uint64)).all(), j
+        else:
+            assert a == b, j
+
+
+def test_vectorized_matches_scalar_mixed(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = spark.range(3000).select(
+        F.col("id").cast("double").alias("a"),
+        (F.rand(11) * 1e6).alias("b"),
+        F.rand(13).alias("c"),
+        F.concat(F.lit("s"), (F.col("id") % 37).cast("string")).alias("s1"),
+        (F.col("id") % 97 / 10.0).alias("d"),
+    )
+    meta, s = _roundtrip_cols(spark, tmp_path, df, "mixed.por")
+    _assert_vec_equals_scalar(meta, s)
+
+
+def test_vectorized_matches_scalar_numeric_sysmis(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = spark.range(3000).select(
+        F.when(F.col("id") % 3 != 0, F.col("id").cast("double")).alias("a"),
+        F.when(F.col("id") % 5 != 0, F.rand(17)).alias("b"),
+        F.when(F.col("id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(-F.col("id").cast("double") / 7)
+        .alias("c"),
+    )
+    meta, s = _roundtrip_cols(spark, tmp_path, df, "sysmis.por")
+    _assert_vec_equals_scalar(meta, s)
+
+
+def test_vectorized_declines_strings_with_sysmis(spark, tmp_path):
+    """Strings + sysmis is the one ambiguous shape — the scalar walk
+    must take over (and stay correct end-to-end via the reader)."""
+    from pyspark.sql import functions as F
+
+    import polars_readstat_spark as prs
+    from polars_readstat_spark.sources.por import reader as R
+
+    df = spark.range(500).select(
+        F.when(F.col("id") % 3 != 0, F.col("id").cast("double")).alias("a"),
+        F.concat(F.lit("x"), (F.col("id") % 5).cast("string")).alias("s"),
+    )
+    p = str(tmp_path / "strsys.por")
+    prs.write_readstat(df, p)
+    meta, st = R.parse_por(p)
+    s = R._bulk_chars(st)
+    assert R._read_cases_vectorized(meta, s) is None
+    back = prs.read_readstat(spark, p)
+    assert len(back) == 500
+    assert back["A"].isna().sum() == len([i for i in range(500) if i % 3 == 0])
+
+
+def test_b30_batch_bit_identity_random_tokens():
+    import random
+
+    import numpy as np
+
+    from polars_readstat_spark.sources.por import reader as R
+
+    rng = random.Random(1234)
+    digits = "0123456789ABCDEFGHIJKLMNOPQRST"
+    toks = []
+    for _ in range(5000):
+        ip = "".join(rng.choice(digits) for _ in range(rng.randint(0, 13)))
+        fr = "".join(rng.choice(digits) for _ in range(rng.randint(0, 20)))
+        t = ip if rng.random() < 0.5 else ip + "." + fr
+        if rng.random() < 0.4:
+            e = rng.randint(1, 120)
+            es = ""
+            while e:
+                es = digits[e % 30] + es
+                e //= 30
+            t += rng.choice("+-") + es
+        if rng.random() < 0.3:
+            t = rng.choice("+-") + t
+        toks.append(t)
+    blob = "".join(tok + "/" for tok in toks)
+    u = np.frombuffer(blob.encode("latin-1"), np.uint8)
+    ends = np.flatnonzero(u == ord("/"))
+    starts = np.empty(ends.size, np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    vals, ok = R._b30_batch(u, starts, ends)
+    R._scalar_patch(blob, vals, starts, ends, ok)
+    ref = np.array([R._parse_base30(t) for t in toks])
+    same = vals.view(np.uint64) == ref.view(np.uint64)
+    same |= np.isnan(vals) & np.isnan(ref)
+    assert same.all()
+
+
+def test_shortest_b30_never_worse_than_full_expansion():
+    import random
+
+    from polars_readstat_spark.sources.por.reader import _parse_base30
+    from polars_readstat_spark.writers.por import (
+        PRECISION,
+        _render_b30,
+        _shortest_b30,
+    )
+
+    rng = random.Random(99)
+    cases = [0.0, 1.0, 0.5, 0.57, 1 / 3, 1e-300, 1e300, 5e-324, 2.0**53 + 1]
+    for _ in range(2000):
+        cases.append(rng.random())
+        cases.append(rng.random() * rng.choice([1e-9, 1e-3, 1e3, 1e12]))
+    for a in cases:
+        tok = _shortest_b30(a)
+        got = _parse_base30(tok)
+        full = _parse_base30(_render_b30(a, PRECISION, False))
+        assert abs(got - a) <= abs(full - a), (a, tok)
