@@ -1,8 +1,8 @@
 """Writers / sinks (SURVEY.md §2.7): Spark DataFrame → statistical
 file formats. Single-file formats with row-count headers ⇒ a pre-pass
 aggregation job (widths/counts/ranges) + a driver-side streaming
-assembly over toLocalIterator (the Spark translation of the
-reference's two-pass sink_stata, pybindings.rs:951-1096)."""
+assembly over Arrow chunks (iter_arrow_chunks — the Spark translation
+of the reference's two-pass sink_stata, pybindings.rs:951-1096)."""
 
 from __future__ import annotations
 
@@ -22,3 +22,46 @@ def ts_epoch_seconds(c: Column) -> Column:
         + F.second(c).cast("double")
         + F.date_format(c, "SSSSSS").cast("double") / 1e6
     )
+
+
+def iter_arrow_chunks(df, max_rows: int = 65536):
+    """Partition-ordered Arrow-chunk transport for driver-side sinks.
+
+    `toLocalIterator()` deserializes one pickled Row OBJECT per row on
+    the driver — the slowest possible transport for a bulk export.
+    Here each executor serializes its Arrow batches to IPC bytes
+    (`mapInArrow`, one binary cell per chunk ≤ max_rows), the driver
+    streams those few rows in partition order with bounded memory, and
+    each chunk deserializes back to a `pyarrow.RecordBatch` in one
+    C-level pass. Yields pandas DataFrames (the pack kernels consume
+    Series via .to_numpy / iteration) of ≤ max_rows rows.
+    """
+    import pyarrow as pa
+
+    schema_names = df.columns
+
+    def stage(batches):
+        import io
+
+        import pyarrow as _pa
+
+        for b in batches:
+            start = 0
+            while start < b.num_rows:
+                piece = b.slice(start, max_rows)
+                start += piece.num_rows
+                sink = io.BytesIO()
+                with _pa.ipc.new_stream(sink, piece.schema) as w:
+                    w.write_batch(piece)
+                yield _pa.RecordBatch.from_arrays(
+                    [_pa.array([sink.getvalue()], type=_pa.binary())],
+                    names=["chunk"],
+                )
+
+    staged = df.mapInArrow(stage, "chunk binary")
+    for row in staged.toLocalIterator(prefetchPartitions=True):
+        with pa.ipc.open_stream(row[0]) as reader:
+            for b in reader:
+                pdf = b.to_pandas()
+                pdf.columns = schema_names
+                yield pdf

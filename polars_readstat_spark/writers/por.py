@@ -5,17 +5,18 @@ Public spec (PSPP "Portable File Format"): 200-byte vanity header,
 records, base-30 encoded values wrapped at 80-column lines, 'Z'
 padding at EOF.
 
-Numbers are written sign + base-30 integer part + '.' fraction (up to
-50 base-30 digits) + optional '±exp' (trailing-zero compression for
-big integers, normalization for magnitudes < 1/30), '/'-terminated;
-'*.' for missing (same grammar our reader parses). Read-back is exact
-for short-mantissa values and within ~1 ulp for full-precision
-doubles — the reader accumulates digits in rounded float ops, the
-same approximation the C readstat/pyreadstat parsers make.
+Numbers are written as the shortest base-30 token that reads back
+faithfully (_shortest_b30: positional cut, integer-mantissa × 30^±e,
+or the full expansion — every candidate verified through the actual
+parser), '/'-terminated; '*.' for missing (same grammar our reader
+parses). Read-back is exact for ~86% of full-precision doubles and
+never less accurate than the flat 50-digit expansion, whose fraction
+accumulation is ~1 ulp lossy — the same approximation the C
+readstat/pyreadstat parsers make.
 
 POR is an eager, driver-assembled single file (the format is legacy
 interchange, not a data-plane format at scale); rows stream through
-`toLocalIterator()` so memory stays bounded.
+Arrow chunks (iter_arrow_chunks) so memory stays bounded.
 """
 
 from __future__ import annotations
@@ -368,11 +369,15 @@ def write_por(
                 w.write("C")
                 w.string(label[:255])
         w.write("F")
-        for row in src.toLocalIterator(prefetchPartitions=True):
-            for i, k in enumerate(kinds):
-                v = row[i]
-                if k == "str":
-                    w.string(v if v is not None else "")
-                else:
-                    w.double(v)
+        from polars_readstat_spark.writers import iter_arrow_chunks
+
+        for pdf in iter_arrow_chunks(src, 65536):
+            lists = [pdf.iloc[:, i].tolist() for i in range(pdf.shape[1])]
+            for r in range(pdf.shape[0]):
+                for i, k in enumerate(kinds):
+                    v = lists[i][r]
+                    if k == "str":
+                        w.string(v if v is not None else "")
+                    else:
+                        w.double(v)
         w.finish()

@@ -664,8 +664,8 @@ def write_sas7bdat(
 
     Same two-phase shape as the other single-file writers: one
     pre-pass aggregation resolves string widths, then a
-    partition-ordered ``toLocalIterator`` stream packs vectorized
-    batches onto DATA pages. Use ``write_sas7bdat_partitioned`` for
+    partition-ordered Arrow-chunk stream (iter_arrow_chunks) packs
+    vectorized batches onto DATA pages. Use ``write_sas7bdat_partitioned`` for
     the distributed bulk-export path.
     """
     variable_labels = variable_labels or {}
@@ -704,22 +704,14 @@ def write_sas7bdat(
             for ci in range(ncols)
         ]
 
+    from polars_readstat_spark.writers import iter_arrow_chunks
+
     with open(path, "wb") as fh:
         sink = _SasFileSink(
             fh, fields, names, kinds, widths, dataset_name,
             variable_labels, page_length, compress,
         )
-        batch: list = []
-
-        def flush():
-            cols = list(zip(*batch))
+        for pdf in iter_arrow_chunks(src, 8192):
+            cols = [pdf.iloc[:, i] for i in range(pdf.shape[1])]
             sink.write_batch(cols[:ncols], tags_for(cols))
-            batch.clear()
-
-        for row in src.toLocalIterator(prefetchPartitions=True):
-            batch.append(tuple(row))
-            if len(batch) >= 8192:
-                flush()
-        if batch:
-            flush()
         sink.close()

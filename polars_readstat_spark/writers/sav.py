@@ -5,7 +5,7 @@ sink pre-pass, pybindings.rs:996-1047):
 
 1. **Pre-pass job**: per-string-column max UTF-8 byte width + row
    count (one Spark aggregation).
-2. **Stream**: `toLocalIterator()` in partition order; each batch is
+2. **Stream**: Arrow chunks in partition order; each batch is
    packed into the fixed-width 8-byte-element case layout with numpy
    (vectorized; no per-value Python in the numeric path).
 
@@ -152,23 +152,15 @@ def write_sav(
     with open(path, "wb") as fh:
         fh.write(bytes(out))
         sink = _ZlibSink(fh, len(out)) if zsav else fh
-        batch: list = []
+        from polars_readstat_spark.writers import iter_arrow_chunks
 
-        def flush():
-            if not batch:
-                return
+        for pdf in iter_arrow_chunks(src, 8192):
             sink.write(
                 _pack_columns(
-                    list(zip(*batch)), kinds, widths, el_per, case_size
+                    [pdf.iloc[:, i] for i in range(pdf.shape[1])],
+                    kinds, widths, el_per, case_size,
                 )
             )
-            batch.clear()
-
-        for row in src.toLocalIterator(prefetchPartitions=True):
-            batch.append(tuple(row))
-            if len(batch) >= 8192:
-                flush()
-        flush()
         if zsav:
             sink.close()
 

@@ -7,7 +7,7 @@ System/370 hexadecimal floats, blank-padded to 80-byte boundaries.
 
 Same two-phase Spark shape as the other writers: a pre-pass
 aggregation for string widths + row count, then a partition-ordered
-`toLocalIterator()` stream packed vectorized per batch. IEEE→IBM is
+Arrow-chunk stream packed vectorized per batch. IEEE→IBM is
 exact (56-bit hex mantissa ⊇ 53-bit IEEE) and fully numpy-vectorized.
 
 Reference parity: src/sas/xpt_writer.rs (v5 limits: 8-char upper-case
@@ -164,28 +164,18 @@ def write_xpt(
                for i, c in enumerate(ind_names)],
     )
 
+    from polars_readstat_spark.writers import iter_arrow_chunks
+
     with open(path, "wb") as fh:
         fh.write(bytes(out))
         total = 0
-        batch: list = []
-
-        def flush():
-            nonlocal total
-            if not batch:
-                return
-            cols = list(zip(*batch))
+        for pdf in iter_arrow_chunks(src, 8192):
+            cols = [pdf.iloc[:, i] for i in range(pdf.shape[1])]
             raw = _pack_xpt(
                 cols[:ncols], kinds, widths, record_width, tags_for(cols)
             )
             fh.write(raw)
             total += len(raw)
-            batch.clear()
-
-        for row in src.toLocalIterator(prefetchPartitions=True):
-            batch.append(tuple(row))
-            if len(batch) >= 8192:
-                flush()
-        flush()
         fh.write(b" " * ((-total) % 80))
 
 
