@@ -254,13 +254,20 @@ class ReadstatDataSource(DataSource):
                         "multi-file reads use DataFrame ops "
                         "(df.limit/offset/row_number) instead"
                     )
-            readers = []
-            for p in paths:
+            # each reader's __init__ parses that file's dictionary —
+            # serial at 10^4 files means 10^4 sequential header reads
+            # on the driver, so plan with a bounded thread pool
+            # (header parses release the GIL in file I/O; order is
+            # preserved by executor.map)
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _mk(p):
                 opts = dict(self.options)
                 opts["path"] = p
-                readers.append(
-                    ReadstatDataSource(opts)._reader_uncompressed(schema)
-                )
+                return ReadstatDataSource(opts)._reader_uncompressed(schema)
+
+            with ThreadPoolExecutor(min(16, max(2, len(paths)))) as ex:
+                readers = list(ex.map(_mk, paths))
             base = MultiFileReader(
                 readers, paths, self.options.get("path_column")
             )

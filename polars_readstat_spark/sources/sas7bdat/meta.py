@@ -58,17 +58,35 @@ for sig32, sig64s, kind in [
     for s in sig64s:
         _SIGS[s] = kind
 
+# SAS encoding byte → Python codec, covering every code the reference
+# maps (src/sas/encoding.rs:4-83). Where CPython lacks the exact codec
+# the closest superset is used (the same concession encoding_rs makes:
+# it folds US-ASCII and ISO-8859-1 into WINDOWS-1252): CP921≈ISO-8859-13,
+# CP922≈latin1+Š/Ž→latin1, CP1129≈CP1258 (Vietnamese), CP942≈CP932,
+# CP1381≈GB2312 family→GB18030 superset, EUC-TW→BIG5 fallback,
+# Mac Hebrew/Thai/Ukraine → the generic mac_roman/mac_cyrillic bases.
 ENCODINGS = {
-    20: "utf-8", 29: "latin1", 30: "latin2", 31: "latin3", 32: "latin4",
+    20: "utf-8", 28: "cp1252", 29: "latin1", 30: "latin2", 31: "latin3",
+    32: "latin4",
     33: "cyrillic", 34: "arabic", 35: "greek", 36: "hebrew", 37: "latin5",
     38: "latin6", 39: "cp874", 40: "latin9", 41: "cp437", 42: "cp850",
     43: "cp852", 44: "cp857", 45: "cp858", 46: "cp862", 47: "cp864",
-    48: "cp865", 49: "cp866", 50: "cp869", 51: "cp874", 55: "cp720",
+    48: "cp865", 49: "cp866", 50: "cp869", 51: "cp874",
+    52: "iso8859_13", 53: "latin1", 54: "cp1258", 55: "cp720",
     56: "cp737", 57: "cp775", 58: "cp860", 59: "cp863", 60: "cp1250",
     61: "cp1251", 62: "cp1252", 63: "cp1253", 64: "cp1254", 65: "cp1255",
-    66: "cp1256", 67: "cp1257", 68: "cp1258", 118: "cp950", 123: "big5",
-    125: "gb2312", 126: "cp936", 134: "euc_jp", 136: "cp932",
-    138: "shift_jis", 140: "euc-kr", 141: "cp949", 227: "latin8",
+    66: "cp1256", 67: "cp1257", 68: "cp1258",
+    69: "mac_roman", 70: "mac_arabic", 71: "mac_roman", 72: "mac_greek",
+    73: "mac_roman", 75: "mac_turkish", 76: "mac_cyrillic",
+    118: "cp950", 119: "big5", 123: "big5hkscs",
+    125: "gb18030", 126: "cp936", 128: "gb18030", 134: "euc_jp",
+    136: "cp949", 137: "cp932", 138: "cp932",
+    140: "euc-kr", 141: "cp949", 142: "cp949",
+    163: "mac_iceland", 167: "iso2022_jp", 168: "iso2022_kr",
+    169: "iso2022_jp", 172: "iso2022_jp",
+    205: "gb18030", 227: "latin8", 242: "iso8859_13",
+    245: "mac_croatian", 246: "mac_cyrillic", 247: "mac_romanian",
+    248: "shift_jis_2004",
 }
 
 DATE_FORMATS = frozenset(

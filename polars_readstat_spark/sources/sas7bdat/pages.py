@@ -171,11 +171,24 @@ def rle_decompress_rows(
         if (kind == 9).any():
             bad = int(cmd[kind == 9][0])
             raise ValueError(f"unknown RLE command {bad:#x}")
-        ln = (ctrl & 0x0F).astype(np.int64)
-        # next byte after ctrl, clamped (only used where the command
-        # defines it; clamping keeps corrupt input from faulting)
-        nb = buf[np.minimum(ip + 1, nb_total - 1)].astype(np.int64)
         hdr = LONG[cmd]  # count byte between ctrl and payload
+        # a stream that ends inside the command header (or at a fill
+        # byte) retires with its remaining output zero-filled — the
+        # scalar walk stops at i == n; without this, the clamped
+        # neighbor gathers below could read another row's bytes on
+        # corrupt input
+        alive = ip + 1 + hdr + (kind == 1) <= iend
+        if not alive.all():
+            ip, iend, op, oend = ip[alive], iend[alive], op[alive], oend[alive]
+            ctrl, cmd, kind, hdr = (
+                ctrl[alive], cmd[alive], kind[alive], hdr[alive]
+            )
+            if not ip.size:
+                break
+        ln = (ctrl & 0x0F).astype(np.int64)
+        # count byte after ctrl (in-span where used: hdr==1 implies
+        # ip+2 <= iend via the aliveness filter above)
+        nb = buf[np.minimum(ip + 1, nb_total - 1)].astype(np.int64)
         cnt = (ln << (hdr << 3)) + nb * hdr + ADD[cmd]
         # defensive per-row clip (scalar version truncates at the end);
         # the floor at 0 covers rows whose logical cursor already ran
@@ -184,7 +197,11 @@ def rle_decompress_rows(
 
         m = kind == 0
         if m.any():
-            scatter_copy(op[m], (ip + 1 + hdr)[m], eff[m])
+            # copy payloads clip to the row's own span too, so an
+            # over-long count degrades to zero-fill instead of
+            # copying a neighboring subheader's bytes
+            avail = np.maximum(iend - (ip + 1 + hdr), 0)
+            scatter_copy(op[m], (ip + 1 + hdr)[m], np.minimum(eff, avail)[m])
         m = kind == 1
         if m.any():
             fv = buf[np.minimum((ip + 1 + hdr)[m], nb_total - 1)]
@@ -345,7 +362,15 @@ def rdc_decompress_rows(
                     + is_lpat * (b2 + 16)
                     + is_spat * cmd
                 )
+                # a stream ending at/inside this command (e.g. it
+                # stops right after the control word, ip == iend)
+                # retires with zero-fill like the scalar i==n exit —
+                # otherwise the clamped gathers above hold a
+                # neighbor's bytes and would scatter garbage fills
+                adv = 1 + is_srle + 2 * is_lrle + 2 * is_lpat + is_spat
+                alive = p + adv <= iend[s2]
                 eff = np.maximum(np.minimum(cnt, oend[s2] - op[s2]), 0)
+                eff = np.where(alive, eff, 0)
 
                 mm = is_srle
                 if mm.any():
@@ -364,8 +389,8 @@ def rdc_decompress_rows(
                     e2 = np.where(ok2, eff[mm], 0)
                     scatter_lz(op[s2][mm], ofs, e2)
 
-                ip[s2] = p + 1 + is_srle + 2 * is_lrle + 2 * is_lpat + is_spat
-                op[s2] += cnt
+                ip[s2] = np.where(alive, p + adv, iend[s2])
+                op[s2] += np.where(alive, cnt, 0)
                 nbits[s2] -= 1
 
         keep = ip < iend

@@ -47,3 +47,59 @@ def test_unknown_extension_rejected(spark):
     with pytest.raises(Exception) as ei:
         spark.read.format("readstat").load("/tmp/nope.xyz").collect()
     assert "xyz" in str(ei.value) or "extension" in str(ei.value).lower() or "No such file" in str(ei.value)
+
+
+# ── corrupt compressed-row streams: the wavefront decompressors must
+# degrade to zero-fill within the row's own span, never read bytes
+# from neighboring subheaders (the scalar walks operate on a sliced
+# row buffer and cannot) ─────────────────────────────────────────────
+
+
+def test_rle_overlong_copy_does_not_read_neighbor_bytes():
+    import numpy as np
+
+    from polars_readstat_spark.sources.sas7bdat.pages import (
+        rle_decompress,
+        rle_decompress_rows,
+    )
+
+    # copy64 claiming 64+2 bytes with only 4 payload bytes in-span;
+    # the page continues with a neighbor's 0xAB bytes
+    span = bytes([0x00, 0x02]) + b"ABCD"
+    page = span + b"\xab" * 80
+    row_length = 80
+    mat = rle_decompress_rows(page, [(0, len(span))], row_length)
+    got = mat[0].tobytes()
+    scalar = rle_decompress(span, row_length)
+    want = scalar.ljust(row_length, b"\x00")[:row_length]
+    assert got == want
+    assert b"\xab" not in got
+
+
+def test_rle_stream_ending_inside_header_zero_fills():
+    from polars_readstat_spark.sources.sas7bdat.pages import (
+        rle_decompress_rows,
+    )
+
+    # long-form ctrl byte with no count byte; neighbor bytes follow
+    span = b"\x81XY" + bytes([0x40])  # literal 'XY', then bare ctrl
+    page = span + b"\xcd" * 40
+    mat = rle_decompress_rows(page, [(0, len(span))], 20)
+    got = mat[0].tobytes()
+    assert got == b"XY" + b"\x00" * 18
+
+
+def test_rdc_stream_ending_after_control_word_zero_fills():
+    from polars_readstat_spark.sources.sas7bdat.pages import (
+        rdc_decompress,
+        rdc_decompress_rows,
+    )
+
+    # nonzero control word announcing a command, then nothing — the
+    # scalar loop exits at i == n with an empty output
+    span = b"\x80\x00"
+    page = span + b"\xee" * 64
+    mat = rdc_decompress_rows(page, [(0, len(span))], 32)
+    got = mat[0].tobytes()
+    assert got == rdc_decompress(span, 32).ljust(32, b"\x00")
+    assert b"\xee" not in got

@@ -85,3 +85,25 @@ def test_multifile_aggregate_pushes_through(spark, dta_farm):
     got = df.agg(F.sum("id").alias("s"), F.avg("v").alias("a")).collect()[0]
     assert got.s == sum(range(400))
     assert abs(got.a - sum(i * 1.5 for i in range(400)) / 400) < 1e-9
+
+
+def test_multifile_planning_parallel_500_files(spark, dta_farm, tmp_path):
+    """Driver-side planning parses file dictionaries with a bounded
+    thread pool: 500 copies of one file must plan far faster than 500
+    serial parses would (each parse is an open+header read; the wall
+    bound below fails if planning regresses to serial I/O at, say,
+    >4 ms/file), and the union must still read every row exactly."""
+    import shutil
+    import time
+
+    src = os.path.join(dta_farm, "part0.dta")
+    d = tmp_path / "farm500"
+    d.mkdir()
+    for i in range(500):
+        shutil.copy(src, d / f"f{i:03d}.dta")
+
+    t0 = time.time()
+    df = spark.read.format("readstat").load(str(d))
+    planned = time.time() - t0
+    assert planned < 2.0, f"planning 500 files took {planned:.2f}s"
+    assert df.count() == 500 * 100

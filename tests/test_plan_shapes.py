@@ -354,9 +354,14 @@ def test_q15_max_is_broadcast_not_global_window(spark):
 
 def test_q2_window_is_partitioned_by_part(spark):
     plan = plan_of(spark, "q2_min_cost_supplier")
+    # partitioned window (per part), not the single-partition variant:
+    # the formatted plan prints the Window operator's spec as
+    # "windowspecdefinition(<partition cols>, <frame>)" — it must be
+    # keyed by the part key, and a key-less single-partition window
+    # ("windowspecdefinition(specifiedwindowframe...") must not appear
     assert "Window" in plan
-    # partitioned window (per part), not the single-partition variant
-    assert "partitionBy" not in plan or "p_partkey" in plan
+    assert "windowspecdefinition(p_partkey" in plan, plan
+    assert "windowspecdefinition(specifiedwindowframe" not in plan
 
 
 def test_decontaminate_broadcasts_eval_grams(spark):

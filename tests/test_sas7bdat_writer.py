@@ -450,7 +450,7 @@ def test_rle_wavefront_matches_scalar_decompressor(spark, tmp_path):
             for i, (o, ln) in enumerate(spans):
                 assert mat[i].tobytes() == rle_decompress(page[o : o + ln], rl)
                 n_checked += 1
-    assert n_checked >= 10  # the fixture's full compressed-row count0  # the writer actually compressed rows
+    assert n_checked >= 10  # the writer actually produced compressed rows
 
 
 def test_rdc_encoder_property_vs_decoder():

@@ -222,3 +222,54 @@ def test_compressed_slicing_stays_serial_and_exact(spark):
         .collect()
     )
     assert [tuple(r) for r in sliced] == [tuple(r) for r in full[10:15]]
+
+
+def test_encoding_table_covers_reference_codes():
+    """Every SAS encoding byte the reference maps
+    (src/sas/encoding.rs:4-83) resolves to a real Python codec here;
+    unknown bytes fall back to cp1252 like the reference's default."""
+    import codecs
+
+    from polars_readstat_spark.sources.sas7bdat.meta import ENCODINGS
+
+    reference_codes = [
+        20, 28, 29, 30, 31, 32, 33, 34, 35, 36, 37, 39, 40,
+        41, 42, 43, 44, 45, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55,
+        56, 57, 58, 59, 60, 61, 62, 63, 64, 65, 66, 67, 68,
+        69, 70, 71, 72, 73, 75, 76,
+        118, 119, 123, 125, 126, 128, 134, 136, 137, 138, 140, 141, 142,
+        163, 167, 168, 169, 172, 205, 227, 242, 245, 246, 247, 248,
+    ]
+    missing = [c for c in reference_codes if c not in ENCODINGS]
+    assert not missing, f"unmapped SAS encoding bytes: {missing}"
+    for code, name in ENCODINGS.items():
+        codecs.lookup(name)  # raises LookupError on a bogus codec
+
+
+def test_encoding_byte_decodes_bytes(tmp_path, spark):
+    """Patch the header encoding byte of a written file and confirm
+    the scan decodes a codepage-specific byte accordingly (cp1251
+    Cyrillic and mac_roman here — one SBCS from each new family)."""
+    import polars_readstat_spark as prs
+    from polars_readstat_spark.sources.sas7bdat.meta import parse_sas_meta
+
+    df = spark.createDataFrame([("abc",)], "s string")
+    p = str(tmp_path / "enc.sas7bdat")
+    prs.write_readstat(df, p)
+    meta = parse_sas_meta(p)
+    off = None
+    with open(p, "rb") as f:
+        head = bytearray(f.read(1024))
+    # the writer emits encoding byte 20 (utf-8) at header offset 70
+    assert head[70] == 20
+    for code, codec, raw, want in [
+        (61, "cp1251", b"\xc4", "Д"),   # cp1251 'Д'
+        (69, "mac_roman", b"\x8e", "é"),  # mac-roman 'é'
+        (246, "mac_cyrillic", b"\x80", "А"),  # 'А'
+    ]:
+        with open(p, "r+b") as f:
+            f.seek(70)
+            f.write(bytes([code]))
+        m2 = parse_sas_meta(p)
+        assert m2.encoding == codec
+        assert raw.decode(m2.encoding) == want
