@@ -205,7 +205,34 @@ def _rec_dtype(cols) -> np.dtype:
     return np.dtype(dtype_fields)
 
 
-def _pack_batch(cols, rec_dtype, pdf, row_start: int, strls_buf: bytearray) -> bytes:
+def _apply_tags(rec_field, kind, offs) -> None:
+    """Overwrite tagged rows with Stata's .a-.z sentinel for the
+    column's storage type (the exact inverse of decode_numeric,
+    sources/dta/decode.py:57-97): integers add the offset to the
+    missing base, float/double add it at the tag bit position."""
+    from polars_readstat_spark.writers.tagged import NO_TAG
+
+    tagged = offs != NO_TAG
+    if not tagged.any():
+        return
+    off = offs[tagged].astype(np.int64)
+    if kind in ("byte", "int", "long", "date"):
+        base = _MISS["long"] if kind == "date" else _MISS[kind]
+        rec_field[tagged] = (base + off).astype(rec_field.dtype)
+    elif kind == "float":
+        rec_field.view("<u4")[tagged] = (
+            _FLOAT_MISS_BITS + (off << 11)
+        ).astype("<u4")
+    else:  # double, datetime
+        rec_field.view("<u8")[tagged] = (
+            _DOUBLE_MISS_BITS + (off << 40)
+        ).astype("<u8")
+
+
+def _pack_batch(
+    cols, rec_dtype, pdf, row_start: int, strls_buf: bytearray,
+    tag_offsets: dict | None = None,
+) -> bytes:
     n = len(pdf)
     rec = np.zeros(n, dtype=rec_dtype)
     for i, (name, kind, w, fmt) in enumerate(cols):
@@ -336,11 +363,19 @@ def _pack_batch(cols, rec_dtype, pdf, row_start: int, strls_buf: bytearray) -> b
             if nulls.any():
                 v.view("<u8")[nulls] = _DOUBLE_MISS_BITS
             rec[f"f{i}"] = v
+        if tag_offsets and name in tag_offsets:
+            _apply_tags(rec[f"f{i}"], kind, tag_offsets[name])
     return rec.tobytes()
 
 
-def _pack_stream(cols, pdf_iter) -> tuple[bytearray, bytearray, int]:
-    """Pack an iterator of pandas batches → (data, strls, n_rows)."""
+def _pack_stream(
+    cols, pdf_iter, tagged_missing: dict | None = None
+) -> tuple[bytearray, bytearray, int]:
+    """Pack an iterator of pandas batches → (data, strls, n_rows).
+    tagged_missing: value column → indicator column (both must be in
+    each batch; the indicator column is consumed, not packed)."""
+    from polars_readstat_spark.writers.tagged import parse_tag_offsets
+
     rec_dtype = _rec_dtype(cols)
     data = bytearray()
     strls = bytearray()
@@ -348,7 +383,19 @@ def _pack_stream(cols, pdf_iter) -> tuple[bytearray, bytearray, int]:
     for pdf in pdf_iter:
         if len(pdf) == 0:
             continue
-        data += _pack_batch(cols, rec_dtype, pdf, pos, strls)
+        tag_offsets = None
+        if tagged_missing:
+            tag_offsets = {
+                vcol: parse_tag_offsets(pdf[icol].tolist())
+                for vcol, icol in tagged_missing.items()
+            }
+            for offs in tag_offsets.values():
+                if (offs == 27).any():
+                    raise ValueError(
+                        "tagged_missing: Stata has no '._' tag "
+                        "(only '.' and '.a'-'.z')"
+                    )
+        data += _pack_batch(cols, rec_dtype, pdf, pos, strls, tag_offsets)
         pos += len(pdf)
     return data, strls, pos
 
@@ -473,36 +520,38 @@ def write_dta(
     data_label: str = "",
     variable_labels: dict[str, str] | None = None,
     value_labels: dict[str, dict[int, str]] | None = None,
+    tagged_missing: dict[str, str] | None = None,
 ) -> None:
     variable_labels = variable_labels or {}
     value_labels = value_labels or {}
+    tagged_missing = dict(tagged_missing or {})
 
-    plan, aggs = _plan_columns(df)
+    ind_names = list(dict.fromkeys(tagged_missing.values()))
+    data_df = df.drop(*ind_names) if ind_names else df
+    plan, aggs = _plan_columns(data_df)
     stats = df.agg(*aggs).collect()[0].asDict()
     cols = _finalize_cols(plan, stats)
+    kinds_by_name = {c[0]: c[1] for c in cols}
+    for vcol, icol in tagged_missing.items():
+        if kinds_by_name.get(vcol) in (None, "str", "strl"):
+            raise ValueError(
+                f"tagged_missing: {vcol!r} is not a numeric data column"
+            )
+        if icol not in df.columns:
+            raise ValueError(
+                f"tagged_missing: indicator column {icol!r} not in DataFrame"
+            )
 
-    # pull partitions in order; bounded memory (reference W2 pattern)
-    import pandas as pd
+    # pull partitions in order as Arrow chunks; bounded memory
+    # (reference W2 pattern)
+    from polars_readstat_spark.writers import iter_arrow_chunks
 
     names = [c[0] for c in cols]
-    batches = map(
-        lambda rows: pd.DataFrame([r.asDict() for r in rows], columns=names),
-        _batched(df.select(*names).toLocalIterator(), 65536),
-    )
-    data, strls, n_rows = _pack_stream(cols, batches)
+    batches = iter_arrow_chunks(df.select(*names, *ind_names), 65536)
+    data, strls, n_rows = _pack_stream(cols, batches, tagged_missing)
     out = _assemble_dta(
         cols, data, strls, n_rows, data_label, variable_labels, value_labels
     )
     with open(path, "wb") as f:
         f.write(out)
 
-
-def _batched(it, n):
-    batch = []
-    for r in it:
-        batch.append(r)
-        if len(batch) >= n:
-            yield batch
-            batch = []
-    if batch:
-        yield batch

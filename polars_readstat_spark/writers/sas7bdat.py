@@ -670,7 +670,7 @@ def write_sas7bdat(
     """
     variable_labels = variable_labels or {}
     tagged_missing = dict(tagged_missing or {})
-    ind_names = list(tagged_missing.values())
+    ind_names = list(dict.fromkeys(tagged_missing.values()))
     data_df = df.drop(*ind_names) if ind_names else df
     fields, names, kinds, aggs = _sas_columns(data_df)
     for vcol, icol in tagged_missing.items():

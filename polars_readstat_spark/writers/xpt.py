@@ -126,7 +126,7 @@ def write_xpt(
         raise ValueError("write_xpt: version must be 5 or 8")
     variable_labels = variable_labels or {}
     tagged_missing = dict(tagged_missing or {})
-    ind_names = list(tagged_missing.values())
+    ind_names = list(dict.fromkeys(tagged_missing.values()))
     data_df = df.drop(*ind_names) if ind_names else df
     fields, names, shorts, kinds, aggs = _xpt_columns(data_df)
     for vcol, icol in tagged_missing.items():

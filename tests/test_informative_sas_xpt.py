@@ -237,3 +237,62 @@ def test_xpt_missing_offsets_unit():
     b0 = np.array([0x2E, ord("A"), ord("Z"), ord("_"), 0x41], dtype=np.int64)
     mask = np.array([True, True, True, True, False])
     assert xpt_missing_offsets(b0, mask).tolist() == [0, 1, 26, 27, 0]
+
+
+# ── Stata write-side tags (round 4): every numeric storage kind ───
+
+
+def test_dta_tagged_write_scan_roundtrip(spark, tmp_path):
+    import polars_readstat_spark as prs
+    from pyspark.sql import functions as F
+
+    df = spark.range(60).select(
+        F.col("id").cast("int").alias("rowid"),
+        F.when(F.col("id") % 3 == 0, (F.col("id") % 100).cast("tinyint"))
+        .alias("b"),
+        F.when(F.col("id") % 3 == 0, F.col("id").cast("bigint") * 100000)
+        .alias("l"),
+        F.when(F.col("id") % 3 == 0, F.col("id") * 1.25).alias("d"),
+        F.when(
+            F.col("id") % 3 != 0,
+            F.concat(
+                F.lit("."),
+                F.char((F.lit(97) + F.col("id") % 26).cast("int")),
+            ),
+        ).alias("tag"),
+    )
+    p = str(tmp_path / "tagged.dta")
+    prs.write_readstat(
+        df, p, tagged_missing={"b": "tag", "l": "tag", "d": "tag"}
+    )
+    back = (
+        spark.read.format("readstat")
+        .option("informative_nulls", "separate")
+        .load(p)
+        .orderBy("rowid")
+        .collect()
+    )
+    exp = df.orderBy("rowid").collect()
+    assert len(back) == 60
+    for b, e in zip(back, exp):
+        for c in ("b", "l", "d"):
+            if e["tag"] is None:
+                assert b[c] == e[c]
+                assert b[f"{c}_null"] is None
+            else:
+                assert b[c] is None
+                assert b[f"{c}_null"] == e["tag"]
+
+
+def test_dta_tagged_rejects_underscore(spark, tmp_path):
+    import polars_readstat_spark as prs
+    from pyspark.sql import functions as F
+
+    df = spark.range(5).select(
+        F.col("id").cast("double").alias("x"),
+        F.lit("._").alias("t"),
+    )
+    with pytest.raises(ValueError, match="no '._' tag"):
+        prs.write_readstat(
+            df, str(tmp_path / "bad.dta"), tagged_missing={"x": "t"}
+        )
