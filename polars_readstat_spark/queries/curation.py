@@ -215,3 +215,104 @@ def source_mixing_weights(spark, sf_dir):
         .join(F.broadcast(chars), "source")
         .select("source", "n_docs", "n_chars", "mix_weight")
     )
+
+
+@query(
+    "curation_funnel_stage_counts",
+    oracle="""
+    WITH s0 AS (SELECT doc_id, text, lang, n_chars FROM documents),
+    s1 AS (SELECT * FROM s0 WHERE lang = 'en'),
+    s2 AS (
+      SELECT * FROM s1
+      WHERE n_chars BETWEEN 64 AND 100000
+        AND (' ' || text || ' ') LIKE '% the %'
+    ),
+    s3 AS (
+      SELECT * FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY MD5(text)
+                                  ORDER BY doc_id) AS rn
+        FROM s2
+      ) WHERE rn = 1
+    )
+    SELECT * FROM (VALUES
+      (0, 'ingested'), (1, 'lang_en'), (2, 'quality'), (3, 'exact_dedup')
+    ) stages(stage, stage_name)
+    JOIN (
+      SELECT 0 AS stage, COUNT(*) AS n_docs FROM s0
+      UNION ALL SELECT 1, COUNT(*) FROM s1
+      UNION ALL SELECT 2, COUNT(*) FROM s2
+      UNION ALL SELECT 3, COUNT(*) FROM s3
+    ) counts USING (stage)
+    ORDER BY stage
+    """,
+)
+def curation_funnel_stage_counts(spark, sf_dir):
+    """End-to-end curation funnel: per-stage survivor counts for the
+    canonical pre-train chain (ingest → language gate → rule-based
+    quality gate → exact dedup keep-first). The operational dashboard
+    query every corpus pipeline runs after each build.
+
+    Shape at 100 TB: stages compose as narrow filters over one corpus
+    scan (no stage materializes), the dedup stage is the same
+    one-shuffle MD5 keep-first as dedup_keep_first_records, and the
+    four counts partial-aggregate map-side. MD5 and the LIKE-based
+    stopword probe are engine-portable, so both engines agree
+    exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    s1 = d.filter(F.col("lang") == "en")
+    s2 = s1.filter(
+        F.col("n_chars").between(64, 100000)
+        & F.concat(F.lit(" "), F.col("text"), F.lit(" ")).like("% the %")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    s3 = s2.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    stages = [
+        (0, "ingested", d),
+        (1, "lang_en", s1),
+        (2, "quality", s2),
+        (3, "exact_dedup", s3),
+    ]
+    counted = None
+    for stage, name, frame in stages:
+        c = frame.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(stage).cast("int").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.col("n_docs").cast("bigint"),
+        )
+        counted = c if counted is None else counted.unionAll(c)
+    return counted
+
+
+@query(
+    "sequence_length_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(LOG2(GREATEST(LEN(STRING_SPLIT(text, ' ')), 1)))
+                AS BIGINT) AS len_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT))
+                AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def sequence_length_histogram(spark, sf_dir):
+    """Token-length distribution in power-of-two buckets — the
+    planning input for context-length choice and packing efficiency
+    (what fraction of documents fragment at 2k/8k/128k contexts).
+    Whitespace token counts keep the oracle engine-portable; the
+    log2 bucket is exact integer-valued for the bucket boundaries in
+    play. One scan, partial-aggregated on ≤40 bucket keys."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " ")).cast("bigint")
+    bucket = F.floor(F.log2(F.greatest(ntok, F.lit(1)))).cast("bigint")
+    return (
+        d.select(bucket.alias("len_bucket"), ntok.alias("nt"))
+        .groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("total_tokens"),
+        )
+    )

@@ -54,6 +54,9 @@ _PRIORITY: tuple[str, ...] = (
     # green row in the r01∪r02∪r03 union.
     "scan_sas7bdat_informative_nulls",
     "scan_xpt_informative_nulls",
+    "scan_dta_tagged_missing",
+    "curation_funnel_stage_counts",
+    "sequence_length_histogram",
     "q22_idle_customer_balance",
     "decontaminate_ngram_overlap",
     "sequence_packing_bins",

@@ -596,3 +596,70 @@ def scan_xpt_informative_nulls(spark, sf_dir):
         F.col("L_QUANTI").cast("double").alias("l_quantity"),
         F.col("L_QUANTI_null").alias("l_quantity_null"),
     )
+
+
+def ensure_tagged_dta(spark, sf_dir: str) -> str:
+    """Stata twin of ensure_tagged_file: letters only (Stata has no
+    '._'), lowercase '.a'-'.z' cycling by l_orderkey where % 7 == 0."""
+    import polars_readstat_spark as prs
+
+    d = _cache_dir(sf_dir)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "lineitem_tagged.dta")
+    if os.path.exists(path):
+        return path
+    src = (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("double").alias("l_quantity"),
+            F.when(
+                F.col("l_orderkey") % 7 == 0,
+                F.concat(
+                    F.lit("."),
+                    F.char((F.lit(97) + F.col("l_orderkey") % 26).cast("int")),
+                ),
+            ).alias("q_tag"),
+        )
+    )
+    tmp = os.path.join(d, f".tmp{os.getpid()}.lineitem_tagged.dta")
+    prs.write_readstat(src, tmp, tagged_missing={"l_quantity": "q_tag"})
+    os.replace(tmp, path)
+    return path
+
+
+@query(
+    "scan_dta_tagged_missing",
+    oracle="""
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           CASE WHEN l_orderkey % 7 != 0
+                THEN CAST(l_quantity AS DOUBLE) END AS l_quantity,
+           CASE WHEN l_orderkey % 7 = 0
+                THEN '.' || chr(CAST(97 + l_orderkey % 26 AS INT))
+           END AS l_quantity_null
+    FROM lineitem
+    """,
+)
+def scan_dta_tagged_missing(spark, sf_dir):
+    """Stata write→scan tagged-missing roundtrip: '.a'-'.z' written
+    into the double sentinel range (0x7fe0… + tag<<40, the inverse of
+    decode_numeric) come back through informative_nulls=separate; the
+    oracle re-derives tag letters from the parquet source in SQL."""
+    path = ensure_tagged_dta(spark, sf_dir)
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    df = (
+        spark.read.format("readstat")
+        .option("informative_nulls", "separate")
+        .option("informative_null_columns", "l_quantity")
+        .load(path)
+    )
+    return df.select(
+        F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_quantity_null").alias("l_quantity_null"),
+    )
