@@ -42,6 +42,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from polars_readstat_spark.writers import ts_epoch_seconds
+from polars_readstat_spark.writers.tagged import (
+    NO_TAG as _TAG_NONE,
+    parse_tag_offsets as _parse_tag_offsets,
+    sas7bdat_tag_rows as _sas7bdat_tag_rows,
+)
+from polars_readstat_spark.sources.sas7bdat.meta import _SIGS as _META_SIGS
 
 MAGIC = (
     b"\x00\x00\x00\x00\x00\x00\x00\x00"
@@ -147,9 +153,7 @@ def _collides_with_signature(raw: bytes) -> bool:
     can't collide (the encoder pins its first command byte to
     0x80-0xBF, which no signature starts with); an incompressible raw
     row that collides is refused rather than written corrupt."""
-    from polars_readstat_spark.sources.sas7bdat.meta import _SIGS
-
-    return bool(_SIGS.get(raw[:8]) or _SIGS.get(raw[:4]))
+    return bool(_META_SIGS.get(raw[:8]) or _META_SIGS.get(raw[:4]))
 
 
 def _rle_encode_row(arr: np.ndarray) -> bytes | None:
@@ -498,14 +502,9 @@ def _pack_rows(cols_data, kinds, widths, row_length, tags_data=None) -> bytes:
             mat[:, off : off + 8] = vals.astype("<f8").view(np.uint8).reshape(n, 8)
             offs = tags_data[ci] if tags_data else None
             if offs is not None:
-                from polars_readstat_spark.writers.tagged import (
-                    NO_TAG,
-                    sas7bdat_tag_rows,
-                )
-
-                tagged = offs != NO_TAG
+                tagged = offs != _TAG_NONE
                 if tagged.any():
-                    mat[tagged, off : off + 8] = sas7bdat_tag_rows(
+                    mat[tagged, off : off + 8] = _sas7bdat_tag_rows(
                         offs[tagged]
                     )
         off += w
@@ -600,6 +599,31 @@ class _SasFileSink:
             blob, comp = raw, False
         else:
             blob, comp = enc, True
+        self._append_blob(blob, comp)
+
+    def write_packed(self, packed: bytes, n: int) -> None:
+        """Append pre-packed uncompressed row bytes (n rows)."""
+        if n <= 0:
+            return
+        self.n_rows += n
+        self.pending += packed
+        chunk = self.rows_per_page * self.row_length
+        while len(self.pending) >= chunk:
+            self._emit_page(self.pending[:chunk], self.rows_per_page)
+            del self.pending[:chunk]
+
+    def write_encoded(self, payload: bytes, n: int) -> None:
+        """Append n executor-encoded rows from the staged frame: a
+        [u8 is_compressed][u32 len][blob] sequence per row."""
+        i = 0
+        for _ in range(n):
+            comp, ln = struct.unpack_from("<BI", payload, i)
+            i += 5
+            self._append_blob(payload[i : i + ln], bool(comp))
+            i += ln
+        self.n_rows += n
+
+    def _append_blob(self, blob: bytes, comp: bool) -> None:
         need = PTR_LEN + len(blob)
         avail = self.page_length - (BIT_OFFSET + 8) - (
             PTR_LEN * len(self._crows) + self._crows_bytes
@@ -704,14 +728,99 @@ def write_sas7bdat(
             for ci in range(ncols)
         ]
 
-    from polars_readstat_spark.writers import iter_arrow_chunks
+    # executors do the expensive work (row packing and, for
+    # compressed files, per-row RLE/RDC encoding — rows are
+    # independent, so this parallelizes perfectly); the driver only
+    # assembles pages from pre-encoded bytes in partition order. The
+    # reference's sink is single-threaded end to end.
+    rl = sum(widths)
+    kinds_l, widths_l, comp = list(kinds), list(widths), compress or None
+    tag_slot_l, ncols_l = dict(tag_slot), ncols
 
+    # the stage function and everything it references pickles BY VALUE
+    # (the executor may not have this package on sys.path — only the
+    # driver needs it); tagged.py has no package-internal imports and
+    # this module's executor-path helpers reference only module
+    # globals, so the closure is self-contained after registration
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    for _mod in (
+        "polars_readstat_spark.writers.sas7bdat",
+        "polars_readstat_spark.writers.tagged",
+    ):
+        _cp.register_pickle_by_value(_sys.modules[_mod])
+
+    pack_rows_f = _pack_rows
+    collides_f = _collides_with_signature
+    enc = _rdc_encode_row if comp == "rdc" else _rle_encode_row
+    tag_parse_f = _parse_tag_offsets
+
+    def pack_stage(batches):
+        import io
+        import struct as _st
+
+        import numpy as _np
+        import pyarrow as _pa
+
+        _pack_rows = pack_rows_f
+        _collides_with_signature = collides_f
+        parse_tag_offsets = tag_parse_f
+        for b in batches:
+            start = 0
+            while start < b.num_rows:
+                piece = b.slice(start, 8192)
+                start += piece.num_rows
+                pdf = piece.to_pandas()
+                cols = [pdf.iloc[:, i] for i in range(pdf.shape[1])]
+                tags = None
+                if tag_slot_l:
+                    tags = [
+                        parse_tag_offsets(cols[tag_slot_l[ci]].tolist())
+                        if ci in tag_slot_l
+                        else None
+                        for ci in range(ncols_l)
+                    ]
+                packed = _pack_rows(
+                    cols[:ncols_l], kinds_l, widths_l, rl, tags
+                )
+                if comp:
+                    rows = _np.frombuffer(packed, _np.uint8).reshape(-1, rl)
+                    out = io.BytesIO()
+                    for r in rows:
+                        e = enc(r)
+                        if e is None:
+                            raw = r.tobytes()
+                            if _collides_with_signature(raw):
+                                raise ValueError(
+                                    "write_sas7bdat: incompressible row "
+                                    "collides with a subheader signature "
+                                    "prefix; write without compress"
+                                )
+                            out.write(_st.pack("<BI", 0, len(raw)))
+                            out.write(raw)
+                        else:
+                            out.write(_st.pack("<BI", 1, len(e)))
+                            out.write(e)
+                    packed = out.getvalue()
+                yield _pa.RecordBatch.from_arrays(
+                    [
+                        _pa.array([packed], type=_pa.binary()),
+                        _pa.array([piece.num_rows], type=_pa.int64()),
+                    ],
+                    names=["payload", "n"],
+                )
+
+    staged = src.mapInArrow(pack_stage, "payload binary, n bigint")
     with open(path, "wb") as fh:
         sink = _SasFileSink(
             fh, fields, names, kinds, widths, dataset_name,
             variable_labels, page_length, compress,
         )
-        for pdf in iter_arrow_chunks(src, 8192):
-            cols = [pdf.iloc[:, i] for i in range(pdf.shape[1])]
-            sink.write_batch(cols[:ncols], tags_for(cols))
+        for row in staged.toLocalIterator(prefetchPartitions=True):
+            if comp:
+                sink.write_encoded(row[0], row[1])
+            else:
+                sink.write_packed(row[0], row[1])
         sink.close()

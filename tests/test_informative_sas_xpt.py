@@ -218,7 +218,10 @@ def test_tagged_missing_validation(spark, tmp_path):
             src, str(tmp_path / "bad2.sas7bdat"),
             tagged_missing={"y": "nope"},
         )
-    with pytest.raises(ValueError, match="invalid indicator"):
+    # indicator VALUES are validated where the data lives (executor
+    # pack stage), so the error surfaces as a Spark job failure whose
+    # message carries the ValueError text
+    with pytest.raises(Exception, match="invalid indicator"):
         from pyspark.sql import functions as F
 
         bad = src.withColumn("y_tag", F.lit("xx"))
