@@ -65,3 +65,46 @@ def iter_arrow_chunks(df, max_rows: int = 65536):
                 pdf = b.to_pandas()
                 pdf.columns = schema_names
                 yield pdf
+
+
+def iter_packed_chunks(df, pack_fn, max_rows: int = 8192, modules=()):
+    """Executor-side packing for driver-assembled single-file sinks.
+
+    `pack_fn(pandas.DataFrame) -> bytes` runs inside a mapInArrow
+    stage on the executors (rows pack independently in every format
+    here); the driver receives (payload, n_rows) pairs in partition
+    order and only concatenates. `modules` are registered for
+    cloudpickle pickle-by-value so the stage works when the package
+    is importable only on the driver (the external-driver layout);
+    pack_fn and everything it references must resolve from those
+    modules' globals, not from runtime package imports.
+    """
+    import sys
+
+    from pyspark import cloudpickle
+
+    for m in modules:
+        cloudpickle.register_pickle_by_value(sys.modules[m])
+    names = df.columns
+
+    def stage(batches):
+        import pyarrow as _pa
+
+        for b in batches:
+            start = 0
+            while start < b.num_rows:
+                piece = b.slice(start, max_rows)
+                start += piece.num_rows
+                pdf = piece.to_pandas()
+                pdf.columns = names
+                yield _pa.RecordBatch.from_arrays(
+                    [
+                        _pa.array([pack_fn(pdf)], type=_pa.binary()),
+                        _pa.array([piece.num_rows], type=_pa.int64()),
+                    ],
+                    names=["payload", "n"],
+                )
+
+    staged = df.mapInArrow(stage, "payload binary, n bigint")
+    for row in staged.toLocalIterator(prefetchPartitions=True):
+        yield row[0], row[1]

@@ -152,15 +152,25 @@ def write_sav(
     with open(path, "wb") as fh:
         fh.write(bytes(out))
         sink = _ZlibSink(fh, len(out)) if zsav else fh
-        from polars_readstat_spark.writers import iter_arrow_chunks
+        # case packing runs on the executors; the driver concatenates
+        # (and, for zsav, zlib-frames) in partition order
+        from polars_readstat_spark.writers import iter_packed_chunks
 
-        for pdf in iter_arrow_chunks(src, 8192):
-            sink.write(
-                _pack_columns(
-                    [pdf.iloc[:, i] for i in range(pdf.shape[1])],
-                    kinds, widths, el_per, case_size,
-                )
+        kinds_l, widths_l, el_l, cs = (
+            list(kinds), list(widths), list(el_per), case_size
+        )
+
+        def pack_fn(pdf):
+            return _pack_columns(
+                [pdf.iloc[:, i] for i in range(pdf.shape[1])],
+                kinds_l, widths_l, el_l, cs,
             )
+
+        for payload, _n in iter_packed_chunks(
+            src, pack_fn, 8192,
+            modules=("polars_readstat_spark.writers.sav",),
+        ):
+            sink.write(payload)
         if zsav:
             sink.close()
 

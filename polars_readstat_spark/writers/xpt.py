@@ -25,6 +25,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from polars_readstat_spark.writers import ts_epoch_seconds
+from polars_readstat_spark.writers.tagged import (
+    NO_TAG as _TAG_NONE,
+    parse_tag_offsets as _parse_tag_offsets,
+    xpt_tag_byte0 as _xpt_tag_byte0,
+)
 
 # SAS epoch 1960-01-01 relative to Unix epoch
 SAS_DAY_SHIFT = 3653
@@ -145,16 +150,6 @@ def write_xpt(
     tag_slot = {names.index(v): ncols + ind_names.index(i)
                 for v, i in tagged_missing.items()}
 
-    def tags_for(cols):
-        if not tag_slot:
-            return None
-        from polars_readstat_spark.writers.tagged import parse_tag_offsets
-
-        return [
-            parse_tag_offsets(cols[tag_slot[ci]]) if ci in tag_slot else None
-            for ci in range(ncols)
-        ]
-
     out = _xpt_header(
         fields, shorts, kinds, widths, dataset_name, variable_labels, version
     )
@@ -164,18 +159,37 @@ def write_xpt(
                for i, c in enumerate(ind_names)],
     )
 
-    from polars_readstat_spark.writers import iter_arrow_chunks
+    # packing (incl. IEEE→IBM) runs on the executors; the driver only
+    # concatenates fixed-width records in partition order
+    from polars_readstat_spark.writers import iter_packed_chunks
+
+    kinds_l, widths_l = list(kinds), list(widths)
+    tag_slot_l, ncols_l, rw = dict(tag_slot), ncols, record_width
+
+    def pack_fn(pdf):
+        cols = [pdf.iloc[:, i] for i in range(pdf.shape[1])]
+        tags = None
+        if tag_slot_l:
+            tags = [
+                _parse_tag_offsets(cols[tag_slot_l[ci]].tolist())
+                if ci in tag_slot_l
+                else None
+                for ci in range(ncols_l)
+            ]
+        return _pack_xpt(cols[:ncols_l], kinds_l, widths_l, rw, tags)
 
     with open(path, "wb") as fh:
         fh.write(bytes(out))
         total = 0
-        for pdf in iter_arrow_chunks(src, 8192):
-            cols = [pdf.iloc[:, i] for i in range(pdf.shape[1])]
-            raw = _pack_xpt(
-                cols[:ncols], kinds, widths, record_width, tags_for(cols)
-            )
-            fh.write(raw)
-            total += len(raw)
+        for payload, _n in iter_packed_chunks(
+            src, pack_fn, 8192,
+            modules=(
+                "polars_readstat_spark.writers.xpt",
+                "polars_readstat_spark.writers.tagged",
+            ),
+        ):
+            fh.write(payload)
+            total += len(payload)
         fh.write(b" " * ((-total) % 80))
 
 
@@ -350,14 +364,9 @@ def _pack_xpt(cols_data, kinds, widths, record_width, tags_data=None) -> bytes:
             mat[:, off : off + 8] = ieee_to_ibm(vals, mask)
             offs = tags_data[ci] if tags_data else None
             if offs is not None:
-                from polars_readstat_spark.writers.tagged import (
-                    NO_TAG,
-                    xpt_tag_byte0,
-                )
-
-                tagged = offs != NO_TAG
+                tagged = offs != _TAG_NONE
                 if tagged.any():
                     mat[tagged, off : off + 8] = 0
-                    mat[tagged, off] = xpt_tag_byte0(offs[tagged])
+                    mat[tagged, off] = _xpt_tag_byte0(offs[tagged])
         off += w
     return mat.tobytes()
