@@ -34,6 +34,10 @@ from polars_readstat_spark.sources.dta.decode import (
     STATA_EPOCH_DAYS,
     STATA_EPOCH_MS,
 )
+from polars_readstat_spark.writers.tagged import (
+    NO_TAG as _TAG_NONE,
+    parse_tag_offsets as _parse_tag_offsets,
+)
 
 _MISS = {
     "byte": 101,
@@ -210,9 +214,7 @@ def _apply_tags(rec_field, kind, offs) -> None:
     column's storage type (the exact inverse of decode_numeric,
     sources/dta/decode.py:57-97): integers add the offset to the
     missing base, float/double add it at the tag bit position."""
-    from polars_readstat_spark.writers.tagged import NO_TAG
-
-    tagged = offs != NO_TAG
+    tagged = offs != _TAG_NONE
     if not tagged.any():
         return
     off = offs[tagged].astype(np.int64)
@@ -374,7 +376,7 @@ def _pack_stream(
     """Pack an iterator of pandas batches → (data, strls, n_rows).
     tagged_missing: value column → indicator column (both must be in
     each batch; the indicator column is consumed, not packed)."""
-    from polars_readstat_spark.writers.tagged import parse_tag_offsets
+    parse_tag_offsets = _parse_tag_offsets
 
     rec_dtype = _rec_dtype(cols)
     data = bytearray()
@@ -542,13 +544,54 @@ def write_dta(
                 f"tagged_missing: indicator column {icol!r} not in DataFrame"
             )
 
-    # pull partitions in order as Arrow chunks; bounded memory
-    # (reference W2 pattern)
-    from polars_readstat_spark.writers import iter_arrow_chunks
-
     names = [c[0] for c in cols]
-    batches = iter_arrow_chunks(df.select(*names, *ind_names), 65536)
-    data, strls, n_rows = _pack_stream(cols, batches, tagged_missing)
+    src = df.select(*names, *ind_names)
+    has_strl = any(c[1] == "strl" for c in cols)
+    if has_strl:
+        # strL GSO records key on the GLOBAL row number, which only
+        # the ordered driver stream knows — keep packing driver-side
+        # (reference W2 pattern)
+        from polars_readstat_spark.writers import iter_arrow_chunks
+
+        batches = iter_arrow_chunks(src, 65536)
+        data, strls, n_rows = _pack_stream(cols, batches, tagged_missing)
+    else:
+        # fixed-width records with no cross-row state: pack on the
+        # executors, concatenate on the driver in partition order
+        from polars_readstat_spark.writers import iter_packed_chunks
+
+        cols_l, tm = list(cols), dict(tagged_missing)
+        rec_dtype = _rec_dtype(cols_l)
+
+        def pack_fn(pdf):
+            tag_offsets = None
+            if tm:
+                tag_offsets = {
+                    vcol: _parse_tag_offsets(pdf[icol].tolist())
+                    for vcol, icol in tm.items()
+                }
+                for offs in tag_offsets.values():
+                    if (offs == 27).any():
+                        raise ValueError(
+                            "tagged_missing: Stata has no '._' tag "
+                            "(only '.' and '.a'-'.z')"
+                        )
+            return _pack_batch(
+                cols_l, rec_dtype, pdf, 0, bytearray(), tag_offsets
+            )
+
+        data = bytearray()
+        strls = bytearray()
+        n_rows = 0
+        for payload, n in iter_packed_chunks(
+            src, pack_fn, 65536,
+            modules=(
+                "polars_readstat_spark.writers.dta",
+                "polars_readstat_spark.writers.tagged",
+            ),
+        ):
+            data += payload
+            n_rows += n
     out = _assemble_dta(
         cols, data, strls, n_rows, data_label, variable_labels, value_labels
     )

@@ -295,7 +295,9 @@ def test_dta_tagged_rejects_underscore(spark, tmp_path):
         F.col("id").cast("double").alias("x"),
         F.lit("._").alias("t"),
     )
-    with pytest.raises(ValueError, match="no '._' tag"):
+    # value validation happens in the executor pack stage, so the
+    # ValueError text arrives wrapped in a Spark job failure
+    with pytest.raises(Exception, match="no '._' tag"):
         prs.write_readstat(
             df, str(tmp_path / "bad.dta"), tagged_missing={"x": "t"}
         )
