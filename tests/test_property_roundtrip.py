@@ -81,7 +81,10 @@ def _roundtrip(spark, tmp_path, ext, rows):
     back = back.toDF(*[c.lower() for c in back.columns])  # xpt v5 uppercases
     def key(t):
         s, x, n = t
-        return (s, x is None, x if x is not None else 0.0,
+        # fixed-width stat formats strip trailing spaces, so strings
+        # differing only in trailing spaces must sort identically on
+        # both sides or the pairwise compare misaligns
+        return (s.rstrip(), x is None, x if x is not None else 0.0,
                 n is None, n if n is not None else 0)
 
     want = sorted(
@@ -157,7 +160,7 @@ def test_property_partitioned_roundtrip_dta(spark, tmp_path):
 
     def key(t):
         s, x, n = t
-        return (s, x is None, x if x is not None else 0.0,
+        return (s.rstrip(), x is None, x if x is not None else 0.0,
                 n is None, n if n is not None else 0)
 
     want = sorted((((r.s or ""), r.x, r.n) for r in df.collect()), key=key)
