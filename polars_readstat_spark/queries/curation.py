@@ -253,37 +253,56 @@ def curation_funnel_stage_counts(spark, sf_dir):
     quality gate → exact dedup keep-first). The operational dashboard
     query every corpus pipeline runs after each build.
 
-    Shape at 100 TB: stages compose as narrow filters over one corpus
-    scan (no stage materializes), the dedup stage is the same
-    one-shuffle MD5 keep-first as dedup_keep_first_records, and the
-    four counts partial-aggregate map-side. MD5 and the LIKE-based
-    stopword probe are engine-portable, so both engines agree
-    exactly."""
-    d = load_table(spark, sf_dir, "documents")
-    s1 = d.filter(F.col("lang") == "en")
-    s2 = s1.filter(
-        F.col("n_chars").between(64, 100000)
-        & F.concat(F.lit(" "), F.col("text"), F.lit(" ")).like("% the %")
-    )
+    Shape at 100 TB: ONE corpus scan — the stage predicates become
+    per-row flags (naively counting each stage separately re-scans
+    the corpus once per stage), the dedup keep-first flag is a
+    row_number window keyed on MD5(text) restricted to quality
+    survivors (same one shuffle as dedup_keep_first_records), and the
+    four counts are conditional sums that partial-aggregate map-side.
+    MD5 and the LIKE-based stopword probe are engine-portable, so
+    both engines agree exactly."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
-    s3 = s2.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    stages = [
-        (0, "ingested", d),
-        (1, "lang_en", s1),
-        (2, "quality", s2),
-        (3, "exact_dedup", s3),
-    ]
-    counted = None
-    for stage, name, frame in stages:
-        c = frame.agg(F.count(F.lit(1)).alias("n_docs")).select(
-            F.lit(stage).cast("int").alias("stage"),
-            F.lit(name).alias("stage_name"),
-            F.col("n_docs").cast("bigint"),
+    d = load_table(spark, sf_dir, "documents")
+    s1 = F.col("lang") == "en"
+    s2 = s1 & F.col("n_chars").between(64, 100000) & F.concat(
+        F.lit(" "), F.col("text"), F.lit(" ")
+    ).like("% the %")
+    # rank within MD5 groups of quality survivors only; non-survivors
+    # must NOT share one null partition (that single partition would
+    # hold most of a 100 TB corpus) — they get unique per-row keys,
+    # so every window partition stays tiny
+    w = Window.partitionBy(
+        F.when(s2, F.md5(F.col("text"))).otherwise(
+            F.concat(F.lit("#"), F.col("doc_id"))
         )
-        counted = c if counted is None else counted.unionAll(c)
-    return counted
+    ).orderBy("doc_id")
+    flags = d.select(
+        s1.alias("f1"),
+        s2.alias("f2"),
+        (s2 & (F.row_number().over(w) == 1)).alias("f3"),
+    )
+    counts = flags.agg(
+        F.count(F.lit(1)).alias("c0"),
+        F.sum(F.col("f1").cast("bigint")).alias("c1"),
+        F.sum(F.col("f2").cast("bigint")).alias("c2"),
+        F.sum(F.col("f3").cast("bigint")).alias("c3"),
+    )
+    stages = spark.createDataFrame(
+        [(0, "ingested"), (1, "lang_en"), (2, "quality"),
+         (3, "exact_dedup")],
+        "stage int, stage_name string",
+    )
+    return stages.crossJoin(counts).select(
+        "stage",
+        "stage_name",
+        F.when(F.col("stage") == 0, F.col("c0"))
+        .when(F.col("stage") == 1, F.col("c1"))
+        .when(F.col("stage") == 2, F.col("c2"))
+        .otherwise(F.col("c3"))
+        .cast("bigint")
+        .alias("n_docs"),
+    )
 
 
 @query(
