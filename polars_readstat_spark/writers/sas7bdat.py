@@ -240,6 +240,109 @@ def _rle_encode_row(arr: np.ndarray) -> bytes | None:
     return bytes(out) if len(out) < n else None
 
 
+def _rle_encode_rows(mat: np.ndarray) -> list:
+    """Batch SASYZCRL encode of a (rows, row_length) uint8 matrix —
+    byte-identical per row to _rle_encode_row (property-tested).
+
+    One numpy pass finds every byte-run boundary in the whole chunk
+    (the per-row flatnonzero/concatenate calls dominated the scalar
+    encoder on ~150-byte rows); assembly is then pure Python over
+    plain ints and C-level bytes slices."""
+    r, rl = mat.shape
+    if rl == 0 or r == 0:
+        return [None] * r
+    flat = np.ascontiguousarray(mat).ravel()
+    chg = np.flatnonzero(flat[1:] != flat[:-1]) + 1
+    if r > 1:
+        rb = np.arange(1, r, dtype=np.int64) * rl
+        bounds = np.union1d(chg, rb)
+    else:
+        bounds = chg
+    starts_all = np.concatenate(([0], bounds)).tolist()
+    ends_all = np.concatenate((bounds, [r * rl])).tolist()
+    firsts = flat[np.concatenate(([0], bounds))].tolist()
+    k_of_row = np.searchsorted(
+        np.concatenate(([0], bounds)), np.arange(r + 1, dtype=np.int64) * rl
+    ).tolist()
+    data = flat.tobytes()
+
+    results: list = []
+    for ri in range(r):
+        base = ri * rl
+        out = bytearray()
+        lit0 = lit1 = 0
+
+        def emit_literal(a: int, b: int) -> None:
+            i = a
+            while i < b:
+                take = min(b - i, 4159)
+                if not out and take > 64:
+                    take = 64  # first command stays in 0x80-0xBF
+                if take <= 16:
+                    out.append(0x80 | (take - 1))
+                elif take <= 32:
+                    out.append(0x90 | (take - 17))
+                elif take <= 48:
+                    out.append(0xA0 | (take - 33))
+                elif take <= 64:
+                    out.append(0xB0 | (take - 49))
+                else:
+                    out.append((take - 64) >> 8)
+                    out.append((take - 64) & 0xFF)
+                out.extend(data[base + i : base + i + take])
+                i += take
+
+        for k in range(k_of_row[ri], k_of_row[ri + 1]):
+            s = starts_all[k] - base
+            e = ends_all[k] - base
+            b = firsts[k]
+            L = e - s
+            special = (
+                0x70 if b == 0 else 0x60 if b == 0x20
+                else 0x50 if b == 0x40 else 0
+            )
+            if L < (3 if special else 4):
+                lit1 = e
+                continue
+            if lit1 > lit0:
+                emit_literal(lit0, lit1)
+            if not out:  # a run may not open the stream (signature guard)
+                emit_literal(s, s + 1)
+                s += 1
+                L -= 1
+            while L > 0:
+                if special:
+                    if L > 17:
+                        take = min(L, 4112)
+                        out.append(special | ((take - 17) >> 8))
+                        out.append((take - 17) & 0xFF)
+                    else:
+                        take = max(L, 2)
+                        out.append((special | 0x80) | (take - 2))
+                else:
+                    if L > 18:
+                        take = min(L, 4113)
+                        out.append(0x40 | ((take - 18) >> 8))
+                        out.append((take - 18) & 0xFF)
+                        out.append(b)
+                    else:
+                        take = L
+                        if take < 3:
+                            emit_literal(e - take, e)
+                            break
+                        out.append(0xC0 | (take - 3))
+                        out.append(b)
+                L -= take
+                if 0 < L < (2 if special else 3):
+                    emit_literal(e - L, e)
+                    L = 0
+            lit0 = lit1 = e
+        if lit1 > lit0:
+            emit_literal(lit0, lit1)
+        results.append(bytes(out) if len(out) < rl else None)
+    return results
+
+
 def _rdc_encode_row(arr: np.ndarray) -> bytes | None:
     """SASYZCR2-encode one row (uint8 vector). Returns None when the
     encoding is not strictly shorter than the raw row, or when the
@@ -755,6 +858,7 @@ def write_sas7bdat(
     pack_rows_f = _pack_rows
     collides_f = _collides_with_signature
     enc = _rdc_encode_row if comp == "rdc" else _rle_encode_row
+    rle_rows_f = _rle_encode_rows if comp == "rle" else None
     tag_parse_f = _parse_tag_offsets
 
     def pack_stage(batches):
@@ -788,10 +892,13 @@ def write_sas7bdat(
                 if comp:
                     rows = _np.frombuffer(packed, _np.uint8).reshape(-1, rl)
                     out = io.BytesIO()
-                    for r in rows:
-                        e = enc(r)
+                    encoded = (
+                        rle_rows_f(rows) if rle_rows_f is not None else None
+                    )
+                    for j in range(rows.shape[0]):
+                        e = encoded[j] if encoded is not None else enc(rows[j])
                         if e is None:
-                            raw = r.tobytes()
+                            raw = rows[j].tobytes()
                             if _collides_with_signature(raw):
                                 raise ValueError(
                                     "write_sas7bdat: incompressible row "

@@ -591,3 +591,30 @@ def test_rdc_wavefront_matches_scalar_on_real_sas_file():
                 )
                 n_checked += 1
     assert n_checked >= 10  # the fixture's full compressed-row count
+
+
+def test_rle_encode_rows_matches_scalar_encoder():
+    """The batched chunk encoder used by the executor pack stage must
+    be byte-identical to the per-row encoder across run shapes
+    (random bytes, zero/blank/'@' runs, constant runs, row
+    boundaries)."""
+    import numpy as np
+
+    from polars_readstat_spark.writers.sas7bdat import (
+        _rle_encode_row,
+        _rle_encode_rows,
+    )
+
+    rng = np.random.default_rng(20260814)
+    for _ in range(20):
+        r = int(rng.integers(1, 120))
+        rl = int(rng.integers(1, 300))
+        mat = rng.integers(0, 256, size=(r, rl), dtype=np.uint8)
+        for _k in range(r * 2):
+            i = int(rng.integers(0, r))
+            a = int(rng.integers(0, rl))
+            b = min(rl, a + int(rng.integers(1, 90)))
+            mat[i, a:b] = rng.choice([0, 0x20, 0x40, int(rng.integers(0, 256))])
+        got = _rle_encode_rows(mat)
+        for i in range(r):
+            assert got[i] == _rle_encode_row(mat[i]), (r, rl, i)
