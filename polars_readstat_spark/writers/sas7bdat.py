@@ -404,6 +404,73 @@ def _rdc_encode_row(arr: np.ndarray) -> bytes | None:
     return None if _collides_with_signature(enc) else enc
 
 
+def _rdc_encode_rows(mat: np.ndarray) -> list:
+    """Batch SASYZCR2 encode — byte-identical per row to
+    _rdc_encode_row (property-tested). Same shape as _rle_encode_rows:
+    run boundaries for the whole chunk come from one numpy pass, the
+    item/control-word assembly is pure Python per row."""
+    r, rl = mat.shape
+    if rl == 0 or r == 0:
+        return [None] * r
+    flat = np.ascontiguousarray(mat).ravel()
+    chg = np.flatnonzero(flat[1:] != flat[:-1]) + 1
+    if r > 1:
+        rb = np.arange(1, r, dtype=np.int64) * rl
+        bounds = np.union1d(chg, rb)
+    else:
+        bounds = chg
+    starts_all = np.concatenate(([0], bounds)).tolist()
+    ends_all = np.concatenate((bounds, [r * rl])).tolist()
+    k_of_row = np.searchsorted(
+        np.concatenate(([0], bounds)), np.arange(r + 1, dtype=np.int64) * rl
+    ).tolist()
+    data = flat.tobytes()
+
+    results: list = []
+    for ri in range(r):
+        base = ri * rl
+        items: list = []
+        for k in range(k_of_row[ri], k_of_row[ri + 1]):
+            s = starts_all[k]
+            e = ends_all[k]
+            L = e - s
+            if L < 3:
+                for p in range(s, e):
+                    items.append((0, data[p : p + 1]))
+                continue
+            b = data[s : s + 1]
+            while L > 0:
+                if L > 18:
+                    take = min(L, 4114)
+                    cnt = take - 19
+                    items.append(
+                        (1, bytes([0x10 | (cnt & 0x0F), cnt >> 4]) + b)
+                    )
+                elif L >= 3:
+                    take = L
+                    items.append((1, bytes([0x00 | (take - 3)]) + b))
+                else:  # 1-2 leftover bytes after a long run
+                    take = L
+                    for _ in range(take):
+                        items.append((0, b))
+                L -= take
+        out = bytearray()
+        for c in range(0, len(items), 16):
+            chunk = items[c : c + 16]
+            ctrl = 0
+            for pos, (bit, _) in enumerate(chunk):
+                ctrl |= bit << (15 - pos)
+            out += ctrl.to_bytes(2, "big")
+            for _, payload in chunk:
+                out += payload
+        if len(out) >= rl:
+            results.append(None)
+            continue
+        enc = bytes(out)
+        results.append(None if _collides_with_signature(enc) else enc)
+    return results
+
+
 class _MetaOverflow(ValueError):
     """Metadata doesn't fit the current page_length — growable by
     retrying with a larger page (unlike e.g. the 64 KiB col_text
@@ -858,7 +925,11 @@ def write_sas7bdat(
     pack_rows_f = _pack_rows
     collides_f = _collides_with_signature
     enc = _rdc_encode_row if comp == "rdc" else _rle_encode_row
-    rle_rows_f = _rle_encode_rows if comp == "rle" else None
+    rows_enc_f = (
+        _rdc_encode_rows if comp == "rdc"
+        else _rle_encode_rows if comp == "rle"
+        else None
+    )
     tag_parse_f = _parse_tag_offsets
 
     def pack_stage(batches):
@@ -893,7 +964,7 @@ def write_sas7bdat(
                     rows = _np.frombuffer(packed, _np.uint8).reshape(-1, rl)
                     out = io.BytesIO()
                     encoded = (
-                        rle_rows_f(rows) if rle_rows_f is not None else None
+                        rows_enc_f(rows) if rows_enc_f is not None else None
                     )
                     for j in range(rows.shape[0]):
                         e = encoded[j] if encoded is not None else enc(rows[j])
