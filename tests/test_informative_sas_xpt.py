@@ -301,3 +301,33 @@ def test_dta_tagged_rejects_underscore(spark, tmp_path):
         prs.write_readstat(
             df, str(tmp_path / "bad.dta"), tagged_missing={"x": "t"}
         )
+
+
+@pytest.mark.parametrize("comp", ["rle", "rdc"])
+def test_sas7bdat_tagged_missing_survives_compression(spark, tmp_path, comp):
+    """Tag sentinels are NaN-payload bit patterns; the RLE/RDC
+    encoders must carry them byte-exactly through compression."""
+    import polars_readstat_spark as prs
+    from pyspark.sql import functions as F
+
+    df = spark.range(200).select(
+        F.col("id").cast("double").alias("x"),
+        F.when(F.col("id") % 3 == 0, F.col("id") * 1.5).alias("y"),
+        F.when(F.col("id") % 3 == 1, F.lit(".Q"))
+        .when(F.col("id") % 3 == 2, F.lit("._"))
+        .alias("t"),
+    )
+    p = str(tmp_path / f"tagcomp_{comp}.sas7bdat")
+    prs.write_readstat(df, p, tagged_missing={"y": "t"}, compress=comp)
+    back = (
+        spark.read.format("readstat")
+        .option("informative_nulls", "separate")
+        .load(p)
+        .orderBy("x")
+        .collect()
+    )
+    exp = df.orderBy("x").collect()
+    assert len(back) == 200
+    for b, e in zip(back, exp):
+        assert b["y_null"] == e["t"]
+        assert (b["y"] is None) == (e["y"] is None)
