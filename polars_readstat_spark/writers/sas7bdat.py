@@ -702,6 +702,9 @@ class _SasFileSink:
         self._encode_row = (
             _rdc_encode_row if compress == "rdc" else _rle_encode_row
         )
+        self._encode_rows = (
+            _rdc_encode_rows if compress == "rdc" else _rle_encode_rows
+        )
         literal = (
             RDC_LITERAL if compress == "rdc"
             else RLE_LITERAL if self.compress
@@ -747,8 +750,19 @@ class _SasFileSink:
         self.n_rows += n
         if self.compress:
             rows = np.frombuffer(packed, np.uint8).reshape(n, self.row_length)
-            for i in range(n):
-                self._add_compressed_row(rows[i])
+            for i, e in enumerate(self._encode_rows(rows)):
+                if e is None:
+                    raw = rows[i].tobytes()
+                    if _collides_with_signature(raw):
+                        raise ValueError(
+                            "write_sas7bdat: incompressible row collides "
+                            "with a subheader signature prefix; cannot be "
+                            "stored in a compressed file — write without "
+                            "compress"
+                        )
+                    self._append_blob(raw, False)
+                else:
+                    self._append_blob(e, True)
             return
         self.pending += packed
         chunk = self.rows_per_page * self.row_length
