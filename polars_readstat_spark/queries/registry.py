@@ -47,42 +47,65 @@ def query(name: str, oracle: str | None = None):
 # round-1-only greens needing refresh. Update per round as rows come
 # back green.
 _PRIORITY: tuple[str, ...] = (
-    # round 4: new-this-round queries first (no driver row can exist
-    # yet), then the 10 queries that never received a driver row
-    # through r01-r03, then the one red row from r03 (oracle typing,
-    # fixed this round). Everything past those blocks already has a
-    # green row in the r01∪r02∪r03 union.
-    "scan_sas7bdat_informative_nulls",
-    "scan_xpt_informative_nulls",
-    "scan_dta_tagged_missing",
-    "curation_funnel_stage_counts",
-    "sequence_length_histogram",
-    "q22_idle_customer_balance",
-    "decontaminate_ngram_overlap",
-    "sequence_packing_bins",
-    "pii_pattern_counts",
-    "dedup_keep_best_quality",
-    "dedup_incremental_vs_index",
-    "source_mixing_weights",
-    "scan_sas7bdat_rdc_roundtrip",
-    "retention_weekly_cohorts",
-    "event_dau_wau_stickiness",
-    # red in round 3 (uncast SUM -> HUGEINT in the oracle, fixed):
-    # needs a fresh green row
-    "event_props_json_extract",
-    # greens that are oldest (round-1-only evidence) come next so the
-    # remaining window refreshes the stalest rows first
-    "embedding_l2_norms",
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "dedup_embedding_cosine",
-    "text_token_count",
-    "text_quality_score",
-    "text_lang_id_score",
-    "doc_fingerprint",
-    "event_hourly_window",
-    "sessionization_30m",
-    "event_value_quantiles",
+    # round 5: every query now has a green driver row somewhere in
+    # r01∪r02∪r04 (r04 covered the full never-checked tail), so this
+    # window refreshes STALENESS: changed-this-round queries first,
+    # then the 30 queries whose newest row is from round 2 — which
+    # includes every r01-era writer roundtrip not re-checked since the
+    # executor-packing rewrite of all single-file writers — then the
+    # oldest round-3 block to fill the driver's 50-row window.
+    "q22_idle_customer_balance",  # de-vacuated: recency NOT EXISTS
+    # -- newest row is r02 (30) --
+    "scan_dta_roundtrip",
+    "scan_sav_roundtrip",
+    "scan_zsav_roundtrip",
+    "scan_xpt_roundtrip",
+    "scan_por_roundtrip",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "cube_status_priority",
+    "projection_pushdown",
+    "filter_pushdown",
+    "limit_pushdown",
+    "offset_slice",
+    "schema_override_cast",
+    "metadata_merge_full_join",
+    "semi_join_customers_with_orders",
+    "anti_join_customers_without_orders",
+    "broadcast_join_order_region",
+    "union_distinct_keys",
+    "topk_orders_per_customer",
+    "max_strlen_prepass",
+    "group_count_events",
+    "pivot_user_event_counts",
+    "rollup_revenue_subtotals",
+    "running_revenue_window",
+    "q6_forecast_revenue",
+    "intersect_except_user_sets",
+    "customer_spend_quartiles",
+    "orders_monthly_rollup",
+    "row_index_ordered",
+    "sort_by_index_roundtrip",
+    # -- newest row is r03 (oldest 19 fill the window) --
+    "q4_order_priority_exists",
+    "q10_returned_item_revenue",
+    "q14_promo_effect",
+    "q18_large_volume_customer",
+    "sample_hash_stratified",
+    "scan_sas7bdat_types",
+    "scan_sas7bdat_rle",
+    "scan_sas7bdat_rdc",
+    "scan_sas7bdat_bigendian",
+    "scan_sas7bdat_mixpage",
+    "scan_sas7bdat_roundtrip",
+    "scan_sas7bdat_rle_roundtrip",
+    "scan_sink_dir_roundtrip",
+    "scan_dta_multifile",
+    "scan_dta_pushdown",
+    "scan_dta_metadata_surface",
+    "scan_dta_value_labels",
+    "scan_dta_informative_nulls",
+    "ann_ivf_topk",
 )
 
 

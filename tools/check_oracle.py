@@ -64,6 +64,13 @@ def compare(name, sdf, sql, con, report):
     if len(srows) != len(drows):
         ok = False
         msgs.append(f"rows: spark={len(srows)} duck={len(drows)}")
+    if ok and not srows:
+        # 0 rows on BOTH sides matches any empty oracle — the query
+        # body was never value-checked (the r04 q22 lesson). Flag it
+        # loudly as untested rather than letting it count as a pass.
+        report[name] = (False, ["0 rows on both engines"])
+        print(f"UNTESTED {name}: 0 rows on both engines")
+        return
     if ok:
         _, ns = normalize(srows, scols)
         _, nd = normalize(drows, dcols)
