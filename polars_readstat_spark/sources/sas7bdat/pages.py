@@ -41,25 +41,39 @@ def rle_decompress(buf: bytes, result_length: int) -> bytes:
         cmd = ctrl >> 4
         ln = ctrl & 0x0F
         i += 1
+        # truncated header/fill reads retire the stream with the
+        # remainder zero-filled (the final pad below) — identical to
+        # the wavefront's aliveness filter, so corrupt streams decode
+        # the same bytes on both paths instead of raising IndexError
         if cmd == 0x0:  # copy64
+            if i >= n:
+                break
             cnt = (ln << 8) + buf[i] + 64
             i += 1
             out += buf[i : i + cnt]
             i += cnt
         elif cmd == 0x4:  # insert byte, long
+            if i + 1 >= n:
+                break
             cnt = (ln << 8) + buf[i] + 18
             i += 1
             out += bytes([buf[i]]) * cnt
             i += 1
         elif cmd == 0x5:  # insert @, long
+            if i >= n:
+                break
             cnt = (ln << 8) + buf[i] + 17
             i += 1
             out += b"@" * cnt
         elif cmd == 0x6:  # insert blank, long
+            if i >= n:
+                break
             cnt = (ln << 8) + buf[i] + 17
             i += 1
             out += b" " * cnt
         elif cmd == 0x7:  # insert zero, long
+            if i >= n:
+                break
             cnt = (ln << 8) + buf[i] + 17
             i += 1
             out += b"\x00" * cnt
@@ -80,6 +94,8 @@ def rle_decompress(buf: bytes, result_length: int) -> bytes:
             out += buf[i : i + cnt]
             i += cnt
         elif cmd == 0xC:  # insert byte, short
+            if i >= n:
+                break
             out += bytes([buf[i]]) * (ln + 3)
             i += 1
         elif cmd == 0xD:
@@ -447,28 +463,47 @@ def rdc_decompress(buf: bytes, result_length: int) -> bytes:
             cmd = buf[i] >> 4
             cnt = buf[i] & 0x0F
             i += 1
+            # a stream truncated inside a command's header retires
+            # with the remainder zero-filled (final pad), matching the
+            # wavefront's aliveness filter — never IndexError. A
+            # back-reference past the start of this row's output is
+            # corrupt: emit zeros for its span (Python's negative
+            # slice indices would otherwise wrap to the END of out)
+            # and keep walking, exactly like the wavefront's clamp.
             if cmd == 0:  # short RLE
                 out += buf[i : i + 1] * (cnt + 3)
                 i += 1
             elif cmd == 1:  # long RLE
+                if i + 2 > n:
+                    i = n
+                    break
                 cnt += (buf[i] << 4) + 19
                 i += 1
                 out += buf[i : i + 1] * cnt
                 i += 1
             elif cmd == 2:  # long pattern
+                if i + 2 > n:
+                    i = n
+                    break
                 ofs = cnt + 3 + (buf[i] << 4)
                 i += 1
                 ln = buf[i] + 16
                 i += 1
-                if ofs >= ln:  # inline the non-overlap fast path
+                if ofs > len(out):
+                    out += b"\x00" * ln
+                elif ofs >= ln:  # inline the non-overlap fast path
                     start = len(out) - ofs
                     out += out[start : start + ln]
                 else:
                     _lz_copy(out, ofs, ln)
             else:  # short pattern
+                if i + 1 > n:
+                    break
                 ofs = cnt + 3 + (buf[i] << 4)
                 i += 1
-                if ofs >= cmd:
+                if ofs > len(out):
+                    out += b"\x00" * cmd
+                elif ofs >= cmd:
                     start = len(out) - ofs
                     out += out[start : start + cmd]
                 else:

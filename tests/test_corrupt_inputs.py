@@ -103,3 +103,86 @@ def test_rdc_stream_ending_after_control_word_zero_fills():
     got = mat[0].tobytes()
     assert got == rdc_decompress(span, 32).ljust(32, b"\x00")
     assert b"\xee" not in got
+
+
+# ── fuzz: the wavefront and scalar decompressors must be BYTE-EQUAL on
+# arbitrary (including corrupt/truncated/overrun) streams — the scalars
+# retire at end-of-input with zero-fill and treat before-row-start
+# back-references as zero runs, exactly like the wavefront clamps ─────
+
+
+def _rle_pair(span: bytes, row_length: int):
+    from polars_readstat_spark.sources.sas7bdat.pages import (
+        rle_decompress,
+        rle_decompress_rows,
+    )
+
+    try:
+        want = rle_decompress(span, row_length)
+    except ValueError:
+        want = ValueError
+    try:
+        got = rle_decompress_rows(
+            bytes(span) + b"\xa5" * 64, [(0, len(span))], row_length
+        )[0].tobytes()
+    except ValueError:
+        got = ValueError
+    return want, got
+
+
+def _rdc_pair(span: bytes, row_length: int):
+    from polars_readstat_spark.sources.sas7bdat.pages import (
+        rdc_decompress,
+        rdc_decompress_rows,
+    )
+
+    want = rdc_decompress(span, row_length)
+    got = rdc_decompress_rows(
+        bytes(span) + b"\xa5" * 64, [(0, len(span))], row_length
+    )[0].tobytes()
+    return want, got
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.binary(min_size=0, max_size=48),
+        st.integers(min_value=1, max_value=96),
+    )
+    def test_fuzz_rle_wavefront_equals_scalar(span, row_length):
+        want, got = _rle_pair(span, row_length)
+        assert want == got
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.binary(min_size=0, max_size=48),
+        st.integers(min_value=1, max_value=96),
+    )
+    def test_fuzz_rdc_wavefront_equals_scalar(span, row_length):
+        want, got = _rdc_pair(span, row_length)
+        assert want == got
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.binary(min_size=0, max_size=24), min_size=1, max_size=6))
+    def test_fuzz_rdc_multirow_isolation(spans):
+        """Rows in one page never read each other's bytes, whatever
+        garbage each span holds."""
+        from polars_readstat_spark.sources.sas7bdat.pages import (
+            rdc_decompress,
+            rdc_decompress_rows,
+        )
+
+        page = bytearray()
+        offs = []
+        for s in spans:
+            offs.append((len(page), len(s)))
+            page += s + b"\xee\xee"  # junk between spans
+        mat = rdc_decompress_rows(bytes(page), offs, 40)
+        for i, s in enumerate(spans):
+            assert mat[i].tobytes() == rdc_decompress(s, 40)
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
