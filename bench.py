@@ -112,6 +112,112 @@ def _bench_readstat(spark, paths: dict, timings: dict) -> None:
         )
 
 
+def _bench_exports(spark, sf_dir: str, timings: dict) -> None:
+    """Writer walls (single-file sinks, lineitem at this SF) — the
+    surface rounds 3-4 optimized via executor packing and the
+    two-stage compressed encode; standing entries so regressions show
+    round-over-round instead of living only in SCALE.md."""
+    import tempfile
+
+    from polars_readstat_spark.tables import load_table
+    from polars_readstat_spark.writers.dta import write_dta
+    from polars_readstat_spark.writers.por import write_por
+    from polars_readstat_spark.writers.sas7bdat import write_sas7bdat
+    from polars_readstat_spark.writers.sav import write_sav
+    from polars_readstat_spark.writers.xpt import write_xpt
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = tempfile.mkdtemp(prefix="bench_export_")
+    jobs = [
+        ("export_dta", lambda p: write_dta(li, p + "/li.dta")),
+        ("export_sav", lambda p: write_sav(li, p + "/li.sav")),
+        ("export_zsav", lambda p: write_sav(li, p + "/li.zsav")),
+        ("export_xpt", lambda p: write_xpt(li, p + "/li.xpt")),
+        ("export_por", lambda p: write_por(li, p + "/li.por")),
+        ("export_sas7bdat", lambda p: write_sas7bdat(li, p + "/li.sas7bdat")),
+        (
+            "export_sas7bdat_rle",
+            lambda p: write_sas7bdat(li, p + "/li_rle.sas7bdat", compress="rle"),
+        ),
+        (
+            "export_sas7bdat_rdc",
+            lambda p: write_sas7bdat(li, p + "/li_rdc.sas7bdat", compress="rdc"),
+        ),
+    ]
+    for name, fn in jobs:
+        t0 = time.perf_counter()
+        try:
+            fn(out)
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            timings[name] = -1.0
+            print(f"# bench error {name}: {e!r}", file=sys.stderr)
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def _bench_floor(spark, timings: dict) -> None:
+    """Python-DataSource harness-floor probes (SCALE.md's one-time
+    round-4 proof, now re-measured every round): a no-op source at
+    the 10M×7 float64 shape isolates transport+scheduling from
+    decode; a 16-task 1-row job isolates the fixed per-task cost."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _FloorReader(DataSourceReader):
+        def __init__(self, options):
+            self.nparts = int(options.get("nparts", 16))
+            self.rows = int(options.get("rows", 0))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.nparts)]
+
+        def read(self, p):
+            per = max(self.rows // self.nparts, 1)
+            for s in range(0, per, 100_000):
+                c = min(100_000, per - s)
+                col = pa.array(np.arange(c, dtype=np.float64))
+                yield pa.RecordBatch.from_arrays(
+                    [col] * 7, names=[f"c{i}" for i in range(7)]
+                )
+
+    class _FloorSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "benchfloor"
+
+        def schema(self):
+            return ", ".join(f"c{i} double" for i in range(7))
+
+        def reader(self, schema):
+            return _FloorReader(self.options)
+
+    spark.dataSource.register(_FloorSource)
+    rd = lambda **o: (  # noqa: E731
+        spark.read.format("benchfloor")
+        .options(**{k: str(v) for k, v in o.items()})
+        .load()
+    )
+    run_query(rd(nparts=16, rows=16))  # spin up the worker pool
+    for name, df in [
+        ("floor_16task_1row", rd(nparts=16, rows=16)),
+        ("floor_noop_source_10m7", rd(nparts=24, rows=10_000_000)),
+    ]:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_query(df)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -196,6 +302,14 @@ def main() -> None:
             _bench_readstat(spark, readstat_paths, timings)
         except Exception as e:  # noqa: BLE001
             print(f"# bench readstat failed: {e!r}", file=sys.stderr)
+    try:
+        _bench_exports(spark, sf_dir, timings)
+    except Exception as e:  # noqa: BLE001
+        print(f"# bench exports failed: {e!r}", file=sys.stderr)
+    try:
+        _bench_floor(spark, timings)
+    except Exception as e:  # noqa: BLE001
+        print(f"# bench floor failed: {e!r}", file=sys.stderr)
     wall = round(time.perf_counter() - t_all, 3)
     # the headline value is the sum of recorded per-query times: the
     # wall clock additionally contains cache-file generation and the

@@ -643,6 +643,50 @@ def _build_header(dataset_name: str, page_length: int) -> bytes:
     return bytes(h)
 
 
+def _pack_chunk_pdf(pdf, tag_slot, ncols, kinds, widths, row_length) -> bytes:
+    """Pack one pandas chunk (data columns + trailing tag-indicator
+    columns per tag_slot) into fixed-width row bytes. Executor-side,
+    shared by the single- and two-stage pack paths."""
+    cols = [pdf.iloc[:, i] for i in range(pdf.shape[1])]
+    tags = None
+    if tag_slot:
+        tags = [
+            _parse_tag_offsets(cols[tag_slot[ci]].tolist())
+            if ci in tag_slot
+            else None
+            for ci in range(ncols)
+        ]
+    return _pack_rows(cols[:ncols], kinds, widths, row_length, tags)
+
+
+def _encode_packed(packed: bytes, row_length: int, comp: str) -> bytes:
+    """RLE/RDC-encode a packed fixed-width chunk into the sink's
+    per-row framing (<BI compressed-flag, length> + payload). Pure —
+    runs on executors in either the single- or two-stage pack path."""
+    import io
+    import struct as _st
+
+    rows = np.frombuffer(packed, np.uint8).reshape(-1, row_length)
+    enc_rows = _rdc_encode_rows if comp == "rdc" else _rle_encode_rows
+    encoded = enc_rows(rows)
+    out = io.BytesIO()
+    for j in range(rows.shape[0]):
+        e = encoded[j]
+        if e is None:
+            raw = rows[j].tobytes()
+            if _collides_with_signature(raw):
+                raise ValueError(
+                    "write_sas7bdat: incompressible row collides with a "
+                    "subheader signature prefix; write without compress"
+                )
+            out.write(_st.pack("<BI", 0, len(raw)))
+            out.write(raw)
+        else:
+            out.write(_st.pack("<BI", 1, len(e)))
+            out.write(e)
+    return out.getvalue()
+
+
 def _pack_rows(cols_data, kinds, widths, row_length, tags_data=None) -> bytes:
     """Column-wise vectorized row packing: (n, row_length) uint8.
 
@@ -936,66 +980,23 @@ def write_sas7bdat(
     ):
         _cp.register_pickle_by_value(_sys.modules[_mod])
 
-    pack_rows_f = _pack_rows
-    collides_f = _collides_with_signature
-    enc = _rdc_encode_row if comp == "rdc" else _rle_encode_row
-    rows_enc_f = (
-        _rdc_encode_rows if comp == "rdc"
-        else _rle_encode_rows if comp == "rle"
-        else None
-    )
-    tag_parse_f = _parse_tag_offsets
+    pack_pdf_f = _pack_chunk_pdf
+    encode_packed_f = _encode_packed
 
     def pack_stage(batches):
-        import io
-        import struct as _st
-
-        import numpy as _np
         import pyarrow as _pa
 
-        _pack_rows = pack_rows_f
-        _collides_with_signature = collides_f
-        parse_tag_offsets = tag_parse_f
         for b in batches:
             start = 0
             while start < b.num_rows:
                 piece = b.slice(start, 8192)
                 start += piece.num_rows
-                pdf = piece.to_pandas()
-                cols = [pdf.iloc[:, i] for i in range(pdf.shape[1])]
-                tags = None
-                if tag_slot_l:
-                    tags = [
-                        parse_tag_offsets(cols[tag_slot_l[ci]].tolist())
-                        if ci in tag_slot_l
-                        else None
-                        for ci in range(ncols_l)
-                    ]
-                packed = _pack_rows(
-                    cols[:ncols_l], kinds_l, widths_l, rl, tags
+                packed = pack_pdf_f(
+                    piece.to_pandas(), tag_slot_l, ncols_l,
+                    kinds_l, widths_l, rl,
                 )
                 if comp:
-                    rows = _np.frombuffer(packed, _np.uint8).reshape(-1, rl)
-                    out = io.BytesIO()
-                    encoded = (
-                        rows_enc_f(rows) if rows_enc_f is not None else None
-                    )
-                    for j in range(rows.shape[0]):
-                        e = encoded[j] if encoded is not None else enc(rows[j])
-                        if e is None:
-                            raw = rows[j].tobytes()
-                            if _collides_with_signature(raw):
-                                raise ValueError(
-                                    "write_sas7bdat: incompressible row "
-                                    "collides with a subheader signature "
-                                    "prefix; write without compress"
-                                )
-                            out.write(_st.pack("<BI", 0, len(raw)))
-                            out.write(raw)
-                        else:
-                            out.write(_st.pack("<BI", 1, len(e)))
-                            out.write(e)
-                    packed = out.getvalue()
+                    packed = encode_packed_f(packed, rl, comp)
                 yield _pa.RecordBatch.from_arrays(
                     [
                         _pa.array([packed], type=_pa.binary()),
@@ -1004,15 +1005,142 @@ def write_sas7bdat(
                     names=["payload", "n"],
                 )
 
-    staged = src.mapInArrow(pack_stage, "payload binary, n bigint")
+    def chunk_tagged_stage(batches):
+        """Two-stage variant, stage 1: slice the input into row
+        chunks, ship them as Arrow IPC blobs tagged with (partition,
+        sequence, is-last) so the driver can restore the exact
+        partition-order byte stream after the shuffle. Near-free —
+        ALL per-row work (pack + encode) moves to stage 2, which runs
+        on every core. Every partition emits at least one (possibly
+        empty) chunk — the driver's ordered merge needs a terminator
+        per partition."""
+        import io
+
+        import pyarrow as _pa
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+
+        def rec(seq, last, payload, n):
+            return _pa.RecordBatch.from_arrays(
+                [
+                    _pa.array([pid], type=_pa.int32()),
+                    _pa.array([seq], type=_pa.int32()),
+                    _pa.array([last], type=_pa.bool_()),
+                    _pa.array([payload], type=_pa.binary()),
+                    _pa.array([n], type=_pa.int64()),
+                ],
+                names=["pid", "seq", "last", "payload", "n"],
+            )
+
+        def ipc(piece):
+            sink = io.BytesIO()
+            with _pa.ipc.new_stream(sink, piece.schema) as w:
+                w.write_batch(piece)
+            return sink.getvalue()
+
+        seq = 0
+        pending = None
+        for b in batches:
+            start = 0
+            while start < b.num_rows:
+                piece = b.slice(start, 8192)
+                start += piece.num_rows
+                if pending is not None:
+                    yield rec(seq, False, *pending)
+                    seq += 1
+                pending = (ipc(piece), piece.num_rows)
+        yield rec(seq, True, *(pending if pending is not None else (b"", 0)))
+
+    def pack_encode_stage(batches):
+        """Two-stage variant, stage 2 (after repartition): pack the
+        fixed-width rows AND run the expensive per-row RLE/RDC
+        encode, fanned across every core instead of being capped at
+        the input partition count."""
+        import pyarrow as _pa
+
+        for b in batches:
+            pids, seqs, lasts = b.column(0), b.column(1), b.column(2)
+            pays, ns = b.column(3), b.column(4)
+            enc = []
+            for j in range(b.num_rows):
+                blob = pays[j].as_py()
+                if blob:
+                    with _pa.ipc.open_stream(blob) as reader:
+                        pdf = reader.read_pandas()
+                    packed = pack_pdf_f(
+                        pdf, tag_slot_l, ncols_l, kinds_l, widths_l, rl
+                    )
+                    enc.append(encode_packed_f(packed, rl, comp))
+                else:
+                    enc.append(b"")
+            yield _pa.RecordBatch.from_arrays(
+                [pids, seqs, lasts, _pa.array(enc, type=_pa.binary()), ns],
+                names=["pid", "seq", "last", "payload", "n"],
+            )
+
+    sc = df.sparkSession.sparkContext
+    cores = max(int(sc.defaultParallelism), 1)
+    n_src_parts = src.rdd.getNumPartitions()
+    # the encode dominates a compressed export; when the input has
+    # fewer partitions than cores (one 128 MB-split parquet scan →
+    # 3 tasks on a 32-core box), re-split the PACKED chunks across
+    # the cluster for the encode and let the driver restore order.
+    # Single-file export is the convenience path — the repartition
+    # moves chunk bytes once; bulk exports go through
+    # write_sas7bdat_partitioned which never funnels through a driver.
+    two_stage = bool(comp) and n_src_parts < cores
+
     with open(path, "wb") as fh:
         sink = _SasFileSink(
             fh, fields, names, kinds, widths, dataset_name,
             variable_labels, page_length, compress,
         )
-        for row in staged.toLocalIterator(prefetchPartitions=True):
-            if comp:
-                sink.write_encoded(row[0], row[1])
-            else:
-                sink.write_packed(row[0], row[1])
+        if two_stage:
+            tag_schema = (
+                "pid int, seq int, last boolean, payload binary, n bigint"
+            )
+            staged = (
+                src.mapInArrow(chunk_tagged_stage, tag_schema)
+                .repartition(cores)
+                .mapInArrow(pack_encode_stage, tag_schema)
+            )
+            from pyspark import StorageLevel
+
+            staged = staged.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                staged.count()  # materialize: encode runs on all cores
+                # (toLocalIterator alone would run the post-shuffle
+                # stage one partition at a time)
+                pending_chunks: dict = {}
+                cur_pid, cur_seq = 0, 0
+                for row in staged.toLocalIterator(prefetchPartitions=True):
+                    pending_chunks[(row[0], row[1])] = (
+                        row[2], row[3], row[4],
+                    )
+                    while (cur_pid, cur_seq) in pending_chunks:
+                        last, payload, n = pending_chunks.pop(
+                            (cur_pid, cur_seq)
+                        )
+                        if n:
+                            sink.write_encoded(payload, n)
+                        if last:
+                            cur_pid, cur_seq = cur_pid + 1, 0
+                        else:
+                            cur_seq += 1
+                if pending_chunks or cur_pid != n_src_parts:
+                    raise RuntimeError(
+                        "write_sas7bdat: chunk stream incomplete "
+                        f"(at partition {cur_pid}/{n_src_parts}, "
+                        f"{len(pending_chunks)} chunks unplaced)"
+                    )
+            finally:
+                staged.unpersist()
+        else:
+            staged = src.mapInArrow(pack_stage, "payload binary, n bigint")
+            for row in staged.toLocalIterator(prefetchPartitions=True):
+                if comp:
+                    sink.write_encoded(row[0], row[1])
+                else:
+                    sink.write_packed(row[0], row[1])
         sink.close()
