@@ -334,11 +334,30 @@ def _bulk_chars(st: _PorStream) -> str:
     frag = first.translate(trans).decode("latin-1")
     if sep:
         parts.append(frag + " " * max(LINE_LEN - eff_pos - len(first), 0))
-        parts.append(
-            b"".join(ln.ljust(LINE_LEN, pad) for ln in rest.split(b"\n"))
-            .translate(trans)
-            .decode("latin-1")
+        # fast path: if every line is already exactly LINE_LEN (the
+        # shape every known POR writer emits), the whole tail is one
+        # C-level newline strip — no 144k-line split/ljust/join walk
+        arr = np.frombuffer(rest, dtype=np.uint8)
+        nl = np.flatnonzero(arr == ord("\n"))
+        uniform = bool(
+            (np.diff(nl, prepend=-1) == LINE_LEN + 1).all()
+            if nl.size
+            else len(rest) <= LINE_LEN
         )
+        if uniform:
+            # the generic walk ljusts every split piece to LINE_LEN —
+            # including the empty piece after a trailing newline
+            tail_len = len(rest) - (int(nl[-1]) + 1 if nl.size else 0)
+            body = rest.replace(b"\n", b"") + pad * max(
+                LINE_LEN - tail_len, 0
+            )
+            parts.append(body.translate(trans).decode("latin-1"))
+        else:
+            parts.append(
+                b"".join(ln.ljust(LINE_LEN, pad) for ln in rest.split(b"\n"))
+                .translate(trans)
+                .decode("latin-1")
+            )
     else:
         parts.append(frag)
     return "".join(parts)
@@ -421,91 +440,198 @@ for _i in range(20):
     _DIG_LUT[ord("A") + _i] = 10 + _i
 
 
-def _b30_batch(
+def _stream_ctx(u: np.ndarray) -> tuple:
+    """Stream-wide precomputation shared across _b30_batch chunks:
+    the digit LUT pass and the sparse dot/sign/bad locations depend
+    only on the stream, not on which token spans are being parsed."""
+    dig_flat = _DIG_LUT[u]
+    isdot_f = u == _DOT
+    issign_f = (u == ord("-")) | (u == ord("+"))
+    badchar = dig_flat == 255
+    badchar &= ~isdot_f
+    badchar &= ~issign_f
+    badchar &= u != _SLASH
+    return (
+        dig_flat,
+        np.flatnonzero(isdot_f),
+        np.flatnonzero(issign_f),
+        np.flatnonzero(badchar),
+    )
+
+
+def _b30_batch_parallel(
     u: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """_b30_batch fanned over a small thread pool for big token sets.
+
+    The POR scan is inherently one partition (tokens flow across the
+    80-char line structure, so byte ranges cannot be split without
+    parsing), which leaves the Python worker's siblings idle — and
+    every numpy pass in _b30_batch releases the GIL. Chunks of tokens
+    are independent, per-token op sequences are unchanged, so results
+    are bit-identical to the single-threaded call; the pool is capped
+    at 4 threads so a busy multi-task executor is never oversubscribed
+    by more than a small constant."""
+    import os as _os
+
+    n = len(starts)
+    nt = min(4, _os.cpu_count() or 1)
+    if n < 100_000 or nt < 2:
+        return _b30_batch(u, starts, ends)
+    ctx = _stream_ctx(u)
+    bounds = np.linspace(0, n, nt + 1).astype(np.int64)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(nt) as ex:
+        res = list(
+            ex.map(
+                lambda ab: _b30_batch(
+                    u, starts[ab[0] : ab[1]], ends[ab[0] : ab[1]], ctx
+                ),
+                zip(bounds[:-1], bounds[1:]),
+            )
+        )
+    return (
+        np.concatenate([r[0] for r in res]),
+        np.concatenate([r[1] for r in res]),
+    )
+
+
+def _b30_batch(
+    u: np.ndarray, starts: np.ndarray, ends: np.ndarray, ctx: tuple = None
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized base-30 parse of tokens u[starts[i]:ends[i]).
 
     Returns (values, ok). Bit-identical to _fast_b30/_parse_base30 for
     plain [-]int[.frac] tokens: the integer part accumulates exactly
-    (≤10 digits fit int64 and float53), the fraction replays the
+    (≤11 digits fit int64 and float53), the fraction replays the
     scalar's num += d/denom; denom *= 30 sequence via np.cumprod (the
-    same multiply chain) in the same ascending order. Tokens with an
-    exponent, >10 integer digits, >64 chars, or any invalid char get
-    ok=False — the caller routes those through the scalar parser.
-    Empty tokens parse to 0.0 like the scalar path."""
+    same multiply chain) in the same ascending order. Tokens with >11
+    integer digits, >64 chars, or any invalid char get ok=False — the
+    caller routes those through the scalar parser. Empty tokens parse
+    to 0.0 like the scalar path. ``starts`` must be ascending and the
+    spans disjoint (both call sites pass stream-ordered segments).
+
+    Everything here is FLAT: 1-D passes over the stream, sparse
+    dot/sign location via searchsorted, and suffix-grouped per-digit
+    accumulation (tokens sorted by digit count make "tokens still
+    needing digit k" a contiguous suffix). The earlier (n, token_len)
+    matrix formulation allocated ~n×64 bytes per mask and paid this
+    VM's erratic page-fault cost on every fresh allocation — 45-digit
+    exact-decimal columns parsed at 0.12 M tokens/s; flat runs the
+    same shape >10× faster with identical outputs."""
     n = len(starts)
     vals = np.zeros(n, dtype=np.float64)
     lens = ends - starts
     ok = lens >= 0
-    t_max = int(lens.max()) if n else 0
-    if t_max == 0:
+    lmax = int(lens.max()) if n else 0
+    if lmax == 0:
         return vals, ok
-    if t_max > 64:  # full-precision doubles print ~50 base-30 chars
+    if lmax > 64:  # full-precision doubles print ~50 base-30 chars
         ok &= lens <= 64
-        t_max = 64
-    # pad so gathers past the stream end stay in bounds; int32 indices
-    # halve the index-matrix memory traffic (positions are < 2^31: the
-    # stream is an in-memory str)
-    up = np.concatenate([u, np.zeros(t_max, dtype=np.uint8)])
-    idx = starts.astype(np.int32)[:, None] + np.arange(t_max, dtype=np.int32)
-    valid = np.arange(t_max) < lens[:, None]
-    mt = up[idx]
-    mt[~valid] = 0
-    dig = _DIG_LUT[mt]
 
-    first = mt[:, 0]
-    neg = first == ord("-")
-    off = (neg | (first == ord("+"))).astype(np.int64)
-    isdot = (mt == _DOT) & valid
-    # a sign past position 0 opens the base-30 exponent suffix
-    signs = ((mt == ord("-")) | (mt == ord("+"))) & valid
-    signs[:, 0] = False
-    has_exp = signs.any(axis=1)
-    any_exp = bool(has_exp.any())
-    if any_exp:
-        epos = np.where(has_exp, signs.argmax(axis=1), lens)
-        ok &= signs.sum(axis=1) <= 1
-        isdot &= np.arange(t_max) < epos[:, None]  # '.' in exp: bad
+    nu = len(u)
+    if ctx is None:
+        ctx = _stream_ctx(u)
+    dig_flat, dpos, spos, bpos = ctx
+
+    nonempty = lens > 0
+    first = u[np.minimum(starts, nu - 1)]
+    neg = nonempty & (first == ord("-"))
+    off = (neg | (nonempty & (first == ord("+")))).astype(np.int64)
+
+    # a sign past position 0 opens the base-30 exponent suffix;
+    # located sparsely: first in-span sign at/after starts+1
+    if spos.size:
+        s0 = np.searchsorted(spos, starts + 1)
+        sign_cnt = np.searchsorted(spos, ends) - s0
+        has_exp = sign_cnt > 0
+        ok &= sign_cnt <= 1
+        eabs = np.where(has_exp, spos[np.minimum(s0, spos.size - 1)], ends)
     else:
-        epos = lens
-    ok &= isdot.sum(axis=1) <= 1
-    # every in-range char must be a digit, the mantissa dot, the lead
-    # sign, or the exponent sign
-    bad = valid & (dig == 255) & ~isdot & ~signs
-    bad[:, 0] &= ~(neg | (first == ord("+")))
-    ok &= ~bad.any(axis=1)
+        has_exp = np.zeros(n, dtype=bool)
+        eabs = ends
+    any_exp = bool(has_exp.any())
+    epos = eabs - starts  # == lens where no exponent
 
-    dotpos = np.where(isdot.any(axis=1), isdot.argmax(axis=1), epos)
+    # the mantissa dot, located the same way; a '.' inside the
+    # exponent region is an invalid char exactly like before
+    if dpos.size:
+        d0 = np.searchsorted(dpos, starts)
+        d_pre = np.searchsorted(dpos, eabs)
+        pre_cnt = d_pre - d0
+        ok &= pre_cnt <= 1
+        if any_exp:  # '.' inside the exponent region: bad
+            ok &= np.searchsorted(dpos, ends) == d_pre
+        hasdot = pre_cnt > 0
+        dabs = np.where(hasdot, dpos[np.minimum(d0, dpos.size - 1)], eabs)
+    else:
+        dabs = eabs
+    dotpos = dabs - starts
+
+    # every in-span char must be a digit, a dot, or a sign (dot/sign
+    # placement was validated above; the leading sign sits at starts
+    # and is outside both sparse searches). Offending chars are rare —
+    # separators live between spans and line padding lands mid-token
+    # only on ragged lines — so they are located sparsely (in the
+    # ctx) and only their tokens falsified, instead of cumsum-scanning
+    # the stream per call
+    if bpos.size:
+        ti = np.searchsorted(starts, bpos, side="right") - 1
+        hit = (ti >= 0) & (bpos < ends[ti])
+        ok[ti[hit]] = False
+
     ip_len = dotpos - off
     # 11 base-30 digits: 30^11 ≈ 5.3e15 < 2^53, so both the int64
     # accumulation here and the scalar's float accumulation are exact
     ok &= ip_len <= 11
 
-    # one aligned gather per region, then cheap 1-D passes per digit —
-    # gathering the full matrix once per position was the hot spot
-    mi = min(int(ip_len.max(initial=0)), 11)
     acc = np.zeros(n, dtype=np.int64)
+    mi = min(int(ip_len.max(initial=0)), 11)
     if mi:
-        iidx = np.minimum(off[:, None] + np.arange(mi), t_max - 1)
-        digi = np.take_along_axis(dig, iidx, axis=1).astype(np.int64)
+        o_i = np.argsort(ip_len, kind="stable")
+        il_s = ip_len[o_i]
+        istart_s = (starts + off)[o_i]
+        acc_s = np.zeros(n, dtype=np.int64)
+        j0s = np.searchsorted(il_s, np.arange(mi), side="right")
         for k in range(mi):
-            acc = np.where((k < ip_len) & ok, acc * 30 + digi[:, k], acc)
+            j0 = j0s[k]
+            acc_s[j0:] = acc_s[j0:] * 30 + dig_flat[istart_s[j0:] + k]
+        acc[o_i] = acc_s
     num = acc.astype(np.float64)
 
-    frac_len = np.where(dotpos < epos, epos - dotpos - 1, 0)
-    mf = int(frac_len.max(initial=0))
+    frac_len = np.where(dabs < eabs, eabs - dabs - 1, 0)
+    mf = min(int(frac_len.max(initial=0)), 63)
     if mf:
-        fidx = np.minimum(dotpos[:, None] + 1 + np.arange(mf), t_max - 1)
-        digf = np.take_along_axis(dig, fidx, axis=1).astype(np.float64)
+        o_f = np.argsort(frac_len, kind="stable")
+        fl_s = frac_len[o_f]
+        fstart_s = (dabs + 1)[o_f]
         denom = np.cumprod(np.full(mf, 30.0))  # 30, 900, … like *= 30
-        # contributions keep the scalar's per-term d/denom division;
-        # the add runs left-to-right per token, matching the scalar
-        # accumulator's rounding exactly (cumsum would regroup)
-        contrib = digf / denom
-        contrib[np.arange(mf) >= frac_len[:, None]] = 0.0
+        # each pass keeps the scalar's per-term d/denom division and
+        # runs left-to-right per token, matching the scalar
+        # accumulator's rounding exactly (cumsum would regroup); all
+        # touched positions sit inside their token's span because the
+        # suffix only holds tokens with frac_len > j
+        num_s = num[o_f]
+        # preallocated scratch: per-pass fresh temporaries pay this
+        # VM's page-fault cost every iteration (measured ~3× the
+        # arithmetic on 45-digit columns)
+        ibuf = np.empty(n, dtype=np.int64)
+        gbuf = np.empty(n, dtype=np.uint8)
+        fbuf = np.empty(n, dtype=np.float64)
+        j0s = np.searchsorted(fl_s, np.arange(mf), side="right")
         for j in range(mf):
-            num = num + contrib[:, j]
+            j0 = j0s[j]
+            w = n - j0
+            if not w:
+                continue
+            np.add(fstart_s[j0:], j, out=ibuf[:w])
+            np.take(dig_flat, ibuf[:w], out=gbuf[:w])
+            np.divide(gbuf[:w], denom[j], out=fbuf[:w])
+            np.add(num_s[j0:], fbuf[:w], out=num_s[j0:])
+        num2 = np.empty(n, dtype=np.float64)
+        num2[o_f] = num_s
+        num = num2
 
     if any_exp:
         exp_len = lens - epos - 1
@@ -513,15 +639,11 @@ def _b30_batch(
         me = min(int(exp_len.max(initial=0)), 7)
         eacc = np.zeros(n, dtype=np.int64)
         if me:
-            eidx = np.minimum(epos[:, None] + 1 + np.arange(me), t_max - 1)
-            dige = np.take_along_axis(dig, eidx, axis=1).astype(np.int64)
             for k in range(me):
-                eacc = np.where(
-                    (k < exp_len) & has_exp & ok, eacc * 30 + dige[:, k], eacc
-                )
-        eneg = np.take_along_axis(
-            mt, np.minimum(epos, t_max - 1)[:, None], axis=1
-        )[:, 0] == ord("-")
+                m = (k < exp_len) & has_exp & ok
+                if m.any():
+                    eacc[m] = eacc[m] * 30 + dig_flat[eabs[m] + 1 + k]
+        eneg = u[np.minimum(eabs, nu - 1)] == ord("-")
         signed = np.where(eneg, -eacc, eacc)
         signed[~has_exp] = 0
         # multiply by 30.0 ** exp computed with PYTHON pow per unique
@@ -615,7 +737,7 @@ def _vec_numeric_only(s, u, seg_start, slashes, stars, n_vars):
     if zmask.any():
         cutoff = int(tok_start[int(np.argmax(zmask))])
 
-    vals_tok, ok = _b30_batch(u, tok_start, slashes)
+    vals_tok, ok = _b30_batch_parallel(u, tok_start, slashes)
     if not ok.all():
         allowed = (_DIG_LUT[u[np.minimum(tok_start, len(u) - 1)]] != 255) | (
             tok_start >= slashes
@@ -688,7 +810,7 @@ def _vec_with_strings(meta, s, u, seg_start, slashes, n_vars, is_str):
             str_len[c] = ln
             out[c] = [s[a:b].rstrip() for a, b in zip(p0, p1)]
         else:
-            vals, ok = _b30_batch(u, t0, t1)
+            vals, ok = _b30_batch_parallel(u, t0, t1)
             if not ok.all():
                 first_ok = (
                     _DIG_LUT[u[np.minimum(t0, len(u) - 1)]] != 255
