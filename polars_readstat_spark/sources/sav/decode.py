@@ -199,20 +199,51 @@ def count_compressed_rows(meta: SavMeta) -> int:
     return els // cs
 
 
-def _numeric_elements(rows: np.ndarray, var: SavVar, meta: SavMeta) -> np.ndarray:
+def _numeric_elements(
+    rows: np.ndarray, var: SavVar, meta: SavMeta, dense=None
+) -> np.ndarray:
+    if dense is not None:
+        col = dense.get(var.start_el)
+        if col is not None:
+            return col
     off = var.start_el * 8
     raw = np.ascontiguousarray(rows[:, off : off + 8])
     ef = "<" if meta.little_endian else ">"
     return raw.view(ef + "f8").reshape(-1)
 
 
+def dense_numeric(
+    rows: np.ndarray, meta: SavMeta, varlist
+) -> dict[int, np.ndarray]:
+    """One blocked sweep densifying every numeric element column.
+
+    Per-variable strided copies fetch each ~record-width cache line
+    once PER COLUMN (row bytes of all columns share lines), so a
+    6-numeric-column record pays ~6× the record bytes in memory
+    traffic. Transposing L2-resident row blocks instead fetches each
+    line once for ALL columns — measured ~4× on the densify step of
+    the sf0.1 lineitem shape."""
+    els = [v.start_el for v in varlist if not v.is_str]
+    if not els or rows.size == 0 or not rows.flags.c_contiguous:
+        return {}
+    ef = "<" if meta.little_endian else ">"
+    n = rows.shape[0]
+    f = rows.view(ef + "f8")
+    idx = np.array(els, dtype=np.int64)
+    out = np.empty((len(els), n), dtype=ef + "f8")
+    blk = 8192
+    for s in range(0, n, blk):
+        out[:, s : s + blk] = f[s : s + blk, idx].T
+    return {e: out[i] for i, e in enumerate(els)}
+
+
 def decode_numeric(
-    rows: np.ndarray, var: SavVar, meta: SavMeta
+    rows: np.ndarray, var: SavVar, meta: SavMeta, dense=None
 ) -> tuple[np.ndarray, np.ndarray]:
     """→ (float64 values native-endian, missing mask). Missing =
     sysmis/LOWEST/HIGHEST/NaN + declared discrete/range values
     (reference is_missing_numeric, spss/data.rs:998-1026)."""
-    vals = _numeric_elements(rows, var, meta).astype("<f8", copy=False)
+    vals = _numeric_elements(rows, var, meta, dense).astype("<f8", copy=False)
     bits = vals.view(np.uint64)
     mask = (
         (bits == SYSMIS_BITS)
@@ -341,6 +372,7 @@ def decode_column(
     meta: SavMeta,
     value_labels_as_strings: bool,
     missing_string_as_null: bool,
+    dense=None,
 ) -> pa.Array:
     if var.is_str:
         arr = decode_string_column(rows, var, meta, missing_string_as_null)
@@ -352,7 +384,7 @@ def decode_column(
             )
         return arr
 
-    vals, mask = decode_numeric(rows, var, meta)
+    vals, mask = decode_numeric(rows, var, meta, dense)
 
     if value_labels_as_strings and var.value_labels:
         vl = var.value_labels
@@ -458,10 +490,12 @@ def decode_rows(
 
     arrays = []
     names = []
+    dense = dense_numeric(rows, meta, [meta.variables[i] for i in col_indices])
     for i in col_indices:
         var = meta.variables[i]
         col = decode_column(
-            rows, var, meta, value_labels_as_strings, missing_string_as_null
+            rows, var, meta, value_labels_as_strings, missing_string_as_null,
+            dense,
         )
         if (
             informative
