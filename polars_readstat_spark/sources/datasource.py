@@ -261,9 +261,24 @@ class ReadstatDataSource(DataSource):
             # preserved by executor.map)
             from concurrent.futures import ThreadPoolExecutor
 
+            from polars_readstat_spark.sources import partplan
+
+            # the per-core fan-out targets the whole cluster; with N
+            # files each planning independently that would yield
+            # N × cores partitions. Split the core budget across the
+            # files instead — the 48 MB byte heuristic and the
+            # 8 MB/64k floor still bound each file's plan, so a big
+            # multi-file scan keeps its ~48 MB ranges and a handful
+            # of medium files still cover every core between them.
+            cores = partplan.cores_from_options(self.options)
+            if not cores:
+                cores = partplan._active_cores()
+            per_file = max(1, -(-int(cores or 0) // len(paths)))
+
             def _mk(p):
                 opts = dict(self.options)
                 opts["path"] = p
+                opts["target_parallelism"] = str(per_file)
                 return ReadstatDataSource(opts)._reader_uncompressed(schema)
 
             with ThreadPoolExecutor(min(16, max(2, len(paths)))) as ex:

@@ -107,3 +107,24 @@ def test_multifile_planning_parallel_500_files(spark, dta_farm, tmp_path):
     planned = time.time() - t0
     assert planned < 2.0, f"planning 500 files took {planned:.2f}s"
     assert df.count() == 500 * 100
+
+
+def test_multifile_divides_core_budget(spark, dta_farm):
+    """N files each planning a per-core fan-out would yield N x cores
+    partitions; the multi-file reader hands each file cores/N instead
+    (driver-side check: reader() resolves the live SparkContext)."""
+    from pyspark.sql.types import StructType
+
+    from polars_readstat_spark.sources.datasource import (
+        MultiFileReader,
+        ReadstatDataSource,
+    )
+
+    ds = ReadstatDataSource(
+        {"path": dta_farm, "target_parallelism": "32"}
+    )
+    rd = ds.reader(ds.schema())
+    while not isinstance(rd, MultiFileReader):  # unwrap filter layer
+        rd = rd.inner
+    per_file = {r.target_parallelism for r in rd.readers}
+    assert per_file == {8}  # 32 cores / 4 files
