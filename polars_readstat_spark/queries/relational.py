@@ -384,14 +384,24 @@ def semi_join_customers_with_orders(spark, sf_dir):
     "anti_join_customers_without_orders",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
 )
 def anti_join_customers_without_orders(spark, sf_dir):
+    """LEFT ANTI against a filtered right side. The urgency predicate
+    keeps the result non-empty on this datagen, where every customer
+    has at least one order (a bare "never ordered" anti-join returns
+    0 rows at every SF, so the join was never value-checked — the
+    same vacuity the r04 verdict found in q22): 18/203/1986 customers
+    at sf0.001/0.01/0.1."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+        cust.c_custkey == orders.o_custkey,
+        "left_anti",
     ).select("c_custkey", "c_name")
 
 
