@@ -108,3 +108,127 @@ def iter_packed_chunks(df, pack_fn, max_rows: int = 8192, modules=()):
     staged = df.mapInArrow(stage, "payload binary, n bigint")
     for row in staged.toLocalIterator(prefetchPartitions=True):
         yield row[0], row[1]
+
+
+def iter_packed_chunks_wide(df, pack_fn, max_rows: int = 8192, modules=()):
+    """iter_packed_chunks with pack_fn fanned across EVERY core.
+
+    toLocalIterator runs a narrow pipeline's partitions one at a time
+    (prefetch 1), so executor packing through iter_packed_chunks only
+    ever uses a core or two when pack_fn dominates. Here stage 1
+    slices the input into row chunks shipped as Arrow IPC blobs
+    tagged (partition, seq, is-last); a repartition(cores) spreads
+    them; stage 2 applies pack_fn on every core; persist+count
+    materializes the whole stage in parallel; and chunks are yielded
+    to the caller in exact partition order reconstructed from the
+    tags (the same protocol as the sas7bdat compressed sink). One
+    extra pass of chunk bytes through the shuffle — the single-file
+    convenience path's trade; bulk exports use the partitioned
+    writers."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    for m in modules:
+        cloudpickle.register_pickle_by_value(sys.modules[m])
+    names = df.columns
+    tag_schema = "pid int, seq int, last boolean, payload binary, n bigint"
+
+    def chunk_stage(batches):
+        import io
+
+        import pyarrow as _pa
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+
+        def rec(seq, last, payload, n):
+            return _pa.RecordBatch.from_arrays(
+                [
+                    _pa.array([pid], type=_pa.int32()),
+                    _pa.array([seq], type=_pa.int32()),
+                    _pa.array([last], type=_pa.bool_()),
+                    _pa.array([payload], type=_pa.binary()),
+                    _pa.array([n], type=_pa.int64()),
+                ],
+                names=["pid", "seq", "last", "payload", "n"],
+            )
+
+        def ipc(piece):
+            sink = io.BytesIO()
+            with _pa.ipc.new_stream(sink, piece.schema) as wtr:
+                wtr.write_batch(piece)
+            return sink.getvalue()
+
+        seq = 0
+        pending = None
+        for b in batches:
+            start = 0
+            while start < b.num_rows:
+                piece = b.slice(start, max_rows)
+                start += piece.num_rows
+                if pending is not None:
+                    yield rec(seq, False, *pending)
+                    seq += 1
+                pending = (ipc(piece), piece.num_rows)
+        yield rec(seq, True, *(pending if pending is not None else (b"", 0)))
+
+    def pack_stage(batches):
+        import pyarrow as _pa
+
+        for b in batches:
+            enc = []
+            pays = b.column(3)
+            for j in range(b.num_rows):
+                blob = pays[j].as_py()
+                if blob:
+                    with _pa.ipc.open_stream(blob) as reader:
+                        pdf = reader.read_pandas()
+                    pdf.columns = names
+                    enc.append(pack_fn(pdf))
+                else:
+                    enc.append(b"")
+            yield _pa.RecordBatch.from_arrays(
+                [
+                    b.column(0),
+                    b.column(1),
+                    b.column(2),
+                    _pa.array(enc, type=_pa.binary()),
+                    b.column(4),
+                ],
+                names=["pid", "seq", "last", "payload", "n"],
+            )
+
+    sc = df.sparkSession.sparkContext
+    cores = max(int(sc.defaultParallelism), 1)
+    n_src = df.rdd.getNumPartitions()
+    from pyspark import StorageLevel
+
+    staged = (
+        df.mapInArrow(chunk_stage, tag_schema)
+        .repartition(cores)
+        .mapInArrow(pack_stage, tag_schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        staged.count()  # materialize: pack runs on all cores
+        pending: dict = {}
+        cur_pid, cur_seq = 0, 0
+        for row in staged.toLocalIterator(prefetchPartitions=True):
+            pending[(row[0], row[1])] = (row[2], row[3], row[4])
+            while (cur_pid, cur_seq) in pending:
+                last, payload, n = pending.pop((cur_pid, cur_seq))
+                if n:
+                    yield payload, n
+                if last:
+                    cur_pid, cur_seq = cur_pid + 1, 0
+                else:
+                    cur_seq += 1
+        if pending or cur_pid != n_src:
+            raise RuntimeError(
+                "iter_packed_chunks_wide: chunk stream incomplete "
+                f"(at partition {cur_pid}/{n_src}, "
+                f"{len(pending)} chunks unplaced)"
+            )
+    finally:
+        staged.unpersist()

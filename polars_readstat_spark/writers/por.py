@@ -14,9 +14,12 @@ never less accurate than the flat 50-digit expansion, whose fraction
 accumulation is ~1 ulp lossy — the same approximation the C
 readstat/pyreadstat parsers make.
 
-POR is an eager, driver-assembled single file (the format is legacy
-interchange, not a data-plane format at scale); rows stream through
-Arrow chunks (iter_arrow_chunks) so memory stays bounded.
+POR is an eager single file (the format is legacy interchange, not a
+data-plane format at scale); token packing — the expensive per-value
+shortest-form ladder — runs on the executors (iter_packed_chunks,
+integer fast path + per-chunk memo), and the driver only concatenates
+chunk payloads in partition order and wraps the stream at 80 columns
+with one numpy pass per chunk, so memory stays bounded.
 """
 
 from __future__ import annotations
@@ -26,6 +29,7 @@ import datetime
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from polars_readstat_spark.sources.por.b30 import _parse_base30
 from polars_readstat_spark.writers import ts_epoch_seconds
 
 from polars_readstat_spark.sources.por.reader import (
@@ -95,6 +99,56 @@ class _PorWriter:
     def finish(self):
         while self.pos != 0:
             self.byte(ord("Z"))
+
+
+_B30_POW11 = 30.0 ** 11
+
+
+def _num_token(v: float) -> str:
+    """One numeric cell -> '/'-terminated token (same emission as
+    _PorWriter.double). Integers below 30^11 skip the ladder: their
+    positional form is exact by construction (int accumulation stays
+    under 2^53 on both sides), which covers keys, counts, and
+    seconds-since-1582 date/datetime values."""
+    if v in (float("inf"), float("-inf")):
+        return "-1+TT/" if v < 0 else "1+TT/"
+    sign = "-" if v < 0 else ""
+    a = abs(v)
+    if a < _B30_POW11 and a.is_integer():
+        return sign + _b30_int_str(int(a)) + "/"
+    return sign + _shortest_b30(a) + "/"
+
+
+def _pack_por_chunk(pdf, kinds) -> bytes:
+    """Executor-side pack of one pandas chunk into the unwrapped
+    logical token stream (wrapping is a driver-side numpy pass)."""
+    cols = []
+    for i, k in enumerate(kinds):
+        s = pdf.iloc[:, i]
+        if k == "str":
+            cells = []
+            for x in s.tolist():
+                b = (x if x is not None else "").encode("latin-1", "replace")
+                cells.append(_b30_int_str(len(b)) + "/" + b.decode("latin-1"))
+            cols.append(cells)
+        else:
+            memo: dict = {}
+            cells = []
+            for v in s.tolist():
+                if v is None or v != v:
+                    cells.append("*.")
+                    continue
+                t = memo.get(v)
+                if t is None:
+                    t = _num_token(v)
+                    memo[v] = t
+                cells.append(t)
+            cols.append(cells)
+    parts = []
+    for r in range(len(pdf)):
+        for c in cols:
+            parts.append(c[r])
+    return "".join(parts).encode("latin-1", "replace")
 
 
 def _b30_chr(d: int) -> str:
@@ -199,8 +253,6 @@ def _shortest_b30(a: float) -> str:
        section ~4× vs the flat PRECISION=50 expansion;
     3. the full exact expansion (always verifies: the fraction terms
        replay the expansion's own digits)."""
-    from polars_readstat_spark.sources.por.reader import _parse_base30
-
     if a == 0.0:
         return "0"
     for budget in (12, 13):
@@ -250,6 +302,38 @@ def _shortest_b30(a: float) -> str:
     if best_err is not None and best_err <= err_full:
         return best_tok
     return full
+
+def _wrap_write(fh, buf: bytes, pos: int) -> int:
+    """Write unwrapped stream bytes starting at column ``pos``,
+    inserting CRLF every LINE_LEN columns (one numpy reshape pass per
+    chunk instead of the old per-BYTE Python call), and return the
+    new column position."""
+    import numpy as np
+
+    n = len(buf)
+    first = min(LINE_LEN - pos, n)
+    head = buf[:first]
+    if pos + first < LINE_LEN:
+        fh.write(head)
+        return pos + first
+    rest = buf[first:]
+    full = len(rest) // LINE_LEN
+    out = bytearray(head)
+    out += b"\r\n"
+    if full:
+        m = np.frombuffer(
+            rest[: full * LINE_LEN], dtype=np.uint8
+        ).reshape(-1, LINE_LEN)
+        o = np.empty((full, LINE_LEN + 2), dtype=np.uint8)
+        o[:, :LINE_LEN] = m
+        o[:, LINE_LEN] = 13
+        o[:, LINE_LEN + 1] = 10
+        out += o.tobytes()
+    tail = rest[full * LINE_LEN :]
+    out += tail
+    fh.write(bytes(out))
+    return len(tail)
+
 
 def _por_names(names: list[str]) -> list[str]:
     out, seen = [], set()
@@ -369,15 +453,30 @@ def write_por(
                 w.write("C")
                 w.string(label[:255])
         w.write("F")
-        from polars_readstat_spark.writers import iter_arrow_chunks
+        from polars_readstat_spark.writers import (
+            iter_packed_chunks,
+            iter_packed_chunks_wide,
+        )
 
-        for pdf in iter_arrow_chunks(src, 65536):
-            lists = [pdf.iloc[:, i].tolist() for i in range(pdf.shape[1])]
-            for r in range(pdf.shape[0]):
-                for i, k in enumerate(kinds):
-                    v = lists[i][r]
-                    if k == "str":
-                        w.string(v if v is not None else "")
-                    else:
-                        w.double(v)
-        w.finish()
+        kinds_l = list(kinds)
+        # the shortest-token ladder dominates big exports: fan it
+        # across the cluster (wide protocol) once the pre-pass count
+        # says it's worth a shuffle + persist; small writes keep the
+        # cheap narrow path
+        chunks = (
+            iter_packed_chunks_wide if int(stats["__n"]) >= 100_000
+            else iter_packed_chunks
+        )(
+            src,
+            lambda pdf: _pack_por_chunk(pdf, kinds_l),
+            65536,
+            modules=(
+                "polars_readstat_spark.writers.por",
+                "polars_readstat_spark.sources.por.b30",
+            ),
+        )
+        pos = w.pos
+        for payload, _n in chunks:
+            pos = _wrap_write(fh, payload, pos)
+        if pos:  # Z-fill the last line like _PorWriter.finish
+            fh.write(b"Z" * (LINE_LEN - pos) + b"\r\n")
