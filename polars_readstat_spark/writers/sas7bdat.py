@@ -1071,7 +1071,11 @@ def write_sas7bdat(
                     packed = pack_pdf_f(
                         pdf, tag_slot_l, ncols_l, kinds_l, widths_l, rl
                     )
-                    enc.append(encode_packed_f(packed, rl, comp))
+                    enc.append(
+                        encode_packed_f(packed, rl, comp)
+                        if comp
+                        else packed
+                    )
                 else:
                     enc.append(b"")
             yield _pa.RecordBatch.from_arrays(
@@ -1089,7 +1093,11 @@ def write_sas7bdat(
     # Single-file export is the convenience path — the repartition
     # moves chunk bytes once; bulk exports go through
     # write_sas7bdat_partitioned which never funnels through a driver.
-    two_stage = bool(comp) and n_src_parts < cores
+    # row packing (per-row Python on string cells) dominates plain
+    # exports the same way the RLE/RDC encode dominates compressed
+    # ones, and toLocalIterator runs a narrow pack stage one partition
+    # at a time — so any big-but-narrow input takes the wide protocol
+    two_stage = n_src_parts < cores
 
     with open(path, "wb") as fh:
         sink = _SasFileSink(
@@ -1123,7 +1131,10 @@ def write_sas7bdat(
                             (cur_pid, cur_seq)
                         )
                         if n:
-                            sink.write_encoded(payload, n)
+                            if comp:
+                                sink.write_encoded(payload, n)
+                            else:
+                                sink.write_packed(payload, n)
                         if last:
                             cur_pid, cur_seq = cur_pid + 1, 0
                         else:
