@@ -337,6 +337,8 @@ class _ZlibSink:
 
     def __init__(self, fh, zheader_ofs: int):
         import struct as _s
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
 
         self.fh = fh
         self.zheader_ofs = zheader_ofs
@@ -344,6 +346,13 @@ class _ZlibSink:
         self.stream = bytearray()  # framed bytecode awaiting a block
         self.blocks = []  # (unc_ofs, c_ofs, unc_size, c_size)
         self.unc_pos = zheader_ofs  # PSPP: offsets count from zheader
+        # blocks compress independently and zlib releases the GIL, so
+        # a small pool pipelines the compression while this thread
+        # keeps framing; blocks are still WRITTEN strictly in order
+        # (deque drain), so the file is byte-identical to the serial
+        # path. In-flight depth is capped to bound memory at ~8 blocks.
+        self._pool = ThreadPoolExecutor(4)
+        self._inflight = deque()  # (future, unc_ofs, unc_size)
         # placeholder zheader, backpatched in close()
         fh.write(_s.pack("<3q", zheader_ofs, 0, 0))
 
@@ -367,18 +376,32 @@ class _ZlibSink:
         if final:
             self.stream += bytes([252] + [0] * 7)
 
+    def _drain(self, limit: int):
+        while self._inflight and (
+            len(self._inflight) > limit or self._inflight[0][0].done()
+        ):
+            fut, unc_ofs, unc_sz = self._inflight.popleft()
+            comp = fut.result()
+            self.blocks.append((unc_ofs, self.fh.tell(), unc_sz, len(comp)))
+            self.fh.write(comp)
+
     def _flush_blocks(self, final: bool = False):
         import zlib
 
         while len(self.stream) >= self.BLOCK or (final and self.stream):
             chunk = bytes(self.stream[: self.BLOCK])
             del self.stream[: self.BLOCK]
-            comp = zlib.compress(chunk, 6)
-            self.blocks.append(
-                (self.unc_pos, self.fh.tell(), len(chunk), len(comp))
+            self._inflight.append(
+                (
+                    self._pool.submit(zlib.compress, chunk, 6),
+                    self.unc_pos,
+                    len(chunk),
+                )
             )
-            self.fh.write(comp)
             self.unc_pos += len(chunk)
+            self._drain(8)
+        if final:
+            self._drain(0)
 
     def write(self, raw: bytes):
         self.pending += raw
@@ -390,6 +413,7 @@ class _ZlibSink:
 
         self._frame(final=True)
         self._flush_blocks(final=True)
+        self._pool.shutdown()
         trailer_ofs = self.fh.tell()
         self.fh.write(_s.pack("<qqii", -100, 0, self.BLOCK, len(self.blocks)))
         for unc_ofs, c_ofs, unc_sz, c_sz in self.blocks:
