@@ -335,3 +335,113 @@ def sequence_length_histogram(spark, sf_dir):
             F.sum("nt").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+@query(
+    "source_cap_topk",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 50
+    """,
+)
+def source_cap_topk(spark, sf_dir):
+    """Per-domain document caps — the standard guard against a single
+    crawl domain dominating a training mix: keep only the best K docs
+    per source, ranked by length with doc_id as the deterministic
+    tiebreak.
+
+    100 TB shape: one hash-partition by source feeding a bounded
+    per-partition window (row_number needs no full sort of the corpus,
+    only a per-source ordering); a skewed mega-domain is exactly the
+    case the cap exists for, and its window input can additionally be
+    pre-truncated per partition since any row below rank K in ANY
+    partition-local ordering can never enter the global per-source
+    top K."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rk") <= 50)
+    )
+
+
+#: char budget for the mixture fill below — fixed, so the selected
+#: fraction shrinks as the corpus grows (a budget is an absolute
+#: target, not a rate)
+MIX_BUDGET_CHARS = 50_000
+
+
+@query(
+    "mixture_budget_fill",
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST({MIX_BUDGET_CHARS} AS DOUBLE)
+             / COUNT(DISTINCT source) AS quota
+      FROM documents
+    ),
+    ord AS (
+      SELECT doc_id, source, n_chars,
+             SUM(n_chars) OVER (
+               PARTITION BY source
+               ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS cum
+      FROM documents
+    )
+    SELECT o.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(o.n_chars) AS BIGINT) AS chars_taken
+    FROM ord o, q
+    WHERE o.cum <= q.quota
+    GROUP BY o.source
+    """,
+)
+def mixture_budget_fill(spark, sf_dir):
+    """Fill a fixed training-token budget EVENLY across sources: each
+    source gets budget/n_sources chars, and docs are taken in
+    deterministic content-hash order (md5 of the key — both engines
+    emit identical hex, so the same docs are picked on any cluster
+    or partitioning) until the running total would pass the quota.
+
+    100 TB shape: one tiny aggregate broadcasts the quota; the window
+    cumsum shuffles once on source; selection is map-side after the
+    window. The hash order also makes incremental refills stable:
+    re-running with a larger budget keeps every previously selected
+    doc."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    quota = d.agg(
+        (
+            F.lit(float(MIX_BUDGET_CHARS))
+            / F.countDistinct("source")
+        ).alias("quota")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ordd = d.select(
+        "doc_id", "source", "n_chars", F.sum("n_chars").over(w).alias("cum")
+    )
+    return (
+        ordd.crossJoin(F.broadcast(quota))
+        .filter(F.col("cum") <= F.col("quota"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars_taken"),
+        )
+    )

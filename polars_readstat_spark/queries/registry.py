@@ -54,6 +54,8 @@ _PRIORITY: tuple[str, ...] = (
     # includes every r01-era writer roundtrip not re-checked since the
     # executor-packing rewrite of all single-file writers — then the
     # oldest round-3 block to fill the driver's 50-row window.
+    "source_cap_topk",  # new in r05
+    "mixture_budget_fill",  # new in r05
     "q22_idle_customer_balance",  # de-vacuated: recency NOT EXISTS
     # -- newest row is r02 (30) --
     "scan_dta_roundtrip",

@@ -404,3 +404,17 @@ def test_retention_cohorts_partial_agg_no_window(spark):
     assert "partial_" in plan
     assert "Window" not in plan  # pure aggregate-join-aggregate
     assert "CartesianProduct" not in plan
+
+
+def test_source_cap_topk_window_partitioned_by_source(spark):
+    plan = plan_of(spark, "source_cap_topk")
+    # per-source window, never a single-partition global sort
+    assert "windowspecdefinition(source" in plan, plan
+    assert "windowspecdefinition(specifiedwindowframe" not in plan
+
+
+def test_mixture_budget_fill_broadcasts_quota(spark):
+    plan = plan_of(spark, "mixture_budget_fill")
+    # the 1-row quota broadcasts; the corpus shuffles once on source
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "windowspecdefinition(source" in plan, plan
