@@ -207,3 +207,60 @@ def test_compressed_streaming_bounded_memory(spark, tmp_path):
     assert df.count() == n
     row = df.filter("x = 19999.0").collect()[0]
     assert row.s == "s19999" and row.y == 9999.5
+
+
+def test_sparse_literal_walk_matches_whole_buffer(spark, tmp_path):
+    """The r05 walk fast-forwards all-literal command runs and keeps
+    per-group literal counts lazy, materializing them after 4096
+    scalar steps. A biased-int stream (SPSS-style compression: most
+    values are code-bias commands, literals rare) exercises BOTH the
+    scalar-step branch and the materialized-c253 branch over >4096
+    groups — boundaries must match the plain whole-buffer walk."""
+    import dataclasses
+    import struct
+
+    import numpy as np
+
+    import polars_readstat_spark as prs
+    from polars_readstat_spark.sources.sav import decode as d
+    from polars_readstat_spark.sources.sav.meta import parse_sav_meta
+
+    # need a real meta (bias/endianness); any small sav will do
+    src = spark.range(4).selectExpr("cast(id as double) as x")
+    zp = str(tmp_path / "seed.zsav")
+    prs.write_readstat(src, zp)
+    zmeta = parse_sav_meta(zp)
+
+    # synthesize: 60k command groups, mostly biased-int commands with
+    # a literal every 7th element and an all-spaces every 11th
+    rng = np.random.default_rng(11)
+    stream = bytearray()
+    n_lit = 0
+    for g in range(60_000):
+        cmds = []
+        lits = []
+        for j in range(8):
+            k = g * 8 + j
+            if k % 7 == 0:
+                cmds.append(253)
+                lits.append(struct.pack("<d", float(k)))
+                n_lit += 1
+            elif k % 11 == 0:
+                cmds.append(254)
+            else:
+                cmds.append(1 + (k % 200))
+        stream += bytes(cmds)
+        for litv in lits:
+            stream += litv
+    raw_path = str(tmp_path / "sparse.bin")
+    with open(raw_path, "wb") as f:
+        f.write(bytes(stream))
+    bmeta = dataclasses.replace(
+        zmeta, path=raw_path, compression=1, data_offset=0, zsav=None
+    )
+    whole = d.decompress_bytecode(bytes(stream), bmeta)
+    streamed = np.concatenate(
+        list(d.iter_compressed_elements(bmeta, chunk_bytes=64 * 1024))
+    )
+    assert np.array_equal(streamed, whole)
+    assert whole.shape[0] == 60_000 * 8
