@@ -43,13 +43,22 @@ MIN_PART_ROWS = 65536
 def rows_per_partition(
     record_width: int, total_rows: int, cores: int | None = None
 ) -> int:
-    """Default rows per partition for a fixed-width record scan."""
+    """Default rows per partition for a fixed-width record scan.
+
+    The small-input fan-out targets HALF a partition per core: each
+    Python-DS task pays a fixed worker round-trip (~20 ms), and a
+    measured sweep on the 10M-row/200 MB dta (local[32], warm
+    best-of-3) walls 0.64/0.42/0.40/0.49/0.64 s at 8/12/16/24/32
+    tasks — cores/2 sits at the sweet spot, and anything in 12-24 is
+    within noise. Big inputs are untouched (the 48 MB byte heuristic
+    binds first)."""
     rw = max(record_width, 1)
     per = max(MIN_PART_ROWS, PART_BYTES // rw)
     if not cores:
         cores = _active_cores()
     if cores > 1 and total_rows > 0:
-        want = (total_rows + cores - 1) // cores
+        eff = max(cores // 2, 1)
+        want = (total_rows + eff - 1) // eff
         floor = max(MIN_PART_ROWS, MIN_PART_BYTES // rw)
         per = max(floor, min(per, want))
     return per

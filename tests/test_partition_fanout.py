@@ -48,17 +48,18 @@ def test_registered_path_fans_out(spark, big_dta):
     df = spark.read.format("readstat").load(big_dta)
     cores = spark.sparkContext.defaultParallelism
     nparts = df.rdd.getNumPartitions()
-    assert nparts >= cores, f"{nparts} partitions for {cores} cores"
+    # the fan-out targets cores/2 (measured task-floor sweet spot)
+    assert nparts >= cores // 2, f"{nparts} partitions for {cores} cores"
     assert df.count() == N_ROWS
 
 
 def test_target_parallelism_option_is_exact(spark, big_dta):
     """An explicit target_parallelism option beats every fallback:
-    4 cores → want=2.5M rows/part → exactly 4 partitions."""
+    8 cores → eff 4 → want=2.5M rows/part → exactly 4 partitions."""
     prs.register(spark)
     df = (
         spark.read.format("readstat")
-        .option("target_parallelism", "4")
+        .option("target_parallelism", "8")
         .load(big_dta)
     )
     assert df.rdd.getNumPartitions() == 4
@@ -67,7 +68,7 @@ def test_target_parallelism_option_is_exact(spark, big_dta):
 def test_facade_plumbs_default_parallelism(spark, big_dta):
     cores = spark.sparkContext.defaultParallelism
     df = prs.scan_readstat(spark, big_dta)
-    assert df.rdd.getNumPartitions() >= cores
+    assert df.rdd.getNumPartitions() >= cores // 2
 
 
 def test_hint_file_resolution(monkeypatch, tmp_path):
@@ -85,10 +86,10 @@ def test_hint_file_resolution(monkeypatch, tmp_path):
     partplan.write_parallelism_hint(24)
     assert partplan._active_cores() == 24
 
-    # rw=20, 10M rows, 24 cores: floor(8MB/20)=419430 binds over
-    # want=416667 → 24 partitions, matching the measured 0.60 s plan
-    per = partplan.rows_per_partition(20, N_ROWS, 24)
-    assert (N_ROWS + per - 1) // per == 24
+    # rw=20, 10M rows, 32 cores: eff=16 → want=625000 above the
+    # 8MB/20=419430 floor → 16 partitions, the measured sweet spot
+    per = partplan.rows_per_partition(20, N_ROWS, 32)
+    assert (N_ROWS + per - 1) // per == 16
 
 
 def test_big_input_shape_unchanged():
