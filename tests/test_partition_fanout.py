@@ -96,3 +96,26 @@ def test_big_input_shape_unchanged():
     """100 TB regime: partitions stay ~48 MB regardless of cores."""
     per = partplan.rows_per_partition(100, 10_000_000_000, cores=1000)
     assert per == partplan.PART_BYTES // 100
+
+
+@pytest.mark.parametrize("ext", ["sav", "xpt", "sas7bdat"])
+def test_fanout_other_formats(spark, ext, tmp_path_factory):
+    """target_parallelism plumbing reaches every fixed-width reader:
+    a 1M-row file (~24 MB) must split past the 48 MB byte heuristic's
+    single partition through the registered path."""
+    import polars_readstat_spark as prs
+    from pyspark.sql import functions as F
+
+    path = f"/tmp/prs_fixture_fanout_1m_v1.{ext}"
+    if not os.path.exists(path):
+        df = spark.range(1_000_000).select(
+            (F.col("id") % 97).cast("double").alias("a"),
+            (F.col("id") * 0.5).alias("b"),
+            (F.col("id") % 7).cast("double").alias("c"),
+        )
+        prs.write_readstat(df, path + ".tmp." + ext)
+        os.replace(path + ".tmp." + ext, path)
+    prs.register(spark)
+    df = spark.read.format("readstat").load(path)
+    assert df.rdd.getNumPartitions() >= 2
+    assert df.count() == 1_000_000
