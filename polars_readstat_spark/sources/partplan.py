@@ -37,7 +37,11 @@ import os
 
 PART_BYTES = 48 << 20
 MIN_PART_BYTES = 8 << 20
-MIN_PART_ROWS = 65536
+# absolute row floor — degenerate-split guard only; real floors are in
+# BYTES (a 65536-row floor looked harmless for narrow records but
+# forced 540 MB partitions on an 8 KB-record ANES-shape sav, the wide
+# case where under-partitioning actually hurts)
+MIN_PART_ROWS = 1024
 
 
 def rows_per_partition(

@@ -119,3 +119,13 @@ def test_fanout_other_formats(spark, ext, tmp_path_factory):
     df = spark.read.format("readstat").load(path)
     assert df.rdd.getNumPartitions() >= 2
     assert df.count() == 1_000_000
+
+
+def test_wide_records_keep_byte_sized_partitions():
+    """ANES shape (73,745 rows x 8,240-byte records, ~600 MB): the
+    old 65536-row floor forced 540 MB partitions; floors are in BYTES
+    now, so the plan stays ~38-48 MB per partition."""
+    per = partplan.rows_per_partition(8240, 73_745, cores=32)
+    assert per * 8240 <= partplan.PART_BYTES
+    assert per * 8240 >= partplan.MIN_PART_BYTES // 2
+    assert (73_745 + per - 1) // per == 16
