@@ -278,3 +278,50 @@ def test_preserve_order_modes(dta_dir, spark):
 def test_read_readstat_eager(dta_dir, spark):
     pdf = prs.read_readstat(spark, dta_dir[118], columns=["id"], n_rows=5)
     assert list(pdf["id"]) == [0, 1, 2, 3, 4]
+
+
+def test_compat_corpus_versions_agree(spark):
+    """The stata-compat corpus stores ONE dataset in every version
+    102-118 (LE and BE). pandas can't read 102/103/110, so those
+    versions have no differential — but every version must decode to
+    the same values as the pandas-verified 118 file, which anchors
+    the whole family (v102 lacks the s10 string column; all shared
+    columns must agree)."""
+    import glob
+
+    import numpy as np
+
+    anchor_path = os.path.join(CORPUS, "stata-compat-118.dta")
+    if not os.path.isfile(anchor_path):
+        pytest.skip("compat corpus missing")
+    meta_a = parse_dta_meta(anchor_path)
+    anchor = (
+        _destata_dates(prs.scan_readstat(spark, anchor_path), meta_a)
+        .toPandas()
+        .sort_values("index")
+        .reset_index(drop=True)
+    )
+    checked = 0
+    for p in sorted(glob.glob(os.path.join(CORPUS, "stata-compat-*.dta"))):
+        meta = parse_dta_meta(p)
+        got = (
+            _destata_dates(prs.scan_readstat(spark, p), meta)
+            .toPandas()
+            .sort_values("index")
+            .reset_index(drop=True)
+        )
+        for c in got.columns:
+            a, g = anchor[c], got[c]
+            if a.dtype.kind == "f" or g.dtype.kind == "f":
+                ga = g.astype(float).to_numpy()
+                aa = a.astype(float).to_numpy()
+                # f column: verify at float32 precision (older files
+                # store the same logical values; float storage width
+                # never changed, but guard anyway)
+                assert np.allclose(ga, aa, rtol=1e-6, equal_nan=True), (
+                    p, c, ga, aa,
+                )
+            else:
+                assert g.tolist() == a.tolist(), (p, c)
+        checked += 1
+    assert checked >= 19  # 10 LE + 9 BE variants in the corpus

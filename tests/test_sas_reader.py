@@ -273,3 +273,42 @@ def test_encoding_byte_decodes_bytes(tmp_path, spark):
         m2 = parse_sas_meta(p)
         assert m2.encoding == codec
         assert raw.decode(m2.encoding) == want
+
+
+PANDAS_UNREADABLE = [
+    "flightdelays", "flightschedule", "internationalflights",
+    "marchflights", "payrollchanges", "payrollmaster",
+    "staffchanges", "staffmaster", "supervisors",
+]
+
+
+@pytest.mark.parametrize("name", PANDAS_UNREADABLE)
+def test_corpus_pandas_cannot_read(name):
+    """Nine corpus files raise IndexError inside pandas' SAS reader;
+    ours decodes them fully. No independent oracle exists for their
+    values, so pin the strong invariants: complete decode, row count
+    equal to the header's, non-null column names, string cells that
+    survive a strict re-encode (no mojibake), finite-or-null
+    numerics."""
+    import math
+
+    path = (
+        "/root/reference/crates/polars_readstat_rs/tests/sas/data/"
+        f"sas_to_csv/{name}.sas7bdat"
+    )
+    if not os.path.isfile(path):
+        pytest.skip("corpus missing")
+    m, batch = read_with_pipeline(path)
+    assert batch.num_rows == m.row_count
+    assert all(c.name for c in m.columns)
+    for i, col in enumerate(m.columns):
+        vals = batch.column(i).to_pylist()
+        assert len(vals) == m.row_count
+        if col.ctype == "s":
+            for v in vals:
+                assert v is None or isinstance(v, str)
+                if v:
+                    v.encode(m.encoding or "utf-8", errors="strict")
+        elif col.time_kind is None:
+            for v in vals:
+                assert v is None or math.isfinite(v)
