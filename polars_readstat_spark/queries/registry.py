@@ -56,6 +56,7 @@ _PRIORITY: tuple[str, ...] = (
     # oldest round-3 block to fill the driver's 50-row window.
     "source_cap_topk",  # new in r05
     "mixture_budget_fill",  # new in r05
+    "q11_important_value_share",  # de-vacuated at sf0.1: 1.5x-mean threshold
     "q22_idle_customer_balance",  # de-vacuated: recency NOT EXISTS
     # -- newest row is r02 (30) --
     "scan_dta_roundtrip",

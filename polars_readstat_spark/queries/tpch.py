@@ -300,12 +300,13 @@ def q9_product_type_profit(spark, sf_dir):
       FROM lineitem l
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
       JOIN nation n ON n.n_nationkey = s.s_nationkey
-                   AND n.n_name = 'NATION_0'
+                   AND n.n_name = 'NATION_3'
       GROUP BY l.l_partkey
     )
     SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
-    FROM v, (SELECT CAST(SUM(value_dec) AS DOUBLE) AS total FROM v) t
-    WHERE CAST(value_dec AS DOUBLE) > 0.001 * t.total
+    FROM v, (SELECT CAST(SUM(value_dec) AS DOUBLE) AS total,
+                    COUNT(*) AS cnt FROM v) t
+    WHERE CAST(value_dec AS DOUBLE) > (1.5 / t.cnt) * t.total
     """,
 )
 def q11_important_value_share(spark, sf_dir):
@@ -322,17 +323,23 @@ def q11_important_value_share(spark, sf_dir):
     """
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_0")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     v = (
         li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("l_partkey")
         .agg(F.sum(_revenue()).alias("value_dec"))
     )
-    total = v.agg(F.sum("value_dec").cast("double").alias("total"))
+    total = v.agg(
+        F.sum("value_dec").cast("double").alias("total"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
     return (
         v.crossJoin(F.broadcast(total))
-        .filter(F.col("value_dec").cast("double") > F.lit(0.001) * F.col("total"))
+        .filter(
+            F.col("value_dec").cast("double")
+            > (F.lit(1.5) / F.col("cnt")) * F.col("total")
+        )
         .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
     )
 

@@ -32,10 +32,28 @@ from pyspark.sql import functions as F
 from polars_readstat_spark.sources.por.b30 import _parse_base30
 from polars_readstat_spark.writers import ts_epoch_seconds
 
+
 from polars_readstat_spark.sources.por.reader import (
     _POS_ASCII,
     SPSS_SEC_SHIFT,
 )
+def _por_safe_table() -> bytes:
+    """latin-1 byte → portable-charset byte; anything outside the
+    portable charset becomes '?'. The format cannot carry other bytes:
+    an embedded newline would be eaten by the reader's 80-column
+    line padding and shift the whole stream, and unmapped bytes decode
+    to NUL — sanitizing at write time keeps the structure sound and
+    the roundtrip deterministic."""
+    t = bytearray(b"?" * 256)
+    for ch in set(_POS_ASCII.values()):
+        o = ord(ch)
+        if o < 256:
+            t[o] = o
+    return bytes(t)
+
+
+_POR_SAFE = _por_safe_table()
+
 
 LINE_LEN = 80
 PRECISION = 50
@@ -91,7 +109,7 @@ class _PorWriter:
         return s or "x"
 
     def string(self, s: str):
-        b = s.encode("latin-1", "replace")
+        b = s.encode("latin-1", "replace").translate(_POR_SAFE)
         self.b30_int(len(b))
         self.write("/")
         self.write(b)
@@ -128,7 +146,9 @@ def _pack_por_chunk(pdf, kinds) -> bytes:
         if k == "str":
             cells = []
             for x in s.tolist():
-                b = (x if x is not None else "").encode("latin-1", "replace")
+                b = (x if x is not None else "").encode(
+                    "latin-1", "replace"
+                ).translate(_POR_SAFE)
                 cells.append(_b30_int_str(len(b)) + "/" + b.decode("latin-1"))
             cols.append(cells)
         else:

@@ -54,6 +54,25 @@ def _register(spark):
 def _roundtrip(spark, tmp_path, ext, rows):
     import polars_readstat_spark as prs
 
+    if ext == "por":
+        # POR folds its documented semantics into `want`: strings are
+        # sanitized to the portable charset (latin-1 'replace', then
+        # out-of-charset bytes → '?'), and ~14% of full-precision
+        # doubles read back within 1 ulp rather than bit-exact (the
+        # shortest-token ladder's documented fallback) — compared
+        # with rel=1e-12 below
+        from polars_readstat_spark.writers.por import _POR_SAFE
+
+        rows = [
+            (
+                s.encode("latin-1", "replace")
+                .translate(_POR_SAFE)
+                .decode("latin-1"),
+                x,
+                n,
+            )
+            for s, x, n in rows
+        ]
     if ext == "xpt":
         # fold xpt's documented format semantics into `want`:
         # - IBM/370 hex floats flush magnitudes below the normalized
@@ -75,6 +94,8 @@ def _roundtrip(spark, tmp_path, ext, rows):
     kwargs = {}
     if ext == "sas7bdat_rle":
         ext, kwargs = "sas7bdat", {"compress": "rle"}
+    elif ext == "sas7bdat_rdc":
+        ext, kwargs = "sas7bdat", {"compress": "rdc"}
     p = str(tmp_path / f"prop_rt.{ext}")
     prs.write_readstat(df, p, **kwargs)
     back = spark.read.format("readstat").load(p)
@@ -110,6 +131,8 @@ def _roundtrip(spark, tmp_path, ext, rows):
         assert gs == ws.rstrip() or gs == ws
         if wx is None:
             assert gx is None
+        elif ext == "por":
+            assert gx == pytest.approx(wx, rel=1e-12)
         else:
             assert gx == pytest.approx(wx, rel=0, abs=0)
         assert gn == (None if wn is None else int(wn))
@@ -133,7 +156,11 @@ def _generate_row_sets(n=12):
 
 
 @pytest.mark.parametrize(
-    "ext", ["dta", "sav", "xpt", "sas7bdat", "sas7bdat_rle"]
+    "ext",
+    [
+        "dta", "sav", "zsav", "xpt", "por",
+        "sas7bdat", "sas7bdat_rle", "sas7bdat_rdc",
+    ],
 )
 def test_property_roundtrip(spark, tmp_path, ext):
     row_sets = _generate_row_sets()
