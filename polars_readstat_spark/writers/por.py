@@ -12,7 +12,10 @@ parser), '/'-terminated; '*.' for missing (same grammar our reader
 parses). Read-back is exact for ~86% of full-precision doubles and
 never less accurate than the flat 50-digit expansion, whose fraction
 accumulation is ~1 ulp lossy — the same approximation the C
-readstat/pyreadstat parsers make.
+readstat/pyreadstat parsers make. Subnormal magnitudes degrade
+further (the parser's 30**exp scale underflows before the mantissa
+contributes; 5e-324 flushes to zero) — IEEE gradual-underflow
+semantics at the format's edge.
 
 POR is an eager single file (the format is legacy interchange, not a
 data-plane format at scale); token packing — the expensive per-value
