@@ -22,13 +22,15 @@ separate plan-worker Python process where
 must be plumbed in. Resolution order:
 
 1. the ``target_parallelism`` data source option (set per-read by the
-   ``scan_readstat`` facade from ``sc.defaultParallelism``),
+   ``scan_readstat`` facade from ``sc.defaultParallelism``, and
+   injected as a default by ``ReadstatDataSource.__init__`` from the
+   ``_registered_parallelism`` class attribute that ``register(spark)``
+   bakes into a dynamic subclass — dynamic classes cloudpickle by
+   value, so the baked width reaches the plan worker with zero shared
+   state; replaces the r05 tempdir hint file that concurrent sessions
+   clobbered),
 2. a live driver-side SparkContext (covers direct library calls),
-3. a hint file written by ``register(spark)`` — plan workers always
-   run on the driver node, so a tempdir file crosses the process gap
-   and carries the TRUE cluster parallelism even when the plan worker
-   machine is narrower than the cluster,
-4. ``os.cpu_count()`` of the planning machine (exact for local[*]).
+3. ``os.cpu_count()`` of the planning machine (exact for local[*]).
 """
 
 from __future__ import annotations
@@ -92,26 +94,6 @@ def cores_from_options(options) -> int | None:
         return None
 
 
-def _hint_path() -> str:
-    import tempfile
-
-    uid = getattr(os, "getuid", lambda: 0)()
-    return os.path.join(tempfile.gettempdir(), f"prs-parallelism-{uid}")
-
-
-def write_parallelism_hint(cores: int) -> None:
-    """Record defaultParallelism where plan workers can read it
-    (called from ``register(spark)`` on the driver)."""
-    try:
-        path = _hint_path()
-        tmp = f"{path}.{os.getpid()}.tmp"
-        with open(tmp, "w") as f:
-            f.write(str(int(cores)))
-        os.replace(tmp, path)
-    except Exception:
-        pass  # the cpu_count fallback still applies
-
-
 def _active_cores() -> int:
     try:
         from pyspark import SparkContext
@@ -120,12 +102,5 @@ def _active_cores() -> int:
         if sc is not None:
             return int(sc.defaultParallelism)
     except Exception:  # planning must never fail on harness internals
-        pass
-    try:
-        with open(_hint_path()) as f:
-            n = int(f.read().strip())
-        if n > 0:
-            return n
-    except Exception:
         pass
     return os.cpu_count() or 0
