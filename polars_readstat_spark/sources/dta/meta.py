@@ -330,9 +330,17 @@ def _parse_label_table(buf: bytes, e: str, encoding: str) -> dict[int, str]:
 def _parse_legacy(cur: _Cursor, path: str, load_value_labels: bool) -> DtaMeta:
     version = cur.read(1)[0]
     if version not in SUPPORTED_VERSIONS or version >= 117:
-        raise ValueError(
-            f"unsupported legacy dta version {version} (supported: 102-115, 117-119)"
+        # the full 102-119 range is covered (reference claims the same,
+        # src/stata/metadata.rs:171-176); 116 was never a released Stata
+        # format, and 106/107/109/112 were internal formats no writer
+        # emitted — name them so the message doesn't read as a gap
+        detail = (
+            "116 was never a released Stata dta format"
+            if version == 116
+            else "supported: 102-105, 108, 110-111, 113-115, 117-119; "
+            "106/107/109/112/116 were never released Stata formats"
         )
+        raise ValueError(f"unsupported legacy dta version {version} ({detail})")
     bo = cur.read(1)[0]
     # 0x00: legacy 102/103 little-endian writers; 0x01 HILO; 0x02 LOHI
     little = bo in (0x00, 0x02)

@@ -341,11 +341,20 @@ _B30 = {c: i for i, c in enumerate("0123456789ABCDEFGHIJKLMNOPQRST")}
 def _fast_b30(tok: str) -> float:
     """Fast base-30 token parse, bit-identical to _parse_base30.
 
-    Integer parts ≤11 digits go through int(tok, 30) — exact, and
-    equal to the float accumulator since every intermediate stays
-    below 2^53 (30^11 ≈ 5.3e15). Fractions replay the accumulator's
-    exact operation order (num += d/denom; denom *= 30) so the result
-    bits match; exponents and oversized tokens fall back."""
+    Integer parts ≤11 digits go through int(tok, 30), provably equal
+    to the float accumulator (num = num*30 + d): through digit 10
+    every intermediate is < 30^10 ≈ 5.9e14 < 2^53, hence exact; at
+    digit 11, num*30 is an EVEN integer < 30^11 ≈ 1.77e16 < 2^54 and
+    even integers below 2^54 are exactly representable, so the final
+    num*30 + d is ONE correctly-rounded operation on the exact value
+    N — identical to float(int(tok, 30)), which is also the correctly
+    rounded N. (This argument does NOT extend to 12 digits: the
+    11-digit result may already be rounded, so the next *30 amplifies
+    error.) Boundary pinned in
+    tests/test_por_reader.py::test_integer_fast_path_boundary_pins.
+    Fractions replay the accumulator's exact operation order
+    (num += d/denom; denom *= 30) so the result bits match;
+    exponents and oversized tokens fall back."""
     neg = tok[:1] == "-"
     t = tok[1:] if tok[:1] in "+-" else tok
     # split off an exponent suffix (first +/- after the sign)
@@ -476,7 +485,7 @@ def _b30_batch(
 
     Returns (values, ok). Bit-identical to _fast_b30/_parse_base30 for
     plain [-]int[.frac] tokens: the integer part accumulates exactly
-    (≤11 digits fit int64 and float53), the fraction replays the
+    (≤11 digits — exactness proof in _fast_b30), the fraction replays the
     scalar's num += d/denom; denom *= 30 sequence via np.cumprod (the
     same multiply chain) in the same ascending order. Tokens with >11
     integer digits, >64 chars, or any invalid char get ok=False — the
@@ -554,8 +563,14 @@ def _b30_batch(
         ok[ti[hit]] = False
 
     ip_len = dotpos - off
-    # 11 base-30 digits: 30^11 ≈ 5.3e15 < 2^53, so both the int64
-    # accumulation here and the scalar's float accumulation are exact
+    # 11 base-30 digits: exact int64 accumulation here, and provably
+    # equal to the scalar float accumulator — digits 1-10 stay below
+    # 30^10 < 2^53 (exact), and the 11th step's num*30 is an EVEN
+    # integer < 30^11 < 2^54 (exactly representable), leaving one
+    # correctly-rounded add of the exact N, which equals the int64
+    # path's single astype(float64) rounding. The argument does not
+    # extend to 12 digits (see _fast_b30's docstring); boundary
+    # pinned in test_integer_fast_path_boundary_pins.
     ok &= ip_len <= 11
 
     acc = np.zeros(n, dtype=np.int64)

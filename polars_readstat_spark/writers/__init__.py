@@ -201,7 +201,6 @@ def iter_packed_chunks_wide(df, pack_fn, max_rows: int = 8192, modules=()):
 
     sc = df.sparkSession.sparkContext
     cores = max(int(sc.defaultParallelism), 1)
-    n_src = df.rdd.getNumPartitions()
     from pyspark import StorageLevel
 
     staged = (
@@ -212,9 +211,21 @@ def iter_packed_chunks_wide(df, pack_fn, max_rows: int = 8192, modules=()):
     )
     try:
         staged.count()  # materialize: pack runs on all cores
+        # completeness is derived from the DATA, not from a separately
+        # converted RDD lineage's getNumPartitions() (AQE or plan
+        # re-optimization can change the executed partitioning and
+        # would make a precomputed count spuriously fail a valid
+        # export): every chunk-stage partition emits exactly one
+        # last=True terminator and pids are contiguous from 0, so the
+        # merge is complete iff each pid 0..max_pid terminated and the
+        # ordered cursor consumed everything.
         pending: dict = {}
         cur_pid, cur_seq = 0, 0
+        max_pid, terminators = -1, 0
         for row in staged.toLocalIterator(prefetchPartitions=True):
+            max_pid = max(max_pid, row[0])
+            if row[2]:
+                terminators += 1
             pending[(row[0], row[1])] = (row[2], row[3], row[4])
             while (cur_pid, cur_seq) in pending:
                 last, payload, n = pending.pop((cur_pid, cur_seq))
@@ -224,10 +235,11 @@ def iter_packed_chunks_wide(df, pack_fn, max_rows: int = 8192, modules=()):
                     cur_pid, cur_seq = cur_pid + 1, 0
                 else:
                     cur_seq += 1
-        if pending or cur_pid != n_src:
+        if pending or cur_pid != max_pid + 1 or terminators != max_pid + 1:
             raise RuntimeError(
                 "iter_packed_chunks_wide: chunk stream incomplete "
-                f"(at partition {cur_pid}/{n_src}, "
+                f"(at partition {cur_pid}/{max_pid + 1}, "
+                f"{terminators} terminators, "
                 f"{len(pending)} chunks unplaced)"
             )
     finally:

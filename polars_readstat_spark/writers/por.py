@@ -127,10 +127,20 @@ _B30_POW11 = 30.0 ** 11
 
 def _num_token(v: float) -> str:
     """One numeric cell -> '/'-terminated token (same emission as
-    _PorWriter.double). Integers below 30^11 skip the ladder: their
-    positional form is exact by construction (int accumulation stays
-    under 2^53 on both sides), which covers keys, counts, and
-    seconds-since-1582 date/datetime values."""
+    _PorWriter.double). Integers below 30^11 skip the ladder: the
+    emission (int(a) rendered in base 30) is exact, and every reader
+    route reproduces a bit-for-bit — NOT because 30^11 < 2^53 (it is
+    not: 30^11 ≈ 1.77e16 > 2^53 ≈ 9.0e15), but because an 11-digit
+    parse is one correctly-rounded conversion of the exact integer N
+    on both reader paths: int(tok,30)→float rounds once, and the
+    scalar accumulator's first 10 steps are exact (< 30^10 < 2^53)
+    while its 11th step's num*30 is an EVEN integer < 2^54 (exactly
+    representable), so the final +d is a single rounding of N too.
+    Since a is itself a double with N == a, fl(N) == a. The proof
+    stops at 11 digits. Boundary pinned in
+    tests/test_por_reader.py::test_integer_fast_path_boundary_pins.
+    Covers keys, counts, and seconds-since-1582 date/datetime
+    values."""
     if v in (float("inf"), float("-inf")):
         return "-1+TT/" if v < 0 else "1+TT/"
     sign = "-" if v < 0 else ""

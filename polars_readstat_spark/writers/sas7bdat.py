@@ -1120,9 +1120,18 @@ def write_sas7bdat(
                 staged.count()  # materialize: encode runs on all cores
                 # (toLocalIterator alone would run the post-shuffle
                 # stage one partition at a time)
+                # completeness derives from the terminator records
+                # (one last=True per chunk-stage partition, contiguous
+                # pids from 0), not the separately-converted RDD
+                # lineage's getNumPartitions(), which AQE/plan
+                # re-optimization can desync from the executed stage
                 pending_chunks: dict = {}
                 cur_pid, cur_seq = 0, 0
+                max_pid, terminators = -1, 0
                 for row in staged.toLocalIterator(prefetchPartitions=True):
+                    max_pid = max(max_pid, row[0])
+                    if row[2]:
+                        terminators += 1
                     pending_chunks[(row[0], row[1])] = (
                         row[2], row[3], row[4],
                     )
@@ -1139,10 +1148,15 @@ def write_sas7bdat(
                             cur_pid, cur_seq = cur_pid + 1, 0
                         else:
                             cur_seq += 1
-                if pending_chunks or cur_pid != n_src_parts:
+                if (
+                    pending_chunks
+                    or cur_pid != max_pid + 1
+                    or terminators != max_pid + 1
+                ):
                     raise RuntimeError(
                         "write_sas7bdat: chunk stream incomplete "
-                        f"(at partition {cur_pid}/{n_src_parts}, "
+                        f"(at partition {cur_pid}/{max_pid + 1}, "
+                        f"{terminators} terminators, "
                         f"{len(pending_chunks)} chunks unplaced)"
                     )
             finally:

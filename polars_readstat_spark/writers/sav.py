@@ -166,13 +166,21 @@ def write_sav(
                 kinds_l, widths_l, el_l, cs,
             )
 
-        for payload, _n in iter_packed_chunks(
-            src, pack_fn, 8192,
-            modules=("polars_readstat_spark.writers.sav",),
-        ):
-            sink.write(payload)
-        if zsav:
-            sink.close()
+        try:
+            for payload, _n in iter_packed_chunks(
+                src, pack_fn, 8192,
+                modules=("polars_readstat_spark.writers.sav",),
+            ):
+                sink.write(payload)
+            if zsav:
+                sink.close()
+        except BaseException:
+            # a failing Spark stage mid-stream must not leak the zsav
+            # compression pool (or its in-flight blocks) for the
+            # lifetime of the process — the file is dead either way
+            if zsav:
+                sink.abort()
+            raise
 
 
 def _sav_dictionary(
@@ -407,6 +415,14 @@ class _ZlibSink:
         self.pending += raw
         self._frame()
         self._flush_blocks()
+
+    def abort(self):
+        """Error-path cleanup: release the pool and any in-flight
+        compressed blocks without touching the (now invalid) file."""
+        self._pool.shutdown(wait=False, cancel_futures=True)
+        self._inflight.clear()
+        self.stream = bytearray()
+        self.pending = b""
 
     def close(self):
         import struct as _s

@@ -325,3 +325,22 @@ def test_compat_corpus_versions_agree(spark):
                 assert g.tolist() == a.tolist(), (p, c)
         checked += 1
     assert checked >= 19  # 10 LE + 9 BE variants in the corpus
+
+
+def test_v116_never_existed_message(tmp_path):
+    """Stata never released a v116 dta format (the jump was 115→117);
+    the error must say so rather than imply a support gap vs the
+    reference's '102-119' claim (reference src/stata/metadata.rs:171)."""
+    p = tmp_path / "fake116.dta"
+    p.write_bytes(bytes([116, 0x02, 0x01, 0x00]) + b"\x00" * 64)
+    with pytest.raises(ValueError, match="116 was never a released Stata"):
+        parse_dta_meta(str(p))
+
+
+def test_unreleased_internal_versions_message(tmp_path):
+    """106/109 etc. were internal formats no writer emitted; the
+    message names them instead of reading as a coverage gap."""
+    p = tmp_path / "fake109.dta"
+    p.write_bytes(bytes([109, 0x02, 0x01, 0x00]) + b"\x00" * 64)
+    with pytest.raises(ValueError, match="never released Stata formats"):
+        parse_dta_meta(str(p))

@@ -244,3 +244,86 @@ def test_shortest_b30_never_worse_than_full_expansion():
         got = _parse_base30(tok)
         full = _parse_base30(_render_b30(a, PRECISION, False))
         assert abs(got - a) <= abs(full - a), (a, tok)
+
+def test_integer_fast_path_boundary_pins():
+    """The 11-digit integer fast path is exact by proof, not luck:
+    30^11 ≈ 1.77e16 > 2^53, but digits 1-10 accumulate exactly
+    (< 30^10 < 2^53) and the 11th step's num*30 is an even integer
+    < 2^54 (exactly representable), so the final +d is one correctly
+    rounded operation on the exact N — same single rounding as
+    float(int(tok, 30)). Pins the (2^53, 30^11) range so a future
+    numpy/rounding change can't silently diverge; 12-digit tokens
+    must route to the scalar accumulator in both parsers."""
+    import struct
+
+    import numpy as np
+
+    from polars_readstat_spark.sources.por import reader as R
+    from polars_readstat_spark.writers.por import _B30_POW11, _num_token
+
+    assert _B30_POW11 == 30.0 ** 11
+    assert 30 ** 10 < 2 ** 53 < 30 ** 11 < 2 ** 54
+
+    def b30(n):
+        digits = "0123456789ABCDEFGHIJKLMNOPQRST"
+        s = ""
+        while n:
+            s = digits[n % 30] + s
+            n //= 30
+        return s or "0"
+
+    def batch_one(tok):
+        u = np.frombuffer((tok + "/").encode("latin-1"), np.uint8)
+        starts = np.array([0], np.int64)
+        ends = np.array([len(tok)], np.int64)
+        return R._b30_batch(u, starts, ends)
+
+    # 11-digit boundary band: scalar fast == accumulator == batch ==
+    # correctly rounded float(N); sweep odd/even N around 2^53 where
+    # the final rounding actually engages
+    pins = [
+        30 ** 10,              # smallest 11-digit value
+        2 ** 53 - 1,
+        2 ** 53,
+        2 ** 53 + 1,           # first non-representable odd integer
+        2 ** 53 + 2,
+        2 ** 53 + 3,
+        30 ** 11 - 1,          # largest 11-digit value
+        30 ** 11 - 29,
+    ] + [2 ** 53 + k for k in range(4, 64)]
+    for n in pins:
+        tok = b30(n)
+        assert len(tok) == 11
+        want = struct.pack("<d", float(n))  # correctly rounded N
+        assert struct.pack("<d", R._fast_b30(tok)) == want, tok
+        assert struct.pack("<d", R._parse_base30(tok)) == want, tok
+        vals, ok = batch_one(tok)
+        assert ok[0], tok
+        assert struct.pack("<d", float(vals[0])) == want, tok
+
+    # 12-digit tokens: outside the proof → both fast paths decline
+    for n in (30 ** 11, 30 ** 12 - 1, 2 ** 57 + 11):
+        tok = b30(n)
+        assert len(tok) == 12
+        _vals, ok = batch_one(tok)
+        assert not ok[0]  # caller patches via the scalar accumulator
+        assert struct.pack("<d", R._fast_b30(tok)) == struct.pack(
+            "<d", R._parse_base30(tok)
+        )
+
+    # writer boundary: integer-valued doubles below 30^11 take the
+    # positional fast path and roundtrip bit-exactly; at/above 30^11
+    # the ladder takes over and must also roundtrip
+    for v in (
+        float(30 ** 10),
+        float(2 ** 53),
+        9.1e15,
+        1.7e16,
+        float(30 ** 11 - 16),  # representable, near the top
+        float(30 ** 11),       # first ladder value
+        1.8e16,
+    ):
+        assert float(v).is_integer()
+        tok = _num_token(v).rstrip("/")
+        back = R._parse_base30(tok)
+        assert struct.pack("<d", back) == struct.pack("<d", v), (v, tok)
