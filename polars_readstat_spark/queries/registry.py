@@ -47,68 +47,67 @@ def query(name: str, oracle: str | None = None):
 # round-1-only greens needing refresh. Update per round as rows come
 # back green.
 _PRIORITY: tuple[str, ...] = (
-    # round 5: every query now has a green driver row somewhere in
-    # r01∪r02∪r04 (r04 covered the full never-checked tail), so this
-    # window refreshes STALENESS: changed-this-round queries first,
-    # then the 30 queries whose newest row is from round 2 — which
-    # includes every r01-era writer roundtrip not re-checked since the
-    # executor-packing rewrite of all single-file writers — then the
-    # oldest round-3 block to fill the driver's 50-row window.
-    "source_cap_topk",  # new in r05
-    "mixture_budget_fill",  # new in r05
-    "q11_important_value_share",  # de-vacuated at sf0.1: 1.5x-mean threshold
-    "q22_idle_customer_balance",  # de-vacuated: recency NOT EXISTS
-    # -- newest row is r02 (30) --
-    "scan_dta_roundtrip",
-    "scan_sav_roundtrip",
-    "scan_zsav_roundtrip",
-    "scan_xpt_roundtrip",
+    # round 6: r05's window re-greened the r02-stale writer-roundtrip
+    # block, so rotation continues by staleness — queries whose code
+    # paths changed this round first (POR parser-proof pin, sas7bdat
+    # two-stage merge guard, zsav sink abort), then the full 28-query
+    # r03-stale block (TPC-H tail, text suite, time-series, ann — the
+    # oldest greens in the union), then the rows-only multimodal
+    # check, then the oldest r04 block to fill the driver's 50-row
+    # window. After this round no query's newest green predates r04.
     "scan_por_roundtrip",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "cube_status_priority",
-    "projection_pushdown",
-    "filter_pushdown",
-    "limit_pushdown",
-    "offset_slice",
-    "schema_override_cast",
-    "metadata_merge_full_join",
-    "semi_join_customers_with_orders",
-    "anti_join_customers_without_orders",
-    "broadcast_join_order_region",
-    "union_distinct_keys",
-    "topk_orders_per_customer",
-    "max_strlen_prepass",
-    "group_count_events",
-    "pivot_user_event_counts",
-    "rollup_revenue_subtotals",
-    "running_revenue_window",
-    "q6_forecast_revenue",
-    "intersect_except_user_sets",
-    "customer_spend_quartiles",
-    "orders_monthly_rollup",
-    "row_index_ordered",
-    "sort_by_index_roundtrip",
-    # -- newest row is r03 (oldest 19 fill the window) --
-    "q4_order_priority_exists",
-    "q10_returned_item_revenue",
-    "q14_promo_effect",
-    "q18_large_volume_customer",
-    "sample_hash_stratified",
-    "scan_sas7bdat_types",
-    "scan_sas7bdat_rle",
-    "scan_sas7bdat_rdc",
-    "scan_sas7bdat_bigendian",
-    "scan_sas7bdat_mixpage",
     "scan_sas7bdat_roundtrip",
     "scan_sas7bdat_rle_roundtrip",
-    "scan_sink_dir_roundtrip",
-    "scan_dta_multifile",
-    "scan_dta_pushdown",
-    "scan_dta_metadata_surface",
-    "scan_dta_value_labels",
+    "scan_zsav_roundtrip",
+    # -- newest row is r03 (28) --
+    "ann_ivf_topk",  # also perf-reworked this round
+    "ann_lsh_recall",
+    "asof_join_purchase_click",
+    "embedding_quantize_int8",
+    "event_value_histogram",
+    "funnel_click_to_purchase",
+    "kmeans_update_step",
+    "q12_linestatus_priority",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q19_or_predicate_revenue",
+    "q20_excess_shipments",
+    "q21_waiting_supplier",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "range_join_click_purchase_1h",
+    "salted_skew_agg",
     "scan_dta_informative_nulls",
-    "ann_ivf_topk",
+    "scan_dta_value_labels",
+    "text_bpe_token_count",
+    "text_gopher_quality_rules",
+    "text_ngram_topk",
+    "text_rare_token_ratio",
+    "window_lag_delta",
+    # -- rows-only by design, kept fresh --
+    "multimodal_decode_embed",
+    # -- newest row is r04 (oldest 17 fill the window) --
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "catalog_label_case_decode",
+    "catalog_scan_formats",
+    "compress_all_midnight",
+    "compress_numeric_decision",
+    "compress_string_numeric_parse",
+    "corpus_clean_pipeline",
+    "curation_funnel_stage_counts",
+    "decontaminate_ngram_overlap",
+    "dedup_connected_components",
+    "dedup_edit_distance_verify",
+    "dedup_embedding_cosine",
+    "dedup_exact_hash",
+    "dedup_incremental_vs_index",
+    "dedup_keep_best_quality",
+    "dedup_keep_first_records",
 )
 
 

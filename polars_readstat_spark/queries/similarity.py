@@ -440,7 +440,10 @@ def ann_ivf_topk(spark, sf_dir):
         .select("vec_id", "cent_id", _cosine_expr().alias("cosine"))
     )
     wc = W.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("cent_id"))
-    ranked = asn_cos.withColumn("crk", F.row_number().over(wc))
+    # ranked is consumed twice (assignment + probe lists); without a
+    # persist the n·K centroid-assignment aggregation — the dominant
+    # IVF-build stage — runs twice per query
+    ranked = scoped_persist(asn_cos.withColumn("crk", F.row_number().over(wc)))
     assign = ranked.filter(F.col("crk") == 1).select("vec_id", "cent_id")
     probe_cent = ranked.filter(
         (F.col("vec_id") % 50 == 0) & (F.col("crk") <= 2)
