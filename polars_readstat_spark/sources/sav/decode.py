@@ -23,6 +23,8 @@ rules :998-1026, very-long-string reconstruct :1028-1048).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -77,6 +79,15 @@ def _decode_cmd_group(blocks: np.ndarray, cmd_idx: np.ndarray, meta: SavMeta):
     return out, stopped
 
 
+def _all_literal_elements(blocks: np.ndarray):
+    """Pass 2 for a chunk the walk proved is pure stride-9 all-literal
+    groups: elements = the 8 literal rows of every 9-row group, one
+    contiguous strided copy. Same (k, 8) output as _decode_cmd_group
+    with stopped=False (an all-253 command block contains no 252)."""
+    seg = blocks.reshape(-1, 9, 8)
+    return np.ascontiguousarray(seg[:, 1:, :]).reshape(-1, 8), False
+
+
 def decompress_bytecode(raw: bytes, meta: SavMeta) -> np.ndarray:
     """Whole bytecode stream → (n_elements, 8) matrix (small-input /
     test helper; the scan path streams via iter_compressed_elements)."""
@@ -98,29 +109,43 @@ def _iter_raw_chunks(meta: SavMeta, chunk_bytes: int):
     """Raw bytecode stream in bounded pieces: file slices for
     compression=1, per-block zlib inflates for zsav (each block is a
     self-contained zlib stream, reference spss/data.rs:1794-1860).
-    zsav blocks inflate one-ahead on a helper thread (zlib releases
-    the GIL), overlapping decompression with the caller's group walk
-    while holding at most two inflated blocks."""
+    zsav blocks inflate on a small thread pool (zlib releases the
+    GIL), yielding strictly in block order with bounded look-ahead:
+    a single inflate-ahead thread capped the whole read at one core's
+    ~300 MB/s — 5.2 s on a 1.6 GB-raw ACS-shape file, measured as THE
+    wall — while the group walk + scatter consumers run well above
+    that. Four threads push decompression off the critical path; ≤8
+    in-flight blocks bound memory at ~32 MB."""
     import zlib
 
     with open(meta.path, "rb") as f:
         if meta.compression == 2:
+            from collections import deque
             from concurrent.futures import ThreadPoolExecutor
+
+            lock_read = __import__("threading").Lock()
 
             def inflate(blk):
                 c_ofs, c_sz, _unc = blk
-                f.seek(c_ofs)
-                return zlib.decompress(f.read(c_sz))
+                with lock_read:
+                    f.seek(c_ofs)
+                    raw = f.read(c_sz)
+                return zlib.decompress(raw)
 
             blocks = list(meta.zsav.blocks)
-            with ThreadPoolExecutor(1) as pool:
-                fut = None
-                for nxt in blocks:
-                    prev, fut = fut, pool.submit(inflate, nxt)
-                    if prev is not None:
-                        yield prev.result()
-                if fut is not None:
-                    yield fut.result()
+            with ThreadPoolExecutor(4) as pool:
+                inflight: deque = deque()
+                it = iter(blocks)
+                for blk in it:
+                    inflight.append(pool.submit(inflate, blk))
+                    if len(inflight) >= 8:
+                        break
+                for blk in it:
+                    out = inflight.popleft().result()
+                    inflight.append(pool.submit(inflate, blk))
+                    yield out
+                while inflight:
+                    yield inflight.popleft().result()
             return
         f.seek(meta.data_offset)
         while True:
@@ -177,6 +202,7 @@ def iter_compressed_elements(meta: SavMeta, chunk_bytes: int = 4 << 20):
             c253 = None
             scalar_steps = 0
             cmd_idx_l = []
+            pure_literal = True  # every group taken by the ff branch
             i = 0
             while i < nb8:
                 if all253[i]:
@@ -189,6 +215,7 @@ def iter_compressed_elements(meta: SavMeta, chunk_bytes: int = 4 << 20):
                     cmd_idx_l.extend(range(i, i + 9 * k, 9))
                     i += 9 * k
                     continue
+                pure_literal = False
                 if c253 is None:
                     scalar_steps += 1
                     if scalar_steps > 4096 and i < nb8 // 2:
@@ -205,14 +232,27 @@ def iter_compressed_elements(meta: SavMeta, chunk_bytes: int = 4 << 20):
             pend = data[i * 8 :]
             if not cmd_idx_l:
                 continue
-            inflight.append(
-                dpool.submit(
-                    _decode_cmd_group,
-                    blocks[:i],
-                    np.asarray(cmd_idx_l, dtype=np.int64),
-                    meta,
+            if pure_literal:
+                # every group in [0, i) is an 8×253 command + its 8
+                # literals (the only framing our writer emits, and the
+                # dominant shape of real case data): the elements are
+                # blocks[:i] minus every 9th row — one regular strided
+                # copy instead of three fancy-indexed passes through
+                # the generic scatter (measured 2.5× on the ACS-shape
+                # zsav; the walk already proved the stride, so no
+                # 252-stop or bias value can hide here)
+                inflight.append(
+                    dpool.submit(_all_literal_elements, blocks[:i])
                 )
-            )
+            else:
+                inflight.append(
+                    dpool.submit(
+                        _decode_cmd_group,
+                        blocks[:i],
+                        np.asarray(cmd_idx_l, dtype=np.int64),
+                        meta,
+                    )
+                )
             while inflight and (
                 len(inflight) > 2 or inflight[0].done()
             ):
@@ -244,6 +284,16 @@ def iter_compressed_rows(
     end = start + n
     row_pos = 0
     carry = np.empty((0, 8), dtype=np.uint8)
+    # batches are accumulated to ~batch_rows before emission: a wide
+    # case (ACS shape, cs=286) fits only ~1.8k rows in one inflated
+    # zlib block, and per-chunk emission made every downstream
+    # decode_rows call pay 286 columns of per-call overhead on a
+    # 1.6k-row batch — 110k decode_column calls per file, measured as
+    # HALF the zsav read wall. Memory stays bounded by
+    # batch_rows + one chunk.
+    buf: list = []
+    buf_rows = 0
+    buf_pos = 0
     for elems in iter_compressed_elements(meta):
         if carry.size:
             elems = np.concatenate([carry, elems])
@@ -255,14 +305,200 @@ def iter_compressed_rows(
         hi = min(end - row_pos, nrows)
         if hi > lo:
             rows = elems[: nrows * cs].reshape(nrows, cs * 8)
-            p = lo
-            while p < hi:
-                c = min(batch_rows, hi - p)
-                yield row_pos + p, rows[p : p + c]
-                p += c
+            if not buf:
+                buf_pos = row_pos + lo
+            buf.append(rows[lo:hi])
+            buf_rows += hi - lo
+            while buf_rows >= batch_rows:
+                m = buf[0] if len(buf) == 1 else np.concatenate(buf)
+                yield buf_pos, m[:batch_rows]
+                buf_pos += batch_rows
+                rest = m[batch_rows:]
+                buf = [rest] if rest.shape[0] else []
+                buf_rows = rest.shape[0]
         row_pos += nrows
         if row_pos >= end:
-            return
+            break
+    if buf_rows:
+        m = buf[0] if len(buf) == 1 else np.concatenate(buf)
+        yield buf_pos, m
+
+
+_LITERAL_CMD = 0xFDFDFDFDFDFDFDFD  # 8×253: "literal element follows"
+
+
+def _literal_geometry(meta: SavMeta, total_rows: int):
+    """Group geometry of an all-literal bytecode stream: the byte ↔
+    element map is affine (one 8×253 command block + 64 literal bytes
+    = one 72-byte group of 8 elements), so a task can locate any
+    element range by arithmetic. Returns (total_el, g_full)."""
+    total_el = total_rows * meta.case_size
+    return total_el, total_el // 8
+
+
+def _literal_sidecar_path(meta: SavMeta) -> str:
+    import hashlib
+    import tempfile
+
+    st = os.stat(meta.path)
+    key = hashlib.sha1(
+        f"{os.path.abspath(meta.path)}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:24]
+    return os.path.join(tempfile.gettempdir(), f"prs-litstream-{key}")
+
+
+def validate_literal_stream(meta: SavMeta, total_rows: int) -> bool:
+    """ONE sequential pass proving the whole bytecode stream is
+    all-literal framing (every command block is 8×253 through the
+    last full group, then a strict partial-literal + 252 tail).
+
+    This global pass is load-bearing for the parallel plan's
+    exactness: per-task local validation is NOT sufficient — a
+    deviation upstream whose element deficit is ≡ 0 (mod 9) realigns
+    the assumed stride-72 command positions onto REAL command blocks
+    of a later all-literal region, which read 8×253 and would accept
+    silently misaligned rows. Validating [0, end) once closes that:
+    all-literal globally ⇒ the affine map is exact everywhere.
+
+    The verdict is cached in a tempdir sidecar keyed by
+    (path, size, mtime_ns) — derived data with content identity, the
+    same pattern as the strL sidecar index — so the inflate+scan cost
+    (~1.3 s/GB with the 4-thread block pool) is paid once per file,
+    not per read. Runs in the plan worker."""
+    total_el, g_full = _literal_geometry(meta, total_rows)
+    if total_el <= 0:
+        return False
+    try:
+        with open(_literal_sidecar_path(meta)) as fh:
+            return fh.read(1) == "1"
+    except OSError:
+        pass
+    ok = _scan_literal_stream(meta, total_el, g_full)
+    try:
+        side = _literal_sidecar_path(meta)
+        tmp = f"{side}.{os.getpid()}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write("1" if ok else "0")
+        os.replace(tmp, side)
+    except OSError:
+        pass
+    return ok
+
+
+def _scan_literal_stream(meta: SavMeta, total_el: int, g_full: int) -> bool:
+    need = g_full * 72
+    pend = b""
+    seen_groups = 0
+    tail = bytearray()
+    for chunk in _iter_raw_chunks(meta, 4 << 20):
+        if seen_groups >= g_full:
+            tail += chunk
+            if len(tail) > 160:
+                tail = tail[:160]  # strict tail is ≤ 2 groups
+                break
+            continue
+        data = pend + chunk if pend else chunk
+        take = min(len(data) // 72, g_full - seen_groups)
+        if take:
+            arr = np.frombuffer(data, dtype="<u8", count=take * 9).reshape(
+                take, 9
+            )
+            if not bool((arr[:, 0] == np.uint64(_LITERAL_CMD)).all()):
+                return False
+            seen_groups += take
+            pend = data[take * 72 :]
+        else:
+            pend = data
+        if seen_groups >= g_full:
+            tail += pend
+            pend = b""
+    if seen_groups < g_full:
+        return False
+    # strict tail: optional partial-literal group for the trailing
+    # total_el % 8 elements, then a 252 end-of-data command block
+    r = total_el - g_full * 8
+    want = b""
+    if r:
+        want += bytes([253] * r + [0] * (8 - r))
+    t = bytes(tail)
+    if r:
+        if len(t) < 8 + r * 8 or t[:8] != want:
+            return False
+        t = t[8 + r * 8 :]
+    return len(t) >= 1 and t[0] == 252
+
+
+def iter_literal_rows(
+    meta: SavMeta, start: int, n: int, batch_rows: int, total_rows: int
+):
+    """Parallel-task decode of rows [start, start+n) from a VALIDATED
+    all-literal bytecode stream: fetch only the bytes of the groups
+    covering the element span (for zsav, inflate only the zlib blocks
+    that overlap it), strip every 9th row, and reshape. Exactness
+    rests on validate_literal_stream's global pass; a cheap local
+    re-check of the fetched command blocks guards file swaps."""
+    cs = meta.case_size
+    total_el, g_full = _literal_geometry(meta, total_rows)
+    e0 = start * cs
+    e1 = (start + n) * cs
+    g0 = e0 // 8
+    g1 = min((e1 + 7) // 8, g_full)
+    lo_b, hi_b = g0 * 72, g1 * 72
+    buf = _fetch_stream_bytes(meta, lo_b, hi_b)
+    k = (hi_b - lo_b) // 72
+    blocks = np.frombuffer(buf, dtype=np.uint8, count=k * 72).reshape(k, 9, 8)
+    if k and not bool(
+        (
+            blocks.reshape(k, 72)[:, :8].copy().view("<u8").reshape(-1)
+            == np.uint64(_LITERAL_CMD)
+        ).all()
+    ):
+        raise RuntimeError(
+            "sav literal-stream partition failed re-validation "
+            "(file changed since planning?)"
+        )
+    els = np.ascontiguousarray(blocks[:, 1:, :]).reshape(k * 8, 8)
+    if e1 > g_full * 8:
+        # trailing partial group: decode the strict tail generically
+        tail_raw = _fetch_stream_bytes(meta, g_full * 72, None)
+        tail_els = decompress_bytecode(tail_raw, meta)
+        els = np.concatenate([els, tail_els[: total_el - g_full * 8]])
+    off = e0 - g0 * 8
+    rows = els[off : off + n * cs].reshape(n, cs * 8)
+    p = 0
+    while p < n:
+        c = min(batch_rows, n - p)
+        yield start + p, rows[p : p + c]
+        p += c
+
+
+def _fetch_stream_bytes(meta: SavMeta, lo: int, hi: int | None) -> bytes:
+    """Bytes [lo, hi) of the bytecode stream (hi=None → to end).
+    compression=1 is a direct file range; zsav inflates only the
+    overlapping zlib blocks on a small pool."""
+    if meta.compression != 2:
+        with open(meta.path, "rb") as f:
+            f.seek(meta.data_offset + lo)
+            return f.read(None if hi is None else hi - lo)
+    import zlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    blocks = meta.zsav.blocks
+    uncs = [b[2] for b in blocks]
+    starts = np.concatenate([[0], np.cumsum(uncs)])
+    end = int(starts[-1]) if hi is None else hi
+    b_lo = int(np.searchsorted(starts, lo, side="right") - 1)
+    b_hi = int(np.searchsorted(starts, max(end - 1, lo), side="right"))
+    with open(meta.path, "rb") as f:
+        raws = []
+        for c_ofs, c_sz, _u in blocks[b_lo:b_hi]:
+            f.seek(c_ofs)
+            raws.append(f.read(c_sz))
+    with ThreadPoolExecutor(4) as pool:
+        infl = list(pool.map(zlib.decompress, raws))
+    joined = b"".join(infl)
+    base = int(starts[b_lo])
+    return joined[lo - base : None if hi is None else end - base]
 
 
 def count_compressed_rows(meta: SavMeta) -> int:

@@ -25,9 +25,13 @@ from pyspark.sql.datasource import DataSourceReader, InputPartition
 
 
 class RowRange(InputPartition):
-    def __init__(self, start: int, n: int):
+    def __init__(self, start: int, n: int, literal: bool = False):
         self.start = start
         self.n = n
+        # True: the bytecode stream was proven all-literal at plan
+        # time (validate_literal_stream), so this range decodes
+        # independently via the affine byte↔element map
+        self.literal = literal
 
 
 def _opt_bool(options, key, default=False):
@@ -86,7 +90,40 @@ class SavReader(DataSourceReader):
     def partitions(self):
         start, n = self._row_span()
         if self.meta.compression != 0:
-            return [RowRange(start, n)]
+            # bytecode streams are sequential in general — but the
+            # all-literal framing (the only one our writer emits, and
+            # a real shape for non-integer-heavy data) has an affine
+            # byte↔element map, so after ONE validated sequential
+            # pass (plan-time, sidecar-cached) the stream partitions
+            # exactly like an uncompressed file. Anything else stays
+            # the reference-parity serial plan.
+            lit = False
+            if self.meta.nobs > 0 and n > 0:
+                from polars_readstat_spark.sources.sav.decode import (
+                    validate_literal_stream,
+                )
+
+                try:
+                    lit = validate_literal_stream(self.meta, self.meta.nobs)
+                except Exception:
+                    lit = False
+            if not lit:
+                return [RowRange(start, n)]
+            rw = max(self.meta.record_width, 1)
+            per = self.rows_per_partition
+            if per is None:
+                from polars_readstat_spark.sources.partplan import (
+                    rows_per_partition,
+                )
+
+                per = rows_per_partition(rw, n, self.target_parallelism)
+            parts = []
+            pos = start
+            while pos < start + n:
+                cnt = min(per, start + n - pos)
+                parts.append(RowRange(pos, cnt, literal=True))
+                pos += cnt
+            return parts or [RowRange(start, 0)]
         rw = max(self.meta.record_width, 1)
         per = self.rows_per_partition
         if per is None:
@@ -142,6 +179,17 @@ class SavReader(DataSourceReader):
             return
 
         if meta.compression != 0:
+            if getattr(partition, "literal", False):
+                from polars_readstat_spark.sources.sav.decode import (
+                    iter_literal_rows,
+                )
+
+                for pos, rows in iter_literal_rows(
+                    meta, partition.start, partition.n, batch_rows,
+                    meta.nobs,
+                ):
+                    yield emit(rows, pos, rows.shape[0])
+                return
             # sequential command stream: decode once, bounded memory —
             # one chunk + one partial case live at a time (round-1 OOM
             # fix; reference streams serially too, spss/data.rs:1628)
