@@ -133,7 +133,12 @@ def _assert_vec_equals_scalar(meta, s, expect_vec=True):
             assert a.shape == bb.shape, (j, a.shape, bb.shape)
             assert (a.view(np.uint64) == bb.view(np.uint64)).all(), j
         else:
-            assert a == b, j
+            import pyarrow as pa
+
+            # string columns come back as arrow arrays from the
+            # vectorized gather (lists from the scalar walk)
+            al = a.to_pylist() if isinstance(a, pa.Array) else a
+            assert al == b, j
 
 
 def test_vectorized_matches_scalar_mixed(spark, tmp_path):
