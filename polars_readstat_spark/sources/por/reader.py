@@ -695,10 +695,12 @@ def _read_cases_vectorized(meta: PorMeta, s: str) -> list | None:
 
     if not any(is_str):
         return _vec_numeric_only(s, u, seg_start, slashes, stars, n_vars, ctx)
-    if stars.size:
-        return None  # sysmis + strings: ambiguous prefixes → scalar
     if all(is_str):
         return None  # every value chains through payloads → scalar
+    if stars.size:
+        return _vec_strings_stars(
+            meta, s, u, seg_start, slashes, n_vars, is_str, ctx, stars
+        )
     return _vec_with_strings(
         meta, s, u, seg_start, slashes, n_vars, is_str, ctx
     )
@@ -872,6 +874,185 @@ def _vec_with_strings(meta, s, u, seg_start, slashes, n_vars, is_str, ctx=None):
     tail = s[tail_at : tail_at + 8].strip()
     if tail and not tail.startswith("Z"):
         return None
+    return out
+
+
+def _vec_strings_stars(meta, s, u, seg_start, slashes, n_vars, is_str, ctx, stars):
+    """Strings AND '*.' sysmis in one stream — the survey-data shape
+    that previously always fell to the scalar walk.
+
+    A segment (text between consecutive slashes, minus any string
+    payload prefix) holds k leading '*.' sysmis pairs then one
+    slash-terminated token, so values-per-segment = k + 1 and a
+    cumulative sum maps every token to its VALUE index (and column)
+    without the seg%n_vars assumption. String payload prefixes
+    resolve in waves (a wave parses the length tokens of all string
+    segments whose predecessor's payload is known). The speculation
+    is then re-derived and validated structurally:
+
+    - star counts recomputed from the FINAL content starts must equal
+      the raw speculation (a star hiding inside a payload inflates
+      the raw count and is caught here),
+    - stars must be contiguous '*.' pairs at the content head,
+    - a star mapping to a string column, a payload crossing a slash,
+      trailing stars after the last slash, or any token misparse →
+      decline to the scalar walk.
+
+    Exactness: the scalar walk's transitions are forced by the
+    current character (star → sysmis, else token-to-slash, strings
+    consume a parsed payload), so a candidate structure that starts
+    at 0, satisfies every local constraint, and tiles the stream IS
+    the walk's parse. Anything not provably consistent returns None.
+    """
+    m = slashes.size
+    # stars after the last slash: trailing sysmis completing the final
+    # row (no terminating slash exists for them); validated against
+    # the final payload boundary below
+    n_tail = int(np.searchsorted(stars, slashes[-1], side="right"))
+    tail_stars = stars[n_tail:]
+    in_stars = stars[:n_tail]
+    lo = np.searchsorted(in_stars, seg_start)
+    hi = np.searchsorted(in_stars, slashes)
+    cnt = hi - lo  # speculative: may count payload-resident stars
+    v_end = np.cumsum(cnt + 1)
+    v_base = v_end - (cnt + 1)
+    total_vals = int(v_end[-1]) + tail_stars.size
+    if total_vals % n_vars:
+        return None
+    n_rows = total_vals // n_vars
+    if n_rows == 0:
+        return None
+    is_str_arr = np.asarray(is_str, dtype=bool)
+    tok_val = v_base + cnt
+    col_tok = tok_val % n_vars
+    tok_is_str = is_str_arr[col_tok]
+
+    # every star's value column must be numeric (the scalar walk does
+    # emit NaN into string columns for malformed files — decline and
+    # let it)
+    star_seg = np.searchsorted(slashes, in_stars)
+    star_rank = np.arange(in_stars.size, dtype=np.int64) - lo[star_seg]
+    star_val = v_base[star_seg] + star_rank
+    if is_str_arr[star_val % n_vars].any():
+        return None
+    if tail_stars.size:
+        tv = int(v_end[-1]) + np.arange(tail_stars.size, dtype=np.int64)
+        if is_str_arr[tv % n_vars].any():
+            return None
+
+    # wave-resolution of payload lengths: seg i's content is prefixed
+    # by seg i-1's payload iff token i-1 is a string
+    prefix = np.zeros(m, dtype=np.int64)
+    plen = np.zeros(m, dtype=np.int64)
+    known = np.empty(m, dtype=bool)
+    known[0] = True
+    known[1:] = ~tok_is_str[:-1]
+    need = tok_is_str.copy()  # string length tokens still unparsed
+    for _wave in range(64):
+        ready = np.flatnonzero(need & known)
+        if ready.size == 0:
+            break
+        t0 = seg_start[ready] + prefix[ready] + 2 * cnt[ready]
+        t1 = slashes[ready]
+        if (t0 > t1).any():
+            return None
+        lens, ok = _b30_batch(u, t0, t1, ctx)
+        if not ok.all():
+            return None
+        ln = lens.astype(np.int64)
+        if (ln < 0).any() or (lens != ln).any():
+            return None
+        plen[ready] = ln
+        need[ready] = False
+        succ = ready[ready + 1 < m] + 1
+        prefix[succ] = plen[succ - 1]
+        known[succ] = True
+    if need.any():
+        return None  # unresolved chain (>64 consecutive string cells)
+
+    # structural re-derivation with final content starts
+    content_start = seg_start + prefix
+    lo2 = np.searchsorted(in_stars, content_start)
+    cnt2 = hi - lo2
+    if not bool((cnt2 == cnt).all()):
+        return None
+    has = cnt > 0
+    if has.any():
+        first_star = in_stars[np.minimum(lo2, in_stars.size - 1)]
+        last_star = in_stars[np.maximum(hi - 1, 0)]
+        good = ~has | (
+            (first_star == content_start)
+            & (last_star - first_star == 2 * (cnt - 1))
+        )
+        if not good.all():
+            return None
+    if stars.size and (
+        stars[-1] + 1 >= len(u) or not bool((u[stars + 1] == _DOT).all())
+    ):
+        return None
+
+    tok_start = content_start + 2 * cnt
+    if (tok_start > slashes).any():
+        return None
+
+    # payload bounds: must end before the next slash (a '/' inside a
+    # payload desynchronizes the segment index — decline)
+    str_segs = np.flatnonzero(tok_is_str)
+    p0 = slashes[str_segs] + 1
+    p1 = p0 + plen[str_segs]
+    nxt = np.empty(str_segs.size, dtype=np.int64)
+    inb = str_segs + 1 < m
+    nxt[inb] = slashes[str_segs[inb] + 1]
+    nxt[~inb] = len(u)
+    if (p1 > nxt).any():
+        return None
+
+    # parse all numeric tokens in one batch
+    vals = np.full(total_vals, np.nan)
+    num_segs = np.flatnonzero(~tok_is_str)
+    if num_segs.size:
+        t0 = tok_start[num_segs]
+        t1 = slashes[num_segs]
+        nv, ok = _b30_batch_parallel(u, t0, t1, ctx)
+        if not ok.all():
+            first_ok = (
+                _DIG_LUT[u[np.minimum(t0, len(u) - 1)]] != 255
+            ) | (t0 >= t1)
+            if not first_ok[~ok].all():
+                return None
+            _scalar_patch(s, nv, t0, t1, ok)
+        vals[tok_val[num_segs]] = nv
+
+    # trailing sysmis: must sit as contiguous '*.' pairs exactly at
+    # the end of the final payload (a '*' inside the last payload
+    # lands before that boundary and declines here)
+    tail_at = int(slashes[-1]) + 1
+    if tok_is_str[m - 1]:
+        tail_at += int(plen[m - 1])
+    if tail_stars.size:
+        expect = tail_at + 2 * np.arange(tail_stars.size, dtype=np.int64)
+        if not bool((tail_stars == expect).all()):
+            return None
+        tail_at += 2 * tail_stars.size
+        # (their NaNs are already in `vals` — the full array default)
+
+    # trailing region must be Z padding / blanks
+    tail = s[tail_at : tail_at + 8].strip()
+    if tail and not tail.startswith("Z"):
+        return None
+
+    grid = vals.reshape(n_rows, n_vars)
+    out: list = [None] * n_vars
+    for c in range(n_vars):
+        if is_str[c]:
+            segs_c = str_segs[col_tok[str_segs] == c]
+            if segs_c.size != n_rows:
+                return None  # a string column missing a cell per row
+            pp0 = slashes[segs_c] + 1
+            ln = plen[segs_c]
+            out[c] = _gather_strings(s, u, pp0, pp0 + ln, ln)
+        else:
+            out[c] = grid[:, c].copy()
     return out
 
 

@@ -169,9 +169,11 @@ def test_vectorized_matches_scalar_numeric_sysmis(spark, tmp_path):
     _assert_vec_equals_scalar(meta, s)
 
 
-def test_vectorized_declines_strings_with_sysmis(spark, tmp_path):
-    """Strings + sysmis is the one ambiguous shape — the scalar walk
-    must take over (and stay correct end-to-end via the reader)."""
+def test_vectorized_strings_with_sysmis(spark, tmp_path):
+    """Strings + sysmis — vectorized since round 6 via the cumulative
+    value-index mapping (was the one always-scalar shape); must take
+    the fast path, match the scalar walk, and stay correct end-to-end
+    through the reader."""
     from pyspark.sql import functions as F
 
     import polars_readstat_spark as prs
@@ -185,7 +187,7 @@ def test_vectorized_declines_strings_with_sysmis(spark, tmp_path):
     prs.write_readstat(df, p)
     meta, st = R.parse_por(p)
     s = R._bulk_chars(st)
-    assert R._read_cases_vectorized(meta, s) is None
+    _assert_vec_equals_scalar(meta, s)
     back = prs.read_readstat(spark, p)
     assert len(back) == 500
     assert back["A"].isna().sum() == len([i for i in range(500) if i % 3 == 0])
@@ -332,3 +334,131 @@ def test_integer_fast_path_boundary_pins():
         tok = _num_token(v).rstrip("/")
         back = R._parse_base30(tok)
         assert struct.pack("<d", back) == struct.pack("<d", v), (v, tok)
+
+
+def test_vectorized_sysmis_with_strings(spark, tmp_path):
+    """The survey shape — '*.' sysmis interleaved with string payloads
+    — previously always fell to the scalar walk; the cumulative
+    value-index mapping now vectorizes it. Each sub-shape must take
+    the vectorized path AND match the scalar walk bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    frames = {
+        "nulls_mid": spark.range(2500).select(
+            F.when(F.col("id") % 3 == 0, None)
+            .otherwise(F.col("id").cast("double"))
+            .alias("a"),
+            F.concat(F.lit("s"), (F.col("id") % 37).cast("string")).alias("s1"),
+            F.when(F.col("id") % 7 == 0, None)
+            .otherwise(F.col("id") * 0.25)
+            .alias("b"),
+        ),
+        # two sysmis in ONE segment (both numerics null on even rows)
+        "double_sysmis": spark.range(1200).select(
+            F.when(F.col("id") % 2 == 0, None)
+            .otherwise(F.col("id").cast("double"))
+            .alias("a"),
+            F.when(F.col("id") % 2 == 0, None).otherwise(F.lit(1.5)).alias("b"),
+            F.concat(F.lit("x"), (F.col("id") % 11).cast("string")).alias("s1"),
+            F.when(F.col("id") % 5 == 0, None).otherwise(F.lit(2.5)).alias("c"),
+        ),
+        # string column FIRST: payload-prefix chain wraps across rows
+        "string_first": spark.range(900).select(
+            F.concat(F.lit("w"), (F.col("id") % 13).cast("string")).alias("s1"),
+            F.when(F.col("id") % 4 == 0, None)
+            .otherwise(F.col("id").cast("double"))
+            .alias("a"),
+        ),
+    }
+    for name, df in frames.items():
+        meta, s = _roundtrip_cols(spark, tmp_path, df, f"stars_{name}.por")
+        _assert_vec_equals_scalar(meta, s)
+
+
+def test_sysmis_strings_adversarial_declines(spark, tmp_path):
+    """Payloads containing '/' desynchronize the slash-segment index
+    and payloads containing '*' inflate the speculative star counts —
+    both must decline to the scalar walk (never misparse), and the
+    scalar result must round-trip the values."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(800).select(
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise(F.col("id").cast("double"))
+        .alias("a"),
+        F.concat(F.lit("a*b/c"), (F.col("id") % 7).cast("string")).alias("s1"),
+    )
+    meta, s = _roundtrip_cols(spark, tmp_path, df, "stars_adv.por")
+    from polars_readstat_spark.sources.por import reader as R
+
+    assert R._read_cases_vectorized(meta, s) is None
+    cols = R._read_cases_scalar(meta, s)
+    assert cols[1][:3] == ["a*b/c0", "a*b/c1", "a*b/c2"]
+
+
+def test_sysmis_strings_randomized_differential():
+    """Randomized streams over the stars+strings grammar: random null
+    patterns, payload contents (incl. digits/dots that could confuse
+    token parsing), and column layouts. The vectorized parse must
+    either decline or agree with the scalar walk exactly — 200 random
+    frames."""
+    import random
+    from types import SimpleNamespace
+
+    import numpy as np
+    import pyarrow as pa
+
+    from polars_readstat_spark.sources.por import reader as R
+    from polars_readstat_spark.writers.por import _num_token
+
+    rng = random.Random(777)
+    for trial in range(200):
+        n_vars = rng.randint(2, 5)
+        is_str = [rng.random() < 0.4 for _ in range(n_vars)]
+        if all(is_str):
+            is_str[rng.randrange(n_vars)] = False
+        n_rows = rng.randint(1, 40)
+        cols = [[] for _ in range(n_vars)]
+        parts = []
+        for _r in range(n_rows):
+            for c in range(n_vars):
+                if is_str[c]:
+                    k = rng.randint(0, 6)
+                    payload = "".join(
+                        rng.choice("abXY019T.-+ ") for _ in range(k)
+                    )
+                    parts.append(_num_token(float(len(payload))) + payload)
+                    cols[c].append(payload.rstrip())
+                elif rng.random() < 0.3:
+                    parts.append("*.")
+                    cols[c].append(float("nan"))
+                else:
+                    v = round(rng.uniform(-1e4, 1e4), rng.randint(0, 3))
+                    parts.append(_num_token(v))
+                    cols[c].append(v)
+        s = "".join(parts) + "Z" * 20
+        meta = SimpleNamespace(
+            variables=[
+                SimpleNamespace(is_str=b, name=f"v{i}")
+                for i, b in enumerate(is_str)
+            ]
+        )
+        vec = R._read_cases_vectorized(meta, s)
+        sc = R._read_cases_scalar(meta, s)
+        for j in range(n_vars):
+            assert len(sc[j]) == n_rows, (trial, j)
+            if is_str[j]:
+                assert sc[j] == cols[j], (trial, j)
+            if vec is None:
+                continue
+            a, b = vec[j], sc[j]
+            if is_str[j]:
+                al = a.to_pylist() if isinstance(a, pa.Array) else list(a)
+                assert al == b, (trial, j)
+            else:
+                aa = np.asarray(a)
+                bb = np.asarray(b, dtype=np.float64)
+                same = (aa.view(np.uint64) == bb.view(np.uint64)) | (
+                    np.isnan(aa) & np.isnan(bb)
+                )
+                assert same.all(), (trial, j)
