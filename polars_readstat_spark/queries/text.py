@@ -338,3 +338,120 @@ def text_gopher_quality_rules(spark, sf_dir):
             & (F.col("n_tri_distinct") * 10 >= F.col("n_tri") * 7)
         ).alias("keep"),
     )
+
+
+@query(
+    "boilerplate_ngram_filter",
+    oracle="""
+    WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t) - 3),
+                    i -> ARRAY_TO_STRING(t[i:i+4], ' '))) AS gram
+      FROM tok
+    ),
+    bp AS (
+      SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 3
+    )
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           SUM(CASE WHEN bp.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_bp,
+           CAST(SUM(CASE WHEN bp.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS bp_frac,
+           (SUM(CASE WHEN bp.gram IS NOT NULL THEN 1 ELSE 0 END)
+             * 2 < COUNT(*)) AS keep
+    FROM g LEFT JOIN bp ON g.gram = bp.gram
+    GROUP BY g.doc_id
+    """,
+)
+def boilerplate_ngram_filter(spark, sf_dir):
+    """C4-style boilerplate filtering: a word 5-gram that appears in
+    >= 3 DISTINCT documents is boilerplate (navigation chrome, legal
+    footers, templated text); each document reports its boilerplate
+    gram fraction and a keep flag (< 50% boilerplate).
+
+    Plan shape: one explode + two shuffles — the gram
+    document-frequency aggregation (map-side combinable: one row per
+    distinct gram per partition) and the per-doc rollup. The
+    gram↔boilerplate join is an equi-join on the gram key. At 100 TB:
+    hash grams to 64-bit (xxhash64) before the shuffle so the
+    exchange carries 8-byte keys instead of strings, and publish `bp`
+    as a broadcast-able side table when the boilerplate set is small
+    (it usually is — boilerplate is by definition heavy-tailed). The
+    keep flag is computed as an exact integer comparison (n_bp*2 <
+    n_grams) so both engines agree without float thresholds."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.expr(
+        "CASE WHEN size(split(text, ' ')) < 5 THEN array() "
+        "ELSE transform(sequence(1, size(split(text, ' ')) - 4), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 5))) END"
+    )
+    g = d.select("doc_id", F.explode(grams).alias("gram"))
+    bp = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 3)
+        .select("gram", F.lit(1).alias("is_bp"))
+    )
+    return (
+        g.join(bp, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("is_bp"), F.lit(0))).alias("n_bp"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_bp",
+            (F.col("n_bp").cast("double") / F.col("n_grams")).alias("bp_frac"),
+            (F.col("n_bp") * 2 < F.col("n_grams")).alias("keep"),
+        )
+    )
+
+
+@query(
+    "bpe_merge_candidates",
+    oracle="""
+    WITH w AS (
+      SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents
+    ),
+    p AS (
+      SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LENGTH(word)),
+                    i -> word[i:i+1])) AS pair
+      FROM w WHERE LENGTH(word) >= 2
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+)
+def bpe_merge_candidates(spark, sf_dir):
+    """One real BPE-training merge step: count adjacent character
+    pairs across every word occurrence in the corpus and return the
+    top-20 merge candidates — the statistic a tokenizer trainer
+    computes per merge round (text_bpe_token_count only APPLIES a
+    fixed pre-tokenizer; this produces the next merge).
+
+    Plan shape: explode words, explode char bigrams, one map-side
+    combinable hash aggregation, TakeOrderedAndProject for the top
+     20 — no single-partition window, so one merge round scales to
+    any corpus. (A full BPE trainer iterates this with the winning
+    pair merged into the symbol stream; each round is this exact
+    job over the rewritten symbols.) Ties break on the pair string
+    for engine-exact ordering."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = F.expr(
+        "CASE WHEN length(word) < 2 THEN array() "
+        "ELSE transform(sequence(1, length(word) - 1), "
+        "i -> substring(word, i, 2)) END"
+    )
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
