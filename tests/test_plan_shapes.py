@@ -418,3 +418,22 @@ def test_mixture_budget_fill_broadcasts_quota(spark):
     # the 1-row quota broadcasts; the corpus shuffles once on source
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "windowspecdefinition(source" in plan, plan
+
+
+def test_boilerplate_filter_hash_aggs_no_cartesian(spark):
+    plan = plan_of(spark, "boilerplate_ngram_filter")
+    # gram DF + per-doc rollup are partial-agg hash aggregations;
+    # the boilerplate join is an equi-join, never a cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × 2 aggs
+    assert "Generate" in plan  # the single explode
+
+
+def test_bpe_merge_candidates_topk_no_global_window(spark):
+    plan = plan_of(spark, "bpe_merge_candidates")
+    # corpus-size-safe top-k: TakeOrderedAndProject, not a
+    # single-partition sort or window
+    assert "TakeOrderedAndProject" in plan
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
