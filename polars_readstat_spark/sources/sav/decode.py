@@ -193,44 +193,48 @@ def iter_compressed_elements(meta: SavMeta, chunk_bytes: int = 4 << 20):
             # streams (biased-int compression) keep the per-group count
             # vector; either way boundaries are identical to the plain
             # walk.
-            bu = np.frombuffer(data, dtype="<u8", count=nb8)
-            all253 = bu == np.uint64(0xFDFDFDFDFDFDFDFD)
-            # per-group literal counts start LAZY (an all-literal stream
-            # never reads one) and materialize after enough scalar steps —
-            # the sparse-literal SPSS shape — so neither extreme pays the
-            # other's cost
-            c253 = None
-            scalar_steps = 0
-            cmd_idx_l = []
-            pure_literal = True  # every group taken by the ff branch
+            # Generalized uniform-stride fast-forward: a RUN of groups
+            # whose command blocks all claim the same literal count c
+            # has a fixed group size 1+c, so the walk advances whole
+            # runs with one strided window compare instead of stepping
+            # per group in Python. This covers BOTH dominant real
+            # shapes — all-literal framing (c=8, our writer; stride 9)
+            # and bias-compressed integer data (c=0, how SPSS writes
+            # integer-heavy files; stride 1) — where the old
+            # 253-only fast path left bias streams in a per-group
+            # Python loop (~22M iterations on an ACS-shape file).
+            # Boundaries are identical to the plain walk: the run stops
+            # at the first group whose count differs, and that group is
+            # re-examined at its true position.
+            c253f = (blocks == 253).sum(axis=1).astype(np.int8)
+            runs = []  # (start, stride, k) fast-forwarded runs
+            pure_literal = True  # every group taken by a c=8 run
             i = 0
             while i < nb8:
-                if all253[i]:
-                    win = all253[i : i + 9 * 4096 : 9]
-                    neq = np.flatnonzero(~win)
-                    stop = int(neq[0]) if neq.size else int(win.size)
-                    k = min(stop, (nb8 - i) // 9)
-                    if k <= 0:
-                        break  # group's literals spill into the next chunk
-                    cmd_idx_l.extend(range(i, i + 9 * k, 9))
-                    i += 9 * k
-                    continue
-                pure_literal = False
-                if c253 is None:
-                    scalar_steps += 1
-                    if scalar_steps > 4096 and i < nb8 // 2:
-                        c253 = (blocks == 253).sum(axis=1).tolist()
-                        continue
-                    c = int((blocks[i] == 253).sum())
-                else:
-                    c = c253[i]
-                need = 1 + c
-                if i + need > nb8:
+                c = int(c253f[i])
+                stride = 1 + c
+                win = c253f[i : i + stride * 8192 : stride]
+                neq = np.flatnonzero(win != c)
+                stop = int(neq[0]) if neq.size else int(win.size)
+                k = min(stop, (nb8 - i) // stride)
+                if k <= 0:
                     break  # group's literals spill into the next chunk
-                cmd_idx_l.append(i)
-                i += need
+                runs.append((i, stride, k))
+                if c != 8:
+                    pure_literal = False
+                i += stride * k
+            if len(runs) == 1:
+                s0, st0, k0 = runs[0]
+                cmd_idx = np.arange(s0, s0 + st0 * k0, st0, dtype=np.int64)
+            else:
+                cmd_idx = np.concatenate(
+                    [
+                        np.arange(s, s + st * k, st, dtype=np.int64)
+                        for s, st, k in runs
+                    ]
+                ) if runs else np.empty(0, dtype=np.int64)
             pend = data[i * 8 :]
-            if not cmd_idx_l:
+            if cmd_idx.size == 0:
                 continue
             if pure_literal:
                 # every group in [0, i) is an 8×253 command + its 8
@@ -249,7 +253,7 @@ def iter_compressed_elements(meta: SavMeta, chunk_bytes: int = 4 << 20):
                     dpool.submit(
                         _decode_cmd_group,
                         blocks[:i],
-                        np.asarray(cmd_idx_l, dtype=np.int64),
+                        cmd_idx,
                         meta,
                     )
                 )

@@ -264,3 +264,80 @@ def test_sparse_literal_walk_matches_whole_buffer(spark, tmp_path):
     )
     assert np.array_equal(streamed, whole)
     assert whole.shape[0] == 60_000 * 8
+
+
+def test_bias_compressed_stream_differential(spark, tmp_path):
+    """Real SPSS writes integer-heavy data with BIAS commands (code =
+    value + bias, one byte, no literal payload) — a shape our writer
+    never emits, so it needs its own fixture: re-encode an
+    uncompressed sav's case data with bias/sysmis/literal commands
+    and the decoded frame must equal the original exactly. Also
+    exercises the generalized uniform-stride walk fast-forward (bias
+    runs have stride 1 where all-literal runs have stride 9); before
+    round 6 a bias-heavy stream fell into a per-group Python loop."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    import polars_readstat_spark as prs
+    from polars_readstat_spark.sources.sav import decode as D
+    from polars_readstat_spark.sources.sav.meta import parse_sav_meta
+
+    df = spark.range(80_000).select(
+        (F.col("id") % 97).cast("double").alias("a"),
+        (F.col("id") % 7 - 3).cast("double").alias("b"),
+        F.when(F.col("id") % 11 == 0, None)
+        .otherwise((F.col("id") % 50).cast("double"))
+        .alias("c"),
+        (F.col("id") * 0.5).alias("d"),  # halves: literal commands
+    )
+    lit_path = str(tmp_path / "bias_src.sav")
+    prs.write_readstat(df, lit_path)
+    meta = parse_sav_meta(lit_path)
+    assert meta.compression == 0  # our writer emits uncompressed sav
+    raw = open(lit_path, "rb").read()
+    els = np.frombuffer(raw[meta.data_offset :], dtype=np.uint8)
+    els = els[: (els.size // 8) * 8].reshape(-1, 8)
+
+    vals = els.view("<f8").reshape(-1)
+    bias = meta.bias or 100.0
+    iv = np.floor(vals)
+    biasable = (
+        np.isfinite(vals)
+        & (vals == iv)
+        & (iv >= 1 - bias)
+        & (iv <= 251 - bias)
+    )
+    sysmis_bits = np.frombuffer(
+        np.float64(meta.sysmis).tobytes(), dtype="<u8"
+    )[0]
+    is_sys = els.view("<u8").reshape(-1) == sysmis_bits
+    codes = np.where(
+        is_sys, 255, np.where(biasable, (iv + bias), 253)
+    ).astype(np.uint8)
+    out = bytearray()
+    for g0 in range(0, codes.size, 8):
+        grp = codes[g0 : g0 + 8]
+        out += bytes(grp) + bytes(8 - grp.size)
+        for j, cd in enumerate(grp):
+            if cd == 253:
+                out += els[g0 + j].tobytes()
+    out += bytes([252] + [0] * 7)
+    assert 0.2 < float((codes == 253).mean()) < 0.3  # mixed, bias-heavy
+
+    head = bytearray(raw[: meta.data_offset])
+    head[72:76] = struct.pack("<i", 1)  # compression 0 -> 1 (bytecode)
+    bias_path = str(tmp_path / "bias_enc.sav")
+    open(bias_path, "wb").write(bytes(head) + bytes(out))
+    m2 = parse_sav_meta(bias_path)
+    assert m2.compression == 1
+
+    a = spark.read.format("readstat").load(lit_path).toPandas()
+    b = spark.read.format("readstat").load(bias_path).toPandas()
+    pd.testing.assert_frame_equal(a, b)
+
+    # the walk must produce exactly n_rows * case_size elements
+    tot = sum(e.shape[0] for e in D.iter_compressed_elements(m2))
+    assert tot == 80_000 * m2.case_size
