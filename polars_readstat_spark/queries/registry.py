@@ -55,6 +55,11 @@ _PRIORITY: tuple[str, ...] = (
     # oldest greens in the union), then the rows-only multimodal
     # check, then the oldest r04 block to fill the driver's 50-row
     # window. After this round no query's newest green predates r04.
+    # -- new in r06 (never driver-checked) --
+    "scan_sav_compressed_roundtrip",
+    "boilerplate_ngram_filter",
+    "bpe_merge_candidates",
+    # -- code paths changed this round --
     "scan_por_roundtrip",
     "scan_sas7bdat_roundtrip",
     "scan_sas7bdat_rle_roundtrip",

@@ -276,6 +276,27 @@ def scan_sav_roundtrip(spark, sf_dir):
     return _canon(_scan(spark, ensure_readstat_file(spark, sf_dir, "sav")))
 
 
+@query("scan_sav_compressed_roundtrip", oracle=_CANON_ORACLE)
+def scan_sav_compressed_roundtrip(spark, sf_dir):
+    """W3 bytecode-compression path (new r06): write_sav(compress=True)
+    emits SPSS's compression=1 stream (bias commands for integral
+    values, 255 sysmis, 254 all-spaces, 253 literals — what real SPSS
+    writes by default); the scan decodes it through the generalized
+    uniform-stride walk. Puts the encoder AND the bias decode path
+    under the DuckDB oracle."""
+    import polars_readstat_spark as prs  # noqa: F401
+    from polars_readstat_spark.writers.sav import write_sav
+
+    d = _cache_dir(sf_dir)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "lineitem_bc.sav")
+    if not os.path.exists(path):
+        tmp = os.path.join(d, f".tmp{os.getpid()}.lineitem_bc.sav")
+        write_sav(_source_frame(spark, sf_dir, "sav"), tmp, compress=True)
+        os.replace(tmp, path)
+    return _canon(_scan(spark, path))
+
+
 @query("scan_zsav_roundtrip", oracle=_CANON_ORACLE)
 def scan_zsav_roundtrip(spark, sf_dir):
     """S10 compressed path: ZSAV (zlib-wrapped bytecode) write → scan —

@@ -9,10 +9,16 @@ sink pre-pass, pybindings.rs:996-1047):
    packed into the fixed-width 8-byte-element case layout with numpy
    (vectorized; no per-value Python in the numeric path).
 
-Output is an *uncompressed* system file (compression=0): every case is
-case_size×8 bytes, so the file we write is itself partitionable by our
-own reader — the right trade at cluster scale where re-read
-parallelism matters more than bytes on disk.
+Output defaults to an *uncompressed* system file (compression=0):
+every case is case_size×8 bytes, so the file we write is itself
+partitionable by our own reader — the right trade at cluster scale
+where re-read parallelism matters more than bytes on disk.
+``compress=True`` opts into SPSS's bytecode compression (the
+compression=1 stream real SPSS emits by default): integral values in
+[1-bias, 251-bias] become one-byte bias commands, system missing →
+255, all-spaces string elements → 254, everything else a literal —
+typically 5-8× smaller for integer-coded survey data, at the cost of
+a serial re-read (the bias stream has no affine byte↔element map).
 
 Layout per the public PSPP system-file spec (same records the reader
 parses): header, type-2 variable records (+ continuations), 3/4 value
@@ -120,18 +126,30 @@ def write_sav(
     value_labels: dict | None = None,
     measures: dict | None = None,
     zsav: bool | None = None,
+    compress: bool = False,
 ) -> None:
     """zsav=True (or a .zsav path) emits the ZLIB-container variant:
     same dictionary under a $FL3 magic, case data written as
     independently-decompressible zlib blocks with the offset trailer
     (the public PSPP "ZLIB data block" layout our reader partitions
     on). The inner stream uses bytecode compression's literal escape
-    (253×8 command blocks) so the writer stays single-pass."""
+    (253×8 command blocks) so the writer stays single-pass.
+
+    compress=True (non-zsav) emits SPSS bytecode compression
+    (compression=1, the stream real SPSS writes by default): integral
+    values in [1-bias, 251-bias] become one-byte bias commands,
+    system missing → 255, all-spaces string elements → 254, the rest
+    literals. 5-8× smaller for integer-coded data; re-reads are
+    serial (a bias stream has no affine byte↔element map), so the
+    uncompressed default remains the cluster-scale choice."""
     variable_labels = variable_labels or {}
     value_labels = value_labels or {}
     measures = measures or {}
     if zsav is None:
         zsav = path.lower().endswith(".zsav")
+    if zsav:
+        compress = False  # zsav's zlib layer subsumes it; stream
+        # stays all-literal so our reader's parallel plan applies
 
     fields, names, shorts, kinds, aggs = _sav_columns(df)
     stats = df.agg(*aggs).collect()[0].asDict()
@@ -144,14 +162,27 @@ def write_sav(
     out = _sav_dictionary(
         fields, names, shorts, kinds, widths, el_per, case_size, nrows,
         zsav, data_label, variable_labels, value_labels, measures,
+        compress=compress,
     )
 
     # ---- data: stream partitions, pack vectorized --------------------
     src = _sav_cast(df, fields, kinds)
 
+    el_numeric = np.concatenate(
+        [
+            np.zeros(ne, dtype=bool) if k == "str" else np.ones(1, dtype=bool)
+            for k, ne in zip(kinds, el_per)
+        ]
+    ) if case_size else np.zeros(0, dtype=bool)
+
     with open(path, "wb") as fh:
         fh.write(bytes(out))
-        sink = _ZlibSink(fh, len(out)) if zsav else fh
+        if zsav:
+            sink = _ZlibSink(fh, len(out))
+        elif compress:
+            sink = _BytecodeSink(fh, el_numeric)
+        else:
+            sink = fh
         # case packing runs on the executors; the driver concatenates
         # (and, for zsav, zlib-frames) in partition order
         from polars_readstat_spark.writers import iter_packed_chunks
@@ -172,7 +203,7 @@ def write_sav(
                 modules=("polars_readstat_spark.writers.sav",),
             ):
                 sink.write(payload)
-            if zsav:
+            if zsav or compress:
                 sink.close()
         except BaseException:
             # a failing Spark stage mid-stream must not leak the zsav
@@ -186,6 +217,7 @@ def write_sav(
 def _sav_dictionary(
     fields, names, shorts, kinds, widths, el_per, case_size, nrows,
     zsav, data_label, variable_labels, value_labels, measures,
+    compress: bool = False,
 ) -> bytearray:
     """System-file dictionary: header, type-2 records, 3/4 value
     labels, type-7 subtypes, 999 terminator."""
@@ -194,7 +226,8 @@ def _sav_dictionary(
     now = datetime.datetime.now()
     out += (b"$FL3" if zsav else b"$FL2") + prod.encode()
     out += struct.pack(
-        "<5i", 2, case_size, 2 if zsav else 0, 0, int(nrows)
+        "<5i", 2, case_size,
+        2 if zsav else (1 if compress else 0), 0, int(nrows),
     )
     out += struct.pack("<d", 100.0)
     out += now.strftime("%d %b %y").ljust(9)[:9].encode()
@@ -332,6 +365,89 @@ def _pack_columns(cols_data, kinds, widths, el_per, case_size) -> bytes:
             mat[:, off : off + 8] = bts
         colpos += ne
     return mat.tobytes()
+
+
+class _BytecodeSink:
+    """compression=1 data sink: buffers raw 8-byte case elements and
+    encodes whole 8-element command groups vectorized — bias command
+    for integral numerics in [1-bias, 251-bias], 255 for system
+    missing, 254 for all-spaces string elements, 253 + payload for
+    everything else. Kind-aware via the per-case element-numeric
+    mask tiled over the stream (a string element whose bytes
+    coincide with the sysmis pattern must stay literal)."""
+
+    def __init__(self, fh, el_numeric: np.ndarray, bias: float = 100.0):
+        self.fh = fh
+        self.el_numeric = np.asarray(el_numeric, dtype=bool)
+        self.bias = float(bias)
+        self.pending = b""
+        self.el_pos = 0  # global element counter → kind phase
+
+    def write(self, raw: bytes):
+        data = self.pending + raw if self.pending else raw
+        full = (len(data) // 64) * 64  # whole 8-element groups
+        if full:
+            self._encode(data[:full])
+        self.pending = data[full:]
+
+    def _encode(self, chunk: bytes):
+        els = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 8)
+        n = els.shape[0]
+        cs = max(self.el_numeric.size, 1)
+        idx = (self.el_pos + np.arange(n, dtype=np.int64)) % cs
+        num = (
+            self.el_numeric[idx]
+            if self.el_numeric.size
+            else np.ones(n, dtype=bool)
+        )
+        self.el_pos += n
+        u = els.view("<u8").reshape(-1)
+        vals = els.view("<f8").reshape(-1)
+        codes = np.full(n, 253, dtype=np.uint8)
+        sysm = num & (u == np.uint64(SYSMIS_BITS))
+        with np.errstate(invalid="ignore"):
+            iv = np.floor(vals)
+            biasable = (
+                num
+                & ~sysm
+                & np.isfinite(vals)
+                & (vals == iv)
+                & (iv >= 1 - self.bias)
+                & (iv <= 251 - self.bias)
+            )
+        codes[sysm] = 255
+        codes[biasable] = (iv[biasable] + self.bias).astype(np.uint8)
+        spaces = ~num & (u == np.uint64(0x2020202020202020))
+        codes[spaces] = 254
+        ng = (n + 7) // 8
+        cpad = np.zeros(ng * 8, dtype=np.uint8)
+        cpad[:n] = codes
+        lit = cpad == 253
+        lit_per = lit.reshape(ng, 8).sum(axis=1).astype(np.int64)
+        out = np.empty(ng * 8 + int(lit_per.sum()) * 8, dtype=np.uint8)
+        goff = np.zeros(ng, dtype=np.int64)
+        np.cumsum(8 + lit_per[:-1] * 8, out=goff[1:])
+        cols8 = np.arange(8, dtype=np.int64)
+        out[goff[:, None] + cols8] = cpad.reshape(ng, 8)
+        lit_idx = np.flatnonzero(lit[:n])
+        if lit_idx.size:
+            lit_grp = lit_idx >> 3
+            starts = np.zeros(ng, dtype=np.int64)
+            np.cumsum(lit_per[:-1], out=starts[1:])
+            within = (
+                np.arange(lit_idx.size, dtype=np.int64) - starts[lit_grp]
+            )
+            dest = goff[lit_grp] + 8 + within * 8
+            out[dest[:, None] + cols8] = els[lit_idx]
+        self.fh.write(out.tobytes())
+
+    def close(self):
+        if self.pending:
+            tail = self.pending[: (len(self.pending) // 8) * 8]
+            if tail:
+                self._encode(tail)
+            self.pending = b""
+        self.fh.write(bytes([252] + [0] * 7))
 
 
 class _ZlibSink:

@@ -341,3 +341,37 @@ def test_bias_compressed_stream_differential(spark, tmp_path):
     # the walk must produce exactly n_rows * case_size elements
     tot = sum(e.shape[0] for e in D.iter_compressed_elements(m2))
     assert tot == 80_000 * m2.case_size
+
+
+def test_write_sav_compress_bytecode_roundtrip(spark, tmp_path):
+    """write_sav(compress=True) emits compression=1 bytecode (bias
+    commands for integral numerics, 255 sysmis, 254 all-spaces, 253
+    literals); the file must read back exactly equal to the
+    uncompressed twin and be materially smaller on integer-coded
+    data."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from polars_readstat_spark.writers.sav import write_sav
+
+    df = spark.range(60_000).select(
+        (F.col("id") % 97).cast("double").alias("a"),
+        F.when(F.col("id") % 11 == 0, None)
+        .otherwise((F.col("id") % 50 - 20).cast("double"))
+        .alias("b"),
+        (F.col("id") * 0.5).alias("c"),  # halves stay literal
+        F.when(F.col("id") % 3 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("tx"), (F.col("id") % 23).cast("string")))
+        .alias("s"),
+        (F.col("id") % 300).cast("double").alias("big"),  # part out-of-range
+    )
+    up = str(tmp_path / "u.sav")
+    cp = str(tmp_path / "c.sav")
+    write_sav(df, up)
+    write_sav(df, cp, compress=True)
+    assert os.path.getsize(cp) < os.path.getsize(up) * 0.65
+    a = spark.read.format("readstat").load(up).toPandas()
+    b = spark.read.format("readstat").load(cp).toPandas()
+    pd.testing.assert_frame_equal(a, b)
