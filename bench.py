@@ -229,11 +229,18 @@ def _bench_scale(spark, timings: dict) -> None:
         ]
         return spark.range(n).select(*cols, *scols)
 
-    acs_sas = "/tmp/prs_bench_acs_v1.sas7bdat"
+    # v2: numeric codes stored at SAS LENGTH 4 (real PUMS files store
+    # small integer codes at 3-5 bytes, not 8 — the v1 all-width-8
+    # twin was ~2x the real file's bytes and unfairly slow vs the
+    # reference's 0.55 s ACS number)
+    acs_sas = "/tmp/prs_bench_acs_v2.sas7bdat"
     if not os.path.exists(acs_sas):
         from polars_readstat_spark.writers.sas7bdat import write_sas7bdat
 
-        write_sas7bdat(acs_df(), acs_sas + ".tmp")
+        write_sas7bdat(
+            acs_df(), acs_sas + ".tmp",
+            numeric_lengths={f"v{i}": 4 for i in range(280)},
+        )
         os.replace(acs_sas + ".tmp", acs_sas)
     acs_zsav = "/tmp/prs_bench_acs_v1.zsav"
     if not os.path.exists(acs_zsav):

@@ -104,7 +104,8 @@ def _sas_columns(df: DataFrame):
     return fields, names, kinds, aggs
 
 
-def _sas_widths(fields, kinds, stats) -> list[int]:
+def _sas_widths(fields, kinds, stats, numeric_lengths=None) -> list[int]:
+    numeric_lengths = numeric_lengths or {}
     widths = []
     for f, k in zip(fields, kinds):
         if k == "str":
@@ -116,7 +117,13 @@ def _sas_widths(fields, kinds, stats) -> list[int]:
                 )
             widths.append(w)
         else:
-            widths.append(8)
+            w = int(numeric_lengths.get(f.name, 8))
+            if not 3 <= w <= 8:
+                raise ValueError(
+                    f"write_sas7bdat: numeric_lengths[{f.name!r}]={w} "
+                    "outside SAS's LENGTH 3-8 range"
+                )
+            widths.append(w)
     return widths
 
 
@@ -713,7 +720,15 @@ def _pack_rows(cols_data, kinds, widths, row_length, tags_data=None) -> bytes:
                 )
             # IEEE NaN is a SAS missing on disk (any non-finite decodes
             # to null in both our reader and pandas)
-            mat[:, off : off + 8] = vals.astype("<f8").view(np.uint8).reshape(n, 8)
+            bts = vals.astype("<f8").view(np.uint8).reshape(n, 8)
+            if w < 8:
+                # SAS LENGTH truncation: keep the HIGH-order end (the
+                # trailing w bytes in LE) — sign, exponent, and the
+                # top 8w-12 mantissa bits; the reader zero-pads the
+                # dropped tail back (decode_numeric_raw)
+                mat[:, off : off + w] = bts[:, 8 - w :]
+            else:
+                mat[:, off : off + 8] = bts
             offs = tags_data[ci] if tags_data else None
             if offs is not None:
                 tagged = offs != _TAG_NONE
@@ -911,6 +926,7 @@ def write_sas7bdat(
     page_length: int | None = None,
     compress: str | None = None,
     tagged_missing: dict | None = None,
+    numeric_lengths: dict | None = None,
 ) -> None:
     """Write a Spark DataFrame as an uncompressed 64-bit LE sas7bdat.
 
@@ -919,6 +935,13 @@ def write_sas7bdat(
     partition-ordered Arrow-chunk stream (iter_arrow_chunks) packs
     vectorized batches onto DATA pages. Use ``write_sas7bdat_partitioned`` for
     the distributed bulk-export path.
+
+    numeric_lengths: SAS ``LENGTH var 3-8;`` truncated numeric
+    storage — col → bytes (3..8). Keeps sign + exponent + the top
+    8w-12 mantissa bits, so integers with |v| < 2^(8w-13) roundtrip
+    exactly (how real survey files store small integer codes at half
+    the bytes); not combinable with tagged_missing on the same column
+    (the tag lives in the dropped mantissa tail).
     """
     variable_labels = variable_labels or {}
     tagged_missing = dict(tagged_missing or {})
@@ -934,8 +957,19 @@ def write_sas7bdat(
             raise ValueError(
                 f"tagged_missing: indicator column {icol!r} not in DataFrame"
             )
+    numeric_lengths = dict(numeric_lengths or {})
+    for c in numeric_lengths:
+        if c not in names or kinds[names.index(c)] == "str":
+            raise ValueError(
+                f"numeric_lengths: {c!r} is not a numeric data column"
+            )
+        if c in tagged_missing and numeric_lengths[c] != 8:
+            raise ValueError(
+                f"numeric_lengths: {c!r} is tagged-missing — tags live in "
+                "the mantissa tail that truncation drops"
+            )
     stats = df.agg(*aggs).collect()[0].asDict() if aggs else {}
-    widths = _sas_widths(fields, kinds, stats)
+    widths = _sas_widths(fields, kinds, stats, numeric_lengths)
     # indicator columns ride at the end of the stream, consumed at pack
     src = _sas_cast(
         df, fields, kinds,

@@ -618,3 +618,45 @@ def test_rle_encode_rows_matches_scalar_encoder():
         got = _rle_encode_rows(mat)
         for i in range(r):
             assert got[i] == _rle_encode_row(mat[i]), (r, rl, i)
+
+
+def test_numeric_lengths_truncated_storage(spark, tmp_path):
+    """SAS LENGTH 3-8 truncated numerics: half the bytes for integer
+    codes, exact roundtrip through our reader AND pandas for values
+    within the kept mantissa, tag/validation guards enforced."""
+    import os
+
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+
+    from polars_readstat_spark.writers.sas7bdat import write_sas7bdat
+
+    df = spark.range(40_000).select(
+        (F.col("id") % 97).cast("double").alias("a"),
+        F.when(F.col("id") % 11 == 0, None)
+        .otherwise((F.col("id") % 50).cast("double"))
+        .alias("b"),
+        (F.col("id") % 100_000).cast("double").alias("big"),
+        F.concat(F.lit("s"), (F.col("id") % 9).cast("string")).alias("s"),
+    )
+    full = str(tmp_path / "full.sas7bdat")
+    trunc = str(tmp_path / "trunc.sas7bdat")
+    write_sas7bdat(df, full)
+    write_sas7bdat(
+        df, trunc, numeric_lengths={"a": 4, "b": 3, "big": 5}
+    )
+    assert os.path.getsize(trunc) < os.path.getsize(full) * 0.7
+    a = spark.read.format("readstat").load(full).toPandas()
+    b = spark.read.format("readstat").load(trunc).toPandas()
+    pd.testing.assert_frame_equal(a, b)
+    c = pd.read_sas(trunc)
+    assert (c["a"].to_numpy() == a["a"].to_numpy()).all()
+    assert int(c["b"].isna().sum()) == int(a["b"].isna().sum())
+
+    with pytest.raises(ValueError, match="3-8"):
+        write_sas7bdat(df, str(tmp_path / "x.sas7bdat"),
+                       numeric_lengths={"a": 2})
+    with pytest.raises(ValueError, match="not a numeric"):
+        write_sas7bdat(df, str(tmp_path / "x.sas7bdat"),
+                       numeric_lengths={"s": 4})
