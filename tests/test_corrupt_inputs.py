@@ -186,3 +186,54 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+def test_literal_stream_validation_rejects_mid_stream_deviation(spark, tmp_path):
+    """The parallel literal SAV/ZSAV plan rests on the plan-time
+    whole-stream validation: flip ONE command byte mid-stream (a bias
+    code where an 8x253 block belonged) and validation must return
+    False so the read stays on the serial plan — the parallel affine
+    map would silently misalign everything after the flip."""
+    import struct
+
+    import polars_readstat_spark as prs
+    from polars_readstat_spark.sources.sav import decode as D
+    from polars_readstat_spark.sources.sav.meta import parse_sav_meta
+    from pyspark.sql import functions as F
+
+    # small all-literal compression=1 file built from an uncompressed
+    # sav + a literal-framing re-encode (same trick as the bias test,
+    # but all-253 so validation passes on the pristine copy)
+    df = spark.range(20_000).select(
+        (F.col("id") * 0.5).alias("a"),  # halves: never biasable
+        (F.col("id") % 7).cast("double").alias("b"),
+    )
+    src = str(tmp_path / "lit_src.sav")
+    prs.write_readstat(df, src)
+    meta = parse_sav_meta(src)
+    raw = open(src, "rb").read()
+    els = raw[meta.data_offset :]
+    els = els[: (len(els) // 8) * 8]
+    out = bytearray()
+    for g0 in range(0, len(els), 64):
+        grp = els[g0 : g0 + 64]
+        k = len(grp) // 8
+        out += bytes([253] * k + [0] * (8 - k)) + grp
+    out += bytes([252] + [0] * 7)
+    hdr = bytearray(raw[: meta.data_offset])
+    hdr[72:76] = struct.pack("<i", 1)  # compression=1
+
+    clean = str(tmp_path / "clean.sav")
+    open(clean, "wb").write(bytes(hdr) + bytes(out))
+    mc = parse_sav_meta(clean)
+    assert D.validate_literal_stream(mc, mc.nobs) is True
+
+    # flip one mid-stream command byte → validation must reject
+    bad = bytearray(out)
+    g = (len(bad) // 72) // 2 * 72
+    assert bad[g] == 253
+    bad[g] = 100
+    corrupt = str(tmp_path / "corrupt.sav")
+    open(corrupt, "wb").write(bytes(hdr) + bytes(bad))
+    m2 = parse_sav_meta(corrupt)
+    assert D.validate_literal_stream(m2, m2.nobs) is False
