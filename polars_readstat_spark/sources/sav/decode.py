@@ -105,49 +105,77 @@ def decompress_bytecode(raw: bytes, meta: SavMeta) -> np.ndarray:
     return out
 
 
-def _iter_raw_chunks(meta: SavMeta, chunk_bytes: int):
-    """Raw bytecode stream in bounded pieces: file slices for
-    compression=1, per-block zlib inflates for zsav (each block is a
-    self-contained zlib stream, reference spss/data.rs:1794-1860).
-    zsav blocks inflate on a small thread pool (zlib releases the
-    GIL), yielding strictly in block order with bounded look-ahead:
-    a single inflate-ahead thread capped the whole read at one core's
-    ~300 MB/s — 5.2 s on a 1.6 GB-raw ACS-shape file, measured as THE
-    wall — while the group walk + scatter consumers run well above
-    that. Four threads push decompression off the critical path; ≤8
-    in-flight blocks bound memory at ~32 MB."""
+def _iter_zsav_inflated(meta: SavMeta, start_byte: int = 0):
+    """zsav inflated-stream chunks from uncompressed offset start_byte:
+    per-block zlib inflates (each block is a self-contained zlib
+    stream, reference spss/data.rs:1794-1860) on a small thread pool
+    (zlib releases the GIL), yielding strictly in block order with
+    bounded look-ahead: a single inflate-ahead thread capped the whole
+    read at one core's ~300 MB/s — 5.2 s on a 1.6 GB-raw ACS-shape
+    file, measured as THE wall — while the group walk + scatter
+    consumers run well above that. Four threads push decompression off
+    the critical path; ≤8 in-flight blocks bound memory at ~32 MB."""
+    import threading
     import zlib
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
 
-    with open(meta.path, "rb") as f:
-        if meta.compression == 2:
-            from collections import deque
-            from concurrent.futures import ThreadPoolExecutor
-
-            lock_read = __import__("threading").Lock()
-
-            def inflate(blk):
-                c_ofs, c_sz, _unc = blk
-                with lock_read:
-                    f.seek(c_ofs)
-                    raw = f.read(c_sz)
-                return zlib.decompress(raw)
-
-            blocks = list(meta.zsav.blocks)
-            with ThreadPoolExecutor(4) as pool:
-                inflight: deque = deque()
-                it = iter(blocks)
-                for blk in it:
-                    inflight.append(pool.submit(inflate, blk))
-                    if len(inflight) >= 8:
-                        break
-                for blk in it:
-                    out = inflight.popleft().result()
-                    inflight.append(pool.submit(inflate, blk))
-                    yield out
-                while inflight:
-                    yield inflight.popleft().result()
+    blocks = list(meta.zsav.blocks)
+    skip0 = 0
+    if start_byte:
+        starts = np.concatenate(
+            [[0], np.cumsum([b[2] for b in blocks])]
+        ).astype(np.int64)
+        if start_byte >= int(starts[-1]):
             return
-        f.seek(meta.data_offset)
+        b0 = int(np.searchsorted(starts, start_byte, side="right") - 1)
+        skip0 = start_byte - int(starts[b0])
+        blocks = blocks[b0:]
+    with open(meta.path, "rb") as f:
+        lock_read = threading.Lock()
+
+        def inflate(blk):
+            c_ofs, c_sz, _unc = blk
+            with lock_read:
+                f.seek(c_ofs)
+                raw = f.read(c_sz)
+            return zlib.decompress(raw)
+
+        with ThreadPoolExecutor(4) as pool:
+            inflight: deque = deque()
+            it = iter(blocks)
+            for blk in it:
+                inflight.append(pool.submit(inflate, blk))
+                if len(inflight) >= 8:
+                    break
+
+            def emit(out):
+                nonlocal skip0
+                if skip0:
+                    out, skip0 = out[skip0:], 0
+                return out
+
+            for blk in it:
+                out = inflight.popleft().result()
+                inflight.append(pool.submit(inflate, blk))
+                o = emit(out)
+                if o:
+                    yield o
+            while inflight:
+                o = emit(inflight.popleft().result())
+                if o:
+                    yield o
+
+
+def _iter_raw_chunks(meta: SavMeta, chunk_bytes: int, start_byte: int = 0):
+    """Raw bytecode stream in bounded pieces starting at uncompressed
+    stream offset start_byte: file slices for compression=1, per-block
+    thread-pooled zlib inflates for zsav (_iter_zsav_inflated)."""
+    if meta.compression == 2:
+        yield from _iter_zsav_inflated(meta, start_byte)
+        return
+    with open(meta.path, "rb") as f:
+        f.seek(meta.data_offset + start_byte)
         while True:
             b = f.read(chunk_bytes)
             if not b:
@@ -155,10 +183,45 @@ def _iter_raw_chunks(meta: SavMeta, chunk_bytes: int):
             yield b
 
 
-def iter_compressed_elements(meta: SavMeta, chunk_bytes: int = 4 << 20):
+def _ff_runs(c253f: np.ndarray, nb8: int):
+    """Uniform-stride fast-forward walk over one chunk's blocks: a RUN
+    of groups whose command blocks all claim the same literal count c
+    has a fixed group size 1+c, so the walk advances whole runs with
+    one strided window compare instead of stepping per group in
+    Python. This covers BOTH dominant real shapes — all-literal
+    framing (c=8, our writer; stride 9) and bias-compressed integer
+    data (c=0, how SPSS writes integer-heavy files; stride 1) — where
+    a 253-only fast path left bias streams in a per-group Python loop
+    (~22M iterations on an ACS-shape file). Boundaries are identical
+    to the plain walk: a run stops at the first group whose count
+    differs, and that group is re-examined at its true position.
+
+    Returns (runs, i): runs = [(start_block, stride, n_groups)], i =
+    first unconsumed block (a group whose literals spill past nb8)."""
+    runs = []
+    i = 0
+    while i < nb8:
+        c = int(c253f[i])
+        stride = 1 + c
+        win = c253f[i : i + stride * 8192 : stride]
+        neq = np.flatnonzero(win != c)
+        stop = int(neq[0]) if neq.size else int(win.size)
+        k = min(stop, (nb8 - i) // stride)
+        if k <= 0:
+            break  # group's literals spill into the next chunk
+        runs.append((i, stride, k))
+        i += stride * k
+    return runs, i
+
+
+def iter_compressed_elements(
+    meta: SavMeta, chunk_bytes: int = 4 << 20, start_byte: int = 0
+):
     """Stream the bytecode as (k, 8) element matrices with memory
     bounded by one chunk (≤ chunk_bytes in → ≤ 8× out, since a command
-    byte expands to at most one 8-byte element).
+    byte expands to at most one 8-byte element). start_byte (an
+    uncompressed-stream offset) MUST be a command-group boundary — 0,
+    or a checkpoint recorded by build_checkpoint_index.
 
     Command groups (1 command block + its literal blocks) are
     self-delimiting, so each chunk decodes the longest prefix of whole
@@ -177,52 +240,18 @@ def iter_compressed_elements(meta: SavMeta, chunk_bytes: int = 4 << 20):
     dpool = ThreadPoolExecutor(2)
     inflight: deque = deque()
     try:
-        for chunk in _iter_raw_chunks(meta, chunk_bytes):
+        for chunk in _iter_raw_chunks(meta, chunk_bytes, start_byte):
             data = pend + chunk if pend else chunk
             nb8 = len(data) // 8
             blocks = np.frombuffer(
                 data, dtype=np.uint8, count=nb8 * 8
             ).reshape(-1, 8)
             # The walk is inherently serial (group size depends on the
-            # command block it starts at), but the overwhelmingly common
-            # command block in real case data is ALL-literal (8×253 —
-            # every block our own writer emits), which fixes the group
-            # size at 9. One u64 equality pass finds those, and the walk
-            # fast-forwards whole stride-9 runs with a windowed scan
-            # instead of stepping 600k groups in Python. Sparse-literal
-            # streams (biased-int compression) keep the per-group count
-            # vector; either way boundaries are identical to the plain
-            # walk.
-            # Generalized uniform-stride fast-forward: a RUN of groups
-            # whose command blocks all claim the same literal count c
-            # has a fixed group size 1+c, so the walk advances whole
-            # runs with one strided window compare instead of stepping
-            # per group in Python. This covers BOTH dominant real
-            # shapes — all-literal framing (c=8, our writer; stride 9)
-            # and bias-compressed integer data (c=0, how SPSS writes
-            # integer-heavy files; stride 1) — where the old
-            # 253-only fast path left bias streams in a per-group
-            # Python loop (~22M iterations on an ACS-shape file).
-            # Boundaries are identical to the plain walk: the run stops
-            # at the first group whose count differs, and that group is
-            # re-examined at its true position.
+            # command block it starts at), but runs of uniform literal
+            # count fast-forward vectorized — see _ff_runs.
             c253f = (blocks == 253).sum(axis=1).astype(np.int8)
-            runs = []  # (start, stride, k) fast-forwarded runs
-            pure_literal = True  # every group taken by a c=8 run
-            i = 0
-            while i < nb8:
-                c = int(c253f[i])
-                stride = 1 + c
-                win = c253f[i : i + stride * 8192 : stride]
-                neq = np.flatnonzero(win != c)
-                stop = int(neq[0]) if neq.size else int(win.size)
-                k = min(stop, (nb8 - i) // stride)
-                if k <= 0:
-                    break  # group's literals spill into the next chunk
-                runs.append((i, stride, k))
-                if c != 8:
-                    pure_literal = False
-                i += stride * k
+            runs, i = _ff_runs(c253f, nb8)
+            pure_literal = all(st == 9 for _, st, _ in runs)
             if len(runs) == 1:
                 s0, st0, k0 = runs[0]
                 cmd_idx = np.arange(s0, s0 + st0 * k0, st0, dtype=np.int64)
@@ -340,15 +369,23 @@ def _literal_geometry(meta: SavMeta, total_rows: int):
     return total_el, total_el // 8
 
 
-def _literal_sidecar_path(meta: SavMeta) -> str:
+def _sidecar_path(meta: SavMeta, tag: str, extra: str = "") -> str:
+    """Tempdir sidecar keyed by file content identity (path, size,
+    mtime_ns) — derived data, safe to regenerate, same pattern as the
+    strL sidecar index."""
     import hashlib
     import tempfile
 
     st = os.stat(meta.path)
     key = hashlib.sha1(
-        f"{os.path.abspath(meta.path)}|{st.st_size}|{st.st_mtime_ns}".encode()
+        f"{os.path.abspath(meta.path)}|{st.st_size}|{st.st_mtime_ns}"
+        f"|{extra}".encode()
     ).hexdigest()[:24]
-    return os.path.join(tempfile.gettempdir(), f"prs-litstream-{key}")
+    return os.path.join(tempfile.gettempdir(), f"prs-{tag}-{key}")
+
+
+def _literal_sidecar_path(meta: SavMeta) -> str:
+    return _sidecar_path(meta, "litstream")
 
 
 def validate_literal_stream(meta: SavMeta, total_rows: int) -> bool:
@@ -474,6 +511,153 @@ def iter_literal_rows(
         c = min(batch_rows, n - p)
         yield start + p, rows[p : p + c]
         p += c
+
+
+def stream_nbytes(meta: SavMeta) -> int:
+    """Uncompressed bytecode-stream length in bytes (compression=1:
+    file bytes past the dictionary; zsav: sum of block inflated
+    sizes)."""
+    if meta.compression == 2:
+        return sum(b[2] for b in meta.zsav.blocks)
+    return max(os.path.getsize(meta.path) - meta.data_offset, 0)
+
+
+def build_checkpoint_index(
+    meta: SavMeta, ckpt_els: int
+) -> tuple[np.ndarray, int]:
+    """ONE sequential walk of the whole bytecode stream recording
+    (byte_off, el_off) at command-group boundaries every ~ckpt_els
+    elements, starting with (0, 0). Returns (checkpoints int64 (k,2),
+    total_elements).
+
+    This is the general-stream counterpart of the all-literal affine
+    map: bias-compressed and mixed streams (what SPSS itself writes
+    for integer-heavy data) have data-dependent group sizes, so no
+    arithmetic byte↔element map exists — but group boundaries are
+    deterministic given a boundary to start from, so one global walk
+    (counting elements without scattering them) makes every checkpoint
+    an exact restart point and row-range partitions decode
+    independently from the nearest checkpoint at or before their
+    first element. The reference reads these streams strictly
+    serially (PARALLELIZATION.md:34-40).
+
+    The walk is the same uniform-stride fast-forward the decoder uses
+    (_ff_runs) — element counts per group come from one vectorized
+    nonzero-count over command blocks (commands 1-251/253/254/255
+    emit one element each, 0 emits none, 252 ends the stream).
+    Cached in a content-keyed tempdir sidecar so the inflate+walk
+    cost is paid once per file, not per read; runs in the plan
+    worker."""
+    side = _sidecar_path(meta, "ckptidx", extra=str(ckpt_els)) + ".npz"
+    try:
+        with np.load(side) as z:
+            return z["ck"], int(z["tot"][0])
+    except Exception:
+        pass
+    cks = [(0, 0)]
+    pend = b""
+    base = 0  # stream offset of data[0]
+    cum_el = 0
+    next_t = ckpt_els
+    ended = False
+    for chunk in _iter_raw_chunks(meta, 4 << 20):
+        data = pend + chunk if pend else chunk
+        nb8 = len(data) // 8
+        blocks = np.frombuffer(data, dtype=np.uint8, count=nb8 * 8).reshape(
+            -1, 8
+        )
+        c253f = (blocks == 253).sum(axis=1).astype(np.int8)
+        runs, i = _ff_runs(c253f, nb8)
+        for s, st, k in runs:
+            idx = np.arange(s, s + st * k, st, dtype=np.int64)
+            cb = blocks[idx]
+            nnz = (cb != 0).sum(axis=1).astype(np.int64)
+            stop_rows, stop_cols = np.nonzero(cb == 252)
+            if stop_rows.size:
+                # end-of-data: elements = full groups before the 252's
+                # block + nonzero commands before the 252 within it
+                # (the scatter decoder cuts the flattened command
+                # vector at the first 252, _decode_cmd_group)
+                g = int(stop_rows[0])
+                col = int(stop_cols[0])
+                cum_el += int(nnz[:g].sum())
+                cum_el += int(np.count_nonzero(cb[g, :col]))
+                ended = True
+                break
+            cum = cum_el + np.cumsum(nnz)
+            last = int(cum[-1])
+            while last >= next_t:
+                g = int(np.searchsorted(cum, next_t))
+                cks.append((base + (int(idx[g]) + st) * 8, int(cum[g])))
+                next_t = int(cum[g]) + ckpt_els
+            cum_el = last
+        if ended:
+            break
+        pend = data[i * 8 :]
+        base += i * 8
+    ck = np.asarray(cks, dtype=np.int64).reshape(-1, 2)
+    try:
+        tmp = f"{side}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as fh:
+            np.savez(fh, ck=ck, tot=np.asarray([cum_el], dtype=np.int64))
+        os.replace(tmp, side)
+    except OSError:
+        pass
+    return ck, cum_el
+
+
+def iter_checkpoint_rows(
+    meta: SavMeta,
+    start: int,
+    n: int,
+    batch_rows: int,
+    ckpt_byte: int,
+    ckpt_el: int,
+):
+    """Parallel-task decode of rows [start, start+n) from a general
+    bytecode stream, restarting the sequential decoder at a
+    plan-time checkpoint (ckpt_byte, ckpt_el) with ckpt_el ≤
+    start*case_size. Exactness rests on build_checkpoint_index's
+    global walk: a checkpoint is a true group boundary, and group
+    walking is deterministic from a boundary, so the task reproduces
+    exactly the elements the serial decode would place there."""
+    cs = meta.case_size
+    skip = start * cs - ckpt_el
+    want = n * cs
+    got = 0
+    carry = np.empty((0, 8), dtype=np.uint8)
+    buf: list = []
+    buf_rows = 0
+    buf_pos = start
+    for elems in iter_compressed_elements(meta, start_byte=ckpt_byte):
+        if skip:
+            if elems.shape[0] <= skip:
+                skip -= elems.shape[0]
+                continue
+            elems = elems[skip:]
+            skip = 0
+        if got + elems.shape[0] > want:
+            elems = elems[: want - got]
+        got += elems.shape[0]
+        if carry.size:
+            elems = np.concatenate([carry, elems])
+        nrows = elems.shape[0] // cs
+        carry = elems[nrows * cs :]
+        if nrows:
+            buf.append(elems[: nrows * cs].reshape(nrows, cs * 8))
+            buf_rows += nrows
+            while buf_rows >= batch_rows:
+                m = buf[0] if len(buf) == 1 else np.concatenate(buf)
+                yield buf_pos, m[:batch_rows]
+                buf_pos += batch_rows
+                rest = m[batch_rows:]
+                buf = [rest] if rest.shape[0] else []
+                buf_rows = rest.shape[0]
+        if got >= want:
+            break
+    if buf_rows:
+        m = buf[0] if len(buf) == 1 else np.concatenate(buf)
+        yield buf_pos, m
 
 
 def _fetch_stream_bytes(meta: SavMeta, lo: int, hi: int | None) -> bytes:

@@ -25,13 +25,23 @@ from pyspark.sql.datasource import DataSourceReader, InputPartition
 
 
 class RowRange(InputPartition):
-    def __init__(self, start: int, n: int, literal: bool = False):
+    def __init__(
+        self,
+        start: int,
+        n: int,
+        literal: bool = False,
+        ckpt: tuple[int, int] | None = None,
+    ):
         self.start = start
         self.n = n
         # True: the bytecode stream was proven all-literal at plan
         # time (validate_literal_stream), so this range decodes
         # independently via the affine byte↔element map
         self.literal = literal
+        # (byte_off, el_off) of the nearest plan-time checkpoint at or
+        # before this range's first element (build_checkpoint_index):
+        # the general-stream parallel path for bias/mixed bytecode
+        self.ckpt = ckpt
 
 
 def _opt_bool(options, key, default=False):
@@ -108,7 +118,13 @@ class SavReader(DataSourceReader):
                 except Exception:
                     lit = False
             if not lit:
-                return [RowRange(start, n)]
+                # general bytecode (bias/mixed commands — what SPSS
+                # itself writes for integer-heavy data): one plan-time
+                # checkpoint walk (sidecar-cached) buys exact
+                # row-range partitions; small streams stay serial
+                return self._ckpt_partitions(start, n) or [
+                    RowRange(start, n)
+                ]
             rw = max(self.meta.record_width, 1)
             per = self.rows_per_partition
             if per is None:
@@ -139,6 +155,59 @@ class SavReader(DataSourceReader):
             parts.append(RowRange(pos, cnt))
             pos += cnt
         return parts or [RowRange(start, 0)]
+
+    def _ckpt_partitions(self, start: int, n: int):
+        """Row-range partitions for a general (non-all-literal)
+        bytecode stream via a plan-time checkpoint index; None when
+        not worthwhile (small stream / single partition)."""
+        if n <= 0:
+            return None
+        from polars_readstat_spark.sources.sav.decode import (
+            build_checkpoint_index,
+            stream_nbytes,
+        )
+
+        meta = self.meta
+        cs = meta.case_size
+        # below ~16 MB of stream the serial decode is already fast and
+        # the walk pass isn't worth planning — unless the caller asked
+        # for explicit partition sizing (tests, tuned reads)
+        if self.rows_per_partition is None and stream_nbytes(meta) < (
+            16 << 20
+        ):
+            return None
+        rw = max(meta.record_width, 1)
+        per = self.rows_per_partition
+        if per is None:
+            from polars_readstat_spark.sources.partplan import (
+                rows_per_partition,
+            )
+
+            per = rows_per_partition(rw, n, self.target_parallelism)
+        if per >= n:
+            return None
+        # checkpoint spacing ~per/4 rows of elements (waste per task ≤
+        # one spacing), quantized to a power of two so repeated reads
+        # with near-equal plans share one sidecar
+        raw_sp = max((per * cs) // 4, 8 * cs, 1024)
+        ckpt_els = 1 << (int(raw_sp).bit_length() - 1)
+        try:
+            ck, _total_el = build_checkpoint_index(meta, ckpt_els)
+        except Exception:
+            return None
+        if ck.shape[0] < 2:
+            return None
+        parts = []
+        pos = start
+        end = start + n
+        while pos < end:
+            cnt = min(per, end - pos)
+            j = int(np.searchsorted(ck[:, 1], pos * cs, side="right") - 1)
+            parts.append(
+                RowRange(pos, cnt, ckpt=(int(ck[j, 0]), int(ck[j, 1])))
+            )
+            pos += cnt
+        return parts
 
     def read(self, partition: RowRange):
         from polars_readstat_spark.sources.sav.decode import (
@@ -179,6 +248,18 @@ class SavReader(DataSourceReader):
             return
 
         if meta.compression != 0:
+            ck = getattr(partition, "ckpt", None)
+            if ck is not None:
+                from polars_readstat_spark.sources.sav.decode import (
+                    iter_checkpoint_rows,
+                )
+
+                for pos, rows in iter_checkpoint_rows(
+                    meta, partition.start, partition.n, batch_rows,
+                    ck[0], ck[1],
+                ):
+                    yield emit(rows, pos, rows.shape[0])
+                return
             if getattr(partition, "literal", False):
                 from polars_readstat_spark.sources.sav.decode import (
                     iter_literal_rows,

@@ -375,3 +375,162 @@ def test_write_sav_compress_bytecode_roundtrip(spark, tmp_path):
     a = spark.read.format("readstat").load(up).toPandas()
     b = spark.read.format("readstat").load(cp).toPandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def _mixed_bytecode_fixtures(spark, tmp_path, n_rows):
+    """(uncompressed, compression=1 mixed bytecode, zsav mixed
+    bytecode) paths of identical data. The compressed twins carry
+    bias/sysmis/spaces/literal commands (write_sav compress=True —
+    the shape SPSS itself emits), NOT the all-literal framing, so
+    reads exercise the checkpoint-index parallel path."""
+    import struct
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from polars_readstat_spark.sources.sav.meta import parse_sav_meta
+    from polars_readstat_spark.writers.sav import write_sav
+
+    df = spark.range(n_rows).select(
+        (F.col("id") % 97).cast("double").alias("a"),
+        F.when(F.col("id") % 11 == 0, None)
+        .otherwise((F.col("id") % 50 - 20).cast("double"))
+        .alias("b"),
+        (F.col("id") * 0.5).alias("c"),  # halves stay literal
+        F.when(F.col("id") % 3 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("tx"), (F.col("id") % 23).cast("string")))
+        .alias("s"),
+    )
+    up = str(tmp_path / "u.sav")
+    cp = str(tmp_path / "m.sav")
+    write_sav(df, up)
+    write_sav(df, cp, compress=True)
+
+    meta = parse_sav_meta(cp)
+    assert meta.compression == 1
+    raw = open(cp, "rb").read()
+    stream = raw[meta.data_offset :]
+
+    # wrap the same bytecode stream in a zsav container with small
+    # blocks so checkpoints land mid-block (PSPP ZLIB layout: zheader,
+    # independently-deflated blocks, offset trailer)
+    zhead = bytearray(raw[: meta.data_offset])
+    zhead[:4] = b"$FL3"
+    zhead[72:76] = struct.pack("<i", 2)
+    zofs = meta.data_offset
+    block = 1 << 16
+    comp_parts = []
+    blocks = []
+    unc_pos, fpos = zofs, zofs + 24
+    for pos in range(0, len(stream), block):
+        chunk = stream[pos : pos + block]
+        comp = zlib.compress(chunk, 6)
+        blocks.append((unc_pos, fpos, len(chunk), len(comp)))
+        comp_parts.append(comp)
+        unc_pos += len(chunk)
+        fpos += len(comp)
+    trailer = struct.pack("<qqii", -100, 0, block, len(blocks)) + b"".join(
+        struct.pack("<qqii", *b) for b in blocks
+    )
+    zheader = struct.pack("<3q", zofs, fpos, len(trailer))
+    zp = str(tmp_path / "m.zsav")
+    with open(zp, "wb") as fh:
+        fh.write(bytes(zhead))
+        fh.write(zheader)
+        fh.write(b"".join(comp_parts))
+        fh.write(trailer)
+    return up, cp, zp
+
+
+def test_checkpoint_parallel_mixed_bytecode(spark, tmp_path):
+    """General (non-all-literal) bytecode streams partition via the
+    plan-time checkpoint index: a mixed bias/literal sav AND its zsav
+    twin read in parallel row-range partitions and match the
+    uncompressed truth exactly."""
+    import pandas as pd
+
+    from polars_readstat_spark.sources.sav.reader import SavReader
+
+    up, cp, zp = _mixed_bytecode_fixtures(spark, tmp_path, 60_000)
+    a = (
+        _load(spark, up)
+        .toPandas()
+        .sort_values("c")
+        .reset_index(drop=True)
+    )
+    for p in (cp, zp):
+        r = SavReader(p, {"rows_per_partition": "7000"})
+        parts = r.partitions()
+        assert len(parts) == 9, p
+        assert all(pt.ckpt is not None for pt in parts), p
+        # checkpoints are monotone and at/below each range's first el
+        cs = r.meta.case_size
+        for pt in parts:
+            assert pt.ckpt[1] <= pt.start * cs
+        b = (
+            _load(spark, p, rows_per_partition=7000)
+            .toPandas()
+            .sort_values("c")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_checkpoint_rows_match_serial_spans(spark, tmp_path):
+    """iter_checkpoint_rows from any checkpoint reproduces exactly the
+    rows the serial decode places in that span — including spans
+    starting mid-checkpoint-interval (skip path), 1-row spans, and a
+    span ending at the last row."""
+    import numpy as np
+
+    from polars_readstat_spark.sources.sav import decode as D
+    from polars_readstat_spark.sources.sav.meta import parse_sav_meta
+
+    _, cp, zp = _mixed_bytecode_fixtures(spark, tmp_path, 9_000)
+    for path in (cp, zp):
+        m = parse_sav_meta(path)
+        cs = m.case_size
+        ck, tot = D.build_checkpoint_index(m, 1024)
+        assert tot == 9_000 * cs
+        assert ck.shape[0] > 5
+        assert (np.diff(ck[:, 1]) > 0).all()
+        serial = np.concatenate(
+            [r for _, r in D.iter_compressed_rows(m, 0, 9_000, 1 << 30)]
+        )
+        for start, n in [(0, 9_000), (1, 17), (4_321, 777), (8_999, 1), (123, 4_567)]:
+            j = int(np.searchsorted(ck[:, 1], start * cs, side="right") - 1)
+            got = np.concatenate(
+                [
+                    r
+                    for _, r in D.iter_checkpoint_rows(
+                        m, start, n, 997, int(ck[j, 0]), int(ck[j, 1])
+                    )
+                ]
+            )
+            assert np.array_equal(got, serial[start : start + n]), (
+                path,
+                start,
+                n,
+            )
+
+
+def test_checkpoint_index_sidecar_cached(spark, tmp_path):
+    """The checkpoint walk caches its verdict in a content-keyed
+    sidecar: a second build returns identical checkpoints without
+    re-walking (observable via the sidecar file's existence)."""
+    import os as _os
+
+    import numpy as np
+
+    from polars_readstat_spark.sources.sav import decode as D
+    from polars_readstat_spark.sources.sav.meta import parse_sav_meta
+
+    _, cp, _ = _mixed_bytecode_fixtures(spark, tmp_path, 3_000)
+    m = parse_sav_meta(cp)
+    side = D._sidecar_path(m, "ckptidx", extra="512") + ".npz"
+    if _os.path.exists(side):
+        _os.unlink(side)
+    ck1, t1 = D.build_checkpoint_index(m, 512)
+    assert _os.path.exists(side)
+    ck2, t2 = D.build_checkpoint_index(m, 512)
+    assert t1 == t2 and np.array_equal(ck1, ck2)
