@@ -183,35 +183,155 @@ def _iter_raw_chunks(meta: SavMeta, chunk_bytes: int, start_byte: int = 0):
             yield b
 
 
-def _ff_runs(c253f: np.ndarray, nb8: int):
-    """Uniform-stride fast-forward walk over one chunk's blocks: a RUN
-    of groups whose command blocks all claim the same literal count c
-    has a fixed group size 1+c, so the walk advances whole runs with
-    one strided window compare instead of stepping per group in
-    Python. This covers BOTH dominant real shapes — all-literal
-    framing (c=8, our writer; stride 9) and bias-compressed integer
-    data (c=0, how SPSS writes integer-heavy files; stride 1) — where
-    a 253-only fast path left bias streams in a per-group Python loop
-    (~22M iterations on an ACS-shape file). Boundaries are identical
-    to the plain walk: a run stops at the first group whose count
-    differs, and that group is re-examined at its true position.
+def _try_period_extend(c253f: np.ndarray, nb8: int, hist: list, i: int):
+    """Periodic-pattern fast-forward: fixed-width rows whose
+    compressibility profile repeats (any real SPSS file whose columns
+    keep a stable biasable/literal mix — the ACS shape) produce a
+    group-boundary stride sequence with a short period. Detect the
+    period from recent boundary strides (one C-speed bytes compare
+    per candidate), then verify candidate repeats with ONE vectorized
+    gather: the walk from a boundary depends ONLY on the
+    command-count bytes AT boundary positions, so if c253f at
+    base + p*j equals the pattern for j = 1..k, each repeat walks the
+    same strides and exits at i + p*k — exact by induction, no
+    realignment risk.
 
-    Returns (runs, i): runs = [(start_block, stride, n_groups)], i =
-    first unconsumed block (a group whose literals spill past nb8)."""
-    runs = []
+    Returns (boundaries, next_i, q) or None."""
+    L = min(len(hist), 1024)
+    arr = hist[-L:] + [i]
+    D = np.diff(np.asarray(arr, dtype=np.int64)).astype(np.uint8).tobytes()
+    n = len(D)
+    q = 0
+    for cand in range(1, n // 2 + 1):
+        t = D[n - cand :]
+        if t == D[n - 2 * cand : n - cand] and len(set(t)) > 1:
+            # uniform-stride candidates (all strides equal) are the
+            # uniform-run branch's job; accepting them here would
+            # degenerate to 1-group-at-a-time extension whenever the
+            # suffix sits inside a long c=0/c=8 run, hiding the true
+            # row-level period
+            q = cand
+            break
+    if not q:
+        return None
+    p = i - arr[-1 - q]
+    K = (nb8 - i) // p
+    if K < 1:
+        return None
+    base = np.asarray(arr[-1 - q : -1], dtype=np.int64)
+    patc = c253f[base]
+
+    def check(kt):
+        pos = base[None, :] + p * np.arange(1, kt + 1, dtype=np.int64)[:, None]
+        eq = (c253f[pos] == patc[None, :]).all(axis=1)
+        bad = np.flatnonzero(~eq)
+        return (int(bad[0]) if bad.size else kt), pos
+
+    k1 = min(K, 16)
+    kf, pos = check(k1)
+    if kf == k1 and K > k1:
+        kf, pos = check(K)
+    if kf == 0:
+        return None
+    return pos[:kf].reshape(-1), i + p * kf, q
+
+
+def _group_boundaries(c253f: np.ndarray, nb8: int):
+    """ALL command-block indices (group boundaries) of the chunk's
+    longest whole-group prefix, equivalent to the scalar walk
+    i += 1 + c253f[i] but fast-forwarding two dominant shapes
+    vectorized:
+
+    - uniform runs — consecutive groups with the same literal count c
+      have fixed size 1+c, found with one strided window compare
+      (all-literal framing c=8 / bias-compressed integers c=0);
+    - periodic patterns — mixed rows (bias codes + string literals)
+      repeat their group-size sequence row over row; detected and
+      verified exactly by _try_period_extend. Short uniform runs
+      (≤512 groups) feed the boundary history so periods that SPAN
+      them — e.g. 35 numeric groups + 3 string groups per row — are
+      still seen; without this, an ACS-shape mixed stream pays ~7
+      numpy calls per short run, 1.5M runs, measured as THE
+      checkpoint-walk wall.
+
+    Returns (boundaries int64 array, first unconsumed block index)."""
+    out: list = []
+    hist: list[int] = []  # contiguous boundary history (period detect)
+    mark = 0  # hist[:mark] already emitted to out
     i = 0
+    scalar_budget = 0
+    since_try = 0
+
+    def flush():
+        nonlocal mark
+        if len(hist) > mark:
+            out.append(np.asarray(hist[mark:], dtype=np.int64))
+            mark = len(hist)
+
+    def trim():
+        nonlocal mark
+        if len(hist) > 4096:
+            keep = min(len(hist) - 2048, mark)
+            if keep > 0:
+                del hist[:keep]
+                mark -= keep
+
     while i < nb8:
+        if since_try >= 384 and len(hist) >= 32:
+            since_try = 0
+            ext = _try_period_extend(c253f, nb8, hist, i)
+            if ext is not None:
+                new, i, q = ext
+                flush()
+                out.append(new)
+                tail = new[-2 * q :] if new.size >= 2 * q else new
+                hist[:] = tail.tolist()
+                mark = len(hist)
+                since_try = 380  # periodic data: retry almost at once
+                scalar_budget = 0
+                continue
+        if scalar_budget <= 0:
+            c = int(c253f[i])
+            stride = 1 + c
+            win = c253f[i : i + stride * 8192 : stride]
+            neq = np.flatnonzero(win != c)
+            stop = int(neq[0]) if neq.size else int(win.size)
+            k = min(stop, (nb8 - i) // stride)
+            if k <= 0:
+                break  # group's literals spill into the next chunk
+            if k > 4:
+                flush()
+                rng = np.arange(i, i + stride * k, stride, dtype=np.int64)
+                out.append(rng)
+                i += stride * k
+                if k > 512:
+                    # uniform ff is winning outright; periods spanning
+                    # a >512-group run aren't worth tracking
+                    hist.clear()
+                    mark = 0
+                    since_try = 0
+                else:
+                    hist.extend(rng.tolist())
+                    mark = len(hist)
+                    since_try += k
+                    trim()
+                continue
+            scalar_budget = 16
         c = int(c253f[i])
-        stride = 1 + c
-        win = c253f[i : i + stride * 8192 : stride]
-        neq = np.flatnonzero(win != c)
-        stop = int(neq[0]) if neq.size else int(win.size)
-        k = min(stop, (nb8 - i) // stride)
-        if k <= 0:
+        nxt = i + 1 + c
+        if nxt > nb8:
             break  # group's literals spill into the next chunk
-        runs.append((i, stride, k))
-        i += stride * k
-    return runs, i
+        hist.append(i)
+        i = nxt
+        scalar_budget -= 1
+        since_try += 1
+        trim()
+    flush()
+    bounds = (
+        np.concatenate(out) if len(out) > 1
+        else (out[0] if out else np.empty(0, dtype=np.int64))
+    )
+    return bounds, i
 
 
 def iter_compressed_elements(
@@ -247,24 +367,15 @@ def iter_compressed_elements(
                 data, dtype=np.uint8, count=nb8 * 8
             ).reshape(-1, 8)
             # The walk is inherently serial (group size depends on the
-            # command block it starts at), but runs of uniform literal
-            # count fast-forward vectorized — see _ff_runs.
+            # command block it starts at), but uniform runs and
+            # periodic patterns fast-forward vectorized — see
+            # _group_boundaries.
             c253f = (blocks == 253).sum(axis=1).astype(np.int8)
-            runs, i = _ff_runs(c253f, nb8)
-            pure_literal = all(st == 9 for _, st, _ in runs)
-            if len(runs) == 1:
-                s0, st0, k0 = runs[0]
-                cmd_idx = np.arange(s0, s0 + st0 * k0, st0, dtype=np.int64)
-            else:
-                cmd_idx = np.concatenate(
-                    [
-                        np.arange(s, s + st * k, st, dtype=np.int64)
-                        for s, st, k in runs
-                    ]
-                ) if runs else np.empty(0, dtype=np.int64)
+            cmd_idx, i = _group_boundaries(c253f, nb8)
             pend = data[i * 8 :]
             if cmd_idx.size == 0:
                 continue
+            pure_literal = bool((c253f[cmd_idx] == 8).all())
             if pure_literal:
                 # every group in [0, i) is an 8×253 command + its 8
                 # literals (the only framing our writer emits, and the
@@ -541,13 +652,13 @@ def build_checkpoint_index(
     first element. The reference reads these streams strictly
     serially (PARALLELIZATION.md:34-40).
 
-    The walk is the same uniform-stride fast-forward the decoder uses
-    (_ff_runs) — element counts per group come from one vectorized
-    nonzero-count over command blocks (commands 1-251/253/254/255
-    emit one element each, 0 emits none, 252 ends the stream).
-    Cached in a content-keyed tempdir sidecar so the inflate+walk
-    cost is paid once per file, not per read; runs in the plan
-    worker."""
+    The walk is the same fast-forward the decoder uses
+    (_group_boundaries) — element counts per group come from one
+    vectorized nonzero-count over command blocks (commands
+    1-251/253/254/255 emit one element each, 0 emits none, 252 ends
+    the stream), batched per chunk. Cached in a content-keyed tempdir
+    sidecar so the inflate+walk cost is paid once per file, not per
+    read; runs in the plan worker."""
     side = _sidecar_path(meta, "ckptidx", extra=str(ckpt_els)) + ".npz"
     try:
         with np.load(side) as z:
@@ -567,30 +678,43 @@ def build_checkpoint_index(
             -1, 8
         )
         c253f = (blocks == 253).sum(axis=1).astype(np.int8)
-        runs, i = _ff_runs(c253f, nb8)
-        for s, st, k in runs:
-            idx = np.arange(s, s + st * k, st, dtype=np.int64)
+        idx, i = _group_boundaries(c253f, nb8)
+        if idx.size:
             cb = blocks[idx]
             nnz = (cb != 0).sum(axis=1).astype(np.int64)
             stop_rows, stop_cols = np.nonzero(cb == 252)
+            extra = 0
             if stop_rows.size:
                 # end-of-data: elements = full groups before the 252's
                 # block + nonzero commands before the 252 within it
                 # (the scatter decoder cuts the flattened command
-                # vector at the first 252, _decode_cmd_group)
+                # vector at the first 252, _decode_cmd_group); the
+                # groups before it still emit checkpoints below
                 g = int(stop_rows[0])
                 col = int(stop_cols[0])
-                cum_el += int(nnz[:g].sum())
-                cum_el += int(np.count_nonzero(cb[g, :col]))
+                extra = int(np.count_nonzero(cb[g, :col]))
+                idx = idx[:g]
+                nnz = nnz[:g]
                 ended = True
-                break
-            cum = cum_el + np.cumsum(nnz)
-            last = int(cum[-1])
-            while last >= next_t:
-                g = int(np.searchsorted(cum, next_t))
-                cks.append((base + (int(idx[g]) + st) * 8, int(cum[g])))
-                next_t = int(cum[g]) + ckpt_els
-            cum_el = last
+            if idx.size:
+                cum = cum_el + np.cumsum(nnz)
+                last = int(cum[-1])
+                if last >= next_t:
+                    # grid thresholds: checkpoint at the first group
+                    # crossing each multiple of ckpt_els, selected with
+                    # one vectorized searchsorted per chunk
+                    ts = np.arange(
+                        next_t, last + 1, ckpt_els, dtype=np.int64
+                    )
+                    gs = np.searchsorted(cum, ts)
+                    endb = (
+                        idx[gs] + 1 + c253f[idx[gs]].astype(np.int64)
+                    ) * 8 + base
+                    for bb, ee in zip(endb.tolist(), cum[gs].tolist()):
+                        cks.append((int(bb), int(ee)))
+                    next_t = int(ts[-1]) + ckpt_els
+                cum_el = last
+            cum_el += extra
         if ended:
             break
         pend = data[i * 8 :]

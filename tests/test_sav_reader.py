@@ -534,3 +534,78 @@ def test_checkpoint_index_sidecar_cached(spark, tmp_path):
     assert _os.path.exists(side)
     ck2, t2 = D.build_checkpoint_index(m, 512)
     assert t1 == t2 and np.array_equal(ck1, ck2)
+
+
+def test_group_boundaries_matches_scalar_walk():
+    """_group_boundaries (uniform-run + periodic-pattern fast-forward)
+    must reproduce the scalar walk i += 1 + c[i] exactly on:
+    periodic mixed streams (the ACS shape that triggers period
+    extension), period breaks mid-stream, aperiodic random streams,
+    and adversarial literal bytes that LOOK like command counts —
+    the verification gathers only boundary positions, so data bytes
+    must never mislead it."""
+    import numpy as np
+
+    from polars_readstat_spark.sources.sav.decode import _group_boundaries
+
+    rng = np.random.default_rng(7)
+
+    def build(groups, lit_fill):
+        """groups: list of c values; literal positions get lit_fill
+        values (adversarial data bytes)."""
+        cs = []
+        for c in groups:
+            cs.append(c)
+            for _ in range(c):
+                cs.append(int(next(lit_fill)))
+        return np.asarray(cs, dtype=np.int8)
+
+    def scalar(c253f, nb8):
+        bnds, i = [], 0
+        c = c253f.tolist()
+        while i < nb8:
+            nxt = i + 1 + c[i]
+            if nxt > nb8:
+                break
+            bnds.append(i)
+            i = nxt
+        return np.asarray(bnds, dtype=np.int64), i
+
+    def adversarial():
+        while True:
+            yield rng.integers(0, 9)
+
+    cases = []
+    # ACS-like periodic: 35 c=0 groups then c=2,4,6 mixed, repeated
+    row = [0] * 35 + [2, 4, 6]
+    cases.append(build(row * 3000, adversarial()))
+    # period break: pattern A, then pattern B, then uniform literal
+    a = ([0] * 20 + [3, 1]) * 800
+    b = ([5, 0, 0, 2] * 4 + [8]) * 700
+    cases.append(build(a + b + [8] * 2000, adversarial()))
+    # aperiodic random groups
+    cases.append(
+        build(list(rng.integers(0, 9, size=20_000)), adversarial())
+    )
+    # all-bias (stride-1) and all-literal (stride-9) pure runs
+    cases.append(build([0] * 50_000, adversarial()))
+    cases.append(build([8] * 20_000, adversarial()))
+    # tiny streams and spill tails
+    cases.append(np.asarray([3, 9, 9], dtype=np.int8))  # spills
+    cases.append(np.asarray([], dtype=np.int8))
+
+    for k, c253f in enumerate(cases):
+        nb8 = c253f.size
+        got_b, got_i = _group_boundaries(c253f, nb8)
+        want_b, want_i = scalar(c253f, nb8)
+        assert got_i == want_i, k
+        assert np.array_equal(got_b, want_b), k
+        # and for every chunk-split of the stream, the pieces agree
+        # with the whole (chunk boundaries are arbitrary byte cuts)
+        if nb8 > 100:
+            cut = nb8 // 2 + int(rng.integers(-30, 30))
+            b1, i1 = _group_boundaries(c253f[:cut], cut)
+            rest = c253f[i1:]
+            b2, i2 = _group_boundaries(rest, rest.size)
+            merged = np.concatenate([b1, b2 + i1])
+            assert np.array_equal(merged, want_b), f"split {k}"
