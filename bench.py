@@ -248,6 +248,16 @@ def _bench_scale(spark, timings: dict) -> None:
 
         write_sav(acs_df(), acs_zsav + ".tmp", zsav=True)
         os.replace(acs_zsav + ".tmp", acs_zsav)
+    # bytecode-compressed sav (bias/mixed commands) — the compression
+    # SPSS itself writes by default; reads go through the plan-time
+    # checkpoint index (parallel row-range partitions on a stream with
+    # no affine byte map). Serial decode of this same file: ~28 s.
+    acs_bsav = "/tmp/prs_bench_acs_v1_bc.sav"
+    if not os.path.exists(acs_bsav):
+        from polars_readstat_spark.writers.sav import write_sav
+
+        write_sav(acs_df(), acs_bsav + ".tmp", compress=True)
+        os.replace(acs_bsav + ".tmp", acs_bsav)
 
     rd = lambda p: spark.read.format("readstat").load(p)  # noqa: E731
     run_query(rd(dta10).limit(16))  # worker warmup
@@ -259,6 +269,7 @@ def _bench_scale(spark, timings: dict) -> None:
         ("read_dta_100m_10files", rd(dir100)),
         ("read_sas7bdat_acs_full", rd(acs_sas)),
         ("read_zsav_acs_full", rd(acs_zsav)),
+        ("read_sav_acs_bytecode_full", rd(acs_bsav)),
     ]:
         best = None
         for _ in range(2):
