@@ -281,10 +281,14 @@ def scan_sav_compressed_roundtrip(spark, sf_dir):
     """W3 bytecode-compression path (new r06): write_sav(compress=True)
     emits SPSS's compression=1 stream (bias commands for integral
     values, 255 sysmis, 254 all-spaces, 253 literals — what real SPSS
-    writes by default); the scan decodes it through the generalized
-    uniform-stride walk. Puts the encoder AND the bias decode path
-    under the DuckDB oracle."""
-    import polars_readstat_spark as prs  # noqa: F401
+    writes by default); the scan decodes it in PARALLEL row-range
+    partitions via the plan-time checkpoint index (rows_per_partition
+    forces multi-partition even at oracle scale). Puts the encoder,
+    the bias decode path, AND the checkpoint restart machinery under
+    the DuckDB oracle."""
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
     from polars_readstat_spark.writers.sav import write_sav
 
     d = _cache_dir(sf_dir)
@@ -294,7 +298,12 @@ def scan_sav_compressed_roundtrip(spark, sf_dir):
         tmp = os.path.join(d, f".tmp{os.getpid()}.lineitem_bc.sav")
         write_sav(_source_frame(spark, sf_dir, "sav"), tmp, compress=True)
         os.replace(tmp, path)
-    return _canon(_scan(spark, path))
+    df = (
+        spark.read.format("readstat")
+        .option("rows_per_partition", "8192")
+        .load(path)
+    )
+    return _canon(df)
 
 
 @query("scan_zsav_roundtrip", oracle=_CANON_ORACLE)
