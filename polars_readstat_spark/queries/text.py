@@ -355,7 +355,8 @@ def text_gopher_quality_rules(spark, sf_dir):
     )
     SELECT g.doc_id,
            COUNT(*) AS n_grams,
-           SUM(CASE WHEN bp.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_bp,
+           CAST(SUM(CASE WHEN bp.gram IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_bp,
            CAST(SUM(CASE WHEN bp.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*) AS bp_frac,
            (SUM(CASE WHEN bp.gram IS NOT NULL THEN 1 ELSE 0 END)

@@ -14,8 +14,8 @@ coordination; the strL sidecar index is built once per executor and
 cached. Option surface mirrors `scan_readstat` (reference
 __init__.py:498-676).
 
-Supported formats: .dta (Stata v113-119). SAV/SAS7BDAT/XPT/POR arrive
-in later milestones via the same dispatch.
+Supported formats: .dta (Stata v102-119), .sas7bdat, .xpt, .sav,
+.zsav, .por — dispatched by extension (see ``SUPPORTED``).
 """
 
 from __future__ import annotations

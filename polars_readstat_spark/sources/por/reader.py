@@ -760,7 +760,11 @@ def _vec_numeric_only(s, u, seg_start, slashes, stars, n_vars, ctx=None):
     return [grid[:, j].copy() for j in range(n_vars)]
 
 
-_WS = (0x20, 0x09, 0x0A, 0x0B, 0x0C, 0x0D)  # str.rstrip() whitespace
+# All ASCII bytes for which chr(b).isspace() is true, so that
+# lengths_rstrip exactly matches the scalar path's str.rstrip() for
+# every byte < 0x80 (high bytes force the per-row fallback). 0x1C-0x1F
+# (FS/GS/RS/US) ARE whitespace to Python's str.rstrip().
+_WS = (0x20, 0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F)
 
 
 def _gather_strings(s, u, p0, p1, ln):

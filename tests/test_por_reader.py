@@ -462,3 +462,34 @@ def test_sysmis_strings_randomized_differential():
                     np.isnan(aa) & np.isnan(bb)
                 )
                 assert same.all(), (trial, j)
+
+
+def test_gather_strings_rstrips_ascii_control_whitespace():
+    """Payloads ending in FS/GS/RS/US (0x1C-0x1F) must decode
+    identically on the vectorized gather and the scalar
+    str.rstrip() walk — Python's str.rstrip() strips these ASCII
+    control bytes, so _WS must include them."""
+    import numpy as np
+    import pyarrow as pa
+
+    from polars_readstat_spark.sources.por import reader as R
+
+    payloads = [
+        "abc\x1c",
+        "abc\x1d\x1d",
+        "abc\x1e \t",
+        "abc\x1f",
+        "\x1c\x1d\x1e\x1f",
+        "keep\x1cinner\x1d",
+        "plain",
+        "trail \x0b\x0c",
+    ]
+    s = "".join(payloads)
+    u = np.frombuffer(s.encode("latin-1"), dtype=np.uint8)
+    ends = np.cumsum([len(p) for p in payloads]).astype(np.int64)
+    starts = np.concatenate([[0], ends[:-1]]).astype(np.int64)
+    ln = ends - starts
+    arr = R._gather_strings(s, u, starts, ends, ln)
+    got = arr.to_pylist() if isinstance(arr, pa.Array) else list(arr)
+    want = [p.rstrip() for p in payloads]
+    assert got == want
