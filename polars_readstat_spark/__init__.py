@@ -53,15 +53,33 @@ def _ship_package(spark) -> None:
     for f in sorted(files):
         h.update(f.encode())
         h.update(str(os.path.getmtime(f)).encode())
-    zpath = os.path.join(
-        tempfile.gettempdir(), f"polars_readstat_spark-{h.hexdigest()[:12]}.zip"
+    # The zip ships executable code to executors — keep it in the
+    # per-uid 0700 cache dir and never addPyFile an untrusted file
+    # (a shared-tempdir zip could be pre-planted by another user).
+    from polars_readstat_spark.sources import cache
+
+    zpath = cache.cache_path(
+        f"polars_readstat_spark-{h.hexdigest()[:12]}.zip"
     )
-    if not os.path.exists(zpath):
-        tmp = zpath + ".tmp"
-        with zipfile.ZipFile(tmp, "w") as z:
+    if zpath is None:
+        zpath = os.path.join(
+            tempfile.mkdtemp(prefix="prs-pkg-"),
+            f"polars_readstat_spark-{h.hexdigest()[:12]}.zip",
+        )
+    if cache.read_trusted(zpath) is None:
+        import io
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
             for f in sorted(files):
                 z.write(f, os.path.relpath(f, parent))
-        os.replace(tmp, zpath)
+        cache.write_atomic(zpath, buf.getvalue())
+        if not os.path.exists(zpath):  # cache dir unusable → private dir
+            zpath = os.path.join(
+                tempfile.mkdtemp(prefix="prs-pkg-"), os.path.basename(zpath)
+            )
+            with open(zpath, "wb") as fh:
+                fh.write(buf.getvalue())
     spark.sparkContext.addPyFile(zpath)
     spark._prs_package_shipped = True
 

@@ -480,22 +480,26 @@ def _literal_geometry(meta: SavMeta, total_rows: int):
     return total_el, total_el // 8
 
 
-def _sidecar_path(meta: SavMeta, tag: str, extra: str = "") -> str:
-    """Tempdir sidecar keyed by file content identity (path, size,
-    mtime_ns) — derived data, safe to regenerate, same pattern as the
-    strL sidecar index."""
+def _sidecar_path(meta: SavMeta, tag: str, extra: str = "") -> str | None:
+    """Per-uid hardened cache sidecar keyed by file content identity
+    (path, size, mtime_ns) — derived data, safe to regenerate. Lives
+    under the 0700 cache dir (sources/cache.py) and is only trusted
+    after ownership/permission checks plus an embedded content
+    fingerprint re-verify, so a planted or stale sidecar cannot force
+    the parallel decode path onto a stream it doesn't describe."""
     import hashlib
-    import tempfile
+
+    from polars_readstat_spark.sources import cache
 
     st = os.stat(meta.path)
     key = hashlib.sha1(
         f"{os.path.abspath(meta.path)}|{st.st_size}|{st.st_mtime_ns}"
         f"|{extra}".encode()
     ).hexdigest()[:24]
-    return os.path.join(tempfile.gettempdir(), f"prs-{tag}-{key}")
+    return cache.cache_path(f"prs-{tag}-{key}")
 
 
-def _literal_sidecar_path(meta: SavMeta) -> str:
+def _literal_sidecar_path(meta: SavMeta) -> str | None:
     return _sidecar_path(meta, "litstream")
 
 
@@ -512,28 +516,27 @@ def validate_literal_stream(meta: SavMeta, total_rows: int) -> bool:
     silently misaligned rows. Validating [0, end) once closes that:
     all-literal globally ⇒ the affine map is exact everywhere.
 
-    The verdict is cached in a tempdir sidecar keyed by
-    (path, size, mtime_ns) — derived data with content identity, the
-    same pattern as the strL sidecar index — so the inflate+scan cost
+    The verdict is cached in a per-uid hardened cache sidecar keyed
+    by (path, size, mtime_ns) with an embedded content fingerprint
+    (sources/cache.py) — so the inflate+scan cost
     (~1.3 s/GB with the 4-thread block pool) is paid once per file,
     not per read. Runs in the plan worker."""
+    from polars_readstat_spark.sources import cache
+
     total_el, g_full = _literal_geometry(meta, total_rows)
     if total_el <= 0:
         return False
-    try:
-        with open(_literal_sidecar_path(meta)) as fh:
-            return fh.read(1) == "1"
-    except OSError:
-        pass
+    side = _literal_sidecar_path(meta)
+    fp = cache.content_fingerprint(meta.path)
+    if side is not None:
+        raw = cache.read_trusted(side)
+        if raw is not None:
+            parts = raw.decode("ascii", "replace").split()
+            if len(parts) == 2 and parts[0] == fp and parts[1] in ("0", "1"):
+                return parts[1] == "1"
     ok = _scan_literal_stream(meta, total_el, g_full)
-    try:
-        side = _literal_sidecar_path(meta)
-        tmp = f"{side}.{os.getpid()}.tmp"
-        with open(tmp, "w") as fh:
-            fh.write("1" if ok else "0")
-        os.replace(tmp, side)
-    except OSError:
-        pass
+    if side is not None:
+        cache.write_atomic(side, f"{fp} {'1' if ok else '0'}".encode())
     return ok
 
 
@@ -656,15 +659,26 @@ def build_checkpoint_index(
     (_group_boundaries) — element counts per group come from one
     vectorized nonzero-count over command blocks (commands
     1-251/253/254/255 emit one element each, 0 emits none, 252 ends
-    the stream), batched per chunk. Cached in a content-keyed tempdir
-    sidecar so the inflate+walk cost is paid once per file, not per
-    read; runs in the plan worker."""
-    side = _sidecar_path(meta, "ckptidx", extra=str(ckpt_els)) + ".npz"
-    try:
-        with np.load(side) as z:
-            return z["ck"], int(z["tot"][0])
-    except Exception:
-        pass
+    the stream), batched per chunk. Cached in a content-keyed,
+    fingerprint-verified sidecar under the per-uid cache dir
+    (sources/cache.py) so the inflate+walk cost is paid once per
+    file, not per read; runs in the plan worker."""
+    import io
+
+    from polars_readstat_spark.sources import cache
+
+    base_side = _sidecar_path(meta, "ckptidx", extra=str(ckpt_els))
+    side = base_side + ".npz" if base_side is not None else None
+    fp = cache.content_fingerprint(meta.path)
+    if side is not None:
+        raw = cache.read_trusted(side)
+        if raw is not None:
+            try:
+                with np.load(io.BytesIO(raw), allow_pickle=False) as z:
+                    if bytes(z["fp"]).decode("ascii") == fp:
+                        return z["ck"], int(z["tot"][0])
+            except Exception:
+                pass
     cks = [(0, 0)]
     pend = b""
     base = 0  # stream offset of data[0]
@@ -720,13 +734,15 @@ def build_checkpoint_index(
         pend = data[i * 8 :]
         base += i * 8
     ck = np.asarray(cks, dtype=np.int64).reshape(-1, 2)
-    try:
-        tmp = f"{side}.{os.getpid()}.tmp"
-        with open(tmp, "wb") as fh:
-            np.savez(fh, ck=ck, tot=np.asarray([cum_el], dtype=np.int64))
-        os.replace(tmp, side)
-    except OSError:
-        pass
+    if side is not None:
+        buf = io.BytesIO()
+        np.savez(
+            buf,
+            ck=ck,
+            tot=np.asarray([cum_el], dtype=np.int64),
+            fp=np.frombuffer(fp.encode("ascii"), dtype=np.uint8),
+        )
+        cache.write_atomic(side, buf.getvalue())
     return ck, cum_el
 
 

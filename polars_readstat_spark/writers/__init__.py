@@ -210,19 +210,22 @@ def iter_packed_chunks_wide(df, pack_fn, max_rows: int = 8192, modules=()):
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     try:
-        staged.count()  # materialize: pack runs on all cores
-        # completeness is derived from the DATA, not from a separately
-        # converted RDD lineage's getNumPartitions() (AQE or plan
-        # re-optimization can change the executed partitioning and
-        # would make a precomputed count spuriously fail a valid
-        # export): every chunk-stage partition emits exactly one
-        # last=True terminator and pids are contiguous from 0, so the
-        # merge is complete iff each pid 0..max_pid terminated and the
-        # ordered cursor consumed everything.
+        # materialize (pack runs on all cores) AND capture the total
+        # row count JVM-side: count() aggregates over every executed
+        # partition, so comparing it to the rows the local iterator
+        # actually delivered restores an end-to-end total that is
+        # independent of the iterator path — losing every row of one
+        # or more trailing partitions (max_pid would shrink in step)
+        # cannot pass. Terminator/pid bookkeeping below still derives
+        # from the DATA, not a separately converted RDD lineage's
+        # getNumPartitions() (AQE/plan re-optimization can desync the
+        # latter from the executed stage).
+        expected_rows = staged.count()
         pending: dict = {}
         cur_pid, cur_seq = 0, 0
-        max_pid, terminators = -1, 0
+        max_pid, terminators, received = -1, 0, 0
         for row in staged.toLocalIterator(prefetchPartitions=True):
+            received += 1
             max_pid = max(max_pid, row[0])
             if row[2]:
                 terminators += 1
@@ -235,11 +238,17 @@ def iter_packed_chunks_wide(df, pack_fn, max_rows: int = 8192, modules=()):
                     cur_pid, cur_seq = cur_pid + 1, 0
                 else:
                     cur_seq += 1
-        if pending or cur_pid != max_pid + 1 or terminators != max_pid + 1:
+        if (
+            pending
+            or cur_pid != max_pid + 1
+            or terminators != max_pid + 1
+            or received != expected_rows
+        ):
             raise RuntimeError(
                 "iter_packed_chunks_wide: chunk stream incomplete "
                 f"(at partition {cur_pid}/{max_pid + 1}, "
                 f"{terminators} terminators, "
+                f"{received}/{expected_rows} rows, "
                 f"{len(pending)} chunks unplaced)"
             )
     finally:

@@ -1151,18 +1151,24 @@ def write_sas7bdat(
 
             staged = staged.persist(StorageLevel.MEMORY_AND_DISK)
             try:
-                staged.count()  # materialize: encode runs on all cores
-                # (toLocalIterator alone would run the post-shuffle
-                # stage one partition at a time)
-                # completeness derives from the terminator records
-                # (one last=True per chunk-stage partition, contiguous
-                # pids from 0), not the separately-converted RDD
-                # lineage's getNumPartitions(), which AQE/plan
-                # re-optimization can desync from the executed stage
+                # materialize (encode runs on all cores;
+                # toLocalIterator alone would run the post-shuffle
+                # stage one partition at a time) AND capture the
+                # JVM-side total row count: the local iterator must
+                # deliver exactly this many rows, an end-to-end check
+                # that catches whole-trailing-partition loss which
+                # the terminator/pid bookkeeping alone cannot (max_pid
+                # would shrink in step). Completeness still derives
+                # from the terminator records, not a
+                # separately-converted RDD lineage's
+                # getNumPartitions(), which AQE/plan re-optimization
+                # can desync from the executed stage.
+                expected_rows = staged.count()
                 pending_chunks: dict = {}
                 cur_pid, cur_seq = 0, 0
-                max_pid, terminators = -1, 0
+                max_pid, terminators, received = -1, 0, 0
                 for row in staged.toLocalIterator(prefetchPartitions=True):
+                    received += 1
                     max_pid = max(max_pid, row[0])
                     if row[2]:
                         terminators += 1
@@ -1186,11 +1192,13 @@ def write_sas7bdat(
                     pending_chunks
                     or cur_pid != max_pid + 1
                     or terminators != max_pid + 1
+                    or received != expected_rows
                 ):
                     raise RuntimeError(
                         "write_sas7bdat: chunk stream incomplete "
                         f"(at partition {cur_pid}/{max_pid + 1}, "
                         f"{terminators} terminators, "
+                        f"{received}/{expected_rows} rows, "
                         f"{len(pending_chunks)} chunks unplaced)"
                     )
             finally:

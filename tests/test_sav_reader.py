@@ -609,3 +609,63 @@ def test_group_boundaries_matches_scalar_walk():
             b2, i2 = _group_boundaries(rest, rest.size)
             merged = np.concatenate([b1, b2 + i1])
             assert np.array_equal(merged, want_b), f"split {k}"
+
+
+def test_sidecar_trust_checks(spark, tmp_path):
+    """Hardened sidecar cache (ADVICE r6): a planted verdict with a
+    stale/wrong content fingerprint is ignored, a group/other-writable
+    sidecar is never trusted, and a rewrite of the source file at the
+    same size+mtime_ns is caught by the embedded fingerprint."""
+    import os as _os
+
+    from polars_readstat_spark.sources import cache
+    from polars_readstat_spark.sources.sav import decode as D
+    from polars_readstat_spark.sources.sav.meta import parse_sav_meta
+
+    _, cp, _ = _mixed_bytecode_fixtures(spark, tmp_path, 1_000)
+    m = parse_sav_meta(cp)
+    side = D._literal_sidecar_path(m)
+    assert side is not None and side.startswith(cache.cache_dir())
+
+    # plant a forged "all-literal: yes" verdict with a bogus fingerprint
+    cache.write_atomic(side, b"0" * 40 + b" 1")
+    nrows = 1_000
+    assert D.validate_literal_stream(m, nrows) is False  # not trusted
+
+    # now the honest verdict is cached; flipping perms must untrust it
+    fp = cache.content_fingerprint(cp)
+    cache.write_atomic(side, f"{fp} 1".encode())
+    _os.chmod(side, 0o666)
+    assert cache.read_trusted(side) is None
+    _os.chmod(side, 0o600)
+    assert cache.read_trusted(side) == f"{fp} 1".encode()
+
+    # same-size in-place rewrite changes the fingerprint even if
+    # (size, mtime_ns) were pinned — the embedded fp catches it
+    blob = open(cp, "rb").read()
+    mutated = bytearray(blob)
+    mutated[-1] ^= 0xFF
+    st = _os.stat(cp)
+    with open(cp, "wb") as fh:
+        fh.write(bytes(mutated))
+    _os.utime(cp, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert cache.content_fingerprint(cp) != fp
+
+
+def test_cache_dir_is_private(tmp_path, monkeypatch):
+    """cache_dir() honors XDG_CACHE_HOME, creates 0700, and refuses a
+    directory that is group/other-accessible or foreign-owned."""
+    import os as _os
+    import stat as _stat
+
+    from polars_readstat_spark.sources import cache
+
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg"))
+    d = cache.cache_dir()
+    assert d == str(tmp_path / "xdg" / "prs-cache")
+    mode = _stat.S_IMODE(_os.stat(d).st_mode)
+    assert mode == 0o700
+    _os.chmod(d, 0o770)
+    assert cache.cache_dir() is None
+    _os.chmod(d, 0o700)
+    assert cache.cache_dir() == d
