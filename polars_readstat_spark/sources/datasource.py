@@ -766,7 +766,13 @@ class DtaReader(DataSourceReader):
 
         rw = meta.record_width
         ncols = max(len(self.col_indices), 1)
-        batch_rows = self.batch_size or min(max(2_000_000 // ncols, 1024), 100_000)
+        from polars_readstat_spark.sources.partplan import (
+            default_batch_rows,
+        )
+
+        batch_rows = self.batch_size or default_batch_rows(
+            ncols, self.target_parallelism
+        )
 
         def with_row_index(batch, pos, cnt):
             if not self.row_index_name:

@@ -51,20 +51,23 @@ def rows_per_partition(
 ) -> int:
     """Default rows per partition for a fixed-width record scan.
 
-    The small-input fan-out targets HALF a partition per core: each
-    Python-DS task pays a fixed worker round-trip (~20 ms), and a
-    measured sweep on the 10M-row/200 MB dta (local[32], warm
-    best-of-3) walls 0.64/0.42/0.40/0.49/0.64 s at 8/12/16/24/32
-    tasks — cores/2 sits at the sweet spot, and anything in 12-24 is
-    within noise. Big inputs are untouched (the 48 MB byte heuristic
+    The small-input fan-out targets ONE partition per core, floored
+    at ~8 MB of record bytes per task so tiny files never explode
+    into confetti (each Python-DS task pays a fixed worker round-trip
+    of ~20 ms). The byte floor, not a core divisor, is what guards
+    the narrow case: on the 10M-row/200 MB dta the floor yields ~24
+    tasks — the measured sweet spot (warm best-of-3 sweep walls
+    0.64/0.42/0.40/0.49/0.64 s at 8/12/16/24/32 tasks, 12-24 within
+    noise) — while decode-heavy wide files (ACS 730 MB × 286 cols)
+    fan out to the full core count, measured 0.79 s vs 0.93 s at
+    cores/2 (r7). Big inputs are untouched (the 48 MB byte heuristic
     binds first)."""
     rw = max(record_width, 1)
     per = max(MIN_PART_ROWS, PART_BYTES // rw)
     if not cores:
         cores = _active_cores()
     if cores > 1 and total_rows > 0:
-        eff = max(cores // 2, 1)
-        want = (total_rows + eff - 1) // eff
+        want = (total_rows + cores - 1) // cores
         floor = max(MIN_PART_ROWS, MIN_PART_BYTES // rw)
         per = max(floor, min(per, want))
     return per
@@ -104,3 +107,23 @@ def _active_cores() -> int:
     except Exception:  # planning must never fail on harness internals
         pass
     return os.cpu_count() or 0
+
+
+def default_batch_rows(ncols: int, cores: int | None = None) -> int:
+    """Rows per decoded Arrow batch for a fixed-width reader.
+
+    Budget is ~2M elements (≈16 MB at 8-byte elements) per batch —
+    wide frames get fewer rows so the row→column pivot and the IPC
+    transfer work on bounded buffers. Above 16 concurrent tasks the
+    per-batch budget shrinks proportionally: the JVM side of the
+    Python DS bridge holds roughly (concurrent tasks × batch bytes)
+    of Arrow direct memory in flight, and 32 × 16 MB overflows the
+    default 1 GiB direct-memory pool of a vanilla local session
+    (observed OutOfMemoryException in ArrowStreamReader; 32 × 8 MB
+    fits with headroom)."""
+    el = 2_000_000
+    if not cores:
+        cores = _active_cores()
+    if cores and cores > 16:
+        el = max(1_000_000, el * 16 // cores)
+    return min(max(el // max(ncols, 1), 1024), 100_000)

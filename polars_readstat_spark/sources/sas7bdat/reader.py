@@ -210,7 +210,13 @@ class SasReader(DataSourceReader):
 
         m = self.meta
         ncols = max(len(self.col_indices), 1)
-        batch_rows = self.batch_size or min(max(2_000_000 // ncols, 1024), 100_000)
+        from polars_readstat_spark.sources.partplan import (
+            default_batch_rows,
+        )
+
+        batch_rows = self.batch_size or default_batch_rows(
+            ncols, self.target_parallelism
+        )
         rl = max(m.row_length, 1)
 
         def emit(chunk: bytes, global_start: int):

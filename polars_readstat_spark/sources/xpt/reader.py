@@ -86,7 +86,13 @@ class XptReader(DataSourceReader):
         m = self.meta
         rl = max(m.record_width, 1)
         ncols = max(len(self.col_indices), 1)
-        batch_rows = self.batch_size or min(max(2_000_000 // ncols, 1024), 100_000)
+        from polars_readstat_spark.sources.partplan import (
+            default_batch_rows,
+        )
+
+        batch_rows = self.batch_size or default_batch_rows(
+            ncols, self.target_parallelism
+        )
 
         def finish(batch, global_start):
             if self.row_index_name:

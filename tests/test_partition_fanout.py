@@ -58,14 +58,15 @@ def test_registered_path_fans_out(spark, big_dta):
 
 def test_target_parallelism_option_is_exact(spark, big_dta):
     """An explicit target_parallelism option beats every fallback:
-    8 cores → eff 4 → want=2.5M rows/part → exactly 4 partitions."""
+    8 cores → want=1.25M rows/part (25 MB, above the 8 MB floor) →
+    exactly 8 partitions."""
     prs.register(spark)
     df = (
         spark.read.format("readstat")
         .option("target_parallelism", "8")
         .load(big_dta)
     )
-    assert df.rdd.getNumPartitions() == 4
+    assert df.rdd.getNumPartitions() == 8
 
 
 def test_facade_plumbs_default_parallelism(spark, big_dta):
@@ -85,10 +86,13 @@ def test_no_context_falls_back_to_cpu_count(monkeypatch):
     assert partplan._active_cores() == 6
     assert not hasattr(partplan, "write_parallelism_hint")
 
-    # rw=20, 10M rows, 32 cores: eff=16 → want=625000 above the
-    # 8MB/20=419430 floor → 16 partitions, the measured sweet spot
+    # rw=20, 10M rows, 32 cores: want=312500 rows (6.25 MB) is under
+    # the 8MB/20=419430-row floor → the floor binds → 24 partitions
+    # (the measured 12-24 sweet-spot band; decode-heavy wide files
+    # fan to the full core count instead)
     per = partplan.rows_per_partition(20, N_ROWS, 32)
-    assert (N_ROWS + per - 1) // per == 16
+    assert per == partplan.MIN_PART_BYTES // 20
+    assert (N_ROWS + per - 1) // per == 24
 
 
 def test_baked_parallelism_survives_pickle_and_is_per_class():
@@ -160,4 +164,4 @@ def test_wide_records_keep_byte_sized_partitions():
     per = partplan.rows_per_partition(8240, 73_745, cores=32)
     assert per * 8240 <= partplan.PART_BYTES
     assert per * 8240 >= partplan.MIN_PART_BYTES // 2
-    assert (73_745 + per - 1) // per == 16
+    assert (73_745 + per - 1) // per == 32
