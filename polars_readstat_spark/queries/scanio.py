@@ -693,3 +693,112 @@ def scan_dta_tagged_missing(spark, sf_dir):
         F.col("l_quantity").cast("double").alias("l_quantity"),
         F.col("l_quantity_null").alias("l_quantity_null"),
     )
+
+
+# ── W6: SAS CSV-import bundle (reference __init__.py:1399-1488) ──────
+
+
+def ensure_sas_csv_bundle(spark, sf_dir: str) -> tuple[str, str]:
+    """Materialize the CSV + DATA-step bundle once per sf: the
+    BENCH_COLS lineitem frame with a value-label set on l_returnflag
+    (exercises PROC FORMAT) and a variable label on l_orderkey."""
+    import polars_readstat_spark as prs
+
+    d = os.path.join(_cache_dir(sf_dir), "sascsv")
+    csv_path = os.path.join(d, "lineitem.csv")
+    sas_path = os.path.join(d, "lineitem.sas")
+    if os.path.exists(csv_path) and os.path.exists(sas_path):
+        return csv_path, sas_path
+    os.makedirs(d, exist_ok=True)
+    return prs.write_sas_csv_import(
+        _source_frame(spark, sf_dir),
+        d,
+        dataset_name="lineitem",
+        value_labels={
+            "l_returnflag": {"A": "Accepted", "N": "New", "R": "Returned"}
+        },
+        variable_labels={"l_orderkey": "Order key"},
+    )
+
+
+@query("sas_csv_import_roundtrip", oracle=_CANON_ORACLE)
+def sas_csv_import_roundtrip(spark, sf_dir):
+    """W6 data half under the driver oracle: the bundle's CSV read
+    back with the DATA-step's schema must reproduce lineitem exactly —
+    shipdate timestamps stored as SAS datetime seconds (since
+    1960-01-01, reference __init__.py:1460) are shifted back to DATE;
+    doubles round-trip bit-exact because Spark's csv writer emits
+    shortest-round-trip decimal."""
+    csv_path, _ = ensure_sas_csv_bundle(spark, sf_dir)
+    df = (
+        spark.read.option("header", "true")
+        .schema(
+            "l_orderkey bigint, l_partkey bigint, l_quantity double,"
+            " l_extendedprice double, l_discount double,"
+            " l_returnflag string, l_shipdate bigint, l_linestatus string"
+        )
+        .csv(csv_path)
+    )
+    return df.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_returnflag",
+        "l_linestatus",
+        F.date_from_unix_date(
+            ((F.col("l_shipdate") - F.lit(315_619_200)) / F.lit(86_400))
+            .cast("int")
+        ).alias("l_shipdate"),
+    )
+
+
+# exact generated-script pins (everything except the absolute-path
+# infile line), mirroring the reference's type table
+# (__init__.py:1450-1476): $1 lengths from the string-width pre-pass,
+# datetime19. on the timestamp shipdate, PROC FORMAT for the value
+# labels, LABEL for the variable label
+_SAS_SCRIPT_PINNED = (
+    "proc format;",
+    "  value $l_returnflag_fmt",
+    '    "A" = "Accepted"',
+    '    "N" = "New"',
+    '    "R" = "Returned"',
+    "  ;",
+    "run;",
+    "",
+    "data lineitem;",
+    "  length l_returnflag $1;",
+    "  length l_linestatus $1;",
+    "  input l_orderkey  l_partkey  l_quantity  l_extendedprice "
+    " l_discount  l_returnflag $ l_shipdate  l_linestatus $;",
+    "  format l_shipdate datetime19.;",
+    "  format l_returnflag $l_returnflag_fmt.;",
+    '  label l_orderkey = "Order key";',
+    "run;",
+)
+
+
+@query(
+    "sas_csv_script_pins",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(
+        f"({i}, '" + ln.replace("'", "''") + "')"
+        for i, ln in enumerate(_SAS_SCRIPT_PINNED)
+    )
+    + ") AS t(ord, stmt)",
+)
+def sas_csv_script_pins(spark, sf_dir):
+    """W6 script half: the generated DATA-step's FORMAT/LENGTH/LABEL/
+    INPUT statements pinned line-by-line against a VALUES oracle. The
+    one path-dependent line (infile "<abs path>") is excluded; all
+    type-table behavior (reference __init__.py:1450-1476) is pinned."""
+    _, sas_path = ensure_sas_csv_bundle(spark, sf_dir)
+    with open(sas_path) as fh:
+        lines = [ln.rstrip("\n") for ln in fh]
+    kept = [ln for ln in lines if not ln.lstrip().startswith("infile ")]
+    while kept and kept[-1] == "":
+        kept.pop()
+    rows = [(i, ln) for i, ln in enumerate(kept)]
+    return spark.createDataFrame(rows, "ord int, stmt string")

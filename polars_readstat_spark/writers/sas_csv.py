@@ -95,9 +95,17 @@ def write_sas_csv_import(
         elif t.startswith("timestamp"):
             kinds.append("num")
             formats[sn] = "datetime19."
-            sel.append(
-                (c.cast("long") + SAS_SEC_SHIFT).alias(sn)
+            # tz-free seconds-of-epoch: TIMESTAMP_NTZ cannot cast to
+            # BIGINT in Spark 4, and routing through TIMESTAMP would
+            # shift by the session timezone — derive the day number
+            # and second-of-day from calendar fields instead
+            secs = (
+                F.unix_date(c.cast("date")).cast("long") * 86_400
+                + F.hour(c) * 3_600
+                + F.minute(c) * 60
+                + F.second(c)
             )
+            sel.append((secs + SAS_SEC_SHIFT).alias(sn))
         elif t == "bigint" and f.metadata.get("time") == "ns_since_midnight":
             kinds.append("num")
             formats[sn] = "time8."
