@@ -94,14 +94,54 @@ def multimodal_media_meta(spark, sf_dir):
 def multimodal_decode_embed(spark, sf_dir):
     """The real mapInPandas decode stage (early-pruned projection,
     Arrow batches, pluggable kernel) with the deterministic hash
-    decoder — rows-only driver check by nature (the kernel is Python,
-    not SQL). Emits per-doc decoded shape + luma and the first
-    embedding component as scalars."""
-    from polars_readstat_spark.functions.multimodal import decode_images
+    decoder — SQL-oracle-free by nature (the kernel is Python), so
+    the query carries its own deterministic self-differential
+    (VERDICT r6 #6): a fixed 10-doc sample of the DISTRIBUTED result
+    is compared bit-for-bit against a driver-side re-run of the same
+    kernel on the same reconstructed payloads; any divergence raises,
+    turning the driver's rows-only row into err != null. Emits
+    per-doc decoded shape + luma and the first embedding component
+    as scalars."""
+    from polars_readstat_spark.functions.multimodal import (
+        decode_images,
+        deterministic_fake_decoder,
+    )
 
     d = _with_media(load_table(spark, sf_dir, "documents"))
     dec = decode_images(d, "media", key_cols=("doc_id",), out_w=32, out_h=32)
-    return dec.select(
+    out = dec.select(
         "doc_id", "width", "height", "mean_luma",
         F.col("embedding")[0].alias("emb0"),
     )
+
+    # ── self-differential on a fixed sample ──────────────────────────
+    sample_ids = list(range(10))
+    got = {
+        r["doc_id"]: r
+        for r in out.filter(F.col("doc_id").isin(sample_ids)).collect()
+    }
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(sample_ids))
+        .select("doc_id", "text")
+        .collect()
+    )
+    if not src:
+        raise AssertionError("multimodal self-check: empty sample")
+    for r in src:
+        media = _MAGICS[r["doc_id"] % 4] + r["text"].encode("utf-8")
+        luma, emb = deterministic_fake_decoder(media, 32, 32)
+        g = got.get(r["doc_id"])
+        if g is None:
+            raise AssertionError(
+                f"multimodal self-check: doc {r['doc_id']} missing"
+            )
+        if (g["width"], g["height"]) != (32, 32) or (
+            g["mean_luma"] != luma or g["emb0"] != emb[0]
+        ):
+            raise AssertionError(
+                f"multimodal self-check mismatch at doc {r['doc_id']}: "
+                f"spark=({g['mean_luma']}, {g['emb0']}) "
+                f"driver=({luma}, {emb[0]})"
+            )
+    return out

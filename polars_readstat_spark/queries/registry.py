@@ -47,72 +47,60 @@ def query(name: str, oracle: str | None = None):
 # round-1-only greens needing refresh. Update per round as rows come
 # back green.
 _PRIORITY: tuple[str, ...] = (
-    # round 6: r05's window re-greened the r02-stale writer-roundtrip
-    # block, so rotation continues by staleness — queries whose code
-    # paths changed this round first (POR parser-proof pin, sas7bdat
-    # two-stage merge guard, zsav sink abort), then the full 28-query
-    # r03-stale block (TPC-H tail, text suite, time-series, ann — the
-    # oldest greens in the union), then the rows-only multimodal
-    # check, then the oldest r04 block to fill the driver's 50-row
-    # window. After this round no query's newest green predates r04.
-    # -- new in r06 (never driver-checked) --
-    "scan_sav_compressed_roundtrip",
+    # round 7: the r06 red row first (oracle CAST fix), then the
+    # two new W6 queries, then every query whose code path changed
+    # this round (partition fan-out + batch sizing touched all four
+    # readers; sidecar hardening; writer merge totals; the
+    # multimodal self-differential), then the 34 queries whose
+    # newest green is r04 — after this window no green predates r05.
     "boilerplate_ngram_filter",
-    "bpe_merge_candidates",
-    # -- code paths changed this round --
-    "scan_por_roundtrip",
+    "sas_csv_import_roundtrip",
+    "sas_csv_script_pins",
+    "scan_dta_roundtrip",
     "scan_sas7bdat_roundtrip",
     "scan_sas7bdat_rle_roundtrip",
+    "scan_sas7bdat_rdc_roundtrip",
+    "scan_sav_roundtrip",
+    "scan_sav_compressed_roundtrip",
     "scan_zsav_roundtrip",
-    # -- newest row is r03 (28) --
-    "ann_ivf_topk",  # also perf-reworked this round
-    "ann_lsh_recall",
-    "asof_join_purchase_click",
-    "embedding_quantize_int8",
-    "event_value_histogram",
-    "funnel_click_to_purchase",
-    "kmeans_update_step",
-    "q12_linestatus_priority",
-    "q13_customer_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q19_or_predicate_revenue",
-    "q20_excess_shipments",
-    "q21_waiting_supplier",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "range_join_click_purchase_1h",
-    "salted_skew_agg",
-    "scan_dta_informative_nulls",
-    "scan_dta_value_labels",
-    "text_bpe_token_count",
-    "text_gopher_quality_rules",
-    "text_ngram_topk",
-    "text_rare_token_ratio",
-    "window_lag_delta",
-    # -- rows-only by design, kept fresh --
+    "scan_xpt_roundtrip",
+    "scan_por_roundtrip",
+    "scan_sink_dir_roundtrip",
+    "scan_dta_multifile",
     "multimodal_decode_embed",
-    # -- newest row is r04 (oldest 17 fill the window) --
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "catalog_label_case_decode",
-    "catalog_scan_formats",
-    "compress_all_midnight",
-    "compress_numeric_decision",
-    "compress_string_numeric_parse",
-    "corpus_clean_pipeline",
-    "curation_funnel_stage_counts",
-    "decontaminate_ngram_overlap",
-    "dedup_connected_components",
-    "dedup_edit_distance_verify",
-    "dedup_embedding_cosine",
-    "dedup_exact_hash",
     "dedup_incremental_vs_index",
     "dedup_keep_best_quality",
     "dedup_keep_first_records",
+    "doc_fingerprint",
+    "embedding_l2_norms",
+    "event_dau_wau_stickiness",
+    "event_hourly_window",
+    "event_props_json_extract",
+    "event_value_quantiles",
+    "informative_null_merged",
+    "informative_null_separate",
+    "informative_null_struct",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "multimodal_media_meta",
+    "ngram_containment_sampled",
+    "ngram_jaccard_sampled",
+    "pii_pattern_counts",
+    "q1_pricing_summary",
+    "retention_weekly_cohorts",
+    "scan_dta_tagged_missing",
+    "scan_sas7bdat_informative_nulls",
+    "scan_xpt_informative_nulls",
+    "sequence_length_histogram",
+    "sequence_packing_bins",
+    "sessionization_30m",
+    "simhash_band_pairs",
+    "simhash_fingerprint",
+    "source_mixing_weights",
+    "text_lang_id_score",
+    "text_quality_score",
+    "text_token_count",
+    "value_label_broadcast_decode",
 )
 
 

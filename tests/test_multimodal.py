@@ -89,3 +89,38 @@ def test_audio_features_stub(media_df):
     assert 0.0 <= got[3].rms <= 1.0
     with pytest.raises(NotImplementedError):
         audio_features(media_df, decoder="real")
+
+
+def test_decode_embed_query_self_differential(spark):
+    """The registry query re-decodes a fixed 10-doc sample driver-side
+    with the same kernel and raises on any divergence — the green path
+    must pass, and the comparison must be bitwise (same floats)."""
+    from polars_readstat_spark.queries.registry import all_queries
+
+    df = all_queries()["multimodal_decode_embed"](
+        spark, "/root/testdata/sf0.001"
+    )
+    assert df.count() > 0
+
+
+def test_decode_embed_self_check_catches_divergence(spark, monkeypatch):
+    """Poison the distributed kernel only (decode_images captures its
+    decoder at call time, the driver-side recompute calls
+    deterministic_fake_decoder by name afterwards): the self-check
+    must raise."""
+    import pytest
+
+    from polars_readstat_spark.functions import multimodal as M
+    from polars_readstat_spark.queries.registry import all_queries
+
+    real = M.decode_images
+
+    def poisoned(df, media_col="media", key_cols=("doc_id",), **kw):
+        kw["decoder"] = lambda data, w, h: (0.5, [0.25] * 8)
+        return real(df, media_col, key_cols, **kw)
+
+    monkeypatch.setattr(M, "decode_images", poisoned)
+    with pytest.raises(AssertionError, match="self-check mismatch"):
+        all_queries()["multimodal_decode_embed"](
+            spark, "/root/testdata/sf0.001"
+        )
