@@ -42,10 +42,38 @@ SPSS_SEC_SHIFT = 12_219_379_200  # 1582-10-14 → 1970-01-01 in seconds
 SEC_PER_DAY = 86_400
 
 
+_CMD_LUT_CACHE: dict[tuple[float, bool], np.ndarray] = {}
+
+
+def _cmd_lut(meta: SavMeta) -> np.ndarray:
+    """(256, 8) uint8 table: the 8-byte element each command byte
+    expands to — (code - bias) doubles for 1-251, spaces for 254,
+    sysmis for 255. Rows 0/252/253 are never read through the table
+    (0 emits nothing, 252 stops the stream, 253 is overwritten with
+    the literal). One gather through this replaces three masked
+    scatters plus a float conversion in the hot scatter pass."""
+    key = (float(meta.bias), bool(meta.little_endian))
+    lut = _CMD_LUT_CACHE.get(key)
+    if lut is None:
+        ef = "<" if meta.little_endian else ">"
+        lut = np.empty((256, 8), dtype=np.uint8)
+        codes = np.arange(256, dtype=np.float64) - meta.bias
+        lut[:] = codes.astype(ef + "f8").view(np.uint8).reshape(256, 8)
+        lut[254] = ord(" ")
+        lut[255] = np.frombuffer(
+            np.uint64(SYSMIS_BITS).astype(ef + "u8").tobytes(),
+            dtype=np.uint8,
+        )
+        _CMD_LUT_CACHE[key] = lut
+    return lut
+
+
 def _decode_cmd_group(blocks: np.ndarray, cmd_idx: np.ndarray, meta: SavMeta):
     """Vectorized pass 2 over one self-contained group of 8-byte blocks:
-    scatter literals / all-spaces / sysmis / (code - bias) values into a
-    (k, 8) element matrix. Returns (elements, saw_end_of_data)."""
+    one LUT gather expands every non-literal command to its 8-byte
+    element ((code - bias) / spaces / sysmis), then literal positions
+    are overwritten from the literal blocks. Returns
+    (elements, saw_end_of_data)."""
     cmds = blocks[cmd_idx].reshape(-1)
     stopped = False
     stop = np.flatnonzero(cmds == 252)
@@ -54,28 +82,14 @@ def _decode_cmd_group(blocks: np.ndarray, cmd_idx: np.ndarray, meta: SavMeta):
         stopped = True
     el_cmds = cmds[cmds != 0]
 
-    lit_mask = np.ones(blocks.shape[0], dtype=bool)
-    lit_mask[cmd_idx] = False
-    literals = blocks[lit_mask]
-    lit_order = np.cumsum(el_cmds == 253) - 1
-
-    out = np.empty((el_cmds.size, 8), dtype=np.uint8)
+    out = _cmd_lut(meta)[el_cmds]
     m253 = el_cmds == 253
     if m253.any():
+        lit_mask = np.ones(blocks.shape[0], dtype=bool)
+        lit_mask[cmd_idx] = False
+        literals = blocks[lit_mask]
+        lit_order = np.cumsum(m253) - 1
         out[m253] = literals[lit_order[m253]]
-    m254 = el_cmds == 254
-    if m254.any():
-        out[m254] = ord(" ")
-    m255 = el_cmds == 255
-    ef = "<" if meta.little_endian else ">"
-    if m255.any():
-        out[m255] = np.frombuffer(
-            np.uint64(SYSMIS_BITS).astype(ef + "u8").tobytes(), dtype=np.uint8
-        )
-    mval = ~(m253 | m254 | m255)
-    if mval.any():
-        vals = el_cmds[mval].astype(np.float64) - meta.bias
-        out[mval] = vals.astype(ef + "f8").view(np.uint8).reshape(-1, 8)
     return out, stopped
 
 
@@ -335,7 +349,10 @@ def _group_boundaries(c253f: np.ndarray, nb8: int):
 
 
 def iter_compressed_elements(
-    meta: SavMeta, chunk_bytes: int = 4 << 20, start_byte: int = 0
+    meta: SavMeta,
+    chunk_bytes: int = 4 << 20,
+    start_byte: int = 0,
+    pipeline: bool = True,
 ):
     """Stream the bytecode as (k, 8) element matrices with memory
     bounded by one chunk (≤ chunk_bytes in → ≤ 8× out, since a command
@@ -356,8 +373,12 @@ def iter_compressed_elements(
     # the scatter decode of a finished chunk is independent of the
     # walk of the next one (only `pend` chains, and that comes from
     # the walk) — pipeline it on a small pool, yielding strictly in
-    # submit order with at most 2 decoded chunks in flight
-    dpool = ThreadPoolExecutor(2)
+    # submit order with at most 2 decoded chunks in flight.
+    # pipeline=False (set by the planner when the scan already fans
+    # out to ~every core) runs the scatter inline: at full task
+    # fan-out the extra threads are pure oversubscription, measured
+    # 27% slower per partition (r7)
+    dpool = _SyncExecutor() if not pipeline else ThreadPoolExecutor(2)
     inflight: deque = deque()
     try:
         for chunk in _iter_raw_chunks(meta, chunk_bytes, start_byte):
@@ -416,6 +437,29 @@ def iter_compressed_elements(
     # trailing bytes: a final group the walk declined because the file
     # ends mid-literals is dropped, matching the whole-buffer decoder
     # (a truncated trailing group can't form a complete case anyway)
+
+
+class _SyncFuture:
+    __slots__ = ("_r",)
+
+    def __init__(self, r):
+        self._r = r
+
+    def result(self):
+        return self._r
+
+    def done(self):
+        return True
+
+
+class _SyncExecutor:
+    """Inline stand-in for the 2-thread scatter pool (pipeline=False)."""
+
+    def submit(self, fn, *args):
+        return _SyncFuture(fn(*args))
+
+    def shutdown(self, wait=False, cancel_futures=False):
+        pass
 
 
 def iter_compressed_rows(
@@ -753,6 +797,7 @@ def iter_checkpoint_rows(
     batch_rows: int,
     ckpt_byte: int,
     ckpt_el: int,
+    pipeline: bool = True,
 ):
     """Parallel-task decode of rows [start, start+n) from a general
     bytecode stream, restarting the sequential decoder at a
@@ -769,7 +814,9 @@ def iter_checkpoint_rows(
     buf: list = []
     buf_rows = 0
     buf_pos = start
-    for elems in iter_compressed_elements(meta, start_byte=ckpt_byte):
+    for elems in iter_compressed_elements(
+        meta, start_byte=ckpt_byte, pipeline=pipeline
+    ):
         if skip:
             if elems.shape[0] <= skip:
                 skip -= elems.shape[0]

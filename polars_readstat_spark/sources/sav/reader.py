@@ -31,9 +31,18 @@ class RowRange(InputPartition):
         n: int,
         literal: bool = False,
         ckpt: tuple[int, int] | None = None,
+        pipeline: bool = True,
     ):
         self.start = start
         self.n = n
+        # False when the scan fans out to ~every core: the walk→scatter
+        # thread pipeline inside iter_compressed_elements only helps
+        # when the host has spare cycles (serial/few-partition reads);
+        # under full task fan-out it is pure oversubscription —
+        # measured 0.37 s inline vs 0.51 s pooled per ACS checkpoint
+        # partition at 32 concurrent tasks, and 11.0 s pooled vs
+        # 14.3 s inline for the same file consumed serially (r7)
+        self.pipeline = pipeline
         # True: the bytecode stream was proven all-literal at plan
         # time (validate_literal_stream), so this range decodes
         # independently via the affine byte↔element map
@@ -197,6 +206,11 @@ class SavReader(DataSourceReader):
             return None
         if ck.shape[0] < 2:
             return None
+        from polars_readstat_spark.sources.partplan import _active_cores
+
+        cores = self.target_parallelism or _active_cores() or 1
+        n_parts = (n + per - 1) // per
+        pipe = 2 * n_parts <= cores
         parts = []
         pos = start
         end = start + n
@@ -204,7 +218,11 @@ class SavReader(DataSourceReader):
             cnt = min(per, end - pos)
             j = int(np.searchsorted(ck[:, 1], pos * cs, side="right") - 1)
             parts.append(
-                RowRange(pos, cnt, ckpt=(int(ck[j, 0]), int(ck[j, 1])))
+                RowRange(
+                    pos, cnt,
+                    ckpt=(int(ck[j, 0]), int(ck[j, 1])),
+                    pipeline=pipe,
+                )
             )
             pos += cnt
         return parts
@@ -263,6 +281,7 @@ class SavReader(DataSourceReader):
                 for pos, rows in iter_checkpoint_rows(
                     meta, partition.start, partition.n, batch_rows,
                     ck[0], ck[1],
+                    pipeline=getattr(partition, "pipeline", True),
                 ):
                     yield emit(rows, pos, rows.shape[0])
                 return
