@@ -56,6 +56,8 @@ _PRIORITY: tuple[str, ...] = (
     "boilerplate_ngram_filter",
     "sas_csv_import_roundtrip",
     "sas_csv_script_pins",
+    "stream_ingest_agg",
+    "profile_read_surface",
     "scan_dta_roundtrip",
     "scan_sas7bdat_roundtrip",
     "scan_sas7bdat_rle_roundtrip",

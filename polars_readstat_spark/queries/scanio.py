@@ -802,3 +802,102 @@ def sas_csv_script_pins(spark, sf_dir):
         kept.pop()
     rows = [(i, ln) for i, ln in enumerate(kept)]
     return spark.createDataFrame(rows, "ord int, stmt string")
+
+
+# ── S12: streaming ingest under the driver oracle ────────────────────
+
+
+@query(
+    "stream_ingest_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey % 10 = 0
+    GROUP BY l_returnflag
+    """,
+)
+def stream_ingest_agg(spark, sf_dir):
+    """S12 with a full value oracle: a Structured Streaming
+    file-arrival scan (readStream.format("readstat") over a landing
+    directory of two dta part-files) aggregated in complete mode and
+    drained with ONE availableNow trigger into a memory sink — the
+    streaming result must equal the batch SQL over the same rows.
+    The landing dir reuses the multifile fixture (even/odd
+    l_orderkey), filtered to the deterministic 10% slice so the
+    query also proves the stream scan pushes projection into the
+    same per-file readers the batch path uses.
+
+    Scale shape: each landed file is one input partition (decoded on
+    its own executor), offsets carry file names only, and the
+    complete-mode agg is a standard stateful hash aggregation —
+    exactly the nightly-drop ingest topology (streamreader.py)."""
+    import tempfile
+    import uuid
+
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    d = ensure_multifile_dir(spark, sf_dir, "dta")
+    name = f"prs_stream_agg_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="prs_stream_ckpt_")
+    q = (
+        spark.readStream.format("readstat")
+        .load(d)
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)  # one-shot drain: no restart
+    return spark.table(name).select("l_returnflag", "n", "sum_qty")
+
+
+# ── A3: profiled read, deterministic surface ─────────────────────────
+
+
+@query(
+    "profile_read_surface",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(8 AS INT) AS n_columns,
+           CAST(COUNT(*) > 0 AS BOOLEAN) AS phases_positive
+    FROM lineitem
+    """,
+)
+def profile_read_surface(spark, sf_dir):
+    """A3 under the driver oracle: profile_read's DETERMINISTIC
+    fields — row count, column count, and that every phase timing is
+    a positive finite number (the timings themselves are
+    machine-dependent and stay out of the hash). Runs the real
+    profiler (operators/profile.py, reference OpenProfile/ReadProfile
+    sas/reader.rs:30-43) over the cached dta twin."""
+    from polars_readstat_spark.operators.profile import profile_read
+
+    path = ensure_readstat_file(spark, sf_dir, "dta")
+    r = profile_read(path)
+    phases = ("metadata_s", "plan_s", "io_s", "decode_arrow_s", "total_s")
+    ok = all(
+        isinstance(r[k], float) and r[k] >= 0 and r[k] == r[k]
+        for k in phases
+    ) and r["total_s"] > 0
+    return spark.createDataFrame(
+        [(int(r["n_rows"]), len(r["columns"]), bool(ok))],
+        "n_rows bigint, n_columns int, phases_positive boolean",
+    )
