@@ -198,7 +198,12 @@ class SavReader(DataSourceReader):
         # checkpoint spacing ~per/4 rows of elements (waste per task ≤
         # one spacing), quantized to a power of two so repeated reads
         # with near-equal plans share one sidecar
-        raw_sp = max((per * cs) // 4, 8 * cs, 1024)
+        # spacing per/16 rows of elements: a task re-decodes at most
+        # one spacing of lead-in from its checkpoint, so tighter
+        # spacing directly cuts tail skew (per/4 meant up to 25% of a
+        # partition's span wasted on the lead-in; now ≤6%). The cost
+        # is only sidecar entries — the walk is one pass either way.
+        raw_sp = max((per * cs) // 16, 8 * cs, 1024)
         ckpt_els = 1 << (int(raw_sp).bit_length() - 1)
         try:
             ck, _total_el = build_checkpoint_index(meta, ckpt_els)
