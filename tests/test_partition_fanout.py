@@ -165,3 +165,18 @@ def test_wide_records_keep_byte_sized_partitions():
     assert per * 8240 <= partplan.PART_BYTES
     assert per * 8240 >= partplan.MIN_PART_BYTES // 2
     assert (73_745 + per - 1) // per == 32
+
+
+def test_default_batch_rows_budget():
+    """Per-batch Arrow element budget: ~2M elements up to 16 cores,
+    shrinking proportionally above (32 cores -> 1M) so total in-flight
+    JVM direct memory stays bounded; 1024-row floor and 100k cap."""
+    assert partplan.default_batch_rows(1, cores=8) == 100_000  # cap
+    assert partplan.default_batch_rows(200, cores=8) == 10_000
+    assert partplan.default_batch_rows(200, cores=16) == 10_000
+    assert partplan.default_batch_rows(200, cores=32) == 5_000
+    assert partplan.default_batch_rows(286, cores=32) == 1_000_000 // 286
+    # floor: absurdly wide schema never drops under 1024 rows
+    assert partplan.default_batch_rows(10_000, cores=32) == 1024
+    # never shrinks below half the 16-core budget
+    assert partplan.default_batch_rows(200, cores=1024) == 5_000
