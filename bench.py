@@ -311,6 +311,15 @@ def _bench_scale(spark, timings: dict) -> None:
             run_query(df)
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # plan-shape probe (unit: partitions, not seconds): a silent
+        # fallback to a SERIAL bytecode plan reads as a 10-20x wall
+        # regression (BENCH r7 preview: zsav 21.4 s vs 1.2 s isolated)
+        # — recording the executed partition count makes that failure
+        # mode diagnosable from the JSON alone
+        try:
+            timings[name + "_nparts"] = df.rdd.getNumPartitions()
+        except Exception:
+            pass
 
 
 def _bench_exports(spark, sf_dir: str, timings: dict) -> None:

@@ -155,7 +155,22 @@ def _iter_zsav_inflated(meta: SavMeta, start_byte: int = 0):
                 raw = f.read(c_sz)
             return zlib.decompress(raw)
 
-        with ThreadPoolExecutor(4) as pool:
+        try:
+            pool_cm = ThreadPoolExecutor(4)
+            pool_cm.submit(int).result()  # probe: spawns thread #1 now
+        except Exception:
+            # thread exhaustion on a loaded host must not fail (or
+            # slow-path) the read — inflate inline, same output
+            pool_cm = None
+        if pool_cm is None:
+            for blk in blocks:
+                out = inflate(blk)
+                if skip0:
+                    out, skip0 = out[skip0:], 0
+                if out:
+                    yield out
+            return
+        with pool_cm as pool:
             inflight: deque = deque()
             it = iter(blocks)
             for blk in it:

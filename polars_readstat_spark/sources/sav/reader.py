@@ -124,7 +124,19 @@ class SavReader(DataSourceReader):
 
                 try:
                     lit = validate_literal_stream(self.meta, self.meta.nobs)
-                except Exception:
+                except Exception as e:
+                    # degrading to the serial plan is a 10-20x wall
+                    # regression on a big stream — never do it silently
+                    # (BENCH r7 recorded a 21 s zsav read where the
+                    # isolated wall is 1.2 s; the fallback path was the
+                    # only explanation that fits)
+                    import sys as _sys
+
+                    print(
+                        f"readstat: literal validation failed on "
+                        f"{self.path}: {e!r} — trying checkpoint plan",
+                        file=_sys.stderr,
+                    )
                     lit = False
             if not lit:
                 # general bytecode (bias/mixed commands — what SPSS
@@ -207,7 +219,14 @@ class SavReader(DataSourceReader):
         ckpt_els = 1 << (int(raw_sp).bit_length() - 1)
         try:
             ck, _total_el = build_checkpoint_index(meta, ckpt_els)
-        except Exception:
+        except Exception as e:
+            import sys as _sys
+
+            print(
+                f"readstat: checkpoint index failed on {meta.path}: "
+                f"{e!r} — falling back to the SERIAL bytecode plan",
+                file=_sys.stderr,
+            )
             return None
         if ck.shape[0] < 2:
             return None
