@@ -669,3 +669,26 @@ def test_cache_dir_is_private(tmp_path, monkeypatch):
     assert cache.cache_dir() is None
     _os.chmod(d, 0o700)
     assert cache.cache_dir() == d
+
+
+def test_checkpoint_pipeline_flag_planning(spark, tmp_path):
+    """The walk→scatter pipeline flag follows the plan's fan-out:
+    full-core fan-out (2*parts > cores) decodes inline, a
+    few-partition plan on a wide box keeps the 2-thread pipeline."""
+    from polars_readstat_spark.sources.sav import reader as R
+
+    _, cp, _ = _mixed_bytecode_fixtures(spark, tmp_path, 30_000)
+
+    rdr = R.SavReader(
+        cp, {"target_parallelism": "8", "rows_per_partition": "2000"}
+    )
+    parts = rdr.partitions()
+    assert len(parts) == 15  # 2*15 > 8 → inline
+    assert all(p.pipeline is False for p in parts)
+
+    rdr = R.SavReader(
+        cp, {"target_parallelism": "64", "rows_per_partition": "15000"}
+    )
+    parts = rdr.partitions()
+    assert len(parts) == 2  # 2*2 <= 64 → keep the pipeline
+    assert all(p.pipeline is True for p in parts)
