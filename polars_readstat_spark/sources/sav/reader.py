@@ -1,17 +1,21 @@
 """SAV/ZSAV DataSourceReader.
 
 Partitioning (reference spss/polars_output.rs:362-430 strategy,
-re-planned for Spark):
+re-planned for Spark — the reference reads compressed streams
+strictly serially, PARALLELIZATION.md:34-40):
 - uncompressed: exact row-range partitions (case = case_size×8 bytes
   ⇒ byte seek), same scale story as the Stata reader;
-- bytecode (compression=1): a sequential command stream — single
-  partition, exactly as the reference reads it serially
-  (PARALLELIZATION.md:34-40);
-- zsav (compression=2): zlib blocks decompress independently but the
-  bytecode rows inside don't align to block boundaries, so decode is
-  also single-partition; the stream decodes once with memory bounded
-  by one chunk (iter_compressed_rows), never the whole case matrix —
-  a 50 GB decompressed zsav reads in constant executor memory.
+- bytecode/zsav proven all-literal at plan time
+  (validate_literal_stream, sidecar-cached): the byte↔element map is
+  affine, so row-range partitions decode independently — zsav tasks
+  inflate only their own zlib blocks;
+- any other bytecode stream (bias/mixed commands — what SPSS itself
+  writes for integer-heavy data): a plan-time checkpoint index
+  (build_checkpoint_index, sidecar-cached) records command-group
+  boundaries; row-range tasks restart the decoder at the nearest
+  checkpoint. Small streams stay serial with memory bounded by one
+  chunk (iter_compressed_rows) — a 50 GB decompressed zsav reads in
+  constant executor memory either way.
 """
 
 from __future__ import annotations
