@@ -58,6 +58,7 @@ _PRIORITY: tuple[str, ...] = (
     "sas_csv_script_pins",
     "stream_ingest_agg",
     "profile_read_surface",
+    "scan_union_by_name",
     "scan_dta_roundtrip",
     "scan_sas7bdat_roundtrip",
     "scan_sas7bdat_rle_roundtrip",
@@ -69,7 +70,6 @@ _PRIORITY: tuple[str, ...] = (
     "scan_por_roundtrip",
     "scan_sink_dir_roundtrip",
     "scan_dta_multifile",
-    "multimodal_decode_embed",
     "dedup_incremental_vs_index",
     "dedup_keep_best_quality",
     "dedup_keep_first_records",

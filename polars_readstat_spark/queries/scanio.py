@@ -901,3 +901,78 @@ def profile_read_surface(spark, sf_dir):
         [(int(r["n_rows"]), len(r["columns"]), bool(ok))],
         "n_rows bigint, n_columns int, phases_positive boolean",
     )
+
+
+# ── multi-file schema drift: union_by_name ───────────────────────────
+
+
+def ensure_drift_dir(spark, sf_dir: str) -> str:
+    """Two lineitem waves with drifted schemas: wave1 (even orderkeys)
+    stores l_quantity as smallint and carries l_returnflag; wave2 (odd)
+    stores l_quantity as double and carries l_extendedprice."""
+    import polars_readstat_spark as prs
+
+    d = os.path.join(_cache_dir(sf_dir), "drift_dta")
+    done = os.path.join(d, ".done")
+    if os.path.exists(done):
+        return d
+    os.makedirs(d, exist_ok=True)
+    src = _source_frame(spark, sf_dir)
+    w1 = src.filter(F.col("l_orderkey") % 2 == 0).select(
+        F.col("l_orderkey").cast("int").alias("l_orderkey"),
+        F.col("l_quantity").cast("smallint").alias("l_quantity"),
+        "l_returnflag",
+    )
+    w2 = src.filter(F.col("l_orderkey") % 2 == 1).select(
+        F.col("l_orderkey").cast("int").alias("l_orderkey"),
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        "l_extendedprice",
+    )
+    for name, part in (("wave1", w1), ("wave2", w2)):
+        tmp = os.path.join(d, f".tmp{os.getpid()}.{name}.dta")
+        prs.write_readstat(part, tmp)
+        os.replace(tmp, os.path.join(d, f"{name}.dta"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return d
+
+
+@query(
+    "scan_union_by_name",
+    oracle="""
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_quantity AS DOUBLE) AS l_quantity,
+           l_returnflag,
+           CAST(NULL AS DOUBLE) AS l_extendedprice
+    FROM lineitem WHERE l_orderkey % 2 = 0
+    UNION ALL
+    SELECT CAST(l_orderkey AS BIGINT),
+           CAST(l_quantity AS DOUBLE),
+           NULL,
+           l_extendedprice
+    FROM lineitem WHERE l_orderkey % 2 = 1
+    """,
+)
+def scan_union_by_name(spark, sf_dir):
+    """Multi-file schema-drift scan (union_by_name): columns union by
+    name across drifted waves, smallint+double l_quantity widens to
+    double, and each wave's absent column reads as null — checked
+    value-for-value against the equivalent UNION ALL in DuckDB.
+    The per-batch alignment is executor-side Arrow
+    (SchemaAlignReader, sources/datasource.py); the 100 TB shape is
+    unchanged (per-file row-range partitions, no shuffle)."""
+    d = ensure_drift_dir(spark, sf_dir)
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    df = (
+        spark.read.format("readstat")
+        .option("union_by_name", "true")
+        .load(d)
+    )
+    return df.select(
+        F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        "l_returnflag",
+        "l_extendedprice",
+    )

@@ -63,6 +63,9 @@ class ReadstatDataSource(DataSource):
       row_index_offset         starting value for the row index
       batch_size               rows per Arrow batch
       rows_per_partition       partition granularity override
+      union_by_name            multi-file: tolerate schema drift —
+                               union columns by name across files,
+                               widen numeric types, null-fill gaps
     """
 
     # Cluster parallelism baked in by ``register(spark)``: it builds a
@@ -195,6 +198,9 @@ class ReadstatDataSource(DataSource):
         return s
 
     def _schema_uncompressed(self) -> StructType:
+        paths = self._paths()
+        if len(paths) > 1 and _opt_bool(self.options, "union_by_name"):
+            return self._union_schema(paths)[0]
         fmt = self._format()
         if fmt == "dta":
             from polars_readstat_spark.sources.dta.meta import parse_dta_meta
@@ -215,6 +221,59 @@ class ReadstatDataSource(DataSource):
         from polars_readstat_spark.sources.xpt.meta import parse_xpt_meta
 
         return xpt_spark_schema(parse_xpt_meta(self._path()), self.options)
+
+    def _union_schema(self, paths):
+        """Schema-drift tolerance for multi-file scans (100 TB lakes
+        accumulate drift: survey waves add variables, storage types
+        narrow per-extract). Columns union BY NAME in first-seen
+        order; a column absent from a file reads as null there;
+        numeric types widen (integral→larger integral, any float mix
+        → double — int64+float widens to double, the conventional
+        lossy-at-2^53 trade); any other type conflict is an error.
+        Returns (union StructType, {path: [native col names]})."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def schema_for(p):
+            opts = dict(self.options)
+            opts["path"] = p
+            opts.pop("columns", None)  # project at the union level
+            opts["union_by_name"] = "false"
+            return ReadstatDataSource(opts)._schema_uncompressed()
+
+        with ThreadPoolExecutor(min(16, max(2, len(paths)))) as ex:
+            schemas = list(ex.map(schema_for, paths))
+        order: list[str] = []
+        by_name: dict[str, StructField] = {}
+        for sch in schemas:
+            for f in sch.fields:
+                cur = by_name.get(f.name)
+                if cur is None:
+                    order.append(f.name)
+                    by_name[f.name] = StructField(
+                        f.name, f.dataType, True, f.metadata
+                    )
+                else:
+                    by_name[f.name] = StructField(
+                        f.name,
+                        _widen_types(cur.dataType, f.dataType, f.name),
+                        True,
+                        cur.metadata,
+                    )
+        cols = self.options.get("columns")
+        if cols:
+            wanted = [c.strip() for c in str(cols).split(",") if c.strip()]
+            missing = [c for c in wanted if c not in by_name]
+            if missing:
+                raise ValueError(
+                    f"readstat: unknown columns {missing} "
+                    "(not present in any file)"
+                )
+            order = wanted
+        per_file = {
+            p: [f.name for f in sch.fields]
+            for p, sch in zip(paths, schemas)
+        }
+        return StructType([by_name[n] for n in order]), per_file
 
     def streamReader(self, schema: StructType):
         """spark.readStream.format("readstat").load(dir_or_glob) —
@@ -295,11 +354,32 @@ class ReadstatDataSource(DataSource):
                 cores = partplan._active_cores()
             per_file = max(1, -(-int(cores or 0) // len(paths)))
 
+            union = _opt_bool(self.options, "union_by_name")
+            align_fields = None
+            file_cols: dict = {}
+            if union:
+                align_schema, file_cols = self._union_schema(paths)
+                align_fields = align_schema.fields
+
             def _mk(p):
                 opts = dict(self.options)
                 opts["path"] = p
                 opts["target_parallelism"] = str(per_file)
-                return ReadstatDataSource(opts)._reader_uncompressed(schema)
+                if union:
+                    avail = set(file_cols[p])
+                    mine = [
+                        f.name for f in align_fields if f.name in avail
+                    ]
+                    # a file with NONE of the projected columns still
+                    # contributes its row count (all-null rows): scan
+                    # its cheapest native column, the aligner drops it
+                    opts["columns"] = ",".join(mine or file_cols[p][:1])
+                inner = ReadstatDataSource(opts)._reader_uncompressed(
+                    schema
+                )
+                if union:
+                    return SchemaAlignReader(inner, align_fields)
+                return inner
 
             with ThreadPoolExecutor(min(16, max(2, len(paths)))) as ex:
                 readers = list(ex.map(_mk, paths))
@@ -624,6 +704,78 @@ class MultiPart(InputPartition):
     def __init__(self, file_idx: int, inner):
         self.file_idx = file_idx
         self.inner = inner
+
+
+_NUM_RANK = {
+    ByteType: 0,
+    ShortType: 1,
+    IntegerType: 2,
+    LongType: 3,
+    FloatType: 4,
+    DoubleType: 5,
+}
+
+
+def _widen_types(a, b, name: str):
+    """Union-by-name type reconciliation: numeric types widen, any
+    integral/float mix goes to double; everything else must match."""
+    if a == b:
+        return a
+    ta, tb = type(a), type(b)
+    if ta in _NUM_RANK and tb in _NUM_RANK:
+        if FloatType in (ta, tb) or DoubleType in (ta, tb):
+            return DoubleType()
+        return a if _NUM_RANK[ta] >= _NUM_RANK[tb] else b
+    raise ValueError(
+        f"readstat: union_by_name cannot reconcile column '{name}': "
+        f"{a.simpleString()} vs {b.simpleString()}"
+    )
+
+
+class SchemaAlignReader(DataSourceReader):
+    """Adapts one file's batches to the multi-file union schema:
+    reorders columns by name, null-fills columns the file lacks, and
+    casts numerics the union widened. Runs executor-side per batch —
+    pure Arrow, no Python per row."""
+
+    def __init__(self, inner: DataSourceReader, fields):
+        self.inner = inner
+        self.fields = list(fields)
+
+    def partitions(self):
+        return self.inner.partitions()
+
+    def read(self, partition):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        targets = [
+            (f.name, to_arrow_type(f.dataType)) for f in self.fields
+        ]
+        for b in self.inner.read(partition):
+            byname = {
+                n: b.column(i) for i, n in enumerate(b.schema.names)
+            }
+            arrays = []
+            for name, typ in targets:
+                col = byname.get(name)
+                if col is None:
+                    arrays.append(pa.nulls(b.num_rows, type=typ))
+                elif col.type == typ or (
+                    pa.types.is_string(typ)
+                    and (
+                        pa.types.is_string(col.type)
+                        or pa.types.is_large_string(col.type)
+                    )
+                ):
+                    arrays.append(col)
+                else:
+                    arrays.append(pc.cast(col, typ))
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[n for n, _ in targets]
+            )
 
 
 class MultiFileReader(DataSourceReader):
