@@ -77,10 +77,36 @@ class ReadstatStreamReader(DataSourceStreamReader):
     def read(self, partition: FilePartition):
         from polars_readstat_spark.sources.datasource import (
             ReadstatDataSource,
+            SchemaAlignReader,
         )
 
         opts = dict(self.options)
         opts["path"] = partition.path
-        reader = ReadstatDataSource(opts)._reader_uncompressed(self._schema)
+        if str(opts.get("union_by_name", "")).lower() in {"1", "true", "yes"}:
+            # drift-tolerant landing zone: the stream's schema is
+            # fixed at start (first file / initial union); later
+            # files align per batch — absent columns read as null,
+            # widened numerics cast, unknown columns are projected
+            # away (a stream cannot widen its schema mid-flight)
+            fields = [f for f in self._schema.fields]
+            probe = dict(opts)
+            probe.pop("columns", None)
+            avail = set(
+                ReadstatDataSource(probe)
+                ._schema_uncompressed()
+                .fieldNames()
+            )
+            mine = [f.name for f in fields if f.name in avail]
+            opts["columns"] = ",".join(
+                mine or list(avail)[:1]
+            )
+            inner = ReadstatDataSource(opts)._reader_uncompressed(
+                self._schema
+            )
+            reader = SchemaAlignReader(inner, fields)
+        else:
+            reader = ReadstatDataSource(opts)._reader_uncompressed(
+                self._schema
+            )
         for part in reader.partitions():
             yield from reader.read(part)

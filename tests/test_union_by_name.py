@@ -100,3 +100,54 @@ def test_multifile_without_option_unchanged(spark, drift_dir):
             .load(drift_dir)
             .collect()
         )
+
+
+def test_stream_ingest_aligns_drifted_files(spark, tmp_path):
+    """Streaming landing zone with union_by_name: a later file with a
+    drifted schema (missing column, widened type source) aligns to
+    the stream's fixed schema instead of failing the microbatch."""
+    import polars_readstat_spark as prs
+
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    a = spark.range(0, 40).select(
+        F.col("id").cast("int").alias("pid"),
+        (F.col("id") * 2).cast("double").alias("v"),
+        F.concat(F.lit("n"), F.col("id").cast("string")).alias("note"),
+    )
+    prs.write_readstat(a, src + "/.tmp.a.dta")
+    os.replace(src + "/.tmp.a.dta", src + "/a.dta")
+    prs.register(spark)
+
+    def drain():
+        q = (
+            spark.readStream.format("readstat")
+            .option("union_by_name", "true")
+            .load(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return spark.read.parquet(out).collect()
+
+    first = drain()
+    assert len(first) == 40
+
+    # drifted wave: no `note`, v stored narrower
+    b = spark.range(100, 130).select(
+        F.col("id").cast("int").alias("pid"),
+        (F.col("id") % 50).cast("smallint").alias("v"),
+    )
+    prs.write_readstat(b, src + "/.tmp.b.dta")
+    os.replace(src + "/.tmp.b.dta", src + "/b.dta")
+    rows = {r["pid"]: r for r in drain()}
+    assert len(rows) == 70
+    assert rows[105]["v"] == 5.0 and rows[105]["note"] is None
+    assert rows[7]["note"] == "n7"
