@@ -151,3 +151,33 @@ def test_stream_ingest_aligns_drifted_files(spark, tmp_path):
     assert len(rows) == 70
     assert rows[105]["v"] == 5.0 and rows[105]["note"] is None
     assert rows[7]["note"] == "n7"
+
+
+def test_union_by_name_sav(spark, tmp_path):
+    """The union machinery is format-generic: same drift scan over
+    SPSS .sav files."""
+    import polars_readstat_spark as prs
+
+    d = str(tmp_path / "savdrift")
+    os.makedirs(d)
+    a = spark.range(0, 30).select(
+        F.col("id").cast("double").alias("pid"),
+        (F.col("id") % 5).cast("double").alias("grp"),
+    )
+    b = spark.range(30, 50).select(
+        F.col("id").cast("double").alias("pid"),
+        F.lit(1.5).alias("w"),
+    )
+    prs.write_readstat(a, os.path.join(d, "a.sav"))
+    prs.write_readstat(b, os.path.join(d, "b.sav"))
+    prs.register(spark)
+    df = (
+        spark.read.format("readstat")
+        .option("union_by_name", "true")
+        .load(d)
+    )
+    assert df.columns == ["pid", "grp", "w"]
+    assert df.count() == 50
+    rows = {r["pid"]: r for r in df.collect()}
+    assert rows[3.0]["grp"] == 3.0 and rows[3.0]["w"] is None
+    assert rows[40.0]["grp"] is None and rows[40.0]["w"] == 1.5
