@@ -156,6 +156,10 @@ def _bench_wide(spark, timings: dict) -> None:
         ("read_sav_wide_full", rd()),
         ("read_sav_wide_subset", rd(columns="v0,v100,s3")),
         ("read_sav_wide_filter", rd().filter(F.col("v0") >= 1)),
+        (
+            "read_sav_wide_subset_filter",
+            rd(columns="v0,v100,s3").filter(F.col("v0") >= 1),
+        ),
     ]:
         best = None
         for _ in range(2):
@@ -293,11 +297,36 @@ def _bench_scale(spark, timings: dict) -> None:
     # pre-build the DataFrames like _bench_readstat does: the entries
     # measure scan execution; the per-read Python-DS plan/schema
     # round-trip (~0.3 s) is measured separately by the floor_* probes
+    rdo = lambda p, **o: (  # noqa: E731
+        spark.read.format("readstat")
+        .options(**{k: str(v) for k, v in o.items()})
+        .load(p)
+    )
     for name, df in [
         ("read_dta_10m_full", rd(dta10)),
         ("read_dta_100m_10files", rd(dir100)),
         ("read_sas7bdat_acs_full", rd(acs_sas)),
+        # BASELINE.md's remaining ACS/zsav quartet rows (subset 0.07 s,
+        # filter 1.46 s for SAS; 1.04/4.77 s for zsav on the reference)
+        ("read_sas7bdat_acs_subset", rdo(acs_sas, columns="v0,v170,s3")),
+        (
+            "read_sas7bdat_acs_filter",
+            rd(acs_sas).filter(F.col("v1") >= 3),
+        ),
+        (
+            "read_sas7bdat_acs_subset_filter",
+            rdo(acs_sas, columns="v0,v1,s3").filter(F.col("v1") >= 3),
+        ),
         ("read_zsav_acs_full", rd(acs_zsav)),
+        ("read_zsav_acs_subset", rdo(acs_zsav, columns="v0,v170,s3")),
+        (
+            "read_zsav_acs_filter",
+            rd(acs_zsav).filter(F.col("v1") >= 3),
+        ),
+        (
+            "read_zsav_acs_subset_filter",
+            rdo(acs_zsav, columns="v0,v1,s3").filter(F.col("v1") >= 3),
+        ),
         ("read_sav_acs_bytecode_full", rd(acs_bsav)),
         ("read_por_8files", rd(por_dir)),
     ]:
