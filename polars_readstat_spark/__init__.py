@@ -133,6 +133,7 @@ def scan_readstat(
     use_value_labels=None,
     preserve_order=None,
     compress=False,
+    union_by_name=False,
 ):
     """Lazy scan of a statistical file → Spark DataFrame.
 
@@ -173,6 +174,10 @@ def scan_readstat(
         r = r.option("missing_string_as_null", "true")
     if compress:
         r = r.option("compress", "true")
+    if union_by_name:
+        # multi-file schema-drift tolerance: union columns by name,
+        # widen numerics, null-fill per file (SchemaAlignReader)
+        r = r.option("union_by_name", "true")
     # preserve_order (reference O1-O3, src/sas/polars_output.rs:655):
     # Spark reads partitions in index order, so "buffered" is the
     # default behavior; "row_index" adds the exact file-order index
