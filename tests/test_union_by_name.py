@@ -181,3 +181,18 @@ def test_union_by_name_sav(spark, tmp_path):
     rows = {r["pid"]: r for r in df.collect()}
     assert rows[3.0]["grp"] == 3.0 and rows[3.0]["w"] is None
     assert rows[40.0]["grp"] is None and rows[40.0]["w"] == 1.5
+
+
+def test_filter_pushdown_over_union(spark, drift_dir):
+    """Pushed filters evaluate on ALIGNED batches: predicates on a
+    column one file lacks see the null fill, with SQL semantics."""
+    prs.register(spark)
+    df = (
+        spark.read.format("readstat")
+        .option("union_by_name", "true")
+        .load(drift_dir)
+    )
+    assert df.filter(F.col("extra").isNull()).count() == 100  # wave1
+    # wave2 code = id*0.5 over [100,160): > 60 keeps ids 121..159
+    assert df.filter(F.col("code") > 60.0).count() == 39
+    assert df.filter(F.col("note").isNotNull()).count() == 100
