@@ -373,21 +373,27 @@ def boilerplate_ngram_filter(spark, sf_dir):
 
     Plan shape: one explode + two shuffles — the gram
     document-frequency aggregation (map-side combinable: one row per
-    distinct gram per partition) and the per-doc rollup. The
-    gram↔boilerplate join is an equi-join on the gram key. At 100 TB:
-    hash grams to 64-bit (xxhash64) before the shuffle so the
-    exchange carries 8-byte keys instead of strings, and publish `bp`
-    as a broadcast-able side table when the boilerplate set is small
-    (it usually is — boilerplate is by definition heavy-tailed). The
-    keep flag is computed as an exact integer comparison (n_bp*2 <
-    n_grams) so both engines agree without float thresholds."""
+    distinct gram per partition) and the per-doc rollup. Grams hash
+    to 64-bit (xxhash64) BEFORE the first exchange, so both shuffles
+    and the boilerplate equi-join carry 8-byte keys instead of
+    ~40-byte strings — the r6 docstring's 100 TB plan, now the
+    implemented plan. A 64-bit collision would merge two grams'
+    document frequencies (p ≈ n²/2⁶⁵; ~10⁻⁹ at 10⁹ distinct grams),
+    an accepted trade at corpus scale — and deterministic, so the
+    DuckDB oracle still matches value-for-value. At 100 TB also
+    publish `bp` as a broadcast side table when the boilerplate set
+    is small (it usually is — boilerplate is heavy-tailed). The keep
+    flag is an exact integer comparison (n_bp*2 < n_grams) so both
+    engines agree without float thresholds."""
     d = load_table(spark, sf_dir, "documents")
     grams = F.expr(
         "CASE WHEN size(split(text, ' ')) < 5 THEN array() "
         "ELSE transform(sequence(1, size(split(text, ' ')) - 4), "
         "i -> concat_ws(' ', slice(split(text, ' '), i, 5))) END"
     )
-    g = d.select("doc_id", F.explode(grams).alias("gram"))
+    g = d.select("doc_id", F.explode(grams).alias("gram_s")).select(
+        "doc_id", F.xxhash64("gram_s").alias("gram")
+    )
     bp = (
         g.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("df"))
