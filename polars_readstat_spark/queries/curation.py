@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from polars_readstat_spark.queries.registry import query
-from polars_readstat_spark.tables import load_table
+from polars_readstat_spark.tables import load_table, spread
 
 #: n-gram width for decontamination. Real pipelines use 8–13 tokens
 #: (e.g. GPT-3's 13-gram eval scrub); the synthetic word-salad corpus
@@ -71,7 +71,7 @@ def decontaminate_ngram_overlap(spark, sf_dir):
     """
     from polars_readstat_spark.functions.curation import ngram_overlap
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return ngram_overlap(
         docs.filter(F.col("doc_id") % 97 != 0),
         docs.filter(F.col("doc_id") % 97 == 0),
@@ -119,7 +119,7 @@ def sequence_packing_bins(spark, sf_dir):
     """
     from polars_readstat_spark.functions.curation import pack_sequences
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         "source",
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
@@ -171,7 +171,7 @@ def pii_pattern_counts(spark, sf_dir):
     codegen (JVM regex); both engines use RE2-class syntax on these
     patterns, so hit counts match exactly.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     from polars_readstat_spark.functions.curation import pattern_scan
 
     return pattern_scan(docs, PII_PATTERNS)
@@ -206,7 +206,7 @@ def source_mixing_weights(spark, sf_dir):
     """
     from polars_readstat_spark.functions.curation import mixture_weights
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     chars = docs.groupBy("source").agg(
         F.sum("n_chars").cast("bigint").alias("n_chars")
     )
@@ -263,7 +263,7 @@ def curation_funnel_stage_counts(spark, sf_dir):
     both engines agree exactly."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     s1 = F.col("lang") == "en"
     s2 = s1 & F.col("n_chars").between(64, 100000) & F.concat(
         F.lit(" "), F.col("text"), F.lit(" ")
@@ -324,7 +324,7 @@ def sequence_length_histogram(spark, sf_dir):
     Whitespace token counts keep the oracle engine-portable; the
     log2 bucket is exact integer-valued for the bucket boundaries in
     play. One scan, partial-aggregated on ≤40 bucket keys."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     ntok = F.size(F.split("text", " ")).cast("bigint")
     bucket = F.floor(F.log2(F.greatest(ntok, F.lit(1)))).cast("bigint")
     return (
@@ -365,7 +365,7 @@ def source_cap_topk(spark, sf_dir):
     top K."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     w = Window.partitionBy("source").orderBy(
         F.col("n_chars").desc(), F.col("doc_id")
     )
@@ -423,7 +423,7 @@ def mixture_budget_fill(spark, sf_dir):
     doc."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     quota = d.agg(
         (
             F.lit(float(MIX_BUDGET_CHARS))

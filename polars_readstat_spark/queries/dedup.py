@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from polars_readstat_spark.queries._cache import scoped_persist
 from polars_readstat_spark.queries.registry import query
-from polars_readstat_spark.tables import load_table
+from polars_readstat_spark.tables import load_table, spread
 
 # 3-token shingles, k=8 minhash permutations, 4 bands × 2 rows — the
 # Spark side delegates to functions/dedup.py with these as parameters
@@ -50,7 +50,7 @@ def _signatures(spark, sf_dir):
     # shingles), which the DuckDB oracle SQL above replays
     from polars_readstat_spark.functions.dedup import shingle_minhash
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return shingle_minhash(d, "doc_id", "text", k=_K, shingle_len=3)
 
 
@@ -66,7 +66,7 @@ def dedup_exact_hash(spark, sf_dir):
     """Exact dedup: hash-groupBy with a deterministic keeper per
     group. At scale this is one shuffle on a 128-bit key — the keys
     are uniform so no skew handling is needed."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return d.groupBy(F.md5("text").alias("text_hash")).agg(
         F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_doc_id")
     )
@@ -94,7 +94,7 @@ def dedup_keep_first_records(spark, sf_dir):
     """
     from pyspark.sql import Window as W
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     w = W.partitionBy(F.md5("text")).orderBy("doc_id")
     return (
         d.withColumn("rk", F.row_number().over(w))
@@ -179,7 +179,7 @@ def ngram_jaccard_sampled(spark, sf_dir):
     against the corpus, via an explode + equi-join on token — the
     verify stage that runs on LSH candidates at scale (sampled here so
     the declared query is budget-bounded)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
     )
@@ -232,7 +232,7 @@ def simhash_fingerprint(spark, sf_dir):
     (delegates to functions/dedup.py simhash_bits)."""
     from polars_readstat_spark.functions.dedup import simhash_bits
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return simhash_bits(d, "doc_id", "text", bits=16)
 
 
@@ -294,7 +294,7 @@ def simhash_band_pairs(spark, sf_dir):
         simhash_candidate_pairs,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     # persist: the band self-join would otherwise run the whole
     # token→hash→32-bit-tally pipeline once per side (same shape as
     # the minhash persist above); the fingerprint table is one short
@@ -376,7 +376,7 @@ def _cc_labels(spark, sf_dir):
     cached = _CC_LABELS.get(key)
     if cached is not None:
         return cached
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     comp = connected_components(
         pairs,
@@ -437,7 +437,7 @@ def corpus_clean_pipeline(spark, sf_dir):
     back to the filtered corpus."""
     comp = dedup_connected_components(spark, sf_dir)
     keepers = comp.filter(F.col("is_keeper")).select("doc_id")
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     n_tok = F.size(toks)
     distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
@@ -476,7 +476,7 @@ def dedup_edit_distance_verify(spark, sf_dir):
     shuffle on doc_id, and at 100 TB the pair list is the small side —
     broadcast when it fits, shuffle-join when it doesn't (AQE picks)."""
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     da = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     db = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
     dist = F.levenshtein("text_a", "text_b")
@@ -524,7 +524,7 @@ def ngram_containment_sampled(spark, sf_dir):
     union is dominated by the host document. Same scale shape as the
     Jaccard verify: explode + token equi-join on candidates/probes
     only, one combinable count per pair, then a probe-size join."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
     )
@@ -593,7 +593,7 @@ def dedup_keep_best_quality(spark, sf_dir):
     comp = _cc_labels(spark, sf_dir).select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )
-    d = load_table(spark, sf_dir, "documents").select(
+    d = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
     )
     from pyspark.sql import Window

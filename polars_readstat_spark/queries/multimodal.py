@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from polars_readstat_spark.queries.registry import query
-from polars_readstat_spark.tables import load_table
+from polars_readstat_spark.tables import load_table, spread
 
 # magic prefixes, cycled by doc_id % 4: PNG, JPEG, RIFF/WAV, MP4 ftyp
 _MAGICS = (
@@ -81,7 +81,7 @@ def multimodal_media_meta(spark, sf_dir):
         attach_media_metadata,
     )
 
-    d = _with_media(load_table(spark, sf_dir, "documents"))
+    d = _with_media(spread(load_table(spark, sf_dir, "documents")))
     out = attach_media_metadata(d, "media")
     return out.select(
         "doc_id",
@@ -107,7 +107,7 @@ def multimodal_decode_embed(spark, sf_dir):
         deterministic_fake_decoder,
     )
 
-    d = _with_media(load_table(spark, sf_dir, "documents"))
+    d = _with_media(spread(load_table(spark, sf_dir, "documents")))
     dec = decode_images(d, "media", key_cols=("doc_id",), out_w=32, out_h=32)
     out = dec.select(
         "doc_id", "width", "height", "mean_luma",

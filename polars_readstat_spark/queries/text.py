@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from polars_readstat_spark.queries.registry import query
-from polars_readstat_spark.tables import load_table
+from polars_readstat_spark.tables import load_table, spread
 
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 _SW_SQL = "('" + "','".join(_STOPWORDS) + "')"
@@ -29,7 +29,7 @@ _SW_SQL = "('" + "','".join(_STOPWORDS) + "')"
 )
 def text_token_count(spark, sf_dir):
     """Whitespace tokenization + counts (pipeline token-count op)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.length("text").alias("n_chars_calc"),
@@ -60,7 +60,7 @@ def text_bpe_token_count(spark, sf_dir):
     Pure regexp codegen, no UDF; distinct-token count doubles as a
     cheap vocabulary-size proxy.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
     return d.select(
         "doc_id",
@@ -89,7 +89,7 @@ def text_bpe_token_count(spark, sf_dir):
 def text_quality_score(spark, sf_dir):
     """Quality scoring: stopword ratio, vocabulary diversity, average
     token length — the usual pre-training corpus filters."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     n_tok = F.size(toks)
     sw = F.array([F.lit(s) for s in _STOPWORDS])
@@ -128,7 +128,7 @@ def text_lang_id_score(spark, sf_dir):
     deterministic scoring pipeline is what's under test — swap the
     stopword array for per-language function-word or n-gram profiles
     to extend it to more languages.)"""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     sw = F.array([F.lit(s) for s in _STOPWORDS])
     score = F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast(
@@ -155,7 +155,7 @@ def text_lang_id_score(spark, sf_dir):
 def doc_fingerprint(spark, sf_dir):
     """Document fingerprint: hash of the leading-token prefix plus a
     length bucket (cheap near-dup prefilter)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     prefix = F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
     bucket = F.floor(F.length("text") / F.lit(100.0)).cast("bigint").cast("string")
     return d.select(
@@ -187,7 +187,7 @@ def text_ngram_topk(spark, sf_dir):
     so the plan survives any corpus size. Ties break on the bigram
     string for engine-exact ordering.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     bigrams = F.expr(
         "CASE WHEN size(split(text, ' ')) < 2 THEN array() "
         "ELSE transform(sequence(1, size(split(text, ' ')) - 1), "
@@ -228,7 +228,7 @@ def text_rare_token_ratio(spark, sf_dir):
     the only shuffle that grows with corpus size, and the final ratio
     is a double division of exact integer counts so both engines agree
     bit-for-bit (no transcendental log-prob in the compare surface)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("t")
     )
@@ -293,7 +293,7 @@ def text_gopher_quality_rules(spark, sf_dir):
     integer arithmetic, so both engines agree bit-for-bit. Shapes:
     one explode + two partial aggregations per doc, no joins beyond
     the per-doc stats merge — linear at any corpus size."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     stats = d.select(
         "doc_id",
@@ -385,7 +385,7 @@ def boilerplate_ngram_filter(spark, sf_dir):
     is small (it usually is — boilerplate is heavy-tailed). The keep
     flag is an exact integer comparison (n_bp*2 < n_grams) so both
     engines agree without float thresholds."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     grams = F.expr(
         "CASE WHEN size(split(text, ' ')) < 5 THEN array() "
         "ELSE transform(sequence(1, size(split(text, ' ')) - 4), "
@@ -448,7 +448,7 @@ def bpe_merge_candidates(spark, sf_dir):
     pair merged into the symbol stream; each round is this exact
     job over the rewritten symbols.) Ties break on the pair string
     for engine-exact ordering."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     pairs = F.expr(
         "CASE WHEN length(word) < 2 THEN array() "
         "ELSE transform(sequence(1, length(word) - 1), "
