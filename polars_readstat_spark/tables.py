@@ -72,7 +72,13 @@ def spread(df: DataFrame) -> DataFrame:
     measured 3.5 → 1.2 s on the boilerplate gram pipeline at sf0.1
     (594 KB input, single row-group). When the scan already covers
     ≥ half the cores (the 100 TB many-files shape) this is a no-op
-    decision: a corpus-wide reshuffle is never paid at scale."""
+    decision: a corpus-wide reshuffle is never paid at scale.
+
+    Apply ONLY ahead of per-row-heavy stages. For join/agg-shaped
+    pipelines (the embeddings ANN suite) the first exchange already
+    fans the work out and the extra repartition is a measured
+    regression (ann_lsh_recall 2.4 → 3.3 s, r7) — those loads stay
+    plain."""
     sess = df.sparkSession
     try:
         cores = int(sess.sparkContext.defaultParallelism)
