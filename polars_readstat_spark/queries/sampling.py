@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from polars_readstat_spark.queries.registry import query
-from polars_readstat_spark.tables import load_table, spread
+from polars_readstat_spark.tables import load_table
 
 
 @query(
@@ -45,7 +45,7 @@ def sample_hash_stratified(spark, sf_dir):
     aggregation here exists for the oracle comparison; the production
     form is the bare filter.
     """
-    d = spread(load_table(spark, sf_dir, "documents"))
+    d = load_table(spark, sf_dir, "documents")
     threshold = F.when(F.col("lang") == "en", "2").otherwise("8")
     return (
         d.filter(F.md5("text") < threshold)
