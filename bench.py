@@ -21,6 +21,51 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# stdout-line entry priority (highest first): the driver records only a
+# ~2000-char tail of stdout, so the printed JSON line carries as many
+# entries as fit, taken in this order. Group 0 is the BASELINE.md
+# comparison surface (format reads + exports + harness floors), group 1
+# the TPC-H suite, group 2 the flagship LLM-pipeline operators; the
+# remaining registry entries fill whatever budget is left. Full
+# timings always land in BENCH.json on disk.
+_HEADLINE_BUDGET = 1900  # chars; < driver tail (2000) with margin
+
+
+def _headline_priority(name: str) -> tuple[int, str]:
+    if name.startswith(("read_", "export_", "floor_")):
+        if name.endswith("_nparts"):
+            return (3, name)
+        return (0, name)
+    if name.startswith(
+        ("boilerplate", "minhash", "ann_", "dedup_", "simhash", "kmeans")
+    ):
+        return (1, name)
+    if name.startswith("q") and "_" in name and name[1].isdigit():
+        return (2, name)
+    return (4, name)
+
+
+def _headline_line(payload: dict) -> str:
+    """Largest prioritized prefix of `queries` whose compact JSON line
+    fits `_HEADLINE_BUDGET`; everything else stays in BENCH.json."""
+    base = dict(payload)
+    full = payload["queries"]
+    order = sorted(full, key=_headline_priority)
+    kept = {}
+    for n in order:
+        kept[n] = full[n]
+        base["queries"] = kept
+        base["n_timed"] = len(full)
+        base["bench_full"] = "BENCH.json"
+        if len(json.dumps(base, separators=(",", ":"))) > _HEADLINE_BUDGET:
+            del kept[n]
+            break
+    base["queries"] = kept
+    line = json.dumps(base, separators=(",", ":"))
+    assert len(line) <= _HEADLINE_BUDGET + 100, len(line)
+    return line
+
+
 def _readstat_files(spark, sf_dir: str, sf: str) -> dict[str, str]:
     """Generate statistical-format files from the sf lineitem table
     (once per sf, cached in /tmp) for format-read benchmarks — the
@@ -637,14 +682,16 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    # compact separators + a durable on-disk copy: the driver captures a
-    # bounded tail of stdout, and round-2's ~2.5 KB pretty line was
-    # truncated mid-JSON (BENCH_r02.json parsed=null). The file is the
-    # canonical artifact; the stdout line is the driver's fast path.
-    line = json.dumps(payload, separators=(",", ":"))
+    # Durable full record on disk; a SIZE-BOUNDED headline line on
+    # stdout. The driver keeps only the last ~2000 chars of stdout —
+    # every round since r02 recorded parsed=null because the full
+    # 189-entry line (~5.7 KB) was truncated mid-JSON. The stdout line
+    # therefore carries a prioritized subset of entries (BASELINE.md
+    # comparison surface first) and is asserted under the tail window;
+    # BENCH.json on disk keeps every timing.
     with open(os.path.join(REPO, "BENCH.json"), "w") as f:
-        f.write(line + "\n")
-    print(line, flush=True)
+        f.write(json.dumps(payload, separators=(",", ":")) + "\n")
+    print(_headline_line(payload), flush=True)
     spark.stop()
 
 
