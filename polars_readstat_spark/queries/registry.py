@@ -54,6 +54,11 @@ _PRIORITY: tuple[str, ...] = (
     # multimodal self-differential), then the 34 queries whose
     # newest green is r04 — after this window no green predates r05.
     "boilerplate_ngram_filter",
+    # round-7 additions (retrieval family) — new, never checked
+    "inverted_index_postings",
+    "tfidf_topk_terms",
+    "bm25_topk_docs",
+    "repetition_chunk_dedup",
     "sas_csv_import_roundtrip",
     "sas_csv_script_pins",
     "stream_ingest_agg",
@@ -137,6 +142,7 @@ def _ensure_loaded() -> None:
         multimodal,
         nulls,
         relational,
+        retrieval,
         rowindex,
         sampling,
         sas7bdat_scan,

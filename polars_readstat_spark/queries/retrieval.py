@@ -1,0 +1,366 @@
+"""Retrieval-infrastructure queries over the `documents` table.
+
+The index-building half of a training-data pipeline (the analysis half
+lives in queries/text.py): inverted-index postings, TF-IDF term
+ranking, BM25-style retrieval, and intra-document repetition removal.
+Everything is built-in-expression Spark (WholeStageCodegen end to end,
+no UDFs); scores avoid transcendental functions (log) on purpose so
+Spark and DuckDB agree bit-for-bit — IEEE +,-,*,/ are correctly
+rounded in both engines, libm log is not guaranteed to be.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from polars_readstat_spark.queries.registry import query
+from polars_readstat_spark.tables import load_table, spread
+
+
+def _tokens(d):
+    return d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+
+
+@query(
+    "inverted_index_postings",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+      FROM documents
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    agg AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+             ARRAY_TO_STRING(
+               (LIST(CAST(doc_id AS VARCHAR) ORDER BY doc_id))[1:50], ','
+             ) AS postings
+      FROM tok GROUP BY term
+    )
+    SELECT term, df, postings FROM agg CROSS JOIN n
+    WHERE df >= 3 AND df * 20 <= n.n
+    """,
+)
+def inverted_index_postings(spark, sf_dir):
+    """Inverted-index build for rare terms (df ≤ 5% of corpus): each
+    term's document-frequency plus its postings list, materialized as
+    the first 50 doc_ids in ascending order.
+
+    Scale shape: the distinct(doc,term) pass and the per-term rollup
+    are both map-side combinable; the df cap is RELATIVE (df*20 <= N)
+    so the selectivity survives any corpus size, and postings are
+    sliced to a fixed prefix so no single hot term can materialize an
+    unbounded string — at 100 TB the full postings for a stop-word
+    would be the entire corpus. Real index shards would range-bucket
+    postings instead of truncating; the cap is the analytics-query
+    stand-in for that.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    n = d.agg(F.count("*").alias("n"))
+    tok = _tokens(d).distinct()
+    agg = tok.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.concat_ws(
+            ",",
+            F.slice(
+                F.transform(
+                    F.array_sort(F.collect_set("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                1,
+                50,
+            ),
+        ).alias("postings"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(n))
+        .filter((F.col("df") >= 3) & (F.col("df") * 20 <= F.col("n")))
+        .select("term", "df", "postings")
+    )
+
+
+@query(
+    "tfidf_topk_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ),
+    dfq AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY term
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    s AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf * n.n AS DOUBLE) / CAST(dfq.df AS DOUBLE) AS score
+      FROM tf JOIN dfq USING (term) CROSS JOIN n
+    ),
+    r AS (
+      SELECT doc_id, term, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, term ASC
+             ) AS rnk
+      FROM s
+    )
+    SELECT doc_id, CAST(rnk AS INT) AS rnk, term, score
+    FROM r WHERE rnk <= 3
+    """,
+)
+def tfidf_topk_terms(spark, sf_dir):
+    """Per-document top-3 terms by a rational TF-IDF (tf·N/df — the
+    log-free variant so both engines agree bitwise; the log only
+    compresses the range, it never reorders a single term's score).
+
+    Scale shape: tf and df are two map-side-combinable aggregations;
+    the df side is one row per VOCAB term (tiny next to the corpus) so
+    Catalyst broadcast-joins it; the top-k is a bounded window per
+    doc_id — no global sort, no skew beyond natural doc sizes. Ties
+    break on term text for cross-engine determinism.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    n = d.agg(F.count("*").alias("n"))
+    tok = _tokens(d)
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    s = tf.join(F.broadcast(dfq), "term").crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "term",
+        (
+            (F.col("tf") * F.col("n")).cast("double")
+            / F.col("df").cast("double")
+        ).alias("score"),
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(
+            F.col("score").desc(), F.col("term").asc()
+        )
+    )
+    return (
+        s.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", "score")
+    )
+
+
+_BM25_TERMS = ("spark", "join", "merge")
+_BM25_IN = "('" + "','".join(_BM25_TERMS) + "')"
+
+
+@query(
+    "bm25_topk_docs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS DOUBLE) / COUNT(*)
+               AS avgdl
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+      WHERE term IN {_BM25_IN} GROUP BY doc_id, term
+    ),
+    dfq AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok
+      WHERE term IN {_BM25_IN} GROUP BY term
+    ),
+    per AS (
+      SELECT tf.doc_id, tf.term,
+             ((CAST(stats.n - dfq.df AS DOUBLE) + 0.5)
+              / (CAST(dfq.df AS DOUBLE) + 0.5))
+             * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                / (CAST(tf.tf AS DOUBLE)
+                   + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                           / stats.avgdl)))) AS s
+      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    ),
+    p AS (
+      SELECT d.doc_id,
+             COALESCE(MAX(CASE WHEN term = 'spark' THEN s END), 0.0) AS s1,
+             COALESCE(MAX(CASE WHEN term = 'join'  THEN s END), 0.0) AS s2,
+             COALESCE(MAX(CASE WHEN term = 'merge' THEN s END), 0.0) AS s3
+      FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+      GROUP BY d.doc_id
+    ),
+    r AS (
+      SELECT doc_id, s1 + s2 + s3 AS score,
+             ROW_NUMBER() OVER (ORDER BY s1 + s2 + s3 DESC, doc_id ASC)
+               AS rnk
+      FROM p
+    )
+    SELECT CAST(rnk AS INT) AS rnk, doc_id, score FROM r WHERE rnk <= 10
+    """,
+)
+def bm25_topk_docs(spark, sf_dir):
+    """BM25-style top-10 retrieval for a fixed 3-term query
+    (k1=1.2, b=0.75), with the Robertson idf's log dropped — the
+    rational core (N-df+0.5)/(df+0.5) keeps rare-term boosting and
+    bitwise cross-engine parity (libm log isn't correctly-rounded).
+    Per-term scores land in FIXED columns summed in a fixed order
+    (s1+s2+s3) because float addition isn't associative — a GROUP BY
+    SUM over terms would wobble in the last ulp between engines.
+
+    Scale shape: the token scan filters to the query terms BEFORE any
+    shuffle (tf is map-side combinable on a tiny key space), df/N/avgdl
+    are scalar-sized broadcasts, and the final top-10 is a single
+    rank-window — at 1000 executors this is one corpus scan plus
+    negligible shuffle. The global ROW_NUMBER window is a one-partition
+    sort of ONE ROW PER MATCHED DOC; for fat result sets swap in a
+    per-partition top-k + merge (as topk_orders_per_customer does).
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    dl = d.select("doc_id", F.size(toks).cast("bigint").alias("dl"))
+    stats = d.agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.size(toks)).cast("double") / F.count("*")
+        ).alias("avgdl"),
+    )
+    tok = _tokens(d).filter(F.col("term").isin(*_BM25_TERMS))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    per = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (
+                    ((F.col("n") - F.col("df")).cast("double") + F.lit(0.5))
+                    / (F.col("df").cast("double") + F.lit(0.5))
+                )
+                * (
+                    (F.col("tf").cast("double") * F.lit(2.2))
+                    / (
+                        F.col("tf").cast("double")
+                        + F.lit(1.2)
+                        * (
+                            F.lit(0.25)
+                            + F.lit(0.75)
+                            * (F.col("dl").cast("double") / F.col("avgdl"))
+                        )
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    p = (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("term") == t, F.col("s"))),
+                    F.lit(0.0),
+                ).alias(f"s{i + 1}")
+                for i, t in enumerate(_BM25_TERMS)
+            ]
+        )
+    )
+    score = F.col("s1") + F.col("s2") + F.col("s3")
+    rnk = F.row_number().over(
+        W.orderBy(score.desc(), F.col("doc_id").asc())
+    )
+    return (
+        p.select("doc_id", score.alias("score"), rnk.alias("rnk"))
+        .filter(F.col("rnk") <= 10)
+        .select("rnk", "doc_id", "score")
+    )
+
+
+@query(
+    "repetition_chunk_dedup",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i,
+             ARRAY_TO_STRING(t[(i-1)*2+1:(i-1)*2+2], ' ') AS chunk
+      FROM tok, UNNEST(RANGE(1, LEN(t)//2 + 1)) AS r(i)
+    ),
+    k AS (
+      SELECT doc_id, i, chunk,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id, chunk ORDER BY i
+             ) AS rn
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           STRING_AGG(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY i)
+             AS cleaned
+    FROM k GROUP BY doc_id
+    """,
+)
+def repetition_chunk_dedup(spark, sf_dir):
+    """Intra-document repetition removal — the within-doc half of
+    dedup (paragraph/line dedup in a real pipeline; 2-token chunks
+    here so the synthetic corpus actually has repeats): split each doc
+    into consecutive token chunks, keep each chunk's FIRST occurrence,
+    and reassemble the cleaned text in original order.
+
+    Scale shape: everything is keyed by doc_id — the dedup window and
+    the reassembly groupBy both partition on the document, so the op
+    is embarrassingly parallel across docs with one shuffle, and state
+    per task is one document's chunks. Reassembly sorts (pos, chunk)
+    structs inside the row (array_sort of a collected struct list),
+    never globally.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0] rather
+    # than an empty array (DuckDB RANGE(1, 1) is empty), so sub-chunk
+    # docs must short-circuit explicitly
+    chunks = F.expr(
+        "CASE WHEN size(split(text, ' ')) < 2 THEN "
+        "array() ELSE "
+        "transform(sequence(1, int(size(split(text, ' ')) / 2)), "
+        "i -> struct(i as i, "
+        "concat_ws(' ', slice(split(text, ' '), (i-1)*2+1, 2)) as chunk)) "
+        "END"
+    )
+    g = d.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", F.col("c.i").alias("i"), F.col("c.chunk").alias("chunk")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("doc_id", "chunk").orderBy("i")
+    )
+    k = g.withColumn("rn", rn)
+    return k.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") == 1,
+                            F.struct(F.col("i"), F.col("chunk")),
+                        )
+                    )
+                ),
+                lambda x: x["chunk"],
+            ),
+        ).alias("cleaned"),
+    )
