@@ -122,6 +122,28 @@ def pattern_scan(
     )
 
 
+def redact(
+    df: DataFrame,
+    patterns: Iterable[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "redacted",
+) -> DataFrame:
+    """PII redaction rewrite: replace every match of each pattern with
+    its placeholder token, applied in the given FIXED order (later
+    patterns see earlier placeholders — order is part of the contract,
+    as overlapping patterns redact differently if chained differently).
+    `patterns` is (regex, placeholder) pairs. One linear codegen pass
+    per row, no shuffle: the cleaned-corpus write stays partitioned
+    exactly like the input at any scale.
+    """
+    col = F.col(text_col)
+    n = F.lit(0).cast("bigint")
+    for pat, token in patterns:
+        n = n + F.regexp_count(F.col(text_col), F.lit(pat))
+        col = F.regexp_replace(col, pat, token)
+    return df.withColumn(out_col, col).withColumn("n_redactions", n)
+
+
 def mixture_weights(
     df: DataFrame,
     group_col: str = "source",

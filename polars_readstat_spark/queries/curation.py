@@ -177,6 +177,58 @@ def pii_pattern_counts(spark, sf_dir):
     return pattern_scan(docs, PII_PATTERNS)
 
 
+# redaction chain: (pattern, placeholder) in FIXED application order —
+# the order is part of the semantics (later patterns see earlier
+# placeholders) and both engines apply the same chain
+_REDACTIONS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b(key|hash)\b", "<TERM>"),
+)
+
+
+@query(
+    "pii_redact",
+    oracle=r"""
+    SELECT doc_id,
+      REGEXP_REPLACE(
+        REGEXP_REPLACE(
+          REGEXP_REPLACE(
+            REGEXP_REPLACE(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+              '<EMAIL>', 'g'),
+            '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+          '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        '\b(key|hash)\b', '<TERM>', 'g') AS redacted,
+      CAST(LEN(REGEXP_EXTRACT_ALL(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+         + LEN(REGEXP_EXTRACT_ALL(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+         + LEN(REGEXP_EXTRACT_ALL(text, '\b\d{3}-\d{2}-\d{4}\b'))
+         + LEN(REGEXP_EXTRACT_ALL(text, '\b(key|hash)\b'))
+        AS BIGINT) AS n_redactions
+    FROM documents
+    """,
+)
+def pii_redact(spark, sf_dir):
+    """PII redaction REWRITE (pii_pattern_counts is the scan half):
+    each document's text with every pattern match replaced by its
+    placeholder, plus the match count over the ORIGINAL text. The
+    replace chain applies in a fixed order on both engines — chain
+    order is semantic when patterns could overlap.
+
+    Scale shape: pure per-row codegen expressions, no shuffle at all —
+    the cleaned corpus writes back with the input's partitioning, so
+    at 100 TB this is a map-only pass at scan throughput.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    from polars_readstat_spark.functions.curation import redact
+
+    return redact(docs, _REDACTIONS).select(
+        "doc_id", "redacted", "n_redactions"
+    )
+
+
 @query(
     "source_mixing_weights",
     oracle="""

@@ -59,6 +59,7 @@ _PRIORITY: tuple[str, ...] = (
     "tfidf_topk_terms",
     "bm25_topk_docs",
     "repetition_chunk_dedup",
+    "pii_redact",
     "sas_csv_import_roundtrip",
     "sas_csv_script_pins",
     "stream_ingest_agg",
