@@ -91,3 +91,41 @@ def test_mixture_weights_sum_to_one_and_upsample_small(spark):
     # temperature sampling upsamples the small source vs raw share
     assert rows["small"].mix_weight > 4 / 104
     assert abs(sum(r.mix_weight for r in rows.values()) - 1.0) < 1e-12
+
+
+def test_redact_real_pii_shapes(spark):
+    from polars_readstat_spark.functions.curation import redact
+    from polars_readstat_spark.queries.curation import _REDACTIONS
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or call 555-123-4567"),
+            (2, "ssn 123-45-6789 and key hash keyhash"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.redacted, r.n_redactions)
+        for r in redact(df, _REDACTIONS).collect()
+    }
+    assert got[1] == ("mail me at <EMAIL> or call <PHONE>", 2)
+    # 'keyhash' has no word boundary — must survive
+    assert got[2] == ("ssn <SSN> and <TERM> <TERM> keyhash", 3)
+    assert got[3] == ("nothing sensitive here", 0)
+
+
+def test_redact_chain_order_is_fixed(spark):
+    # ssn pattern is a subset of phone_us's shape: the phone pattern
+    # runs first and must claim xxx-xx-xxxx? no — phone is
+    # ddd-ddd-dddd, ssn ddd-dd-dddd; they never overlap. Pin instead
+    # that an email whose local part contains digits is NOT re-hit by
+    # the phone pattern after replacement (placeholders are opaque).
+    from polars_readstat_spark.functions.curation import redact
+    from polars_readstat_spark.queries.curation import _REDACTIONS
+
+    df = spark.createDataFrame(
+        [(1, "x 555-123-4567@mail.com y")], ["doc_id", "text"]
+    )
+    row = redact(df, _REDACTIONS).collect()[0]
+    assert row.redacted == "x <EMAIL> y"
