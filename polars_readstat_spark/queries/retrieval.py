@@ -213,11 +213,11 @@ def bm25_topk_docs(spark, sf_dir):
 
     Scale shape: the token scan filters to the query terms BEFORE any
     shuffle (tf is map-side combinable on a tiny key space), df/N/avgdl
-    are scalar-sized broadcasts, and the final top-10 is a single
-    rank-window — at 1000 executors this is one corpus scan plus
-    negligible shuffle. The global ROW_NUMBER window is a one-partition
-    sort of ONE ROW PER MATCHED DOC; for fat result sets swap in a
-    per-partition top-k + merge (as topk_orders_per_customer does).
+    are scalar-sized broadcasts, and the final top-10 runs as
+    TakeOrderedAndProject (per-partition top-k + driver merge of
+    10-row heads — never a global sort); rank is assigned by a window
+    over the 10 surviving rows only. At 1000 executors this is one
+    corpus scan plus negligible shuffle.
     """
     d = spread(load_table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
@@ -273,14 +273,15 @@ def bm25_topk_docs(spark, sf_dir):
         )
     )
     score = F.col("s1") + F.col("s2") + F.col("s3")
+    top = (
+        p.select("doc_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
     rnk = F.row_number().over(
-        W.orderBy(score.desc(), F.col("doc_id").asc())
+        W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     )
-    return (
-        p.select("doc_id", score.alias("score"), rnk.alias("rnk"))
-        .filter(F.col("rnk") <= 10)
-        .select("rnk", "doc_id", "score")
-    )
+    return top.select(rnk.alias("rnk"), "doc_id", "score")
 
 
 @query(
