@@ -28,7 +28,7 @@ def run_query(df) -> None:
 # the TPC-H suite, group 2 the flagship LLM-pipeline operators; the
 # remaining registry entries fill whatever budget is left. Full
 # timings always land in BENCH.json on disk.
-_HEADLINE_BUDGET = 1900  # chars; < driver tail (2000) with margin
+_HEADLINE_BUDGET = 1800  # chars; < driver tail (2000) with margin
 
 
 def _headline_priority(name: str) -> tuple[int, str]:
