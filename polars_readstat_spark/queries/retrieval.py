@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from polars_readstat_spark.queries._cache import scoped_persist
 from polars_readstat_spark.queries.registry import query
 from polars_readstat_spark.tables import load_table, spread
 
@@ -221,16 +222,21 @@ def bm25_topk_docs(spark, sf_dir):
     """
     d = spread(load_table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
-    dl = d.select("doc_id", F.size(toks).cast("bigint").alias("dl"))
-    stats = d.agg(
+    # one narrow subtree feeds everything scalar: dl -> stats, and the
+    # doc universe for the final left join — documents is scanned
+    # twice total (dl + the token explode), not five times; df derives
+    # from the tf AGGREGATE (count of (doc,term) rows == distinct docs
+    # per term) so no second token shuffle exists
+    dl = scoped_persist(
+        d.select("doc_id", F.size(toks).cast("bigint").alias("dl"))
+    )
+    stats = dl.agg(
         F.count("*").alias("n"),
-        (
-            F.sum(F.size(toks)).cast("double") / F.count("*")
-        ).alias("avgdl"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
     tok = _tokens(d).filter(F.col("term").isin(*_BM25_TERMS))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
     per = (
         tf.join(F.broadcast(dfq), "term")
         .join(dl, "doc_id")
@@ -259,7 +265,7 @@ def bm25_topk_docs(spark, sf_dir):
         )
     )
     p = (
-        d.select("doc_id")
+        dl.select("doc_id")
         .join(per, "doc_id", "left")
         .groupBy("doc_id")
         .agg(
