@@ -96,6 +96,10 @@ def _roundtrip(spark, tmp_path, ext, rows):
         ext, kwargs = "sas7bdat", {"compress": "rle"}
     elif ext == "sas7bdat_rdc":
         ext, kwargs = "sas7bdat", {"compress": "rdc"}
+    elif ext == "sav_bc":
+        # bytecode-compressed sav (bias/literal command stream — what
+        # SPSS writes by default); reads restart at checkpoint indexes
+        ext, kwargs = "sav", {"compress": True}
     p = str(tmp_path / f"prop_rt.{ext}")
     prs.write_readstat(df, p, **kwargs)
     back = spark.read.format("readstat").load(p)
@@ -174,7 +178,7 @@ def _generate_row_sets(n=12):
 @pytest.mark.parametrize(
     "ext",
     [
-        "dta", "sav", "zsav", "xpt", "por",
+        "dta", "sav", "sav_bc", "zsav", "xpt", "por",
         "sas7bdat", "sas7bdat_rle", "sas7bdat_rdc",
     ],
 )
