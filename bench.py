@@ -575,6 +575,17 @@ def main() -> None:
             F.count("*").alias("c"),
         )
     )
+    # documents gets the same treatment: the _PRIORITY rotation fronts
+    # the text/retrieval queries, and their first explode+shuffle
+    # otherwise pays the documents parquet footer + exchange codegen
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    run_query(
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("t")
+        )
+        .groupBy("t")
+        .count()
+    )
     warm = li.limit(10_000)
     run_query(
         warm.groupBy("l_returnflag").agg(
