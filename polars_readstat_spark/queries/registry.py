@@ -60,6 +60,8 @@ _PRIORITY: tuple[str, ...] = (
     "bm25_topk_docs",
     "repetition_chunk_dedup",
     "pii_redact",
+    "resample_ffill_hourly",
+    "scan_federated_join",
     "sas_csv_import_roundtrip",
     "sas_csv_script_pins",
     "stream_ingest_agg",

@@ -976,3 +976,42 @@ def scan_union_by_name(spark, sf_dir):
         "l_returnflag",
         "l_extendedprice",
     )
+
+
+@query(
+    "scan_federated_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_quantity >= 30
+    GROUP BY o.o_orderpriority
+    """,
+)
+def scan_federated_join(spark, sf_dir):
+    """Cross-source federation: the readstat .dta scan of lineitem
+    joined to the PARQUET orders table in one Catalyst plan — the
+    mixed-lake topology (legacy statistical drops next to columnar
+    tables) the engine exists for. The quantity filter pushes into
+    the dta scan's Python worker (rows drop before the Arrow
+    transfer); the join shuffles on l_orderkey; revenue goes through
+    DECIMAL so the sum is order-independent and matches DuckDB
+    bitwise. The fixture holds the FULL lineitem, so the parquet-only
+    oracle checks the same rows.
+    """
+    li = _scan(spark, ensure_readstat_file(spark, sf_dir, "dta"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    from polars_readstat_spark.queries.relational import DEC
+    return (
+        li.filter(F.col("l_quantity") >= 30)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast(DEC))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -576,3 +576,97 @@ def event_dau_wau_stickiness(spark, sf_dir):
             (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
         )
     )
+
+
+@query(
+    "resample_ffill_hourly",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS value
+      FROM events WHERE user_id % 10 = 0 GROUP BY user_id, ts
+    ),
+    span AS (
+      SELECT user_id, DATE_TRUNC('hour', MIN(ts)) AS t0,
+             DATE_TRUNC('hour', MAX(ts)) AS t1
+      FROM ev GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             UNNEST(GENERATE_SERIES(t0, t1, INTERVAL 1 HOUR)) AS gts
+      FROM span
+    ),
+    u AS (
+      SELECT user_id, ts AS sort_ts, 0 AS is_grid, value FROM ev
+      UNION ALL
+      SELECT user_id, gts, 1, NULL FROM grid
+    ),
+    f AS (
+      SELECT user_id, sort_ts, is_grid,
+             LAST_VALUE(value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY sort_ts, is_grid
+               ROWS UNBOUNDED PRECEDING) AS ffill
+      FROM u
+    )
+    SELECT user_id, CAST(EPOCH(sort_ts) AS BIGINT) AS hour_ts,
+           ffill AS value
+    FROM f WHERE is_grid = 1
+    """,
+)
+def resample_ffill_hourly(spark, sf_dir):
+    """Time-series resample to a 1-hour grid with forward-fill (gap
+    filling — the feature-engineering step before any fixed-step
+    model): per sampled user, every hour between their first and last
+    event carries the last observed value at or before that hour
+    (null before the first observation).
+
+    Spark-first shape: the grid is sequence()+explode per user (no
+    driver-side date loop), and the fill is ONE pass — union the
+    observations with null-valued grid points and take
+    last(ignorenulls) over (user, time) with events ordered before
+    grid points at equal timestamps. Everything partitions by
+    user_id: one shuffle, bounded per-task state, no self-join. At
+    100 TB the grid explode is output-proportional (users × hours),
+    never events × hours; values are carried (no float arithmetic)
+    so both engines agree bitwise.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 10 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    span = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(t0, t1, interval 1 hour)")).alias("gts"),
+    )
+    u = ev.select(
+        "user_id",
+        F.col("ts").alias("sort_ts"),
+        F.lit(0).alias("is_grid"),
+        "value",
+    ).unionAll(
+        grid.select(
+            "user_id",
+            F.col("gts"),
+            F.lit(1),
+            F.lit(None).cast("double"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("sort_ts", "is_grid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        u.withColumn("ffill", F.last("value", ignorenulls=True).over(w))
+        .filter(F.col("is_grid") == 1)
+        .select(
+            "user_id",
+            F.unix_timestamp("sort_ts").alias("hour_ts"),
+            F.col("ffill").alias("value"),
+        )
+    )
