@@ -197,7 +197,7 @@ def _bench_wide(spark, timings: dict) -> None:
         .load(path)
     )
     run_query(rd(n_rows=16))  # worker warmup
-    for name, df in [
+    entries = [
         ("read_sav_wide_full", rd()),
         ("read_sav_wide_subset", rd(columns="v0,v100,s3")),
         ("read_sav_wide_filter", rd().filter(F.col("v0") >= 1)),
@@ -205,7 +205,8 @@ def _bench_wide(spark, timings: dict) -> None:
             "read_sav_wide_subset_filter",
             rd(columns="v0,v100,s3").filter(F.col("v0") >= 1),
         ),
-    ]:
+    ]
+    for name, df in entries:
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
@@ -213,6 +214,20 @@ def _bench_wide(spark, timings: dict) -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+    # time-separated retry, same rationale as _bench_scale: every
+    # entry here walls under 2.1 s isolated (full read 1.1 best-of-5),
+    # but one r7 sweep recorded the full read at 27.6 s with the floor
+    # probes 3x elevated in the same window — a whole-VM stall that
+    # outlives an immediate best-of-2
+    for name, df in entries:
+        if timings.get(name, 0) <= 2.5:
+            continue
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_query(df)
+            timings[name] = min(
+                timings[name], round(time.perf_counter() - t0, 3)
+            )
 
 
 def _bench_scale(spark, timings: dict) -> None:
