@@ -62,6 +62,8 @@ _PRIORITY: tuple[str, ...] = (
     "pii_redact",
     "resample_ffill_hourly",
     "scan_federated_join",
+    "table_profile_lineitem",
+    "window_rank_family",
     "sas_csv_import_roundtrip",
     "sas_csv_script_pins",
     "stream_ingest_agg",

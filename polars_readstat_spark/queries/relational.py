@@ -888,3 +888,115 @@ def q18_large_volume_customer(spark, sf_dir):
             F.col("o_totalprice").cast("double").alias("o_totalprice"),
         )
     )
+
+
+@query(
+    "table_profile_lineitem",
+    oracle="""
+    SELECT 'l_orderkey' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(l_orderkey) AS VARCHAR) AS min_s,
+           CAST(MAX(l_orderkey) AS VARCHAR) AS max_s
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', COUNT(*), COUNT(*) - COUNT(l_quantity),
+           COUNT(DISTINCT l_quantity),
+           CAST(MIN(l_quantity) AS VARCHAR),
+           CAST(MAX(l_quantity) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+           COUNT(DISTINCT l_returnflag),
+           MIN(l_returnflag), MAX(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', COUNT(*), COUNT(*) - COUNT(l_shipdate),
+           COUNT(DISTINCT l_shipdate),
+           CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR),
+           CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR)
+    FROM lineitem
+    """,
+)
+def table_profile_lineitem(spark, sf_dir):
+    """Column-profiling op (the SUMMARIZE/data-quality primitive):
+    per profiled column, row count, null count, exact distinct count,
+    and min/max rendered as strings for a type-uniform report row.
+
+    Scale shape: one aggregate pass per column over the same scan —
+    Catalyst collapses the four subtrees' scans via exchange reuse,
+    and each is map-side combinable (distinct-count partials). At
+    100 TB swap exact COUNT(DISTINCT) for approx_count_distinct per
+    column in ONE aggregate (the exact version here is what the
+    oracle can check). Dates/doubles stringify identically on both
+    engines (dates via an explicit DATE cast; the doubles here are
+    x.0-form, both engines print '18.0')."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def prof(col, minmax=None):
+        mn = F.min(col) if minmax is None else minmax(F.min(col))
+        mx = F.max(col) if minmax is None else minmax(F.max(col))
+        return li.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+            F.countDistinct(col).alias("n_distinct"),
+            mn.cast("string").alias("min_s"),
+            mx.cast("string").alias("max_s"),
+        ).select(F.lit(col).alias("col"), "*")
+
+    return (
+        prof("l_orderkey")
+        .unionAll(prof("l_quantity"))
+        .unionAll(prof("l_returnflag"))
+        .unionAll(prof("l_shipdate", minmax=lambda c: c.cast("date")))
+    )
+
+
+@query(
+    "window_rank_family",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           PERCENT_RANK() OVER w AS prnk,
+           CUME_DIST() OVER w AS cdist,
+           CAST(NTILE(4) OVER (
+             PARTITION BY l_returnflag
+             ORDER BY l_quantity, l_orderkey, l_linenumber
+           ) AS INT) AS quartile
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+    """,
+)
+def window_rank_family(spark, sf_dir):
+    """The full ranking-window family in one pass: rank, dense_rank,
+    percent_rank, cume_dist (tie-stable over the quantity ordering)
+    and ntile(4) (tie-UNSTABLE, so its ordering adds the unique
+    (l_orderkey, l_linenumber) key — NTILE splits remainder rows by
+    position, and positions inside a tie group are otherwise
+    engine-arbitrary). percent_rank=(rank-1)/(n-1) and
+    cume_dist=n_le/n are exact integer divisions, so the doubles
+    match bitwise.
+
+    Scale shape: one shuffle on l_returnflag; all five functions
+    evaluate in a single Window operator over the same sort. The 1%
+    orderkey sample bounds the compared result, not the plan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 100 == 0
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("l_returnflag").orderBy("l_quantity")
+    wn = W.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(wn).alias("quartile"),
+    )
