@@ -58,9 +58,12 @@ def inverted_index_postings(spark, sf_dir):
     """
     d = spread(load_table(spark, sf_dir, "documents"))
     n = d.agg(F.count("*").alias("n"))
-    tok = _tokens(d).distinct()
+    # no pre-distinct pass: countDistinct and collect_set both dedup
+    # inside ONE partial-aggregating shuffle on term (a .distinct()
+    # first would add a second full-token-stream shuffle for nothing)
+    tok = _tokens(d)
     agg = tok.groupBy("term").agg(
-        F.count("*").alias("df"),
+        F.countDistinct("doc_id").alias("df"),
         F.concat_ws(
             ",",
             F.slice(
@@ -126,7 +129,10 @@ def tfidf_topk_terms(spark, sf_dir):
     n = d.agg(F.count("*").alias("n"))
     tok = _tokens(d)
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df from the tf AGGREGATE (one (doc,term) row per distinct pair)
+    # instead of a second countDistinct over the raw token stream —
+    # same value, avoids re-shuffling every token
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
     s = tf.join(F.broadcast(dfq), "term").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "term",
