@@ -330,50 +330,37 @@ def repetition_chunk_dedup(spark, sf_dir):
     into consecutive token chunks, keep each chunk's FIRST occurrence,
     and reassemble the cleaned text in original order.
 
-    Scale shape: everything is keyed by doc_id — the dedup window and
-    the reassembly groupBy both partition on the document, so the op
-    is embarrassingly parallel across docs with one shuffle, and state
-    per task is one document's chunks. Reassembly sorts (pos, chunk)
-    structs inside the row (array_sort of a collected struct list),
-    never globally.
+    Scale shape: ZERO shuffles — a chunk never needs to leave its
+    document, so the whole op is per-row higher-order expressions:
+    build the chunk array, keep element i iff array_position (first
+    occurrence) equals i, reassemble with concat_ws. The in-row
+    first-occurrence scan is O(chunks²) per doc, bounded by document
+    length — at 100 TB this runs at scan throughput with the input's
+    partitioning, where the explode+window formulation would shuffle
+    the full chunk stream twice. Sub-chunk docs drop out (no row), as
+    the oracle's lateral UNNEST over an empty RANGE does.
     """
     d = spread(load_table(spark, sf_dir, "documents"))
-    toks = F.split("text", " ")
     # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0] rather
     # than an empty array (DuckDB RANGE(1, 1) is empty), so sub-chunk
     # docs must short-circuit explicitly
     chunks = F.expr(
         "CASE WHEN size(split(text, ' ')) < 2 THEN "
-        "array() ELSE "
+        "cast(array() as array<string>) ELSE "
         "transform(sequence(1, int(size(split(text, ' ')) / 2)), "
-        "i -> struct(i as i, "
-        "concat_ws(' ', slice(split(text, ' '), (i-1)*2+1, 2)) as chunk)) "
+        "i -> concat_ws(' ', slice(split(text, ' '), (i-1)*2+1, 2))) "
         "END"
     )
-    g = d.select("doc_id", F.explode(chunks).alias("c")).select(
-        "doc_id", F.col("c.i").alias("i"), F.col("c.chunk").alias("chunk")
+    kept = F.expr(
+        "filter(__chunks, (c, i) -> array_position(__chunks, c) == i + 1)"
     )
-    rn = F.row_number().over(
-        W.partitionBy("doc_id", "chunk").orderBy("i")
-    )
-    k = g.withColumn("rn", rn)
-    return k.groupBy("doc_id").agg(
-        F.count("*").alias("n_chunks"),
-        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            F.col("rn") == 1,
-                            F.struct(F.col("i"), F.col("chunk")),
-                        )
-                    )
-                ),
-                lambda x: x["chunk"],
-            ),
-        ).alias("cleaned"),
+    return (
+        d.select("doc_id", chunks.alias("__chunks"))
+        .filter(F.size("__chunks") > 0)
+        .select(
+            "doc_id",
+            F.size("__chunks").cast("bigint").alias("n_chunks"),
+            F.size(kept).cast("bigint").alias("n_kept"),
+            F.concat_ws(" ", kept).alias("cleaned"),
+        )
     )
