@@ -688,3 +688,63 @@ def ann_lsh_recall(spark, sf_dir):
         (F.col("n_hits").cast("double") / F.col("n_exact").cast("double"))
         .alias("recall"),
     )
+
+
+@query(
+    "ann_ivf_recall",
+    oracle="WITH "
+    + lsh_xi_duck()
+    + _IVF_DUCK.replace("cand AS (", "cand_ivf AS (", 1)
+    + """
+    , cand AS (
+      SELECT p.vec_id AS q_id, c.vec_id AS c_id
+      FROM embeddings p CROSS JOIN embeddings c
+      WHERE p.vec_id % 50 = 0 AND c.vec_id != p.vec_id
+    ),
+    """
+    + _PAIR_COS_BULK_DUCK_FWD
+    + """
+    , bf_top AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, c_id) AS rk
+        FROM pair_cos
+      ) WHERE rk <= 5
+    ),
+    ivf_top AS (
+      SELECT q_id, c_id FROM (
+        SELECT p.q_id, p.c_id,
+               ROW_NUMBER() OVER (PARTITION BY p.q_id
+                                  ORDER BY p.cosine DESC, p.c_id) AS rk
+        FROM pair_cos p
+        JOIN cand_ivf ci ON ci.q_id = p.q_id AND ci.c_id = p.c_id
+      ) WHERE rk <= 5
+    )
+    SELECT CAST((SELECT COUNT(*) FROM bf_top) AS BIGINT) AS n_exact,
+           CAST((SELECT COUNT(*) FROM bf_top t
+                 JOIN ivf_top l ON l.q_id = t.q_id AND l.c_id = t.c_id)
+                AS BIGINT) AS n_hits,
+           CAST((SELECT COUNT(*) FROM bf_top t
+                 JOIN ivf_top l ON l.q_id = t.q_id AND l.c_id = t.c_id)
+                AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM bf_top) AS DOUBLE) AS recall
+    """,
+)
+def ann_ivf_recall(spark, sf_dir):
+    """recall@5 of the IVF-flat path (nprobe=2) against exact brute
+    force — completes the ANN evaluation matrix next to
+    ann_lsh_recall: every index variant ships with its measured
+    recall, or its speedup number is meaningless. Same exact-integer
+    summary shape; at 100 TB this runs on the probe sample only."""
+    bf = ann_bruteforce_topk(spark, sf_dir).select("q_id", "c_id")
+    ivf = ann_ivf_topk(spark, sf_dir).select("q_id", "c_id")
+    hits = bf.join(ivf, ["q_id", "c_id"])
+    ne = bf.groupBy().agg(F.count(F.lit(1)).alias("n_exact"))
+    nh = hits.groupBy().agg(F.count(F.lit(1)).alias("n_hits"))
+    return ne.crossJoin(nh).select(
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        (F.col("n_hits").cast("double") / F.col("n_exact").cast("double"))
+        .alias("recall"),
+    )
