@@ -64,6 +64,7 @@ _PRIORITY: tuple[str, ...] = (
     "scan_federated_join",
     "table_profile_lineitem",
     "window_rank_family",
+    "ann_ivf_recall",
     "sas_csv_import_roundtrip",
     "sas_csv_script_pins",
     "stream_ingest_agg",
