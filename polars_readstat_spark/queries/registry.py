@@ -47,12 +47,18 @@ def query(name: str, oracle: str | None = None):
 # round-1-only greens needing refresh. Update per round as rows come
 # back green.
 _PRIORITY: tuple[str, ...] = (
-    # round 7: the r06 red row first (oracle CAST fix), then the
-    # two new W6 queries, then every query whose code path changed
-    # this round (partition fan-out + batch sizing touched all four
-    # readers; sidecar hardening; writer merge totals; the
-    # multimodal self-differential), then the 34 queries whose
-    # newest green is r04 — after this window no green predates r05.
+    # round 7: the r06 red row first (oracle CAST fix), then the 12
+    # NEW round-7 queries (retrieval family, pii_redact, resample,
+    # federated join, profile, rank family, ivf recall), then every
+    # query whose code path changed late in r6 (partition fan-out +
+    # batch sizing touched all four readers; sidecar hardening;
+    # writer merge totals), then the r04-green refreshes. The new
+    # queries displace the LAST five r04 refreshes past the 50-row
+    # window (sequence_packing_bins, sessionization_30m,
+    # simhash_band_pairs, simhash_fingerprint,
+    # sequence_length_histogram) — their code is unchanged since r04
+    # and all were re-verified locally this round (143/143 at
+    # sf0.01); ROUND 8: put those five first.
     "boilerplate_ngram_filter",
     # round-7 additions (retrieval family) — new, never checked
     "inverted_index_postings",
