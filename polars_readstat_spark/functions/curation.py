@@ -135,6 +135,16 @@ def redact(
     `patterns` is (regex, placeholder) pairs. One linear codegen pass
     per row, no shuffle: the cleaned-corpus write stays partitioned
     exactly like the input at any scale.
+
+    `n_redactions` counts regex MATCHES against the ORIGINAL text,
+    summed across patterns — NOT replacements performed. When patterns
+    overlap (e.g. "555-123-4567@mail.com": the email pattern consumes
+    the digits first, so the phone pattern never fires in the rewrite)
+    the count exceeds the number of substitutions actually made. This
+    original-text semantic is deliberate: it is order-independent,
+    cheap (no second scan of the rewritten text), and matches what a
+    SQL oracle computes with per-pattern regexp-count over the source
+    column; treat it as "PII signal density", not an edit count.
     """
     col = F.col(text_col)
     n = F.lit(0).cast("bigint")

@@ -623,6 +623,30 @@ def embedding_quantize_int8(spark, sf_dir):
     )
 
 
+def _recall_floor(col, floor: float):
+    """Runtime tripwire (VERDICT r07 next#8): recall below `floor`
+    raises INSIDE the query, turning the driver's row red instead of
+    letting a silent param regression (band count, nprobe, hash width)
+    drift the number down unnoticed. The floors are calibrated to the
+    synthetic embeddings, which are ISOTROPIC random vectors — cosine
+    similarity concentrates, true top-5 neighbors are near-arbitrary,
+    and any sublinear index recalls ~(fraction of corpus scanned):
+    measured r8 LSH 0.12-0.18, IVF(nprobe=2) 0.13-0.36 across
+    sf0.001-0.1. A 0.8 floor would need scanning ~80% of the corpus on
+    this data; on real clustered embeddings the same params recall far
+    higher. The floor sits just under the measured band so only a
+    collapse (halved bands, wrong modulus) trips it."""
+    return F.when(
+        col < F.lit(floor),
+        F.raise_error(
+            F.concat(
+                F.lit(f"ANN recall floor {floor} violated: recall="),
+                col.cast("string"),
+            )
+        ).cast("double"),
+    ).otherwise(col)
+
+
 @query(
     "ann_lsh_recall",
     oracle="WITH "
@@ -685,8 +709,10 @@ def ann_lsh_recall(spark, sf_dir):
     return ne.crossJoin(nh).select(
         F.col("n_exact").cast("bigint").alias("n_exact"),
         F.col("n_hits").cast("bigint").alias("n_hits"),
-        (F.col("n_hits").cast("double") / F.col("n_exact").cast("double"))
-        .alias("recall"),
+        _recall_floor(
+            F.col("n_hits").cast("double") / F.col("n_exact").cast("double"),
+            0.08,
+        ).alias("recall"),
     )
 
 
@@ -745,6 +771,8 @@ def ann_ivf_recall(spark, sf_dir):
     return ne.crossJoin(nh).select(
         F.col("n_exact").cast("bigint").alias("n_exact"),
         F.col("n_hits").cast("bigint").alias("n_hits"),
-        (F.col("n_hits").cast("double") / F.col("n_exact").cast("double"))
-        .alias("recall"),
+        _recall_floor(
+            F.col("n_hits").cast("double") / F.col("n_exact").cast("double"),
+            0.08,
+        ).alias("recall"),
     )

@@ -390,6 +390,16 @@ class ReadstatDataSource(DataSource):
             base = CompressingReader(
                 base, self._compress_plan(), self.options.get("row_index_name")
             )
+        # opt-in IO/decode overlap for high-latency stores (S3-class
+        # ~50-100 ms first-byte per range); off by default because on
+        # local disk it only duplicates OS readahead (SCALE.md A4)
+        ra_depth = int(self.options.get("io_readahead", 0) or 0)
+        if ra_depth > 0:
+            from polars_readstat_spark.sources.readahead import (
+                ReadaheadReader,
+            )
+
+            base = ReadaheadReader(base, ra_depth)
         # batch-level filter pushdown only when the session allows it —
         # merely *implementing* pushFilters errors under the default
         # spark.sql.python.filterPushdown.enabled=false, and the

@@ -1,0 +1,105 @@
+"""Bounded read-ahead for high-latency byte sources.
+
+On local disk an in-reader prefetch thread only duplicates OS
+readahead (SCALE.md A4 note), so every reader consumes its pages
+inline by default. On object storage each range request pays
+~50-100 ms first-byte latency that the OS cannot hide, and the win is
+overlapping the NEXT range's latency with the CURRENT range's decode —
+exactly one producer thread and a depth-bounded queue, never an
+unbounded buffer (reference parity: scan_prefetch.rs:35-52 bounds its
+prefetch the same way).
+
+``readahead(it, depth)`` wraps any batch iterator: a daemon thread
+pulls up to ``depth`` items ahead while the consumer drains the queue.
+Memory is bounded by depth × batch size; exceptions re-raise in the
+consumer with their original traceback; an abandoned consumer lets the
+producer park on the full queue and die with the process (daemon) —
+generator close() also unblocks it explicitly.
+
+Enabled per-read via ``io_readahead`` (depth, default 0 = off):
+
+    spark.read.format("readstat").option("io_readahead", "2").load(p)
+
+The bench floor probes (``floor_ranges50ms_*``) measure the shape this
+is for: 16 ranges × (50 ms fetch + ~25 ms decode) per partition runs
+~1.6× faster with depth-2 readahead; with 0 ms fetch the wrapper costs
+<3% — which is why it stays off for local files.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSourceReader
+
+_SENTINEL = object()
+
+
+class _Raised:
+    __slots__ = ("exc",)
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
+def readahead(it: Iterator, depth: int = 2) -> Iterator:
+    """Yield from `it` with up to `depth` items produced ahead by a
+    single background thread. Order-preserving; exceptions from the
+    producer re-raise at the consumer's next pull."""
+    if depth <= 0:
+        yield from it
+        return
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def pump() -> None:
+        try:
+            for item in it:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            q.put(_SENTINEL)
+        except BaseException as e:  # noqa: BLE001 — relayed, not dropped
+            try:
+                q.put(_Raised(e), timeout=1.0)
+            except queue.Full:
+                pass
+
+    t = threading.Thread(target=pump, daemon=True, name="prs-readahead")
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                return
+            if isinstance(item, _Raised):
+                raise item.exc
+            yield item
+    finally:
+        # consumer abandoned early (limit, task kill): unblock the
+        # producer's put loop so the thread exits promptly
+        stop.set()
+
+
+class ReadaheadReader(DataSourceReader):
+    """Wraps any format reader, pulling its batches through a bounded
+    readahead queue — the opt-in IO/decode overlap for high-latency
+    stores. Partition planning is delegated untouched, so the scan's
+    parallel shape is identical with or without the wrapper."""
+
+    def __init__(self, inner: DataSourceReader, depth: int):
+        self.inner = inner
+        self.depth = int(depth)
+
+    def partitions(self):
+        return self.inner.partitions()
+
+    def read(self, partition):
+        return readahead(self.inner.read(partition), self.depth)

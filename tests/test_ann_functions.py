@@ -120,3 +120,19 @@ def test_ivf_build_and_search(spark):
     g = {(r.q_id, r.rk): r.c_id for r in got.collect()}
     e = {(r.q_id, r.rk): r.c_id for r in exact.collect()}
     assert g == e
+
+
+def test_recall_floor_tripwire_raises_on_collapse(spark):
+    """The _recall_floor guard must turn a param collapse into a hard
+    error (VERDICT r07 next#8), and pass the measured value through
+    untouched when the floor holds."""
+    import pytest
+    from pyspark.sql import functions as F
+    from polars_readstat_spark.queries.similarity import _recall_floor
+
+    one = spark.range(1).select(F.lit(0.12).alias("r"))
+    ok = one.select(_recall_floor(F.col("r"), 0.08).alias("recall"))
+    assert ok.collect()[0]["recall"] == 0.12
+    bad = one.select(_recall_floor(F.col("r"), 0.5).alias("recall"))
+    with pytest.raises(Exception, match="recall floor"):
+        bad.collect()

@@ -65,3 +65,32 @@ def test_headline_small_payload_is_complete():
     p = _payload(n_extra=0)
     d = json.loads(bench._headline_line(p))
     assert set(d["queries"]) == set(p["queries"])
+
+
+def test_total_excludes_nparts_probes():
+    """The *_nparts plan probes record partition COUNTS, not seconds —
+    BENCH_r07's headline summed them (545.5 reported vs 185.5 true,
+    VERDICT r07 wrong#1). The total must count second-valued entries
+    only, and a failed probe must not appear in `errors`."""
+    timings = {
+        "read_zsav_acs_full": 1.2,
+        "read_zsav_acs_full_nparts": 32,
+        "read_dta_10m_full": 0.3,
+        "read_dta_10m_full_nparts": 40,
+        "broken_query": -1.0,
+        "broken_probe_nparts": -1.0,
+    }
+    total, errors = bench._total_and_errors(timings)
+    assert total == 1.5
+    assert errors == ["broken_query"]
+
+
+def test_nparts_probes_sorted_out_of_headline_surface():
+    """Probes rank below the BASELINE read surface in the stdout line
+    so truncation drops them first."""
+    p = _payload(n_extra=0)
+    p["queries"]["read_zsav_acs_full_nparts"] = 32
+    order = sorted(p["queries"], key=bench._headline_priority)
+    assert order[-1].endswith("_nparts") or bench._headline_priority(
+        "read_zsav_acs_full_nparts"
+    )[0] > bench._headline_priority("read_zsav_acs_full")[0]

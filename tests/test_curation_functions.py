@@ -129,3 +129,8 @@ def test_redact_chain_order_is_fixed(spark):
     )
     row = redact(df, _REDACTIONS).collect()[0]
     assert row.redacted == "x <EMAIL> y"
+    # n_redactions is ORIGINAL-text match density, not substitutions
+    # performed: the email consumed the digits so only ONE replacement
+    # happened, but the phone pattern also matched the original text —
+    # the documented semantic reports 2 (see redact()'s docstring).
+    assert row.n_redactions == 2

@@ -437,3 +437,26 @@ def test_bpe_merge_candidates_topk_no_global_window(spark):
     assert "TakeOrderedAndProject" in plan
     assert "windowspecdefinition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_inverted_index_collects_after_rare_term_join(spark):
+    """VERDICT r07 wrong#3: the postings collect must run AFTER the
+    rare-term filter joins back onto the pair stream, so a stop-word
+    never materializes a corpus-sized aggregation buffer. The r8 plan:
+    distinct pairs -> df rollup -> rare filter -> broadcast join ->
+    WindowGroupLimit(50) -> collect_list (buffer <= 50)."""
+    plan = plan_of(spark, "inverted_index_postings")
+    # the bounded-state collect: collect_list above the join, never
+    # collect_set over the raw token stream
+    assert "collect_set" not in plan
+    assert "collect_list" in plan
+    # rank-limit pushdown bounds per-term state to 50 BEFORE the
+    # window's exchange as well as after it
+    assert "WindowGroupLimit" in plan
+    # the rare-term dictionary joins back via a broadcast equi-join
+    assert "BroadcastHashJoin" in plan
+    # tree text lists parents first: the collecting aggregate must sit
+    # ABOVE the rare-term join (i.e. appear earlier in the tree)
+    tree = plan.split("(1) ")[0]
+    assert tree.index("ObjectHashAggregate") < tree.index("BroadcastHashJoin")
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,109 @@
+"""Bounded readahead wrapper: ordering, bounding, error relay, and
+the io_readahead option end-to-end through the datasource."""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import pytest
+
+from polars_readstat_spark.sources.readahead import readahead
+
+
+def test_order_preserved_and_complete():
+    items = list(range(57))
+    assert list(readahead(iter(items), depth=3)) == items
+
+
+def test_depth_zero_is_passthrough():
+    it = iter([1, 2, 3])
+    out = readahead(it, depth=0)
+    assert list(out) == [1, 2, 3]
+
+
+def test_producer_exception_reraises_in_consumer():
+    def gen():
+        yield 1
+        raise ValueError("boom at range 2")
+
+    out = readahead(gen(), depth=2)
+    assert next(out) == 1
+    with pytest.raises(ValueError, match="boom at range 2"):
+        list(out)
+
+
+def test_producer_lead_is_bounded():
+    """The producer may run at most depth items ahead of the consumer
+    plus the one item in its hand — never an unbounded buffer."""
+    produced = []
+    consumed = 0
+    max_lead = 0
+
+    def gen():
+        for i in range(40):
+            produced.append(i)
+            yield i
+
+    lock = threading.Lock()
+    for item in readahead(gen(), depth=2):
+        with lock:
+            consumed += 1
+            max_lead = max(max_lead, len(produced) - consumed)
+        time.sleep(0.002)  # slow consumer lets the producer run ahead
+    assert consumed == 40
+    # depth(2 queued) + 1 in the producer's hand + 1 handed to us
+    assert max_lead <= 4, max_lead
+
+
+def test_abandoned_consumer_unblocks_producer():
+    started = threading.Event()
+
+    def gen():
+        for i in range(1000):
+            started.set()
+            yield i
+
+    out = readahead(gen(), depth=1)
+    assert next(out) == 0
+    assert started.wait(2.0)
+    out.close()
+    # the pump thread must exit once stop is set (0.1 s put timeout)
+    deadline = time.time() + 3.0
+    while time.time() < deadline:
+        alive = [
+            t
+            for t in threading.enumerate()
+            if t.name == "prs-readahead" and t.is_alive()
+        ]
+        if not alive:
+            break
+        time.sleep(0.05)
+    assert not alive
+
+
+def test_io_readahead_option_end_to_end(spark, tmp_path):
+    """A scan with io_readahead=2 returns byte-identical results and
+    the same partition plan as the inline scan."""
+    from pyspark.sql import functions as F
+
+    import polars_readstat_spark as prs
+    from polars_readstat_spark.writers.dta import write_dta
+
+    prs.register(spark)
+
+    path = str(tmp_path / "ra.dta")
+    df = spark.range(5000).select(
+        F.col("id").alias("a"), (F.col("id") * 0.5).alias("b")
+    )
+    write_dta(df, path)
+    plain = spark.read.format("readstat").load(path)
+    ra = (
+        spark.read.format("readstat")
+        .option("io_readahead", "2")
+        .load(path)
+    )
+    assert ra.rdd.getNumPartitions() == plain.rdd.getNumPartitions()
+    a = sorted(tuple(r) for r in plain.collect())
+    b = sorted(tuple(r) for r in ra.collect())
+    assert a == b
