@@ -18,6 +18,13 @@ is plain Spark DataFrame / Catalyst — mirroring how the reference
 delegates relational algebra to the host Polars lazy engine.
 """
 
+from polars_readstat_spark._alloc import disable_hugepage_madvise
+
+# before anything allocates: MADV_HUGEPAGE + defrag=madvise costs
+# seconds of synchronous compaction on first big allocs in every fresh
+# process (see _alloc.py for the 9.5s-vs-0.58s measurement)
+disable_hugepage_madvise()
+
 from polars_readstat_spark.operators.profile import profile_read  # noqa: F401
 from polars_readstat_spark.session import get_spark  # noqa: F401
 from polars_readstat_spark.writers.partitioned import (  # noqa: F401

@@ -19,9 +19,15 @@ DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 def get_spark(app: str = "polars_readstat_spark", cpus: int | None = None) -> SparkSession:
     cpus = cpus or DEFAULT_CPUS
+    # must be in THIS process's env before the JVM launches: python
+    # workers inherit it, so numpy in every worker skips the
+    # MADV_HUGEPAGE direct-compaction stalls (see _alloc.py) even if
+    # the worker imports numpy before our package
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
+        .config("spark.executorEnv.NUMPY_MADVISE_HUGEPAGE", "0")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
