@@ -497,3 +497,112 @@ def mixture_budget_fill(spark, sf_dir):
             F.sum("n_chars").cast("bigint").alias("chars_taken"),
         )
     )
+
+
+@query(
+    "chunk_documents_overlap",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
+             LEN(STRING_SPLIT(text, ' ')) AS n
+      FROM documents
+    ),
+    x AS (
+      SELECT doc_id, toks, n,
+             UNNEST(RANGE(0, (GREATEST(n - 16, 0) + 11) // 12 + 1)) AS i
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           CAST(LEAST(16, n - i * 12) AS BIGINT) AS n_tokens,
+           ARRAY_TO_STRING(toks[i * 12 + 1 : i * 12 + 16], ' ')
+             AS chunk_text
+    FROM x
+    """,
+)
+def chunk_documents_overlap(spark, sf_dir):
+    """Sliding-window document chunking — the context-window prep step
+    of a training pipeline: window 16 tokens, stride 12 (25% overlap),
+    every chunk tagged with its ordinal and exact token count. The
+    window/stride are data-scale knobs (production: ~1k-token windows
+    against a real tokenizer; the whitespace tokens here are the
+    engine-parity stand-in, queries/text.py convention).
+
+    Scale shape: map-only — tokenize, compute the chunk count
+    arithmetically, explode a sequence, slice. ZERO shuffles, no
+    state; per-row fan-out is bounded by document length, so the op
+    keeps the input's partitioning at any corpus size (the cleaned
+    chunk table writes out exactly as partitioned as the corpus came
+    in).
+    """
+    W, S = 16, 12
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = d.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    t = t.withColumn(
+        "i",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.expr(f"CAST((GREATEST(n - {W}, 0) + {S - 1}) DIV {S} AS INT)"),
+            )
+        ),
+    )
+    return t.select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_idx"),
+        F.least(F.lit(W), F.col("n") - F.col("i") * S)
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("i") * S + 1, W), " "
+        ).alias("chunk_text"),
+    )
+
+
+@query(
+    "train_val_test_split",
+    oracle="""
+    WITH s AS (
+      SELECT source, n_chars, doc_id,
+             CASE WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                    THEN 'train'
+                  WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT source, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc_id
+    FROM s GROUP BY source, split
+    """,
+)
+def train_val_test_split(spark, sf_dir):
+    """Deterministic 3-way corpus split by content-stable hash ranges
+    (first md5 hex nibble: 0-b train ~75%, c-d val ~12.5%, e-f test
+    ~12.5%), summarized per source × split. Hash-range splitting is
+    the production norm because membership is a pure function of the
+    row — re-runs, late-arriving shards, and incremental appends land
+    each doc in the SAME split with no coordination, no stored
+    assignment table, and no RNG seed to version.
+
+    Scale shape: one map-side expression plus one combinable
+    aggregation; output is |sources| × 3 rows at any corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(nib < "c", "train").when(nib < "e", "val").otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )

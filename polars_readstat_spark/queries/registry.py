@@ -68,11 +68,13 @@ _PRIORITY: tuple[str, ...] = (
     "inverted_index_postings",
     "ann_ivf_recall",
     "ann_lsh_recall",
-    # then 37 of the 41 r05-green refreshes (alphabetical; the tail —
-    # sort_by_index_roundtrip, source_cap_topk,
-    # topk_orders_per_customer, union_distinct_keys — spills past the
-    # window and rotates in next round; all four re-verified in the
-    # local gate this round).
+    # then the three NEW round-8 queries (never driver-checked),
+    "chunk_documents_overlap",
+    "train_val_test_split",
+    "vocab_oov_rate",
+    # then 34 of the 41 r05-green refreshes (alphabetical; the tail of
+    # seven spills past the window and rotates in next round; all
+    # seven re-verified in the local gate this round).
     "anti_join_customers_without_orders",
     "broadcast_join_order_region",
     "cube_status_priority",
@@ -107,11 +109,11 @@ _PRIORITY: tuple[str, ...] = (
     "scan_sas7bdat_mixpage",
     "scan_sas7bdat_rdc",
     "scan_sas7bdat_rle",
+    # positions 51+: the r05 spill-over, then everything else keeps
+    # registration order (r06/r07 greens — freshest, lowest priority).
     "scan_sas7bdat_types",
     "schema_override_cast",
     "semi_join_customers_with_orders",
-    # positions 51+: the r05 spill-over, then everything else keeps
-    # registration order (r06/r07 greens — freshest, lowest priority).
     "sort_by_index_roundtrip",
     "source_cap_topk",
     "topk_orders_per_customer",

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from polars_readstat_spark.queries._cache import scoped_persist
 from polars_readstat_spark.queries.registry import query
 from polars_readstat_spark.tables import load_table, spread
 
@@ -461,4 +462,70 @@ def bpe_merge_candidates(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "pair")
         .limit(20)
+    )
+
+
+@query(
+    "vocab_oov_rate",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+    ),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, COUNT(*) AS c FROM tok
+        GROUP BY term ORDER BY c DESC, term ASC LIMIT 12
+      )
+    ),
+    j AS (
+      SELECT t.lang,
+             CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tok t LEFT JOIN vocab v ON v.term = t.term
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           CAST(SUM(oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS oov_rate
+    FROM j GROUP BY lang
+    """,
+)
+def vocab_oov_rate(spark, sf_dir):
+    """Tokenizer-vocabulary coverage check: build the top-k vocabulary
+    by corpus frequency (deterministic tie-break: count desc, term
+    asc) and measure the out-of-vocabulary token rate per language —
+    the go/no-go metric before committing a tokenizer to a training
+    run (a language with high OOV gets shredded into bytes and
+    under-trains). k=12 fits the synthetic corpus's 31-term
+    vocabulary; production k is 30k-100k and changes nothing
+    structurally.
+
+    Scale shape: the vocab is a corpus-frequency top-k
+    (TakeOrderedAndProject over a combinable count — never a global
+    sort of the term table) and is broadcast to the token stream, so
+    the coverage pass is map-side; the per-lang rollup ships three
+    counters per language. The single bigint/bigint division happens
+    once per output row, keeping the double exact for the oracle
+    compare. The token stream is persisted across its two uses
+    (vocab build + coverage scan) rather than re-exploded.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tok = scoped_persist(
+        d.select("lang", F.explode(F.split("text", " ")).alias("term"))
+    )
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("term").asc())
+        .limit(12)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    j = tok.join(F.broadcast(vocab), "term", "left")
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(oov).cast("bigint").alias("n_oov"),
+        (
+            F.sum(oov).cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("oov_rate"),
     )

@@ -460,3 +460,33 @@ def test_inverted_index_collects_after_rare_term_join(spark):
     tree = plan.split("(1) ")[0]
     assert tree.index("ObjectHashAggregate") < tree.index("BroadcastHashJoin")
     assert "CartesianProduct" not in plan
+
+
+def test_chunk_documents_overlap_is_map_only(spark):
+    """Chunking must stay a pure map: tokenize → sequence-explode →
+    slice, with no exchange anywhere (the chunk table keeps the
+    corpus's partitioning at any scale)."""
+    plan = plan_of(spark, "chunk_documents_overlap")
+    assert "Generate" in plan  # the sequence explode
+    # spread()'s plan-time repartition of the single-file local corpus
+    # is the only allowed exchange; no shuffle exchange may appear
+    assert "ENSURE_REQUIREMENTS" not in plan
+    assert "hashpartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_train_val_test_split_single_combinable_agg(spark):
+    plan = plan_of(spark, "train_val_test_split")
+    assert "partial_" in plan  # map-side combine
+    assert plan.count("Exchange") <= 2  # one agg shuffle (+AQE read)
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_oov_rate_topk_and_broadcast(spark):
+    """The vocabulary is a bounded top-k (TakeOrderedAndProject — no
+    global sort of the term table) and joins the token stream as a
+    broadcast, keeping the coverage pass map-side."""
+    plan = plan_of(spark, "vocab_oov_rate")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
