@@ -653,3 +653,54 @@ def dedup_incremental_vs_index(spark, sf_dir):
             F.min("index_doc").alias("first_index_hit"),
         )
     )
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle=_SIG_DUCK.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + _PAIRS_DUCK
+    + """
+    , edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    comp AS (
+      SELECT node, MIN(label) AS label FROM walk GROUP BY node
+    ),
+    sizes AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY label
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_size_histogram(spark, sf_dir):
+    """Near-dup cluster-size distribution — the dedup health report:
+    how many singletons (kept as-is), how many small groups (normal
+    near-dup density), and whether a mega-cluster exists (an
+    over-aggressive threshold or a template page chaining the corpus
+    together — the classic failure a size histogram catches before
+    the dedup DELETES most of the corpus).
+
+    Scale shape: reuses the memoized converged component labels
+    (one label-propagation run per session, `_cc_labels`), then two
+    combinable aggregations — sizes per label, histogram per size.
+    Output is bounded by the number of DISTINCT cluster sizes
+    (~O(log corpus) in practice), so the report stays tiny at any
+    scale."""
+    comp = _cc_labels(spark, sf_dir)
+    sizes = comp.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+    )

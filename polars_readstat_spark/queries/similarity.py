@@ -776,3 +776,92 @@ def ann_ivf_recall(spark, sf_dir):
             0.08,
         ).alias("recall"),
     )
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle="WITH "
+    + lsh_bands_duck()
+    + """
+    , cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM lsh_bands a
+      JOIN lsh_bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                      AND a.vec_id < b.vec_id
+    ),
+    """
+    + _PAIR_COS_BULK_DUCK.format(a="vec_a", b="vec_b")
+    + """
+    , th AS (
+      SELECT UNNEST([CAST(0.30 AS DOUBLE), CAST(0.35 AS DOUBLE),
+                     CAST(0.40 AS DOUBLE), CAST(0.45 AS DOUBLE)])
+        AS threshold
+    ),
+    pt AS (
+      SELECT t.threshold, p.vec_a, p.vec_b
+      FROM pair_cos p CROSS JOIN th t
+      WHERE p.cosine >= t.threshold
+    ),
+    np AS (
+      SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pt GROUP BY threshold
+    ),
+    nd AS (
+      SELECT threshold, CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs
+      FROM (SELECT threshold, UNNEST([vec_a, vec_b]) AS doc FROM pt)
+      GROUP BY threshold
+    )
+    SELECT np.threshold, np.n_pairs, nd.n_docs
+    FROM np JOIN nd USING (threshold)
+    """,
+)
+def dedup_threshold_sweep(spark, sf_dir):
+    """Near-dup threshold calibration: for each candidate cosine
+    cutoff, how many LSH-candidate pairs survive and how many distinct
+    documents they entangle — the sweep every dedup deployment runs
+    before committing a threshold (too low merges the corpus into one
+    blob, too high keeps near-identical shards). Thresholds
+    0.30-0.45 bracket the synthetic corpus's ~0.5 max off-diagonal
+    cosine; production corpora sweep 0.8-0.97.
+
+    Scale shape: exact cosines are computed ONCE on the LSH-candidate
+    set (never all-pairs), then the sweep is one broadcast join
+    against a 4-row threshold table plus two combinable aggregations —
+    adding thresholds costs candidate-set multiplication by |th|, not
+    another corpus pass. Surviving-pair rows are persisted across the
+    two rollups (pair count / distinct-doc count)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bands = scoped_persist(_lsh_bands(e))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .dropDuplicates()
+    )
+    scored = _pair_cosine_bulk(e, cand, "vec_a", "vec_b")
+    th = spark.createDataFrame(
+        [(0.30,), (0.35,), (0.40,), (0.45,)], "threshold double"
+    )
+    pt = scoped_persist(
+        scored.crossJoin(F.broadcast(th)).filter(
+            F.col("cosine") >= F.col("threshold")
+        )
+    )
+    np_ = pt.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_pairs"))
+    nd = (
+        pt.select(
+            "threshold",
+            F.explode(F.array("vec_a", "vec_b")).alias("doc"),
+        )
+        .groupBy("threshold")
+        .agg(F.countDistinct("doc").alias("n_docs"))
+    )
+    return np_.join(nd, "threshold").select("threshold", "n_pairs", "n_docs")

@@ -490,3 +490,22 @@ def test_vocab_oov_rate_topk_and_broadcast(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_threshold_sweep_no_all_pairs(spark):
+    """The sweep scores LSH candidates only (band equi-join, never an
+    all-pairs product); the only nested-loop join allowed is the
+    4-row broadcast threshold table."""
+    plan = plan_of(spark, "dedup_threshold_sweep")
+    assert "CartesianProduct" not in plan
+    # count joins in the TREE section only (the details section
+    # repeats each node); the sole nested-loop join allowed is the
+    # 4-row broadcast threshold table
+    tree = plan.split("(1) ")[0]
+    assert tree.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_dedup_cluster_size_histogram_two_combinable_aggs(spark):
+    plan = plan_of(spark, "dedup_cluster_size_histogram")
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan  # map-side combine on both rollups
