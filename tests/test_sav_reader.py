@@ -692,3 +692,73 @@ def test_checkpoint_pipeline_flag_planning(spark, tmp_path):
     parts = rdr.partitions()
     assert len(parts) == 2  # 2*2 <= 64 → keep the pipeline
     assert all(p.pipeline is True for p in parts)
+
+
+def test_decode_cmd_group_direct_affine_matches_lut():
+    """The r8 native-endian fast path (streaming code-bias float64
+    subtract) must be bitwise-identical to the LUT gather across the
+    full command-byte space: codes 1-251, literals (253) consuming
+    blocks in order, spaces (254), sysmis (255), padding (0, emits
+    nothing), and 252 stop mid-stream."""
+    import numpy as np
+
+    from polars_readstat_spark.sources.sav.decode import (
+        _cmd_lut,
+        _decode_cmd_group,
+    )
+
+    class M:
+        bias = 100.0
+        little_endian = True
+
+    rng = np.random.default_rng(11)
+
+    def build(cmd_bytes):
+        """Assemble (blocks, cmd_idx) from a flat command list: each
+        8-cmd block followed by one literal block per 253 in it."""
+        blocks, cmd_idx = [], []
+        for g in range(0, len(cmd_bytes), 8):
+            grp = cmd_bytes[g : g + 8]
+            grp = grp + [0] * (8 - len(grp))
+            cmd_idx.append(len(blocks))
+            blocks.append(grp)
+            for c in grp:
+                if c == 253:
+                    blocks.append(list(rng.integers(0, 256, 8)))
+        return (
+            np.asarray(blocks, dtype=np.uint8),
+            np.asarray(cmd_idx, dtype=np.int64),
+        )
+
+    def lut_reference(blocks, cmd_idx, meta):
+        cmds = blocks[cmd_idx].reshape(-1)
+        stop = np.flatnonzero(cmds == 252)
+        stopped = False
+        if stop.size:
+            cmds = cmds[: stop[0]]
+            stopped = True
+        el = cmds[cmds != 0]
+        out = _cmd_lut(meta)[el]
+        m253 = el == 253
+        if m253.any():
+            lit_mask = np.ones(blocks.shape[0], dtype=bool)
+            lit_mask[cmd_idx] = False
+            lits = blocks[lit_mask]
+            out = out.copy()
+            out[m253] = lits[np.cumsum(m253)[m253] - 1]
+        return out, stopped
+
+    cases = [
+        list(rng.integers(1, 252, 64)),  # pure bias codes
+        [253] * 16,  # all literals
+        [254, 255, 0, 1, 251, 253, 254, 255] * 4,  # specials mix
+        list(rng.choice([0, 1, 50, 251, 253, 254, 255], 120)),
+        list(rng.integers(1, 252, 20)) + [252] + [253] * 8,  # stop
+    ]
+    for cmds in cases:
+        blocks, idx = build([int(c) for c in cmds])
+        got, gs = _decode_cmd_group(blocks, idx, M())
+        want, ws = lut_reference(blocks, idx, M())
+        assert gs == ws
+        assert got.shape == want.shape
+        assert (got == want).all()
