@@ -68,15 +68,17 @@ _PRIORITY: tuple[str, ...] = (
     "inverted_index_postings",
     "ann_ivf_recall",
     "ann_lsh_recall",
-    # then the five NEW round-8 queries (never driver-checked),
+    # then the seven NEW round-8 queries (never driver-checked),
     "chunk_documents_overlap",
     "train_val_test_split",
     "vocab_oov_rate",
     "dedup_threshold_sweep",
     "dedup_cluster_size_histogram",
-    # then 32 of the 41 r05-green refreshes (alphabetical; the tail of
-    # nine spills past the window and rotates in next round; all nine
-    # re-verified in the local gate this round).
+    "event_anomaly_days",
+    "shuffle_key_skew_report",
+    # then 30 of the 41 r05-green refreshes (alphabetical; the tail of
+    # eleven spills past the window and rotates in next round; all
+    # eleven re-verified in the local gate this round).
     "anti_join_customers_without_orders",
     "broadcast_join_order_region",
     "cube_status_priority",
@@ -107,10 +109,10 @@ _PRIORITY: tuple[str, ...] = (
     "sample_hash_stratified",
     "scan_dta_metadata_surface",
     "scan_dta_pushdown",
-    "scan_sas7bdat_bigendian",
-    "scan_sas7bdat_mixpage",
     # positions 51+: the r05 spill-over, then everything else keeps
     # registration order (r06/r07 greens — freshest, lowest priority).
+    "scan_sas7bdat_bigendian",
+    "scan_sas7bdat_mixpage",
     "scan_sas7bdat_rdc",
     "scan_sas7bdat_rle",
     "scan_sas7bdat_types",

@@ -1006,3 +1006,47 @@ def window_rank_family(spark, sf_dir):
         F.cume_dist().over(w).alias("cdist"),
         F.ntile(4).over(wn).alias("quartile"),
     )
+
+
+@query(
+    "shuffle_key_skew_report",
+    oracle="""
+    WITH k AS (
+      SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM lineitem)
+    SELECT k.key, k.n_rows,
+           CAST(k.n_rows AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+    FROM k CROSS JOIN t
+    ORDER BY k.n_rows DESC, k.key ASC LIMIT 20
+    """,
+)
+def shuffle_key_skew_report(spark, sf_dir):
+    """Skew diagnosis for a prospective shuffle key: the top-20
+    heaviest key groups and their share of the table — the report run
+    BEFORE a big join/agg to decide whether a key needs salting or
+    AQE skew handling (one key at >1% of a 100 TB table means one
+    executor eats a terabyte). Deterministic tie-break (count desc,
+    key asc); share is one bigint/bigint division per output row.
+
+    Scale shape: a combinable count per key, a 1-row total broadcast,
+    and TakeOrderedAndProject for the top-20 — never a global sort of
+    the key table; output is 20 rows at any scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    t = li.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        k.crossJoin(F.broadcast(t))
+        .select(
+            "key",
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("total").cast("double"))
+            .alias("share"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("key").asc())
+        .limit(20)
+    )

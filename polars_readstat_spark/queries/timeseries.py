@@ -670,3 +670,78 @@ def resample_ffill_hourly(spark, sf_dir):
             F.col("ffill").alias("value"),
         )
     )
+
+
+@query(
+    "event_anomaly_days",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+               AS day_n,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS d,
+             CAST(SUM(n_events) AS BIGINT) AS s,
+             CAST(SUM(n_events * n_events) AS BIGINT) AS q
+      FROM daily GROUP BY event_type
+    )
+    SELECT daily.event_type, daily.day_n, daily.n_events,
+           (CAST((daily.n_events * st.d - st.s) AS DECIMAL(38,0))
+              * CAST((daily.n_events * st.d - st.s) AS DECIMAL(38,0)))
+             > CAST(9 AS DECIMAL(38,0))
+               * CAST((st.q * st.d - st.s * st.s) AS DECIMAL(38,0))
+             AS is_anomaly
+    FROM daily JOIN st USING (event_type)
+    """,
+)
+def event_anomaly_days(spark, sf_dir):
+    """Daily event-volume anomaly flags per event type — the pipeline
+    tripwire that catches an upstream collector outage (volume crater)
+    or a bot flood (spike) before the day's data poisons a training
+    snapshot. A day is anomalous when its count sits more than 3
+    population standard deviations from that type's mean.
+
+    The 3σ test runs in EXACT integer algebra — no sqrt, no float
+    accumulation: with D days, S = Σn, Q = Σn², the condition
+    |n − S/D| > 3σ is equivalent to (n·D − S)² > 9·(Q·D − S²) after
+    multiplying through by D² (σ² = Q/D − (S/D)²). Both sides are
+    integers promoted to DECIMAL(38,0) before squaring so the compare
+    is exact at any volume (bigint daily counts square past 2⁶³ at
+    ~1e10 events/day; decimal keeps the math closed).
+
+    Scale shape: two combinable aggregations (days×types, then types)
+    plus one broadcast join of the |types|-row stats table back onto
+    the daily rollup — no window over the full event stream, output
+    |types|×|days| rows regardless of event volume.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.select(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 86400)
+        .cast("bigint")
+        .alias("day_n"),
+    ).groupBy("event_type", "day_n").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("q"),
+    )
+    j = daily.join(F.broadcast(st), "event_type")
+    diff = (F.col("n_events") * F.col("d") - F.col("s")).cast(
+        "decimal(38,0)"
+    )
+    rhs = F.lit(9).cast("decimal(38,0)") * (
+        F.col("q") * F.col("d") - F.col("s") * F.col("s")
+    ).cast("decimal(38,0)")
+    return j.select(
+        "event_type",
+        "day_n",
+        "n_events",
+        ((diff * diff) > rhs).alias("is_anomaly"),
+    )

@@ -509,3 +509,21 @@ def test_dedup_cluster_size_histogram_two_combinable_aggs(spark):
     plan = plan_of(spark, "dedup_cluster_size_histogram")
     assert "CartesianProduct" not in plan
     assert "partial_" in plan  # map-side combine on both rollups
+
+
+def test_event_anomaly_broadcast_stats_no_window(spark):
+    """The 3-sigma flags come from a broadcast of the per-type stats
+    table back onto the daily rollup — never a window over the raw
+    event stream; both aggregations combine map-side."""
+    plan = plan_of(spark, "event_anomaly_days")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skew_report_is_take_ordered(spark):
+    plan = plan_of(spark, "shuffle_key_skew_report")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
