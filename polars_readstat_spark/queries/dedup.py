@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from polars_readstat_spark.queries._cache import scoped_persist
+from polars_readstat_spark.queries._cache import session_memo
 from polars_readstat_spark.queries.registry import query
 from polars_readstat_spark.tables import load_table, spread
 
@@ -144,7 +144,9 @@ def minhash_lsh_pairs(spark, sf_dir):
     # .explain — broadcast wrapping defeats ReusedExchange); the
     # signature table is one row/doc so caching it halves the work;
     # scoped so repeated registry runs don't accumulate cached tables
-    sig = scoped_persist(_signatures(spark, sf_dir))
+    sig = session_memo(
+        spark, sf_dir, "minhash_sig", lambda: _signatures(spark, sf_dir)
+    )
     return lsh_candidate_pairs(sig, "doc_id", bands=4, rows_per_band=2).select(
         F.col("id_a").alias("doc_a"),
         F.col("id_b").alias("doc_b"),
@@ -299,7 +301,12 @@ def simhash_band_pairs(spark, sf_dir):
     # token→hash→32-bit-tally pipeline once per side (same shape as
     # the minhash persist above); the fingerprint table is one short
     # row per doc
-    sim = scoped_persist(simhash_bits(d, "doc_id", "text", bits=32))
+    sim = session_memo(
+        spark,
+        sf_dir,
+        "simhash32",
+        lambda: simhash_bits(d, "doc_id", "text", bits=32),
+    )
     return simhash_candidate_pairs(
         sim, "doc_id", bits=32, bands=2, max_hamming=1
     )
@@ -639,7 +646,9 @@ def dedup_incremental_vs_index(spark, sf_dir):
     """
     from polars_readstat_spark.functions.dedup import lsh_bands
 
-    sig = scoped_persist(_signatures(spark, sf_dir))
+    sig = session_memo(
+        spark, sf_dir, "minhash_sig", lambda: _signatures(spark, sf_dir)
+    )
     bt = lsh_bands(sig, "doc_id", bands=4, rows_per_band=2)
     new = bt.filter(F.col("doc_id") % 10 == 0)
     idx = bt.filter(F.col("doc_id") % 10 != 0).select(
