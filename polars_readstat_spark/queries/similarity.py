@@ -26,7 +26,7 @@ from polars_readstat_spark.functions.similarity import (
     lsh_scaled_dim_expr,
     lsh_xi_duck,
 )
-from polars_readstat_spark.queries._cache import scoped_persist
+from polars_readstat_spark.queries._cache import scoped_persist, session_memo
 from polars_readstat_spark.queries.registry import query
 from polars_readstat_spark.tables import load_table
 
@@ -353,7 +353,9 @@ def ann_lsh_topk(spark, sf_dir):
     # each recompute the 32-projection code (same rationale as the
     # minhash band table in dedup.py); scoped so repeated registry runs
     # in one session don't accumulate cached band tables
-    bands = scoped_persist(_lsh_bands(e))
+    bands = session_memo(
+        e.sparkSession, sf_dir, "lsh_bands_32_4", lambda: _lsh_bands(e)
+    )
     qb = bands.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), "band_idx", "band_key"
     )
@@ -522,7 +524,9 @@ def dedup_embedding_cosine(spark, sf_dir):
     use ~0.9+). Same shape as MinHash-LSH dedup: linear band table,
     equi-join candidates, exact verify on candidates only."""
     e = load_table(spark, sf_dir, "embeddings")
-    bands = scoped_persist(_lsh_bands(e))
+    bands = session_memo(
+        e.sparkSession, sf_dir, "lsh_bands_32_4", lambda: _lsh_bands(e)
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -862,7 +866,9 @@ def dedup_threshold_sweep(spark, sf_dir):
     another corpus pass. Surviving-pair rows are persisted across the
     two rollups (pair count / distinct-doc count)."""
     e = load_table(spark, sf_dir, "embeddings")
-    bands = scoped_persist(_lsh_bands(e))
+    bands = session_memo(
+        e.sparkSession, sf_dir, "lsh_bands_32_4", lambda: _lsh_bands(e)
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
