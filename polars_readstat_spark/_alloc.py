@@ -29,7 +29,14 @@ import os
 
 
 def disable_hugepage_madvise() -> None:
-    """Idempotent; safe on numpy 1.x/2.x and non-Linux (no-op)."""
+    """Idempotent; safe on numpy 1.x/2.x and non-Linux (no-op).
+
+    PRS_KEEP_HUGEPAGE=1 is the escape hatch: a deployment whose
+    kernel runs defrag=defer (no synchronous compaction, so the
+    stall this guards against cannot happen) may prefer to keep the
+    hugepage TLB win for long-lived buffers."""
+    if os.environ.get("PRS_KEEP_HUGEPAGE") == "1":
+        return
     os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
     for mod in ("numpy.core.multiarray", "numpy._core.multiarray"):
         try:
