@@ -506,6 +506,7 @@ def mixture_budget_fill(spark, sf_dir):
       SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
              LEN(STRING_SPLIT(text, ' ')) AS n
       FROM documents
+      WHERE text IS NOT NULL
     ),
     x AS (
       SELECT doc_id, toks, n,
@@ -537,7 +538,10 @@ def chunk_documents_overlap(spark, sf_dir):
     """
     W, S = 16, 12
     d = spread(load_table(spark, sf_dir, "documents"))
-    t = d.select(
+    # NULL-text docs are dropped on BOTH engines: Spark's
+    # size(split(NULL)) is -1 (legacy sizeOfNull) while DuckDB's
+    # UNNEST(RANGE(NULL)) emits zero rows — pin identical semantics.
+    t = d.filter(F.col("text").isNotNull()).select(
         "doc_id", F.split("text", " ").alias("toks")
     ).withColumn("n", F.size("toks"))
     t = t.withColumn(

@@ -49,79 +49,91 @@ def query(name: str, oracle: str | None = None):
 # its code. Queries past position 50 still run in the local gate
 # (tools/check_correctness.py covers the whole registry).
 _PRIORITY: tuple[str, ...] = (
-    # round 8 window: the ten r04-stale queries first (VERDICT r07
-    # next#2 — their code paths changed when r7 threaded spread()
-    # through the document pipelines, so the driver must re-confirm),
-    "sequence_length_histogram",
-    "sequence_packing_bins",
-    "sessionization_30m",
-    "simhash_band_pairs",
-    "simhash_fingerprint",
-    "source_mixing_weights",
-    "text_lang_id_score",
-    "text_quality_score",
-    "text_token_count",
-    "value_label_broadcast_decode",
-    # then the queries whose code changed THIS round: the hot-key-safe
-    # inverted index rewrite (VERDICT r07 next#4) and the ANN recall
-    # floor asserts (next#8),
-    "inverted_index_postings",
-    "ann_ivf_recall",
-    "ann_lsh_recall",
-    # then the seven NEW round-8 queries (never driver-checked),
-    "chunk_documents_overlap",
-    "train_val_test_split",
-    "vocab_oov_rate",
-    "dedup_threshold_sweep",
-    "dedup_cluster_size_histogram",
-    "event_anomaly_days",
-    "shuffle_key_skew_report",
-    # then 30 of the 41 r05-green refreshes (alphabetical; the tail of
-    # eleven spills past the window and rotates in next round; all
-    # eleven re-verified in the local gate this round).
-    "anti_join_customers_without_orders",
-    "broadcast_join_order_region",
-    "cube_status_priority",
-    "customer_spend_quartiles",
-    "filter_pushdown",
-    "group_count_events",
-    "intersect_except_user_sets",
-    "limit_pushdown",
-    "max_strlen_prepass",
-    "metadata_merge_full_join",
-    "mixture_budget_fill",
-    "offset_slice",
-    "orders_monthly_rollup",
-    "pivot_user_event_counts",
-    "projection_pushdown",
-    "q10_returned_item_revenue",
-    "q11_important_value_share",
-    "q14_promo_effect",
-    "q18_large_volume_customer",
-    "q22_idle_customer_balance",
-    "q3_shipping_priority",
-    "q4_order_priority_exists",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "rollup_revenue_subtotals",
-    "row_index_ordered",
-    "running_revenue_window",
-    "sample_hash_stratified",
-    "scan_dta_metadata_surface",
-    "scan_dta_pushdown",
-    # positions 51+: the r05 spill-over, then everything else keeps
-    # registration order (r06/r07 greens — freshest, lowest priority).
+    # round 9 window: first the eleven r05-stale queries (VERDICT r08
+    # next#2 — their newest driver green is three rounds back; the
+    # sas7bdat fixture scans lead because the r9 reader refactor
+    # touches their code path too),
+    "scan_sas7bdat_types",
+    "scan_sas7bdat_rle",
+    "scan_sas7bdat_rdc",
     "scan_sas7bdat_bigendian",
     "scan_sas7bdat_mixpage",
-    "scan_sas7bdat_rdc",
-    "scan_sas7bdat_rle",
-    "scan_sas7bdat_types",
     "schema_override_cast",
     "semi_join_customers_with_orders",
     "sort_by_index_roundtrip",
     "source_cap_topk",
     "topk_orders_per_customer",
     "union_distinct_keys",
+    # then the queries whose code changed THIS round: the two new
+    # registry entries (O4 collision guard, VERDICT r08 next#4; the
+    # io_readahead multifile consumer, next#6), the NULL-text semantics
+    # pin (ADVICE r08), and every scan whose read path the r9
+    # range-fetch / fetch-decode-pipeline refactors touched (dta row
+    # loop, sas7bdat page loop),
+    "row_index_collision_guard",
+    "scan_dta_multifile_readahead",
+    "chunk_documents_overlap",
+    "scan_dta_roundtrip",
+    "scan_dta_multifile",
+    "scan_dta_pushdown",
+    "scan_dta_informative_nulls",
+    "scan_dta_value_labels",
+    "scan_dta_tagged_missing",
+    "scan_sas7bdat_roundtrip",
+    "scan_sas7bdat_rle_roundtrip",
+    "scan_sas7bdat_rdc_roundtrip",
+    "scan_sas7bdat_informative_nulls",
+    "scan_union_by_name",
+    "scan_sink_dir_roundtrip",
+    "scan_federated_join",
+    "stream_ingest_agg",
+    "profile_read_surface",
+    # then 21 of the 42 r06-green refreshes, now the oldest driver
+    # greens (alphabetical; the tail spills past the window and
+    # rotates in next round — all 42 stay covered by the local gate).
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "asof_join_purchase_click",
+    "bpe_merge_candidates",
+    "catalog_label_case_decode",
+    "catalog_scan_formats",
+    "compress_all_midnight",
+    "compress_numeric_decision",
+    "compress_string_numeric_parse",
+    "corpus_clean_pipeline",
+    "curation_funnel_stage_counts",
+    "decontaminate_ngram_overlap",
+    "dedup_connected_components",
+    "dedup_edit_distance_verify",
+    "dedup_embedding_cosine",
+    "dedup_exact_hash",
+    "embedding_quantize_int8",
+    "event_value_histogram",
+    "funnel_click_to_purchase",
+    "kmeans_update_step",
+    # positions 51+: the r06 spill-over (rotates in next round), then
+    # everything else keeps registration order (r07/r08 greens —
+    # freshest, lowest priority).
+    "q12_linestatus_priority",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q19_or_predicate_revenue",
+    "q20_excess_shipments",
+    "q21_waiting_supplier",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "range_join_click_purchase_1h",
+    "salted_skew_agg",
+    "text_bpe_token_count",
+    "text_gopher_quality_rules",
+    "text_ngram_topk",
+    "text_rare_token_ratio",
+    "window_lag_delta",
 )
 
 

@@ -34,6 +34,52 @@ def row_index_ordered(spark, sf_dir):
 
 
 @query(
+    "row_index_collision_guard",
+    oracle="""
+    SELECT 'ValueError' AS error_class,
+           CAST(1 AS INT) AS names_column,
+           CAST(1 AS INT) AS raised
+    """,
+)
+def row_index_collision_guard(spark, sf_dir):
+    """O4: row_index_name colliding with an existing column is an
+    analysis-time error, not silent column shadowing (reference
+    src/lib.rs:380-398 rejects the same collision). The query attempts
+    the colliding scan, catches the rejection, and reports WHAT was
+    raised as a 1-row frame so the driver's oracle can check the guard
+    itself — the only §2 operator whose observable output is an error.
+    """
+    import polars_readstat_spark as prs
+    from polars_readstat_spark.queries.scanio import ensure_readstat_file
+
+    path = ensure_readstat_file(spark, sf_dir, "dta")
+    prs.register(spark)
+    raised, names_column, error_class = 0, 0, ""
+    try:
+        df = (
+            spark.read.format("readstat")
+            .option("row_index_name", "l_orderkey")
+            .load(path)
+        )
+        df.schema  # force analysis in case load() deferred it
+    except Exception as e:  # noqa: BLE001 — the error IS the result
+        raised = 1
+        blob = f"{type(e).__name__} {e}"
+        if "collides with a column" in blob and "l_orderkey" in blob:
+            names_column = 1
+        # Spark surfaces Python-datasource errors wrapped; the original
+        # class name survives in the message chain
+        error_class = (
+            "ValueError" if "ValueError" in blob or isinstance(e, ValueError)
+            else type(e).__name__
+        )
+    return spark.createDataFrame(
+        [(error_class, names_column, raised)],
+        "error_class string, names_column int, raised int",
+    )
+
+
+@query(
     "sort_by_index_roundtrip",
     oracle="""
     SELECT o_orderkey, o_custkey FROM (

@@ -357,6 +357,25 @@ def scan_dta_multifile(spark, sf_dir):
     return _canon(_scan(spark, ensure_multifile_dir(spark, sf_dir, "dta")))
 
 
+@query("scan_dta_multifile_readahead", oracle=_CANON_ORACLE)
+def scan_dta_multifile_readahead(spark, sf_dir):
+    """A4 under the oracle: the SAME directory scan as
+    scan_dta_multifile but with io_readahead=2 — each partition's raw
+    range fetches run one producer thread ahead of decode (the
+    high-latency-store pipeline, reference scan_prefetch.rs:35-52).
+    A value-hash match against the plain oracle proves the pipelined
+    path is batch-for-batch identical to the inline one."""
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    df = (
+        spark.read.format("readstat")
+        .option("io_readahead", "2")
+        .load(ensure_multifile_dir(spark, sf_dir, "dta"))
+    )
+    return _canon(df)
+
+
 @query(
     "scan_dta_pushdown",
     oracle="""

@@ -22,12 +22,19 @@ def get_spark(app: str = "polars_readstat_spark", cpus: int | None = None) -> Sp
     # must be in THIS process's env before the JVM launches: python
     # workers inherit it, so numpy in every worker skips the
     # MADV_HUGEPAGE direct-compaction stalls (see _alloc.py) even if
-    # the worker imports numpy before our package
-    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+    # the worker imports numpy before our package. PRS_KEEP_HUGEPAGE=1
+    # (the _alloc.py escape hatch) must apply to executors too, not
+    # just the driver.
+    keep_hugepage = os.environ.get("PRS_KEEP_HUGEPAGE") == "1"
+    if not keep_hugepage:
+        os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
-        .config("spark.executorEnv.NUMPY_MADVISE_HUGEPAGE", "0")
+        .config(
+            "spark.executorEnv.NUMPY_MADVISE_HUGEPAGE",
+            "1" if keep_hugepage else "0",
+        )
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -21,6 +21,7 @@ Supported formats: .dta (Stata v102-119), .sas7bdat, .xpt, .sav,
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from pyspark.sql.types import (
@@ -66,6 +67,12 @@ class ReadstatDataSource(DataSource):
       union_by_name            multi-file: tolerate schema drift —
                                union columns by name across files,
                                widen numeric types, null-fill gaps
+      io_readahead             fetch-ahead depth for high-latency
+                               stores (0 = off; A4). dta pipelines at
+                               the fetch/decode seam; other formats
+                               buffer whole decoded batches
+      io_simulated_latency_ms  bench/test only: per-range first-byte
+                               sleep standing in for an object store
     """
 
     # Cluster parallelism baked in by ``register(spark)``: it builds a
@@ -394,7 +401,7 @@ class ReadstatDataSource(DataSource):
         # ~50-100 ms first-byte per range); off by default because on
         # local disk it only duplicates OS readahead (SCALE.md A4)
         ra_depth = int(self.options.get("io_readahead", 0) or 0)
-        if ra_depth > 0:
+        if ra_depth > 0 and not _handles_readahead(base):
             from polars_readstat_spark.sources.readahead import (
                 ReadaheadReader,
             )
@@ -742,6 +749,21 @@ def _widen_types(a, b, name: str):
     )
 
 
+def _handles_readahead(r) -> bool:
+    """True when the (possibly wrapped) reader pipelines io_readahead
+    itself at the fetch/decode seam — the outer whole-batch wrapper
+    would only double-buffer on top of it."""
+    if getattr(r, "handles_readahead", False):
+        return True
+    inner = getattr(r, "inner", None)
+    if inner is not None:
+        return _handles_readahead(inner)
+    readers = getattr(r, "readers", None)
+    if readers:
+        return all(_handles_readahead(x) for x in readers)
+    return False
+
+
 class SchemaAlignReader(DataSourceReader):
     """Adapts one file's batches to the multi-file union schema:
     reorders columns by name, null-fills columns the file lacks, and
@@ -856,6 +878,8 @@ _STRL_CACHE: dict[str, dict] = {}
 
 
 class DtaReader(DataSourceReader):
+    handles_readahead = True  # pipelines fetch/decode in read()
+
     def __init__(self, path: str, options, schema: StructType):
         from polars_readstat_spark.sources.dta.meta import parse_dta_meta
 
@@ -872,6 +896,14 @@ class DtaReader(DataSourceReader):
         self.batch_size = _opt_int(options, "batch_size")
         self.rows_per_partition = _opt_int(options, "rows_per_partition")
         self.target_parallelism = _opt_int(options, "target_parallelism")
+        # readahead handled HERE (fetch/decode overlap inside the row
+        # loop) rather than by the generic ReadaheadReader wrapper,
+        # which can only overlap whole-batch production with JVM
+        # serialization
+        self.io_readahead = _opt_int(options, "io_readahead", 0) or 0
+        self.sim_latency_s = (
+            float(options.get("io_simulated_latency_ms", 0) or 0) / 1000.0
+        )
         from polars_readstat_spark.sources import informative as inf
 
         self.informative = inf.parse_opts(options)
@@ -961,22 +993,55 @@ class DtaReader(DataSourceReader):
             yield with_row_index(batch, partition.start, 0)
             return
 
-        with open(self.path, "rb") as f:
-            pos = partition.start
-            end = partition.start + partition.n
-            while pos < end:
-                cnt = min(batch_rows, end - pos)
-                f.seek(meta.data_offset + pos * rw)
-                buf = f.read(cnt * rw)
-                batch = decode_rows(
-                    meta,
-                    buf,
-                    cnt,
-                    self.col_indices,
-                    self.value_labels_as_strings,
-                    self.missing_string_as_null,
-                    strl_lookup,
-                    informative=self.informative,
+        def fetched():
+            # raw range fetches, separable from decode so io_readahead
+            # can overlap the NEXT range's first-byte latency with the
+            # CURRENT range's decode (reference scan_prefetch.rs:35-52
+            # pipelines at exactly this layer). io_simulated_latency_ms
+            # is the bench/test stand-in for an object store's per-range
+            # first-byte cost — local files return in µs.
+            with open(self.path, "rb") as f:
+                pos = partition.start
+                end = partition.start + partition.n
+                while pos < end:
+                    cnt = min(batch_rows, end - pos)
+                    if self.sim_latency_s:
+                        import time as _t
+
+                        _t.sleep(self.sim_latency_s)
+                    f.seek(meta.data_offset + pos * rw)
+                    buf = f.read(cnt * rw)
+                    yield pos, cnt, buf
+                    pos += cnt
+
+        it = fetched()
+        if self.io_readahead > 0:
+            from polars_readstat_spark.sources.readahead import readahead
+
+            it = readahead(it, self.io_readahead)
+        probe = os.environ.get("PRS_READ_PROBE")
+        t_read0 = time.perf_counter() if probe else 0.0
+        n_batches = 0
+        for pos, cnt, buf in it:
+            batch = decode_rows(
+                meta,
+                buf,
+                cnt,
+                self.col_indices,
+                self.value_labels_as_strings,
+                self.missing_string_as_null,
+                strl_lookup,
+                informative=self.informative,
+            )
+            n_batches += 1
+            yield with_row_index(batch, pos, cnt)
+        if probe:
+            # executor-side diagnostics (workers re-import this module,
+            # so driver-side instrumentation can't see them)
+            with open(
+                f"{probe}/part_{os.getpid()}_{partition.start}.txt", "w"
+            ) as pf:
+                pf.write(
+                    f"ra={self.io_readahead} nb={n_batches} "
+                    f"dt={time.perf_counter() - t_read0:.3f}\n"
                 )
-                yield with_row_index(batch, pos, cnt)
-                pos += cnt

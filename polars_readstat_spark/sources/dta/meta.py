@@ -150,6 +150,18 @@ def _cstr(b: bytes, encoding: str) -> str:
 
 
 def parse_dta_meta(path: str, load_value_labels: bool = True) -> DtaMeta:
+    """(path, mtime, size)-memoized per load_value_labels flavor
+    (sources/metamemo.py; consumers never mutate DtaMeta)."""
+    from polars_readstat_spark.sources.metamemo import memoized_parse
+
+    return memoized_parse(
+        f"dta:{int(bool(load_value_labels))}",
+        path,
+        lambda p: _parse_dta_meta(p, load_value_labels),
+    )
+
+
+def _parse_dta_meta(path: str, load_value_labels: bool = True) -> DtaMeta:
     with open(path, "rb") as f:
         head = f.read(4)
         f.seek(0)

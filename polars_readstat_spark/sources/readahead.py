@@ -54,23 +54,29 @@ def readahead(it: Iterator, depth: int = 2) -> Iterator:
     q: queue.Queue = queue.Queue(maxsize=depth)
     stop = threading.Event()
 
+    def relay(item) -> bool:
+        """Stop-checked timed put: never drops `item` while the consumer
+        is still alive, never parks forever once it's gone. Returns
+        False only when the consumer abandoned the generator."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def pump() -> None:
         try:
             for item in it:
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
+                if not relay(item):
                     return
-            q.put(_SENTINEL)
+            relay(_SENTINEL)
         except BaseException as e:  # noqa: BLE001 — relayed, not dropped
-            try:
-                q.put(_Raised(e), timeout=1.0)
-            except queue.Full:
-                pass
+            # the terminator gets the same loop as data items: a busy
+            # consumer (>1s behind) must still receive the error, else
+            # an inner-reader failure becomes an indefinite task hang
+            relay(_Raised(e))
 
     t = threading.Thread(target=pump, daemon=True, name="prs-readahead")
     t.start()

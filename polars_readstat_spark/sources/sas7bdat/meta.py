@@ -200,6 +200,15 @@ def _decode(b: bytes, enc: str) -> str:
 
 
 def parse_sas_meta(path: str) -> SasMeta:
+    """(path, mtime, size)-memoized — the wide-file header/column walk
+    costs ~0.85 s cold; repeated plans of the same file hit the memo
+    (sources/metamemo.py; consumers never mutate SasMeta)."""
+    from polars_readstat_spark.sources.metamemo import memoized_parse
+
+    return memoized_parse("sas7bdat", path, _parse_sas_meta)
+
+
+def _parse_sas_meta(path: str) -> SasMeta:
     with open(path, "rb") as f:
         head = f.read(288)
         if head[: len(MAGIC)] != MAGIC:

@@ -173,6 +173,14 @@ def _read_exact(f, n: int) -> bytes:
 
 
 def parse_sav_meta(path: str) -> SavMeta:
+    """(path, mtime, size)-memoized (sources/metamemo.py; consumers
+    never mutate SavMeta)."""
+    from polars_readstat_spark.sources.metamemo import memoized_parse
+
+    return memoized_parse("sav", path, _parse_sav_meta)
+
+
+def _parse_sav_meta(path: str) -> SavMeta:
     with open(path, "rb") as f:
         hdr = _read_exact(f, HEADER_LEN)
         magic = hdr[:4]

@@ -66,6 +66,14 @@ def _rec(f) -> bytes:
 
 
 def parse_xpt_meta(path: str) -> XptMeta:
+    """(path, mtime, size)-memoized (sources/metamemo.py; consumers
+    never mutate XptMeta)."""
+    from polars_readstat_spark.sources.metamemo import memoized_parse
+
+    return memoized_parse("xpt", path, _parse_xpt_meta)
+
+
+def _parse_xpt_meta(path: str) -> XptMeta:
     import os
 
     with open(path, "rb") as f:

@@ -82,6 +82,81 @@ def test_abandoned_consumer_unblocks_producer():
     assert not alive
 
 
+def test_producer_error_reaches_busy_consumer():
+    """An inner-reader error must arrive even when the queue stays full
+    for >1 s while the consumer is busy — a dropped terminator would
+    turn the failure into an indefinite consumer hang."""
+
+    def gen():
+        yield 1
+        yield 2
+        raise ValueError("late boom")
+
+    out = readahead(gen(), depth=1)
+    assert next(out) == 1
+    time.sleep(1.3)  # producer fills the queue and sits on the error
+    with pytest.raises(ValueError, match="late boom"):
+        list(out)
+
+
+def test_abandon_after_exhaustion_does_not_leak_thread():
+    """Consumer abandons while the producer is parked trying to enqueue
+    the completion sentinel on a full queue: the stop-checked put must
+    let the thread exit."""
+
+    def gen():
+        yield from range(3)  # exhausts immediately; sentinel is next
+
+    out = readahead(gen(), depth=1)
+    assert next(out) == 0
+    time.sleep(0.3)  # queue fills; producer now waits to relay sentinel
+    out.close()
+    deadline = time.time() + 3.0
+    alive = []
+    while time.time() < deadline:
+        alive = [
+            t
+            for t in threading.enumerate()
+            if t.name == "prs-readahead" and t.is_alive()
+        ]
+        if not alive:
+            break
+        time.sleep(0.05)
+    assert not alive
+
+
+def test_sas7bdat_internal_pipeline_identical(spark, tmp_path):
+    """SasReader pipelines 4 MiB range fetches ahead of decode when
+    io_readahead is set; the page regrouping must be byte-identical —
+    including on an RLE-compressed file whose page groups now span
+    fetched ranges."""
+    from pyspark.sql import functions as F
+
+    import polars_readstat_spark as prs
+    from polars_readstat_spark.writers.sas7bdat import write_sas7bdat
+
+    prs.register(spark)
+    df = spark.range(30000).select(
+        F.col("id").alias("a"),
+        (F.col("id") % 7).cast("double").alias("b"),
+        F.concat(F.lit("s"), (F.col("id") % 40).cast("string")).alias("s"),
+    )
+    for compress, tag in ((None, "plain"), ("rle", "rle")):
+        path = str(tmp_path / f"ra_{tag}.sas7bdat")
+        kw = {"compress": compress} if compress else {}
+        write_sas7bdat(df, path, **kw)
+        plain = spark.read.format("readstat").load(path)
+        ra = (
+            spark.read.format("readstat")
+            .option("io_readahead", "2")
+            .option("io_simulated_latency_ms", "1")
+            .load(path)
+        )
+        a = sorted(tuple(r) for r in plain.collect())
+        b = sorted(tuple(r) for r in ra.collect())
+        assert a == b, tag
+
+
 def test_io_readahead_option_end_to_end(spark, tmp_path):
     """A scan with io_readahead=2 returns byte-identical results and
     the same partition plan as the inline scan."""

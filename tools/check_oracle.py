@@ -7,6 +7,14 @@ bitwise on doubles — our queries are engineered for exact float
 parity, see queries/registry.py).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+       python tools/check_oracle.py [sf_dir] --changed-since <sha>
+
+--changed-since maps the files changed since <sha> to the affected
+registry queries (a query is affected when its module, or any
+package-internal module in its module's static import closure,
+changed; changes under sources/ or writers/ additionally map to every
+query whose module drives the readstat data source) and checks just
+those — the cheap in-round verification loop without losing coverage.
 """
 
 from __future__ import annotations
@@ -87,9 +95,111 @@ def compare(name, sdf, sql, con, report):
     print(("PASS " if ok else "FAIL ") + name + ("" if ok else ": " + " | ".join(msgs)))
 
 
+_PKG = "polars_readstat_spark"
+
+
+def _module_imports(mod_name: str) -> set[str]:
+    """Package-internal modules statically imported by `mod_name`
+    (regex over source — good enough for this package's plain
+    import style)."""
+    import importlib
+    import inspect
+    import re
+
+    try:
+        src = inspect.getsource(importlib.import_module(mod_name))
+    except Exception:  # noqa: BLE001
+        return set()
+    out = set()
+    for m in re.finditer(
+        rf"from\s+({_PKG}(?:\.\w+)*)\s+import\s+([\w, ]+)|import\s+({_PKG}(?:\.\w+)*)",
+        src,
+    ):
+        if m.group(3):
+            out.add(m.group(3))
+            continue
+        base = m.group(1)
+        out.add(base)
+        for leaf in m.group(2).split(","):
+            leaf = leaf.strip().split(" ")[0]
+            if leaf:
+                out.add(f"{base}.{leaf}")
+    return out
+
+
+def _import_closure(mod_name: str, cache: dict) -> set[str]:
+    if mod_name in cache:
+        return cache[mod_name]
+    cache[mod_name] = set()  # break cycles
+    seen = {mod_name}
+    for dep in _module_imports(mod_name):
+        seen.add(dep)
+        if dep.startswith(_PKG):
+            seen |= _import_closure(dep, cache)
+    cache[mod_name] = seen
+    return seen
+
+
+def queries_changed_since(sha: str) -> set[str]:
+    """Registry queries affected by files changed since `sha`."""
+    import importlib
+    import inspect
+    import subprocess
+
+    changed = subprocess.check_output(
+        ["git", "diff", "--name-only", sha, "--", "*.py"], cwd=REPO
+    ).decode().splitlines()
+    changed_mods = {
+        p[:-3].replace("/", ".")
+        for p in changed
+        if p.endswith(".py") and p.startswith(f"{_PKG}/")
+    }
+    if not changed_mods:
+        return set()
+    # a datasource/writer change can surface through ANY query that
+    # scans via spark.read.format("readstat") — static imports can't
+    # see that dynamic dispatch, so detect consumers textually
+    ds_changed = any(
+        m.startswith((f"{_PKG}.sources", f"{_PKG}.writers"))
+        or m == f"{_PKG}.__init__"
+        or m == _PKG
+        for m in changed_mods
+    )
+    import __spark_entry__ as entrymod
+
+    entrymod.queries()  # force registry load
+    from polars_readstat_spark.queries.registry import QUERIES
+
+    cache: dict = {}
+    affected = set()
+    for name, fn in QUERIES.items():
+        mod = fn.__module__
+        closure = _import_closure(mod, cache)
+        if closure & changed_mods:
+            affected.add(name)
+            continue
+        if ds_changed:
+            try:
+                src = inspect.getsource(importlib.import_module(mod))
+            except Exception:  # noqa: BLE001
+                src = ""
+            if "readstat" in src or "prs.register" in src:
+                affected.add(name)
+    return affected
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[2:]
+    if args[:1] == ["--changed-since"]:
+        sys.path.insert(0, REPO)
+        only = queries_changed_since(args[1])
+        if not only:
+            print("no package .py files changed; nothing to check")
+            sys.exit(0)
+        print(f"# {len(only)} queries affected: {' '.join(sorted(only))}")
+    else:
+        only = set(args)
     sys.path.insert(0, REPO)
     import __spark_entry__ as entrymod
     from polars_readstat_spark.session import get_spark
