@@ -86,6 +86,16 @@ class SavReader(DataSourceReader):
         self.batch_size = _opt_int(options, "batch_size")
         self.rows_per_partition = _opt_int(options, "rows_per_partition")
         self.target_parallelism = _opt_int(options, "target_parallelism")
+        # the uncompressed row loop pipelines io_readahead at the
+        # fetch/decode seam itself; the compressed paths (checkpoint /
+        # literal / sequential command-stream) do their IO inside the
+        # decode iterators, so they keep the generic whole-batch
+        # wrapper (instance attr — _handles_readahead checks it)
+        self.io_readahead = _opt_int(options, "io_readahead", 0) or 0
+        self.sim_latency_s = (
+            float(options.get("io_simulated_latency_ms", 0) or 0) / 1000.0
+        )
+        self.handles_readahead = self.meta.compression == 0
         from polars_readstat_spark.sources import informative as inf
 
         self.informative = inf.parse_opts(options)
@@ -333,15 +343,30 @@ class SavReader(DataSourceReader):
                 yield emit(rows, pos, rows.shape[0])
             return
 
-        with open(self.path, "rb") as f:
-            pos = partition.start
-            end = partition.start + partition.n
-            while pos < end:
-                cnt = min(batch_rows, end - pos)
-                f.seek(meta.data_offset + pos * rw)
-                buf = f.read(cnt * rw)
-                rows = np.frombuffer(buf, dtype=np.uint8, count=cnt * rw).reshape(
-                    cnt, rw
-                )
-                yield emit(rows, pos, cnt)
-                pos += cnt
+        def fetched():
+            # raw range fetches, separable from decode so io_readahead
+            # overlaps the NEXT range's first-byte latency with the
+            # CURRENT range's decode (same seam as DtaReader)
+            with open(self.path, "rb") as f:
+                pos = partition.start
+                end = partition.start + partition.n
+                while pos < end:
+                    cnt = min(batch_rows, end - pos)
+                    if self.sim_latency_s:
+                        import time as _t
+
+                        _t.sleep(self.sim_latency_s)
+                    f.seek(meta.data_offset + pos * rw)
+                    yield pos, cnt, f.read(cnt * rw)
+                    pos += cnt
+
+        it = fetched()
+        if self.io_readahead > 0:
+            from polars_readstat_spark.sources.readahead import readahead
+
+            it = readahead(it, self.io_readahead)
+        for pos, cnt, buf in it:
+            rows = np.frombuffer(buf, dtype=np.uint8, count=cnt * rw).reshape(
+                cnt, rw
+            )
+            yield emit(rows, pos, cnt)

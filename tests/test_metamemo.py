@@ -1,0 +1,65 @@
+"""Parsed-metadata memo: hit on identical file state, invalidate on
+rewrite, and the wired parsers actually route through it."""
+
+from __future__ import annotations
+
+import os
+
+from polars_readstat_spark.sources import metamemo
+
+
+def test_memo_hit_and_invalidate(tmp_path):
+    p = str(tmp_path / "f.bin")
+    with open(p, "wb") as f:
+        f.write(b"one")
+    calls = []
+
+    def parse(path):
+        calls.append(path)
+        return {"n": len(calls)}
+
+    a = metamemo.memoized_parse("t", p, parse)
+    b = metamemo.memoized_parse("t", p, parse)
+    assert a is b and len(calls) == 1
+    # rewrite via replace (what the writers do) — new mtime/size
+    tmp = p + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(b"three!")
+    os.replace(tmp, p)
+    c = metamemo.memoized_parse("t", p, parse)
+    assert c is not a and len(calls) == 2
+    # distinct kinds never share entries
+    d = metamemo.memoized_parse("other", p, parse)
+    assert d is not c and len(calls) == 3
+
+
+def test_missing_file_falls_through(tmp_path):
+    import pytest
+
+    def parse(path):
+        raise FileNotFoundError(path)
+
+    with pytest.raises(FileNotFoundError):
+        metamemo.memoized_parse("t", str(tmp_path / "nope"), parse)
+
+
+def test_dta_parser_memoizes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from polars_readstat_spark.sources.dta.meta import parse_dta_meta
+    from polars_readstat_spark.writers.dta import write_dta
+
+    p = str(tmp_path / "m.dta")
+    write_dta(
+        spark.range(100).select(F.col("id").alias("a")), p
+    )
+    m1 = parse_dta_meta(p)
+    m2 = parse_dta_meta(p)
+    assert m1 is m2
+    # rewrite invalidates
+    write_dta(
+        spark.range(200).select(F.col("id").alias("a")), p
+    )
+    m3 = parse_dta_meta(p)
+    assert m3 is not m1
+    assert m3.nobs == 200

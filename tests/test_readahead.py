@@ -157,6 +157,44 @@ def test_sas7bdat_internal_pipeline_identical(spark, tmp_path):
         assert a == b, tag
 
 
+def test_sav_xpt_internal_pipeline_identical(spark, tmp_path):
+    """The uncompressed SavReader and XptReader pipelines must be
+    byte-identical to the inline scans (compressed sav falls back to
+    the generic whole-batch wrapper — also checked)."""
+    from pyspark.sql import functions as F
+
+    import polars_readstat_spark as prs
+    from polars_readstat_spark.writers.sav import write_sav
+    from polars_readstat_spark.writers.xpt import write_xpt
+
+    prs.register(spark)
+    df = spark.range(20000).select(
+        F.col("id").cast("double").alias("a"),
+        (F.col("id") % 13).cast("double").alias("b"),
+    )
+    cases = []
+    p = str(tmp_path / "ra.sav")
+    write_sav(df, p)
+    cases.append(("sav", p))
+    pc = str(tmp_path / "ra_bc.sav")
+    write_sav(df, pc, compress=True)
+    cases.append(("sav_bytecode", pc))
+    px = str(tmp_path / "ra.xpt")
+    write_xpt(df, px)
+    cases.append(("xpt", px))
+    for tag, path in cases:
+        plain = spark.read.format("readstat").load(path)
+        ra = (
+            spark.read.format("readstat")
+            .option("io_readahead", "2")
+            .option("io_simulated_latency_ms", "1")
+            .load(path)
+        )
+        a = sorted(tuple(r) for r in plain.collect())
+        b = sorted(tuple(r) for r in ra.collect())
+        assert a == b, tag
+
+
 def test_io_readahead_option_end_to_end(spark, tmp_path):
     """A scan with io_readahead=2 returns byte-identical results and
     the same partition plan as the inline scan."""
