@@ -157,9 +157,19 @@ def _warm_readstat(spark, paths: dict, sf_dir: str) -> None:
 _FINAL_RETRY: list = []
 
 
-def _final_retry_pass(timings: dict, threshold: float = 2.5) -> None:
+def _final_retry_pass(
+    timings: dict, threshold: float = 2.5, read_threshold: float = 0.9
+) -> None:
+    # read_* entries get a tighter bar: they are the BASELINE.md
+    # comparison surface and every one of them walls under ~0.9 s
+    # isolated except zsav (~1.8-2.0) — r9 saw the ACS wide read
+    # record 1.31 in-sweep vs 0.82 isolated and read_dta_10m_full
+    # swing 0.31-0.98 between sweeps, under the old 2.5 bar. The
+    # retry only re-measures; a genuinely heavy read keeps its real
+    # cost (~6 borderline entries × 2 runs ≈ 12 s once per sweep).
     for name, df in _FINAL_RETRY:
-        if timings.get(name, 0) <= threshold:
+        bar = read_threshold if name.startswith("read_") else threshold
+        if timings.get(name, 0) <= bar:
             continue
         for _ in range(2):
             t0 = time.perf_counter()
@@ -581,19 +591,46 @@ def _bench_dedup_scale(spark, sf_dir: str, timings: dict) -> None:
         big.repartition(32).write.mode("overwrite").parquet(tmp)
         shutil.rmtree(big_path, ignore_errors=True)
         os.replace(tmp, big_path)
+    from polars_readstat_spark.functions.graph import (
+        _free,
+        _snap_persistent,
+    )
+
+    sc = spark.sparkContext
     bigr = spark.read.parquet(big_path)
     for name, d in (
         ("floor_dedup_scale1x", docs),
         ("floor_dedup_scale10x", bigr),
     ):
-        # best-of-2: the first 1x run doubles as the CC-loop JIT warm
-        best = None
+        # the ratio this probe grades is the STEADY-STATE per-doc cost
+        # (warm regime, like every other bench surface), so each scale
+        # gets an untimed warm run — the composed pipeline's first
+        # execution pays 8-45 s of one-off JIT/heap effects that
+        # best-of-2 alone does not escape (r9: a first 10x-after-1x
+        # run recorded 52-57 s vs 5.7-6.5 s steady)
+        before = set(_snap_persistent(sc))
+        run_query(near_dup_components(d, "doc_id", "text"))
+        trials = []
         for _ in range(2):
             t0 = time.perf_counter()
             run_query(near_dup_components(d, "doc_id", "text"))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            trials.append(time.perf_counter() - t0)
+        if max(trials) / max(min(trials), 1e-9) > 2.5:
+            t0 = time.perf_counter()
+            run_query(near_dup_components(d, "doc_id", "text"))
+            trials.append(time.perf_counter() - t0)
+        timings[name] = round(min(trials), 3)
+        # free the CC localCheckpoint blocks each run left behind —
+        # near_dup_components returns a df rooted on its final
+        # checkpoint, so the blocks outlive the query by design; the
+        # bench is done with them
+        _free(
+            [
+                r
+                for i, r in _snap_persistent(sc).items()
+                if i not in before
+            ]
+        )
 
 
 def _final_registry_retry(spark, sf_dir: str, timings: dict, threshold: float = 2.5) -> None:

@@ -68,9 +68,13 @@ class ReadstatDataSource(DataSource):
                                union columns by name across files,
                                widen numeric types, null-fill gaps
       io_readahead             fetch-ahead depth for high-latency
-                               stores (0 = off; A4). dta pipelines at
-                               the fetch/decode seam; other formats
-                               buffer whole decoded batches
+                               stores (0 = off; A4). dta/xpt and
+                               uncompressed sav pipeline row-range
+                               fetches, sas7bdat 4 MiB page ranges,
+                               at the fetch/decode seam; compressed
+                               sav and por buffer whole decoded
+                               batches (their IO lives inside the
+                               decode iterators)
       io_simulated_latency_ms  bench/test only: per-range first-byte
                                sleep standing in for an object store
     """

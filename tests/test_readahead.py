@@ -157,6 +157,32 @@ def test_sas7bdat_internal_pipeline_identical(spark, tmp_path):
         assert a == b, tag
 
 
+def test_handles_readahead_wrap_decisions(spark, tmp_path):
+    """The datasource must NOT double-wrap readers that pipeline
+    io_readahead internally (dta/sas/xpt, uncompressed sav), and MUST
+    wrap those that don't (compressed sav)."""
+    from pyspark.sql import functions as F
+
+    from polars_readstat_spark.sources.datasource import (
+        DtaReader,
+        _handles_readahead,
+    )
+    from polars_readstat_spark.sources.sav.reader import SavReader
+    from polars_readstat_spark.writers.dta import write_dta
+    from polars_readstat_spark.writers.sav import write_sav
+
+    df = spark.range(1000).select(F.col("id").cast("double").alias("a"))
+    pd_ = str(tmp_path / "w.dta")
+    write_dta(df, pd_)
+    assert _handles_readahead(DtaReader(pd_, {}, None))
+    ps = str(tmp_path / "w.sav")
+    write_sav(df, ps)
+    assert _handles_readahead(SavReader(ps, {}))
+    pb = str(tmp_path / "w_bc.sav")
+    write_sav(df, pb, compress=True)
+    assert not _handles_readahead(SavReader(pb, {}))
+
+
 def test_sav_xpt_internal_pipeline_identical(spark, tmp_path):
     """The uncompressed SavReader and XptReader pipelines must be
     byte-identical to the inline scans (compressed sav falls back to
