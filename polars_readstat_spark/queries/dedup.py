@@ -713,3 +713,176 @@ def dedup_cluster_size_histogram(spark, sf_dir):
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum("cluster_size").cast("bigint").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003)
+# — LOCAL document fingerprinting: select the minimum k-gram hash in
+# every sliding window of w consecutive gram hashes. The guarantee
+# the whole-doc MinHash family cannot give: any shared substring of
+# at least w + k - 1 tokens shares at least one selected fingerprint,
+# so fingerprint equality detects COPIED SPANS, not just whole-doc
+# similarity. Hashes are MD5 hex on both engines; "min" is the
+# lexicographic min of the hex string — engine-exact.
+_WIN_K, _WIN_W = 4, 5
+
+_WINNOW_FP_DUCK = f"""
+    WITH t AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS tk
+      FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(tk) - {_WIN_K - 1}, 0) + 1),
+               i -> MD5(ARRAY_TO_STRING(tk[i:i+{_WIN_K - 1}], ' '))
+             ) AS gr
+      FROM t
+    ),
+    s AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(gr) - {_WIN_W - 1}, 0) + 1),
+               j -> LIST_AGGREGATE(gr[j:j+{_WIN_W - 1}], 'min')
+             )) AS sel
+      FROM g
+    ),
+    fp AS (SELECT doc_id, UNNEST(sel) AS fingerprint FROM s)
+"""
+
+
+def _winnow_fp(spark, sf_dir):
+    """Session-memoized (one persisted copy per corpus, like the
+    minhash signature table): the fingerprint table serves both
+    winnowing queries, and the pair query's df-filter + two join
+    sides would otherwise re-run the gram pipeline three times."""
+    return session_memo(
+        spark, sf_dir, "winnow_fp", lambda: _winnow_fp_build(spark, sf_dir)
+    )
+
+
+def _winnow_fp_build(spark, sf_dir):
+    """(doc_id, fingerprint) — distinct winnowing-selected MD5 grams.
+
+    Formulation: explode gram STRINGS with their position, hash with
+    the codegen md5, take the per-window min with a rows-between
+    window function partitioned by doc, keep only complete windows
+    (i ≤ n−k+1−w, positions 0-based), distinct. One shuffle (the
+    window's hash partitioning by doc_id) and whole-stage codegen
+    throughout.
+
+    Why not the zero-shuffle all-HOF version (min-select inside a
+    transform lambda, then explode): CollapseProject substitutes
+    alias references INTO lambda bodies, so the per-window
+    `array_min(slice(gr, j, w))` re-evaluates the entire md5 gram
+    build per window — measured 179 s vs 6.5 s for THIS corpus at
+    sf0.1 (and HOF lambdas are interpreted, never codegen'd, even
+    without the blowup). The window-function plan is the one that
+    survives the optimizer."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    k, w = _WIN_K, _WIN_W
+    from pyspark.sql import Window as W
+
+    g = (
+        d.filter(F.col("text").isNotNull())
+        # tokenize ONCE per row: split() inside the transform lambda
+        # would re-evaluate per gram, turning gram build O(n^2)/doc
+        .select("doc_id", F.split("text", " ").alias("tk"))
+        .select(
+            "doc_id",
+            F.size("tk").alias("n"),
+            F.expr(
+                # sequence(1, m) descends when m < 1 (the
+                # repetition_chunk_dedup guard), so short docs
+                # short-circuit to empty arrays explicitly
+                f"CASE WHEN size(tk) < {k} THEN "
+                f"cast(array() as array<string>) ELSE "
+                f"transform(sequence(1, size(tk) - {k - 1}), "
+                f"i -> concat_ws(' ', slice(tk, i, {k}))) END"
+            ).alias("grams"),
+        )
+    )
+    e = g.select(
+        "doc_id", "n", F.posexplode("grams").alias("i", "gram")
+    ).withColumn("h", F.md5("gram"))
+    win = W.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    return (
+        e.withColumn("fp", F.min("h").over(win))
+        # complete windows only: grams count is n-k+1, so the last
+        # full window starts at 0-based i = n-k+1-w
+        .filter(F.col("i") <= F.col("n") - k + 1 - w)
+        .select("doc_id", F.col("fp").alias("fingerprint"))
+        .distinct()
+    )
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle=_WINNOW_FP_DUCK
+    + """
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           MIN(fingerprint) AS min_fingerprint
+    FROM fp GROUP BY doc_id
+    """,
+)
+def winnowing_fingerprints(spark, sf_dir):
+    """Per-document winnowing summary (count + lexicographic min of
+    the selected set — a stable value probe of the whole selection).
+    See _winnow_fp for the algorithm and the zero-shuffle shape; this
+    rollup adds one combinable aggregation."""
+    return _winnow_fp(spark, sf_dir).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
+        F.min("fingerprint").alias("min_fingerprint"),
+    )
+
+
+@query(
+    "winnowing_copy_pairs",
+    oracle=_WINNOW_FP_DUCK
+    + """
+    , rare AS (
+      SELECT fingerprint FROM fp GROUP BY fingerprint
+      HAVING COUNT(*) <= 8
+    ),
+    r AS (SELECT fp.doc_id, fp.fingerprint FROM fp JOIN rare USING (fingerprint))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM r a JOIN r b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    """,
+)
+def winnowing_copy_pairs(spark, sf_dir):
+    """Copied-span detection: document pairs sharing >= 3 winnowing
+    fingerprints after dropping fingerprints present in > 8 documents.
+    The df cap is the hot-key guard (same hazard class as the
+    inverted-index hot terms): a boilerplate span shared by B docs
+    would otherwise fan out B^2/2 pairs through the equi-join —
+    capping df bounds per-fingerprint fan-out at 28 pairs, and what
+    the cap drops is by definition boilerplate, not a copy. Shapes:
+    fingerprint df is a map-side-combinable count; the pair search is
+    an equi-join on the fingerprint key (linear shuffle, never
+    all-pairs); the >= 3 threshold is an exact integer HAVING."""
+    fp = _winnow_fp(spark, sf_dir)
+    rare = (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 8)
+        .select("fingerprint")
+    )
+    r = fp.join(rare, "fingerprint")
+    a, b = r.alias("a"), r.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )

@@ -72,6 +72,8 @@ _PRIORITY: tuple[str, ...] = (
     # loop, sas7bdat page loop),
     "row_index_collision_guard",
     "scan_dta_multifile_readahead",
+    "winnowing_fingerprints",
+    "winnowing_copy_pairs",
     "chunk_documents_overlap",
     "scan_dta_roundtrip",
     "scan_dta_multifile",
@@ -88,7 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "scan_federated_join",
     "stream_ingest_agg",
     "profile_read_surface",
-    # then 21 of the 42 r06-green refreshes, now the oldest driver
+    # then 19 of the 42 r06-green refreshes, now the oldest driver
     # greens (alphabetical; the tail spills past the window and
     # rotates in next round — all 42 stay covered by the local gate).
     "ann_bruteforce_topk",
