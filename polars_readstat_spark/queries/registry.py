@@ -74,6 +74,8 @@ _PRIORITY: tuple[str, ...] = (
     "scan_dta_multifile_readahead",
     "winnowing_fingerprints",
     "winnowing_copy_pairs",
+    "sample_quality_weighted",
+    "lang_id_confusion",
     "chunk_documents_overlap",
     "scan_dta_roundtrip",
     "scan_dta_multifile",
@@ -90,7 +92,7 @@ _PRIORITY: tuple[str, ...] = (
     "scan_federated_join",
     "stream_ingest_agg",
     "profile_read_surface",
-    # then 19 of the 42 r06-green refreshes, now the oldest driver
+    # then 17 of the 42 r06-green refreshes, now the oldest driver
     # greens (alphabetical; the tail spills past the window and
     # rotates in next round — all 42 stay covered by the local gate).
     "ann_bruteforce_topk",

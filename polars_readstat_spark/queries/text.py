@@ -529,3 +529,43 @@ def vocab_oov_rate(spark, sf_dir):
             F.sum(oov).cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("oov_rate"),
     )
+
+
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS toks FROM documents
+    ),
+    p AS (
+      SELECT lang,
+             CASE WHEN CAST(LEN(LIST_FILTER(toks, x -> x IN {_SW_SQL}))
+                       AS DOUBLE) / LEN(toks) >= 0.02
+                  THEN 'en' ELSE 'und' END AS pred_lang
+      FROM t
+    )
+    SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM p GROUP BY lang, pred_lang
+    """,
+)
+def lang_id_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: stored `lang` tag × predicted
+    label, the eval table every lang-ID deployment reports before the
+    classifier gates a corpus. Reuses text_lang_id_score's
+    deterministic predictor; output is |langs| × |preds| rows.
+
+    Scale shape: one map-side predictor expression + one combinable
+    count aggregation — the matrix stays tiny at any corpus size.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    sw = F.array([F.lit(s) for s in _STOPWORDS])
+    score = F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast(
+        "double"
+    ) / F.size(toks)
+    pred = F.when(score >= 0.02, F.lit("en")).otherwise(F.lit("und"))
+    return (
+        d.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )

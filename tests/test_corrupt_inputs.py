@@ -237,3 +237,50 @@ def test_literal_stream_validation_rejects_mid_stream_deviation(spark, tmp_path)
     open(corrupt, "wb").write(bytes(hdr) + bytes(bad))
     m2 = parse_sav_meta(corrupt)
     assert D.validate_literal_stream(m2, m2.nobs) is False
+
+
+def test_truncated_sas_data_pages_yield_complete_pages(spark, tmp_path):
+    """A sas7bdat cut mid-DATA-page reads every COMPLETE page's rows
+    and stops — no crash, no partial-row garbage. Pins the ranged
+    fetch's truncation semantics (split_pages drops a short tail page,
+    matching the old per-page short-read break)."""
+    from pyspark.sql import functions as F
+
+    import polars_readstat_spark as prs
+    from polars_readstat_spark.sources.sas7bdat.meta import parse_sas_meta
+    from polars_readstat_spark.writers.sas7bdat import write_sas7bdat
+
+    prs.register(spark)
+    full = str(tmp_path / "full.sas7bdat")
+    write_sas7bdat(
+        spark.range(50000).select(
+            F.col("id").cast("double").alias("a"),
+            (F.col("id") % 9).cast("double").alias("b"),
+        ),
+        full,
+    )
+    m = parse_sas_meta(full)
+    assert m.page_count >= 3, "fixture too small to truncate mid-data"
+    # keep the header + all but the last 1.5 pages
+    keep = m.header_length + (m.page_count - 2) * m.page_length + m.page_length // 2
+    cut = str(tmp_path / "cut.sas7bdat")
+    with open(full, "rb") as f:
+        blob = f.read(keep)
+    with open(cut, "wb") as f:
+        f.write(blob)
+    got = (
+        spark.read.format("readstat").load(cut)
+        .agg(F.count("*").alias("n"), F.max("a").alias("mx"))
+        .collect()[0]
+    )
+    want = (
+        spark.read.format("readstat").load(full)
+        .filter(F.col("a") < got.mx + 1)
+        .count()
+    )
+    # complete pages only: fewer rows than the full file, contiguous
+    # prefix (max id == rowcount - 1), and exactly the rows the full
+    # file holds below that id
+    assert 0 < got.n < 50000
+    assert got.mx == got.n - 1
+    assert want == got.n
