@@ -88,7 +88,15 @@ class SasReader(DataSourceReader):
     def _has_mix_pages(self) -> bool:
         """Header-only prescan (6 bytes/page) for MIX-type pages —
         the one page type whose row extraction needs a global row
-        position (the trailing clamp in page_row_bytes)."""
+        position (the trailing clamp in page_row_bytes). Memoized by
+        (path, mtime, size) like the meta parse: the prescan seeks
+        every page header (~50 ms on the ACS shape) and is pure file
+        geometry."""
+        from polars_readstat_spark.sources.metamemo import memoized_parse
+
+        return memoized_parse("sas_has_mix", self.path, self._scan_mix)
+
+    def _scan_mix(self, _path: str) -> bool:
         from polars_readstat_spark.sources.sas7bdat.pages import (
             _PageReader,
         )
@@ -108,7 +116,14 @@ class SasReader(DataSourceReader):
         return False
 
     def _page_rows(self) -> list[int]:
-        """Per-page row counts from page headers only (driver-side)."""
+        """Per-page row counts from page headers only (driver-side).
+        Memoized by (path, mtime, size) — pure file geometry, reused
+        across every plan of the same file."""
+        from polars_readstat_spark.sources.metamemo import memoized_parse
+
+        return memoized_parse("sas_page_rows", self.path, self._scan_page_rows)
+
+    def _scan_page_rows(self, _path: str) -> list[int]:
         m = self.meta
         counts = []
         rows = 0
