@@ -68,13 +68,12 @@ class ReadstatDataSource(DataSource):
                                union columns by name across files,
                                widen numeric types, null-fill gaps
       io_readahead             fetch-ahead depth for high-latency
-                               stores (0 = off; A4). dta/xpt and
-                               uncompressed sav pipeline row-range
+                               stores (0 = off; A4). dta/xpt/sav
+                               pipeline row-range or bytecode-chunk
                                fetches, sas7bdat 4 MiB page ranges,
-                               at the fetch/decode seam; compressed
-                               sav and por buffer whole decoded
-                               batches (their IO lives inside the
-                               decode iterators)
+                               at the fetch/decode seam; por buffers
+                               whole decoded batches (serial text
+                               format)
       io_simulated_latency_ms  bench/test only: per-range first-byte
                                sleep standing in for an object store
     """

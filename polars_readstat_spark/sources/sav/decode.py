@@ -212,16 +212,27 @@ def _iter_zsav_inflated(meta: SavMeta, start_byte: int = 0):
                     yield o
 
 
-def _iter_raw_chunks(meta: SavMeta, chunk_bytes: int, start_byte: int = 0):
+def _iter_raw_chunks(
+    meta: SavMeta,
+    chunk_bytes: int,
+    start_byte: int = 0,
+    sim_latency_s: float = 0.0,
+):
     """Raw bytecode stream in bounded pieces starting at uncompressed
     stream offset start_byte: file slices for compression=1, per-block
-    thread-pooled zlib inflates for zsav (_iter_zsav_inflated)."""
+    thread-pooled zlib inflates for zsav (_iter_zsav_inflated).
+    sim_latency_s stands in for a remote store's per-range first-byte
+    cost on the bytecode path (bench/test only)."""
     if meta.compression == 2:
         yield from _iter_zsav_inflated(meta, start_byte)
         return
     with open(meta.path, "rb") as f:
         f.seek(meta.data_offset + start_byte)
         while True:
+            if sim_latency_s:
+                import time as _t
+
+                _t.sleep(sim_latency_s)
             b = f.read(chunk_bytes)
             if not b:
                 return
@@ -384,6 +395,8 @@ def iter_compressed_elements(
     chunk_bytes: int = 4 << 20,
     start_byte: int = 0,
     pipeline: bool = True,
+    io_readahead: int = 0,
+    sim_latency_s: float = 0.0,
 ):
     """Stream the bytecode as (k, 8) element matrices with memory
     bounded by one chunk (≤ chunk_bytes in → ≤ 8× out, since a command
@@ -411,8 +424,15 @@ def iter_compressed_elements(
     # 27% slower per partition (r7)
     dpool = _SyncExecutor() if not pipeline else ThreadPoolExecutor(2)
     inflight: deque = deque()
+    src = _iter_raw_chunks(meta, chunk_bytes, start_byte, sim_latency_s)
+    if io_readahead > 0:
+        # A4 on the bytecode stream: the NEXT chunk's fetch (or zlib
+        # inflate) overlaps the CURRENT chunk's group walk + scatter
+        from polars_readstat_spark.sources.readahead import readahead
+
+        src = readahead(src, io_readahead)
     try:
-        for chunk in _iter_raw_chunks(meta, chunk_bytes, start_byte):
+        for chunk in src:
             data = pend + chunk if pend else chunk
             nb8 = len(data) // 8
             blocks = np.frombuffer(
@@ -494,7 +514,12 @@ class _SyncExecutor:
 
 
 def iter_compressed_rows(
-    meta: SavMeta, start: int, n: int, batch_rows: int
+    meta: SavMeta,
+    start: int,
+    n: int,
+    batch_rows: int,
+    io_readahead: int = 0,
+    sim_latency_s: float = 0.0,
 ):
     """Yield (absolute_row_pos, (rows, record_width) matrix) batches for
     the row span [start, start+n), decoding the sequential stream once
@@ -513,7 +538,9 @@ def iter_compressed_rows(
     buf: list = []
     buf_rows = 0
     buf_pos = 0
-    for elems in iter_compressed_elements(meta):
+    for elems in iter_compressed_elements(
+        meta, io_readahead=io_readahead, sim_latency_s=sim_latency_s
+    ):
         if carry.size:
             elems = np.concatenate([carry, elems])
         nrows = elems.shape[0] // cs
@@ -829,6 +856,8 @@ def iter_checkpoint_rows(
     ckpt_byte: int,
     ckpt_el: int,
     pipeline: bool = True,
+    io_readahead: int = 0,
+    sim_latency_s: float = 0.0,
 ):
     """Parallel-task decode of rows [start, start+n) from a general
     bytecode stream, restarting the sequential decoder at a
@@ -846,7 +875,11 @@ def iter_checkpoint_rows(
     buf_rows = 0
     buf_pos = start
     for elems in iter_compressed_elements(
-        meta, start_byte=ckpt_byte, pipeline=pipeline
+        meta,
+        start_byte=ckpt_byte,
+        pipeline=pipeline,
+        io_readahead=io_readahead,
+        sim_latency_s=sim_latency_s,
     ):
         if skip:
             if elems.shape[0] <= skip:

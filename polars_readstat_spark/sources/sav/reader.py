@@ -86,16 +86,16 @@ class SavReader(DataSourceReader):
         self.batch_size = _opt_int(options, "batch_size")
         self.rows_per_partition = _opt_int(options, "rows_per_partition")
         self.target_parallelism = _opt_int(options, "target_parallelism")
-        # the uncompressed row loop pipelines io_readahead at the
-        # fetch/decode seam itself; the compressed paths (checkpoint /
-        # literal / sequential command-stream) do their IO inside the
-        # decode iterators, so they keep the generic whole-batch
-        # wrapper (instance attr — _handles_readahead checks it)
+        # every path pipelines io_readahead itself: the uncompressed
+        # row loop and the compressed chunk loop (sequential +
+        # checkpoint, via iter_compressed_elements) at their
+        # fetch/decode seams; the literal path issues ONE contiguous
+        # range fetch per partition, which has no loop to pipeline
         self.io_readahead = _opt_int(options, "io_readahead", 0) or 0
         self.sim_latency_s = (
             float(options.get("io_simulated_latency_ms", 0) or 0) / 1000.0
         )
-        self.handles_readahead = self.meta.compression == 0
+        self.handles_readahead = True
         from polars_readstat_spark.sources import informative as inf
 
         self.informative = inf.parse_opts(options)
@@ -320,6 +320,8 @@ class SavReader(DataSourceReader):
                     meta, partition.start, partition.n, batch_rows,
                     ck[0], ck[1],
                     pipeline=getattr(partition, "pipeline", True),
+                    io_readahead=self.io_readahead,
+                    sim_latency_s=self.sim_latency_s,
                 ):
                     yield emit(rows, pos, rows.shape[0])
                 return
@@ -338,7 +340,9 @@ class SavReader(DataSourceReader):
             # one chunk + one partial case live at a time (round-1 OOM
             # fix; reference streams serially too, spss/data.rs:1628)
             for pos, rows in iter_compressed_rows(
-                meta, partition.start, partition.n, batch_rows
+                meta, partition.start, partition.n, batch_rows,
+                io_readahead=self.io_readahead,
+                sim_latency_s=self.sim_latency_s,
             ):
                 yield emit(rows, pos, rows.shape[0])
             return

@@ -159,8 +159,9 @@ def test_sas7bdat_internal_pipeline_identical(spark, tmp_path):
 
 def test_handles_readahead_wrap_decisions(spark, tmp_path):
     """The datasource must NOT double-wrap readers that pipeline
-    io_readahead internally (dta/sas/xpt, uncompressed sav), and MUST
-    wrap those that don't (compressed sav)."""
+    io_readahead internally — every sav path now does (uncompressed
+    row loop, compressed chunk loop; the literal path's one-shot range
+    fetch has no loop to pipeline)."""
     from pyspark.sql import functions as F
 
     from polars_readstat_spark.sources.datasource import (
@@ -180,7 +181,7 @@ def test_handles_readahead_wrap_decisions(spark, tmp_path):
     assert _handles_readahead(SavReader(ps, {}))
     pb = str(tmp_path / "w_bc.sav")
     write_sav(df, pb, compress=True)
-    assert not _handles_readahead(SavReader(pb, {}))
+    assert _handles_readahead(SavReader(pb, {}))
 
 
 def test_sav_xpt_internal_pipeline_identical(spark, tmp_path):
