@@ -66,7 +66,7 @@ def sample_hash_stratified(spark, sf_dir):
              CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
                   x -> x IN ('the','a','of','and','to','in','is','it')))
                   AS DOUBLE) / LEN(STRING_SPLIT(text, ' ')) AS q
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     s AS (
       SELECT doc_id, n_chars,
@@ -99,7 +99,11 @@ def sample_quality_weighted(spark, sf_dir):
     no state); the per-tier rollup exists for the oracle. Production
     use keeps the bare filter and tunes tier cuts/rates per corpus.
     """
-    d = load_table(spark, sf_dir, "documents")
+    # NULL-text pin (ADVICE r08 class): Spark scores split(NULL) as
+    # (-1)/(-1)=1.0 while DuckDB yields NULL — drop on BOTH sides
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     toks = F.split("text", " ")
     sw = F.array(
         *[F.lit(s) for s in ("the", "a", "of", "and", "to", "in", "is", "it")]

@@ -536,6 +536,7 @@ def vocab_oov_rate(spark, sf_dir):
     oracle=f"""
     WITH t AS (
       SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS toks FROM documents
+      WHERE text IS NOT NULL
     ),
     p AS (
       SELECT lang,
@@ -564,8 +565,12 @@ def lang_id_confusion(spark, sf_dir):
         "double"
     ) / F.size(toks)
     pred = F.when(score >= 0.02, F.lit("en")).otherwise(F.lit("und"))
+    # NULL-text pin (ADVICE r08 class): Spark's size(split(NULL)) is
+    # -1, scoring (-1)/(-1)=1.0 -> 'en'; DuckDB's NULL score falls to
+    # the CASE ELSE -> 'und'. Drop NULL texts on BOTH sides.
     return (
-        d.select("lang", pred.alias("pred_lang"))
+        d.filter(F.col("text").isNotNull())
+        .select("lang", pred.alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )

@@ -876,8 +876,10 @@ class RowRange(InputPartition):
         self.n = n
 
 
-# per-executor strL index cache: path -> lookup
-_STRL_CACHE: dict[str, dict] = {}
+# per-executor strL index cache, keyed (path, mtime_ns, size) — the
+# same rewrite-invalidating identity as the metadata memo, so a reused
+# worker can never pair a fresh DtaMeta with a stale GSO table
+_STRL_CACHE: dict[tuple, dict] = {}
 
 
 class DtaReader(DataSourceReader):
@@ -903,10 +905,11 @@ class DtaReader(DataSourceReader):
         # loop) rather than by the generic ReadaheadReader wrapper,
         # which can only overlap whole-batch production with JVM
         # serialization
-        self.io_readahead = _opt_int(options, "io_readahead", 0) or 0
-        self.sim_latency_s = (
-            float(options.get("io_simulated_latency_ms", 0) or 0) / 1000.0
+        from polars_readstat_spark.sources.readahead import (
+            parse_readahead_opts,
         )
+
+        self.io_readahead, self.sim_latency_s = parse_readahead_opts(options)
         from polars_readstat_spark.sources import informative as inf
 
         self.informative = inf.parse_opts(options)
@@ -956,10 +959,19 @@ class DtaReader(DataSourceReader):
         )
         strl_lookup = None
         if need_strl:
-            strl_lookup = _STRL_CACHE.get(self.path)
+            try:
+                st = os.stat(self.path)
+                ck = (self.path, st.st_mtime_ns, st.st_size)
+            except OSError:
+                ck = (self.path, -1, -1)
+            strl_lookup = _STRL_CACHE.get(ck)
             if strl_lookup is None:
                 strl_lookup = build_strl_lookup(meta)
-                _STRL_CACHE[self.path] = strl_lookup
+                if len(_STRL_CACHE) >= 8:
+                    # bounded: multifile scans interleave partitions
+                    # from several files per worker, so keep a few
+                    _STRL_CACHE.clear()
+                _STRL_CACHE[ck] = strl_lookup
 
         rw = meta.record_width
         ncols = max(len(self.col_indices), 1)
@@ -996,32 +1008,21 @@ class DtaReader(DataSourceReader):
             yield with_row_index(batch, partition.start, 0)
             return
 
-        def fetched():
-            # raw range fetches, separable from decode so io_readahead
-            # can overlap the NEXT range's first-byte latency with the
-            # CURRENT range's decode (reference scan_prefetch.rs:35-52
-            # pipelines at exactly this layer). io_simulated_latency_ms
-            # is the bench/test stand-in for an object store's per-range
-            # first-byte cost — local files return in µs.
-            with open(self.path, "rb") as f:
-                pos = partition.start
-                end = partition.start + partition.n
-                while pos < end:
-                    cnt = min(batch_rows, end - pos)
-                    if self.sim_latency_s:
-                        import time as _t
+        # raw range fetches, separable from decode so io_readahead can
+        # overlap the NEXT range's first-byte latency with the CURRENT
+        # range's decode (reference scan_prefetch.rs:35-52 pipelines at
+        # exactly this layer). io_simulated_latency_ms is the
+        # bench/test stand-in for an object store's per-range
+        # first-byte cost — local files return in µs.
+        from polars_readstat_spark.sources.readahead import (
+            fetch_row_ranges,
+        )
 
-                        _t.sleep(self.sim_latency_s)
-                    f.seek(meta.data_offset + pos * rw)
-                    buf = f.read(cnt * rw)
-                    yield pos, cnt, buf
-                    pos += cnt
-
-        it = fetched()
-        if self.io_readahead > 0:
-            from polars_readstat_spark.sources.readahead import readahead
-
-            it = readahead(it, self.io_readahead)
+        it = fetch_row_ranges(
+            self.path, meta.data_offset, rw,
+            partition.start, partition.n, batch_rows,
+            self.sim_latency_s, self.io_readahead,
+        )
         probe = os.environ.get("PRS_READ_PROBE")
         t_read0 = time.perf_counter() if probe else 0.0
         n_batches = 0
@@ -1040,9 +1041,14 @@ class DtaReader(DataSourceReader):
             yield with_row_index(batch, pos, cnt)
         if probe:
             # executor-side diagnostics (workers re-import this module,
-            # so driver-side instrumentation can't see them)
+            # so driver-side instrumentation can't see them). The
+            # monotonic stamp keeps records from colliding when a
+            # reused worker handles same-offset partitions of several
+            # files (multi-file scans all start at 0)
             with open(
-                f"{probe}/part_{os.getpid()}_{partition.start}.txt", "w"
+                f"{probe}/part_{os.getpid()}_{partition.start}"
+                f"_{time.monotonic_ns()}.txt",
+                "w",
             ) as pf:
                 pf.write(
                     f"ra={self.io_readahead} nb={n_batches} "

@@ -94,6 +94,51 @@ def readahead(it: Iterator, depth: int = 2) -> Iterator:
         stop.set()
 
 
+def parse_readahead_opts(options) -> tuple[int, float]:
+    """(io_readahead depth, simulated latency in seconds) from a
+    datasource options mapping — the pair every pipelining reader
+    consumes."""
+    depth = int(options.get("io_readahead", 0) or 0)
+    lat = float(options.get("io_simulated_latency_ms", 0) or 0) / 1000.0
+    return depth, lat
+
+
+def fetch_row_ranges(
+    path: str,
+    data_offset: int,
+    record_width: int,
+    start: int,
+    n: int,
+    batch_rows: int,
+    sim_latency_s: float = 0.0,
+    io_readahead: int = 0,
+):
+    """Raw fixed-width row-range fetches for [start, start+n), yielded
+    as (pos, cnt, buf) — the fetch half of the fetch/decode pipeline
+    shared by the dta / uncompressed-sav / xpt readers. With
+    io_readahead > 0 the NEXT range's (simulated) first-byte latency
+    overlaps the caller's decode of the CURRENT range."""
+
+    def fetched():
+        with open(path, "rb") as f:
+            pos = start
+            end = start + n
+            while pos < end:
+                cnt = min(batch_rows, end - pos)
+                if sim_latency_s:
+                    import time as _t
+
+                    _t.sleep(sim_latency_s)
+                f.seek(data_offset + pos * record_width)
+                yield pos, cnt, f.read(cnt * record_width)
+                pos += cnt
+
+    it = fetched()
+    if io_readahead > 0:
+        it = readahead(it, io_readahead)
+    return it
+
+
 class ReadaheadReader(DataSourceReader):
     """Wraps any format reader, pulling its batches through a bounded
     readahead queue — the opt-in IO/decode overlap for high-latency

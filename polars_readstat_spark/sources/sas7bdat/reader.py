@@ -75,10 +75,11 @@ class SasReader(DataSourceReader):
         self.target_parallelism = _opt_int(options, "target_parallelism")
         # readahead pipelined HERE at the range-fetch / decode seam
         # (datasource.py skips its whole-batch wrapper when set)
-        self.io_readahead = _opt_int(options, "io_readahead", 0) or 0
-        self.sim_latency_s = (
-            float(options.get("io_simulated_latency_ms", 0) or 0) / 1000.0
+        from polars_readstat_spark.sources.readahead import (
+            parse_readahead_opts,
         )
+
+        self.io_readahead, self.sim_latency_s = parse_readahead_opts(options)
         from polars_readstat_spark.sources import informative as inf
 
         self.informative = inf.parse_opts(options)

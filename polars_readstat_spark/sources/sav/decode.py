@@ -222,9 +222,15 @@ def _iter_raw_chunks(
     stream offset start_byte: file slices for compression=1, per-block
     thread-pooled zlib inflates for zsav (_iter_zsav_inflated).
     sim_latency_s stands in for a remote store's per-range first-byte
-    cost on the bytecode path (bench/test only)."""
+    cost (bench/test only; for zsav it is charged per inflated block,
+    the unit a remote reader would fetch)."""
     if meta.compression == 2:
-        yield from _iter_zsav_inflated(meta, start_byte)
+        for b in _iter_zsav_inflated(meta, start_byte):
+            if sim_latency_s:
+                import time as _t
+
+                _t.sleep(sim_latency_s)
+            yield b
         return
     with open(meta.path, "rb") as f:
         f.seek(meta.data_offset + start_byte)

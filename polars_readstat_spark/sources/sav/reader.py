@@ -91,10 +91,11 @@ class SavReader(DataSourceReader):
         # checkpoint, via iter_compressed_elements) at their
         # fetch/decode seams; the literal path issues ONE contiguous
         # range fetch per partition, which has no loop to pipeline
-        self.io_readahead = _opt_int(options, "io_readahead", 0) or 0
-        self.sim_latency_s = (
-            float(options.get("io_simulated_latency_ms", 0) or 0) / 1000.0
+        from polars_readstat_spark.sources.readahead import (
+            parse_readahead_opts,
         )
+
+        self.io_readahead, self.sim_latency_s = parse_readahead_opts(options)
         self.handles_readahead = True
         from polars_readstat_spark.sources import informative as inf
 
@@ -347,28 +348,18 @@ class SavReader(DataSourceReader):
                 yield emit(rows, pos, rows.shape[0])
             return
 
-        def fetched():
-            # raw range fetches, separable from decode so io_readahead
-            # overlaps the NEXT range's first-byte latency with the
-            # CURRENT range's decode (same seam as DtaReader)
-            with open(self.path, "rb") as f:
-                pos = partition.start
-                end = partition.start + partition.n
-                while pos < end:
-                    cnt = min(batch_rows, end - pos)
-                    if self.sim_latency_s:
-                        import time as _t
+        # raw range fetches, separable from decode so io_readahead
+        # overlaps the NEXT range's first-byte latency with the
+        # CURRENT range's decode (shared seam, sources/readahead.py)
+        from polars_readstat_spark.sources.readahead import (
+            fetch_row_ranges,
+        )
 
-                        _t.sleep(self.sim_latency_s)
-                    f.seek(meta.data_offset + pos * rw)
-                    yield pos, cnt, f.read(cnt * rw)
-                    pos += cnt
-
-        it = fetched()
-        if self.io_readahead > 0:
-            from polars_readstat_spark.sources.readahead import readahead
-
-            it = readahead(it, self.io_readahead)
+        it = fetch_row_ranges(
+            self.path, meta.data_offset, rw,
+            partition.start, partition.n, batch_rows,
+            self.sim_latency_s, self.io_readahead,
+        )
         for pos, cnt, buf in it:
             rows = np.frombuffer(buf, dtype=np.uint8, count=cnt * rw).reshape(
                 cnt, rw

@@ -56,10 +56,11 @@ class XptReader(DataSourceReader):
         self.rows_per_partition = _opt_int(options, "rows_per_partition")
         self.target_parallelism = _opt_int(options, "target_parallelism")
         self.batch_size = _opt_int(options, "batch_size")
-        self.io_readahead = _opt_int(options, "io_readahead", 0) or 0
-        self.sim_latency_s = (
-            float(options.get("io_simulated_latency_ms", 0) or 0) / 1000.0
+        from polars_readstat_spark.sources.readahead import (
+            parse_readahead_opts,
         )
+
+        self.io_readahead, self.sim_latency_s = parse_readahead_opts(options)
         from polars_readstat_spark.sources import informative as inf
 
         self.informative = inf.parse_opts(options)
@@ -124,28 +125,18 @@ class XptReader(DataSourceReader):
             )
             return
 
-        def fetched():
-            # raw range fetches, separable from decode so io_readahead
-            # overlaps the NEXT range's first-byte latency with the
-            # CURRENT range's decode (same seam as DtaReader)
-            with open(self.path, "rb") as f:
-                pos = partition.start
-                end = partition.start + partition.n
-                while pos < end:
-                    cnt = min(batch_rows, end - pos)
-                    if self.sim_latency_s:
-                        import time as _t
+        # raw range fetches, separable from decode so io_readahead
+        # overlaps the NEXT range's first-byte latency with the
+        # CURRENT range's decode (shared seam, sources/readahead.py)
+        from polars_readstat_spark.sources.readahead import (
+            fetch_row_ranges,
+        )
 
-                        _t.sleep(self.sim_latency_s)
-                    f.seek(m.data_offset + pos * rl)
-                    yield pos, cnt, f.read(cnt * rl)
-                    pos += cnt
-
-        it = fetched()
-        if self.io_readahead > 0:
-            from polars_readstat_spark.sources.readahead import readahead
-
-            it = readahead(it, self.io_readahead)
+        it = fetch_row_ranges(
+            self.path, m.data_offset, rl,
+            partition.start, partition.n, batch_rows,
+            self.sim_latency_s, self.io_readahead,
+        )
         for pos, cnt, buf in it:
             batch = decode_xpt_rows(
                 m, buf, self.col_indices, self.missing_string_as_null,

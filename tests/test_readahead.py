@@ -185,9 +185,9 @@ def test_handles_readahead_wrap_decisions(spark, tmp_path):
 
 
 def test_sav_xpt_internal_pipeline_identical(spark, tmp_path):
-    """The uncompressed SavReader and XptReader pipelines must be
-    byte-identical to the inline scans (compressed sav falls back to
-    the generic whole-batch wrapper — also checked)."""
+    """The SavReader (uncompressed row loop AND the compressed
+    bytecode chunk loop) and XptReader pipelines must be
+    byte-identical to the inline scans."""
     from pyspark.sql import functions as F
 
     import polars_readstat_spark as prs

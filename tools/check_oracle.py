@@ -111,16 +111,21 @@ def _module_imports(mod_name: str) -> set[str]:
     except Exception:  # noqa: BLE001
         return set()
     out = set()
+    # handles `from X import a, b`, parenthesized multi-line imports,
+    # and plain `import X`
     for m in re.finditer(
-        rf"from\s+({_PKG}(?:\.\w+)*)\s+import\s+([\w, ]+)|import\s+({_PKG}(?:\.\w+)*)",
+        rf"from\s+({_PKG}(?:\.\w+)*)\s+import\s+(\(([^)]*)\)|[\w, ]+)"
+        rf"|import\s+({_PKG}(?:\.\w+)*)",
         src,
+        re.DOTALL,
     ):
-        if m.group(3):
-            out.add(m.group(3))
+        if m.group(4):
+            out.add(m.group(4))
             continue
         base = m.group(1)
         out.add(base)
-        for leaf in m.group(2).split(","):
+        names = m.group(3) if m.group(3) is not None else m.group(2)
+        for leaf in names.split(","):
             leaf = leaf.strip().split(" ")[0]
             if leaf:
                 out.add(f"{base}.{leaf}")
@@ -183,15 +188,33 @@ def queries_changed_since(sha: str) -> set[str]:
                 src = inspect.getsource(importlib.import_module(mod))
             except Exception:  # noqa: BLE001
                 src = ""
-            if "readstat" in src or "prs.register" in src:
+            # actual datasource consumption, not the bare substring —
+            # every module's `queries.registry` import contains
+            # "readstat", which would degenerate this rule to
+            # run-everything
+            if (
+                'format("readstat")' in src
+                or "prs.register" in src
+                or "ensure_readstat_file" in src
+                or "write_readstat" in src
+            ):
                 affected.add(name)
     return affected
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    args = sys.argv[2:]
+    argv = sys.argv[1:]
+    # sf_dir is optional even with --changed-since
+    if argv[:1] == ["--changed-since"]:
+        sf_dir = "/root/testdata/sf0.01"
+        args = argv
+    else:
+        sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+        args = argv[1:]
     if args[:1] == ["--changed-since"]:
+        if len(args) < 2:
+            print("usage: check_oracle.py [sf_dir] --changed-since <sha>")
+            sys.exit(2)
         sys.path.insert(0, REPO)
         only = queries_changed_since(args[1])
         if not only:
