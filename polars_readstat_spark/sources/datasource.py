@@ -393,6 +393,27 @@ class ReadstatDataSource(DataSource):
 
             with ThreadPoolExecutor(min(16, max(2, len(paths)))) as ex:
                 readers = list(ex.map(_mk, paths))
+            # mixed-format directories (ADVICE r09): wrap ONLY the
+            # per-file readers that don't pipeline io_readahead at
+            # their own fetch/decode seam. Wrapping the whole union
+            # when ANY file self-pipelines would stack a second queue
+            # (and a second buffer) on top of the dta/sav/xpt
+            # in-reader pipelines, which parse io_readahead
+            # unconditionally.
+            mf_ra = int(self.options.get("io_readahead", 0) or 0)
+            if mf_ra > 0 and not all(
+                _handles_readahead(r) for r in readers
+            ):
+                from polars_readstat_spark.sources.readahead import (
+                    ReadaheadReader,
+                )
+
+                readers = [
+                    r
+                    if _handles_readahead(r)
+                    else ReadaheadReader(r, mf_ra)
+                    for r in readers
+                ]
             base = MultiFileReader(
                 readers, paths, self.options.get("path_column")
             )
@@ -1044,13 +1065,19 @@ class DtaReader(DataSourceReader):
             # so driver-side instrumentation can't see them). The
             # monotonic stamp keeps records from colliding when a
             # reused worker handles same-offset partitions of several
-            # files (multi-file scans all start at 0)
-            with open(
-                f"{probe}/part_{os.getpid()}_{partition.start}"
-                f"_{time.monotonic_ns()}.txt",
-                "w",
-            ) as pf:
-                pf.write(
-                    f"ra={self.io_readahead} nb={n_batches} "
-                    f"dt={time.perf_counter() - t_read0:.3f}\n"
-                )
+            # files (multi-file scans all start at 0). Best-effort
+            # only (ADVICE r09): a missing or unwritable probe dir
+            # must never fail a task whose scan already succeeded.
+            try:
+                os.makedirs(probe, exist_ok=True)
+                with open(
+                    f"{probe}/part_{os.getpid()}_{partition.start}"
+                    f"_{time.monotonic_ns()}.txt",
+                    "w",
+                ) as pf:
+                    pf.write(
+                        f"ra={self.io_readahead} nb={n_batches} "
+                        f"dt={time.perf_counter() - t_read0:.3f}\n"
+                    )
+            except OSError:
+                pass

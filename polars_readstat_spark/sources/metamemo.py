@@ -14,6 +14,11 @@ bumps both identity fields); memory is bounded by a crude clear-at-cap
 
 Only the PARSE is memoized — consumers never mutate meta objects
 (verified: all attribute writes happen inside the parse functions).
+List-valued parses (SasReader._scan_page_rows) are additionally
+frozen to tuples at store time (ADVICE r09): the memo hands every
+caller the same object, so a future consumer that clipped or sorted
+the list in place would silently corrupt all later readers of the
+same file — a tuple turns that bug into an immediate TypeError.
 """
 
 from __future__ import annotations
@@ -34,7 +39,13 @@ def memoized_parse(kind: str, path: str, parse: Callable[[str], Any]) -> Any:
     hit = _MEMO.get(key)
     if hit is None:
         hit = parse(path)
+        if isinstance(hit, list):
+            hit = tuple(hit)  # freeze: shared across all callers
         if len(_MEMO) >= _MAX_ENTRIES:
-            _MEMO.clear()
+            # evict ONE entry (FIFO — dicts iterate in insertion
+            # order) instead of clearing: a 5k-file directory scan
+            # crossing the cap would otherwise drop every hot header
+            # at once and re-parse the whole working set
+            _MEMO.pop(next(iter(_MEMO)))
         _MEMO[key] = hit
     return hit

@@ -145,6 +145,10 @@ class ReadaheadReader(DataSourceReader):
     stores. Partition planning is delegated untouched, so the scan's
     parallel shape is identical with or without the wrapper."""
 
+    # once wrapped, the readahead obligation is met — the dispatch in
+    # datasource.reader() must not stack a second queue on top
+    handles_readahead = True
+
     def __init__(self, inner: DataSourceReader, depth: int):
         self.inner = inner
         self.depth = int(depth)

@@ -63,3 +63,38 @@ def test_dta_parser_memoizes(spark, tmp_path):
     m3 = parse_dta_meta(p)
     assert m3 is not m1
     assert m3.nobs == 200
+
+
+def test_list_parses_frozen_to_tuple(tmp_path):
+    """ADVICE r09: the memo hands every caller the same object, so
+    list-valued parses are frozen — in-place mutation by a future
+    consumer becomes a TypeError instead of silent corruption."""
+    p = str(tmp_path / "l.bin")
+    with open(p, "wb") as f:
+        f.write(b"x")
+    got = metamemo.memoized_parse("lst", p, lambda _: [3, 1, 2])
+    assert got == (3, 1, 2)
+    assert isinstance(got, tuple)
+    assert metamemo.memoized_parse("lst", p, lambda _: None) is got
+
+
+def test_cap_evicts_one_not_all(tmp_path):
+    """ADVICE r09: crossing the cap evicts a single (oldest) entry —
+    a big directory scan must not drop the whole hot working set."""
+    p = str(tmp_path / "e.bin")
+    with open(p, "wb") as f:
+        f.write(b"x")
+    saved = dict(metamemo._MEMO)
+    try:
+        metamemo._MEMO.clear()
+        for i in range(metamemo._MAX_ENTRIES):
+            metamemo.memoized_parse(f"k{i}", p, lambda _: i)
+        assert len(metamemo._MEMO) == metamemo._MAX_ENTRIES
+        metamemo.memoized_parse("overflow", p, lambda _: "new")
+        assert len(metamemo._MEMO) == metamemo._MAX_ENTRIES
+        # oldest gone, second-oldest and newest present
+        kinds = {k[0] for k in metamemo._MEMO}
+        assert "k0" not in kinds and "k1" in kinds and "overflow" in kinds
+    finally:
+        metamemo._MEMO.clear()
+        metamemo._MEMO.update(saved)

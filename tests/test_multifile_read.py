@@ -128,3 +128,59 @@ def test_multifile_divides_core_budget(spark, dta_farm):
         rd = rd.inner
     per_file = {r.target_parallelism for r in rd.readers}
     assert per_file == {8}  # 32 cores / 4 files
+
+
+def test_mixed_format_readahead_single_layer(spark, tmp_path):
+    """ADVICE r09: in a mixed-format directory with io_readahead set,
+    only the per-file readers that DON'T self-pipeline get the batch
+    wrapper — the dta/sav/xpt in-reader pipelines must not be
+    double-buffered by a second outer queue."""
+    import polars_readstat_spark as prs
+    from polars_readstat_spark.sources.datasource import (
+        DtaReader,
+        MultiFileReader,
+        ReadstatDataSource,
+    )
+    from polars_readstat_spark.sources.por.reader import PorReader
+    from polars_readstat_spark.sources.readahead import ReadaheadReader
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    # uppercase names: POR stores variable names uppercased, and a
+    # mixed union needs the schemas to agree
+    # all-double: POR stores every numeric as double, and the union
+    # takes the first file's schema
+    df = spark.range(50).selectExpr(
+        "cast(id as double) as ID", "cast(id * 1.5 as double) as V"
+    )
+    prs.write_readstat(df, str(d / "a.dta"))
+    prs.write_readstat(df, str(d / "b.por"))
+    # directories reject mixed formats; a glob is how a mixed union
+    # legitimately reaches the planner
+    pattern = str(d / "[ab].*")
+
+    ds = ReadstatDataSource({"path": pattern, "io_readahead": "2"})
+    rd = ds.reader(ds.schema())
+    assert not isinstance(rd, ReadaheadReader)  # no outer wrapper
+    while not isinstance(rd, MultiFileReader):
+        rd = rd.inner
+    by_type = {}
+    for r in rd.readers:
+        if isinstance(r, ReadaheadReader):
+            by_type[type(r.inner).__name__] = "wrapped"
+        else:
+            by_type[type(r).__name__] = "bare"
+    # dta pipelines at its own fetch seam (stays bare); por doesn't
+    # (gets exactly one wrapper)
+    assert by_type.get("DtaReader") == "bare"
+    assert by_type.get("PorReader") == "wrapped"
+    assert DtaReader.handles_readahead and not getattr(
+        PorReader, "handles_readahead", False
+    )
+    # and the read itself still unions both files
+    out = (
+        spark.read.format("readstat")
+        .option("io_readahead", "2")
+        .load(pattern)
+    )
+    assert out.count() == 100

@@ -139,6 +139,16 @@ def _import_closure(mod_name: str, cache: dict) -> set[str]:
     seen = {mod_name}
     for dep in _module_imports(mod_name):
         seen.add(dep)
+        # queries.registry is a LEAF (ADVICE r09): every query module
+        # imports it for the @query decorator, and its _ensure_loaded
+        # statically imports every query module back — recursing
+        # through it would union all ~160 queries into every closure,
+        # so one query-file edit marked the whole registry affected.
+        # The registry's imports are load-side plumbing, not semantic
+        # dependencies; a change to registry.py ITSELF still flags
+        # everything because the leaf module stays in every closure.
+        if dep == f"{_PKG}.queries.registry":
+            continue
         if dep.startswith(_PKG):
             seen |= _import_closure(dep, cache)
     cache[mod_name] = seen
