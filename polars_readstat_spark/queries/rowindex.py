@@ -73,9 +73,15 @@ def row_index_collision_guard(spark, sf_dir):
             "ValueError" if "ValueError" in blob or isinstance(e, ValueError)
             else type(e).__name__
         )
-    return spark.createDataFrame(
-        [(error_class, names_column, raised)],
-        "error_class string, names_column int, raised int",
+    # literal select over range(1), not createDataFrame: the local
+    # 1-row Arrow upload costs ~0.33 s per call where the literal
+    # plan is ~0.09 s — this probe's wall should be dominated by the
+    # analysis cycle under test, not by materializing its verdict
+    # (VERDICT r09 next#6)
+    return spark.range(1).select(
+        F.lit(error_class).alias("error_class"),
+        F.lit(names_column).cast("int").alias("names_column"),
+        F.lit(raised).cast("int").alias("raised"),
     )
 
 
