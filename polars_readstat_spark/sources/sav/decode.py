@@ -135,7 +135,12 @@ def decompress_bytecode(raw: bytes, meta: SavMeta) -> np.ndarray:
     return out
 
 
-def _iter_zsav_inflated(meta: SavMeta, start_byte: int = 0):
+def _iter_zsav_inflated(
+    meta: SavMeta,
+    start_byte: int = 0,
+    sim_latency_s: float = 0.0,
+    use_pool: bool = True,
+):
     """zsav inflated-stream chunks from uncompressed offset start_byte:
     per-block zlib inflates (each block is a self-contained zlib
     stream, reference spss/data.rs:1794-1860) on a small thread pool
@@ -144,7 +149,16 @@ def _iter_zsav_inflated(meta: SavMeta, start_byte: int = 0):
     read at one core's ~300 MB/s — 5.2 s on a 1.6 GB-raw ACS-shape
     file, measured as THE wall — while the group walk + scatter
     consumers run well above that. Four threads push decompression off
-    the critical path; ≤8 in-flight blocks bound memory at ~32 MB."""
+    the critical path; ≤8 in-flight blocks bound memory at ~32 MB.
+
+    sim_latency_s (bench/test stand-in for a remote store's per-range
+    first-byte cost) is charged INSIDE the per-block fetch, BEFORE
+    the shared-handle lock — a remote reader issues its 4 range GETs
+    concurrently, so their first-byte waits overlap exactly like the
+    pool's do here (VERDICT r09 next#7: previously the charge sat
+    serially at the consumer, which modeled a store no concurrent
+    reader resembles). use_pool=False forces the inline fallback —
+    the serial arm of the bench A/B pair."""
     import threading
     import zlib
     from collections import deque
@@ -166,14 +180,19 @@ def _iter_zsav_inflated(meta: SavMeta, start_byte: int = 0):
 
         def inflate(blk):
             c_ofs, c_sz, _unc = blk
+            if sim_latency_s:
+                import time as _t
+
+                _t.sleep(sim_latency_s)  # per-range first-byte; see doc
             with lock_read:
                 f.seek(c_ofs)
                 raw = f.read(c_sz)
             return zlib.decompress(raw)
 
         try:
-            pool_cm = ThreadPoolExecutor(4)
-            pool_cm.submit(int).result()  # probe: spawns thread #1 now
+            pool_cm = ThreadPoolExecutor(4) if use_pool else None
+            if pool_cm is not None:
+                pool_cm.submit(int).result()  # probe: spawns thread #1 now
         except Exception:
             # thread exhaustion on a loaded host must not fail (or
             # slow-path) the read — inflate inline, same output
@@ -217,20 +236,19 @@ def _iter_raw_chunks(
     chunk_bytes: int,
     start_byte: int = 0,
     sim_latency_s: float = 0.0,
+    zsav_pool: bool = True,
 ):
     """Raw bytecode stream in bounded pieces starting at uncompressed
     stream offset start_byte: file slices for compression=1, per-block
     thread-pooled zlib inflates for zsav (_iter_zsav_inflated).
     sim_latency_s stands in for a remote store's per-range first-byte
-    cost (bench/test only; for zsav it is charged per inflated block,
-    the unit a remote reader would fetch)."""
+    cost (bench/test only; for zsav it is charged inside each block
+    fetch, the unit a remote reader would range-GET — concurrently,
+    so the inflate pool overlaps the waits)."""
     if meta.compression == 2:
-        for b in _iter_zsav_inflated(meta, start_byte):
-            if sim_latency_s:
-                import time as _t
-
-                _t.sleep(sim_latency_s)
-            yield b
+        yield from _iter_zsav_inflated(
+            meta, start_byte, sim_latency_s, use_pool=zsav_pool
+        )
         return
     with open(meta.path, "rb") as f:
         f.seek(meta.data_offset + start_byte)
@@ -403,6 +421,7 @@ def iter_compressed_elements(
     pipeline: bool = True,
     io_readahead: int = 0,
     sim_latency_s: float = 0.0,
+    zsav_pool: bool = True,
 ):
     """Stream the bytecode as (k, 8) element matrices with memory
     bounded by one chunk (≤ chunk_bytes in → ≤ 8× out, since a command
@@ -430,7 +449,9 @@ def iter_compressed_elements(
     # 27% slower per partition (r7)
     dpool = _SyncExecutor() if not pipeline else ThreadPoolExecutor(2)
     inflight: deque = deque()
-    src = _iter_raw_chunks(meta, chunk_bytes, start_byte, sim_latency_s)
+    src = _iter_raw_chunks(
+        meta, chunk_bytes, start_byte, sim_latency_s, zsav_pool
+    )
     if io_readahead > 0:
         # A4 on the bytecode stream: the NEXT chunk's fetch (or zlib
         # inflate) overlaps the CURRENT chunk's group walk + scatter
@@ -526,6 +547,7 @@ def iter_compressed_rows(
     batch_rows: int,
     io_readahead: int = 0,
     sim_latency_s: float = 0.0,
+    zsav_pool: bool = True,
 ):
     """Yield (absolute_row_pos, (rows, record_width) matrix) batches for
     the row span [start, start+n), decoding the sequential stream once
@@ -545,7 +567,10 @@ def iter_compressed_rows(
     buf_rows = 0
     buf_pos = 0
     for elems in iter_compressed_elements(
-        meta, io_readahead=io_readahead, sim_latency_s=sim_latency_s
+        meta,
+        io_readahead=io_readahead,
+        sim_latency_s=sim_latency_s,
+        zsav_pool=zsav_pool,
     ):
         if carry.size:
             elems = np.concatenate([carry, elems])
@@ -692,7 +717,13 @@ def _scan_literal_stream(meta: SavMeta, total_el: int, g_full: int) -> bool:
 
 
 def iter_literal_rows(
-    meta: SavMeta, start: int, n: int, batch_rows: int, total_rows: int
+    meta: SavMeta,
+    start: int,
+    n: int,
+    batch_rows: int,
+    total_rows: int,
+    sim_latency_s: float = 0.0,
+    zsav_pool: bool = True,
 ):
     """Parallel-task decode of rows [start, start+n) from a VALIDATED
     all-literal bytecode stream: fetch only the bytes of the groups
@@ -707,7 +738,7 @@ def iter_literal_rows(
     g0 = e0 // 8
     g1 = min((e1 + 7) // 8, g_full)
     lo_b, hi_b = g0 * 72, g1 * 72
-    buf = _fetch_stream_bytes(meta, lo_b, hi_b)
+    buf = _fetch_stream_bytes(meta, lo_b, hi_b, sim_latency_s, zsav_pool)
     k = (hi_b - lo_b) // 72
     blocks = np.frombuffer(buf, dtype=np.uint8, count=k * 72).reshape(k, 9, 8)
     if k and not bool(
@@ -723,7 +754,9 @@ def iter_literal_rows(
     els = np.ascontiguousarray(blocks[:, 1:, :]).reshape(k * 8, 8)
     if e1 > g_full * 8:
         # trailing partial group: decode the strict tail generically
-        tail_raw = _fetch_stream_bytes(meta, g_full * 72, None)
+        tail_raw = _fetch_stream_bytes(
+            meta, g_full * 72, None, sim_latency_s, zsav_pool
+        )
         tail_els = decompress_bytecode(tail_raw, meta)
         els = np.concatenate([els, tail_els[: total_el - g_full * 8]])
     off = e0 - g0 * 8
@@ -864,6 +897,7 @@ def iter_checkpoint_rows(
     pipeline: bool = True,
     io_readahead: int = 0,
     sim_latency_s: float = 0.0,
+    zsav_pool: bool = True,
 ):
     """Parallel-task decode of rows [start, start+n) from a general
     bytecode stream, restarting the sequential decoder at a
@@ -886,6 +920,7 @@ def iter_checkpoint_rows(
         pipeline=pipeline,
         io_readahead=io_readahead,
         sim_latency_s=sim_latency_s,
+        zsav_pool=zsav_pool,
     ):
         if skip:
             if elems.shape[0] <= skip:
@@ -917,14 +952,27 @@ def iter_checkpoint_rows(
         yield buf_pos, m
 
 
-def _fetch_stream_bytes(meta: SavMeta, lo: int, hi: int | None) -> bytes:
+def _fetch_stream_bytes(
+    meta: SavMeta,
+    lo: int,
+    hi: int | None,
+    sim_latency_s: float = 0.0,
+    use_pool: bool = True,
+) -> bytes:
     """Bytes [lo, hi) of the bytecode stream (hi=None → to end).
-    compression=1 is a direct file range; zsav inflates only the
-    overlapping zlib blocks on a small pool."""
+    compression=1 is a direct file range; zsav fetches AND inflates
+    only the overlapping zlib blocks, each block's fetch+inflate as
+    one pool task — on a remote store the per-block range GETs are
+    independent requests, so issuing them concurrently overlaps their
+    first-byte waits with each other and with the inflates (the same
+    physics as _iter_zsav_inflated's pool; VERDICT r09 next#7).
+    sim_latency_s charges that per-range first-byte cost in bench/
+    test runs; use_pool=False is the serial A/B arm."""
     if meta.compression != 2:
         with open(meta.path, "rb") as f:
             f.seek(meta.data_offset + lo)
             return f.read(None if hi is None else hi - lo)
+    import threading
     import zlib
     from concurrent.futures import ThreadPoolExecutor
 
@@ -935,12 +983,28 @@ def _fetch_stream_bytes(meta: SavMeta, lo: int, hi: int | None) -> bytes:
     b_lo = int(np.searchsorted(starts, lo, side="right") - 1)
     b_hi = int(np.searchsorted(starts, max(end - 1, lo), side="right"))
     with open(meta.path, "rb") as f:
-        raws = []
-        for c_ofs, c_sz, _u in blocks[b_lo:b_hi]:
-            f.seek(c_ofs)
-            raws.append(f.read(c_sz))
-    with ThreadPoolExecutor(4) as pool:
-        infl = list(pool.map(zlib.decompress, raws))
+        lock_read = threading.Lock()
+
+        def fetch_inflate(blk):
+            c_ofs, c_sz, _u = blk
+            if sim_latency_s:
+                import time as _t
+
+                _t.sleep(sim_latency_s)  # per-range first-byte
+            with lock_read:
+                f.seek(c_ofs)
+                raw = f.read(c_sz)
+            return zlib.decompress(raw)
+
+        span = blocks[b_lo:b_hi]
+        if use_pool:
+            try:
+                with ThreadPoolExecutor(4) as pool:
+                    infl = list(pool.map(fetch_inflate, span))
+            except Exception:
+                infl = [fetch_inflate(b) for b in span]
+        else:
+            infl = [fetch_inflate(b) for b in span]
     joined = b"".join(infl)
     base = int(starts[b_lo])
     return joined[lo - base : None if hi is None else end - base]

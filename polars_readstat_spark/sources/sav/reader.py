@@ -96,6 +96,9 @@ class SavReader(DataSourceReader):
         )
 
         self.io_readahead, self.sim_latency_s = parse_readahead_opts(options)
+        # bench A/B switch for the zsav inflate pool (default on);
+        # the serial arm of the floor_zsav_lat50_* probe pair sets 0
+        self.zsav_pool = str(options.get("io_zsav_pool", "1")) != "0"
         self.handles_readahead = True
         from polars_readstat_spark.sources import informative as inf
 
@@ -323,6 +326,7 @@ class SavReader(DataSourceReader):
                     pipeline=getattr(partition, "pipeline", True),
                     io_readahead=self.io_readahead,
                     sim_latency_s=self.sim_latency_s,
+                    zsav_pool=self.zsav_pool,
                 ):
                     yield emit(rows, pos, rows.shape[0])
                 return
@@ -334,6 +338,8 @@ class SavReader(DataSourceReader):
                 for pos, rows in iter_literal_rows(
                     meta, partition.start, partition.n, batch_rows,
                     meta.nobs,
+                    sim_latency_s=self.sim_latency_s,
+                    zsav_pool=self.zsav_pool,
                 ):
                     yield emit(rows, pos, rows.shape[0])
                 return
@@ -344,6 +350,7 @@ class SavReader(DataSourceReader):
                 meta, partition.start, partition.n, batch_rows,
                 io_readahead=self.io_readahead,
                 sim_latency_s=self.sim_latency_s,
+                zsav_pool=self.zsav_pool,
             ):
                 yield emit(rows, pos, rows.shape[0])
             return
