@@ -49,76 +49,47 @@ def query(name: str, oracle: str | None = None):
 # its code. Queries past position 50 still run in the local gate
 # (tools/check_correctness.py covers the whole registry).
 _PRIORITY: tuple[str, ...] = (
-    # round 9 window: first the eleven r05-stale queries (VERDICT r08
-    # next#2 — their newest driver green is three rounds back; the
-    # sas7bdat fixture scans lead because the r9 reader refactor
-    # touches their code path too),
-    "scan_sas7bdat_types",
-    "scan_sas7bdat_rle",
-    "scan_sas7bdat_rdc",
-    "scan_sas7bdat_bigendian",
-    "scan_sas7bdat_mixpage",
-    "schema_override_cast",
-    "semi_join_customers_with_orders",
-    "sort_by_index_roundtrip",
-    "source_cap_topk",
-    "topk_orders_per_customer",
-    "union_distinct_keys",
-    # then the queries whose code changed THIS round: the two new
-    # registry entries (O4 collision guard, VERDICT r08 next#4; the
-    # io_readahead multifile consumer, next#6), the NULL-text semantics
-    # pin (ADVICE r08), and every scan whose read path the r9
-    # range-fetch / fetch-decode-pipeline refactors touched (dta row
-    # loop, sas7bdat page loop),
-    "row_index_collision_guard",
-    "scan_dta_multifile_readahead",
-    "winnowing_fingerprints",
+    # round 10 window, part 1: queries whose SEMANTICS or hot code
+    # path changed this round — the relative winnowing cap (VERDICT
+    # r09 next#4), the collision guard's result materialization
+    # (next#6), the zsav per-block fetch latency seam + io_zsav_pool
+    # arm (next#7), the mixed-format readahead single-wrap, the
+    # metamemo tuple-freeze/eviction, and the rowindex literal-select.
     "winnowing_copy_pairs",
-    "sample_quality_weighted",
-    "lang_id_confusion",
-    "chunk_documents_overlap",
-    "scan_dta_roundtrip",
+    "winnowing_fingerprints",
+    "row_index_collision_guard",
+    "row_index_ordered",
+    "sort_by_index_roundtrip",
+    "scan_zsav_roundtrip",
+    "scan_sav_compressed_roundtrip",
+    "scan_sav_roundtrip",
     "scan_dta_multifile",
-    "scan_dta_pushdown",
-    "scan_dta_informative_nulls",
-    "scan_dta_value_labels",
-    "scan_dta_tagged_missing",
+    "scan_dta_multifile_readahead",
+    "scan_union_by_name",
+    "scan_dta_metadata_surface",
+    "scan_por_roundtrip",
+    "profile_read_surface",
     "scan_sas7bdat_roundtrip",
     "scan_sas7bdat_rle_roundtrip",
     "scan_sas7bdat_rdc_roundtrip",
-    "scan_sas7bdat_informative_nulls",
-    "scan_union_by_name",
-    "scan_sink_dir_roundtrip",
+    "scan_xpt_roundtrip",
     "scan_federated_join",
+    "scan_sink_dir_roundtrip",
     "stream_ingest_agg",
-    "profile_read_surface",
-    # then 17 of the 42 r06-green refreshes, now the oldest driver
-    # greens (alphabetical; the tail spills past the window and
-    # rotates in next round — all 42 stay covered by the local gate).
-    "ann_bruteforce_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "asof_join_purchase_click",
-    "bpe_merge_candidates",
-    "catalog_label_case_decode",
-    "catalog_scan_formats",
-    "compress_all_midnight",
-    "compress_numeric_decision",
-    "compress_string_numeric_parse",
-    "corpus_clean_pipeline",
-    "curation_funnel_stage_counts",
-    "decontaminate_ngram_overlap",
     "dedup_connected_components",
-    "dedup_edit_distance_verify",
-    "dedup_embedding_cosine",
     "dedup_exact_hash",
+    "dedup_edit_distance_verify",
+    "minhash_lsh_pairs",
+    "simhash_band_pairs",
+    "scan_dta_roundtrip",
+    # part 2: the 23 r06-stale queries (VERDICT r09 missing#1 /
+    # next#2 — their newest driver green is four rounds back; the
+    # structural limit of a 50-row window over ~160 queries). After
+    # this round no query's newest driver green predates r07.
     "embedding_quantize_int8",
     "event_value_histogram",
     "funnel_click_to_purchase",
     "kmeans_update_step",
-    # positions 51+: the r06 spill-over (rotates in next round), then
-    # everything else keeps registration order (r07/r08 greens —
-    # freshest, lowest priority).
     "q12_linestatus_priority",
     "q13_customer_order_distribution",
     "q15_top_supplier",
@@ -138,6 +109,34 @@ _PRIORITY: tuple[str, ...] = (
     "text_ngram_topk",
     "text_rare_token_ratio",
     "window_lag_delta",
+    # positions 51+: the remaining changed-since-r9 scans (re-greened
+    # locally this round; their driver green is r9 — freshest), then
+    # everything else keeps registration order.
+    "scan_sas7bdat_types",
+    "scan_sas7bdat_rle",
+    "scan_sas7bdat_rdc",
+    "scan_sas7bdat_bigendian",
+    "scan_sas7bdat_mixpage",
+    "scan_sas7bdat_informative_nulls",
+    "scan_dta_pushdown",
+    "scan_dta_informative_nulls",
+    "scan_dta_value_labels",
+    "scan_dta_tagged_missing",
+    "scan_xpt_informative_nulls",
+    "catalog_label_case_decode",
+    "catalog_scan_formats",
+    "value_label_broadcast_decode",
+    "sas_csv_import_roundtrip",
+    "sas_csv_script_pins",
+    "corpus_clean_pipeline",
+    "dedup_cluster_size_histogram",
+    "dedup_incremental_vs_index",
+    "dedup_keep_best_quality",
+    "dedup_keep_first_records",
+    "minhash_signatures",
+    "ngram_containment_sampled",
+    "ngram_jaccard_sampled",
+    "simhash_fingerprint",
 )
 
 
