@@ -175,13 +175,18 @@ def _register_retry_df(name: str, df) -> None:
     _register_retry(name, lambda df=df: run_query(df))
 
 
-def _load_prev_round() -> dict:
+def _load_prev_round(sf) -> dict:
     """Previous committed BENCH.json timings (this file is rewritten
     at the end of every run, so at call time it still holds the LAST
-    run's record) — the vs-previous-round ratio retrigger's baseline."""
+    run's record) — the vs-previous-round ratio retrigger's baseline.
+    Only comparable when the scale factor matches; a smoke run at
+    sf0.001 must not retry against sf0.1 numbers."""
     try:
         with open(os.path.join(REPO, "BENCH.json")) as f:
-            q = json.load(f).get("queries", {})
+            d = json.load(f)
+        if str(d.get("sf")) != str(sf):
+            return {}
+        q = d.get("queries", {})
         return {k: v for k, v in q.items() if isinstance(v, (int, float))}
     except Exception:  # noqa: BLE001
         return {}
@@ -1064,7 +1069,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     # last round's committed record, read BEFORE this run overwrites
     # BENCH.json - baseline for the >2x-vs-last-round retrigger
-    prev = _load_prev_round()
+    prev = _load_prev_round(
+        float(sf) if sf.replace(".", "").isdigit() else sf
+    )
     t_all = time.perf_counter()
     # exports run FIRST (VERDICT r06 wrong#2): late in a 150-entry
     # sweep they sit in the VM's accumulated memory-pressure window

@@ -184,3 +184,62 @@ def test_mixed_format_readahead_single_layer(spark, tmp_path):
         .load(pattern)
     )
     assert out.count() == 100
+
+
+def test_small_file_coalescing_packs_partitions(spark, tmp_path):
+    """A directory of tiny files packs into ~target-parallelism tasks
+    (1 MB open cost, 48 MB bins) instead of one task per file — the
+    10k-small-extracts shape where the Python-DS per-task floor would
+    otherwise dominate. Values must be identical to the unpacked scan,
+    and explicit partition geometry (rows_per_partition) or
+    coalesce_files=0 opts out."""
+    import polars_readstat_spark as prs
+    from polars_readstat_spark.sources.datasource import (
+        MultiFileReader,
+        MultiPartGroup,
+        ReadstatDataSource,
+    )
+
+    d = tmp_path / "tiny60"
+    d.mkdir()
+    df0 = spark.range(10).selectExpr(
+        "cast(id as double) as a", "cast(id * 2 as double) as b"
+    )
+    prs.write_readstat(df0, str(d / "t00.dta"))
+    import shutil
+
+    for i in range(1, 60):
+        shutil.copy(str(d / "t00.dta"), str(d / f"t{i:02d}.dta"))
+
+    ds = ReadstatDataSource({"path": str(d), "target_parallelism": "8"})
+    rd = ds.reader(ds.schema())
+    while not isinstance(rd, MultiFileReader):
+        rd = rd.inner
+    parts = rd.partitions()
+    assert 8 <= len(parts) < 60  # packed, never below the core floor
+    assert any(isinstance(p, MultiPartGroup) for p in parts)
+    # units preserved exactly once each
+    n_units = sum(
+        len(p.units) if isinstance(p, MultiPartGroup) else 1
+        for p in parts
+    )
+    assert n_units == 60
+
+    packed = spark.read.format("readstat").load(str(d))
+    plain = (
+        spark.read.format("readstat")
+        .option("coalesce_files", "0")
+        .load(str(d))
+    )
+    assert plain.rdd.getNumPartitions() == 60
+    assert packed.rdd.getNumPartitions() < 60
+    a = sorted(map(tuple, packed.collect()))
+    b = sorted(map(tuple, plain.collect()))
+    assert a == b and len(a) == 600
+    # explicit geometry wins
+    pinned = (
+        spark.read.format("readstat")
+        .option("rows_per_partition", "5")
+        .load(str(d))
+    )
+    assert pinned.rdd.getNumPartitions() == 120  # 60 files x 2
