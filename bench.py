@@ -957,10 +957,9 @@ def _bench_plan5k(spark, timings: dict) -> None:
     read) a 5,000-file directory through the registered path. The
     fixture is 5,000 hardlinks of one small dta (builds in ~2 s,
     once); the probe's wall / 5000 is the standing ms-per-file number
-    SCALE.md tracks — at ~1 ms/file a 10k-file production directory
-    plans in ~10 s on one driver, and the cost is linear in files
-    because each header parse is an independent open+read through the
-    bounded thread pool."""
+    SCALE.md tracks — ~0.07 ms/file after the round-10 adaptive
+    planning fix (serial parse when local-fast; chunked threads only
+    for high-latency stores), linear in files."""
     import shutil
 
     from pyspark.sql import functions as F

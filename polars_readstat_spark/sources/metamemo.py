@@ -27,7 +27,10 @@ import os
 from typing import Any, Callable
 
 _MEMO: dict[tuple, Any] = {}
-_MAX_ENTRIES = 256
+# sized for big-directory planning: a 5k-file scan re-planned in the
+# same process should hit the memo, and parsed metas are ~1 KB each
+# (~4 MB at cap — bounded per worker process)
+_MAX_ENTRIES = 4096
 
 
 def memoized_parse(kind: str, path: str, parse: Callable[[str], Any]) -> Any:
