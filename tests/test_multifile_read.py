@@ -243,3 +243,34 @@ def test_small_file_coalescing_packs_partitions(spark, tmp_path):
         .load(str(d))
     )
     assert pinned.rdd.getNumPartitions() == 120  # 60 files x 2
+
+
+def test_coalesced_groups_keep_path_column(spark, tmp_path):
+    """path_column attribution is per-unit inside a packed task —
+    every file keeps its own path even when several files share one
+    partition."""
+    import os as _os
+
+    import polars_readstat_spark as prs
+
+    d = tmp_path / "tiny20"
+    d.mkdir()
+    df0 = spark.range(5).selectExpr("cast(id as double) as a")
+    prs.write_readstat(df0, str(d / "p00.dta"))
+    import shutil
+
+    for i in range(1, 20):
+        shutil.copy(str(d / "p00.dta"), str(d / f"p{i:02d}.dta"))
+    out = (
+        spark.read.format("readstat")
+        .option("path_column", "src")
+        .option("target_parallelism", "4")
+        .load(str(d))
+    )
+    assert out.rdd.getNumPartitions() < 20  # packed
+    names = {
+        _os.path.basename(r.src)
+        for r in out.select("src").distinct().collect()
+    }
+    assert names == {f"p{i:02d}.dta" for i in range(20)}
+    assert out.count() == 100
