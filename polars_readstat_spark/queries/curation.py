@@ -80,6 +80,79 @@ def decontaminate_ngram_overlap(spark, sf_dir):
 
 
 @query(
+    "decontaminate_hash_prefilter",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, UNNEST({_DUCK_NGRAMS}) AS gram FROM tok
+    ),
+    eval_grams AS (
+      SELECT DISTINCT gram, doc_id AS eval_id FROM grams
+      WHERE doc_id % 97 = 0
+    ),
+    train_grams AS (
+      SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 97 <> 0
+    )
+    SELECT t.doc_id,
+           COUNT(DISTINCT t.gram) AS n_shared_ngrams,
+           COUNT(DISTINCT e.eval_id) AS n_eval_docs_hit
+    FROM train_grams t JOIN eval_grams e ON e.gram = t.gram
+    GROUP BY t.doc_id
+    """,
+)
+def decontaminate_hash_prefilter(spark, sf_dir):
+    """Decontamination for benchmark sets too big to broadcast as
+    strings: a two-phase probe whose OUTPUT is exactly the exact-join
+    answer (the oracle is decontaminate_ngram_overlap's — the
+    prefilter is semantics-free).
+
+    Phase 1 broadcasts only an 8-byte xxhash64 DICTIONARY of the eval
+    n-grams (~4-5x smaller than the gram strings — a combined-suite
+    eval set of 10^7 grams fits in ~80 MB hashed where the strings
+    would strain the broadcast) and semi-joins the training gram
+    stream against it map-side: no corpus shuffle, and everything
+    except true overlaps + rare 64-bit hash collisions drops here.
+    Phase 2 exact-joins ONLY the surviving candidate grams against
+    the (gram, eval_id) pairs, so hash collisions are eliminated and
+    the expensive string comparison runs on a candidate set ~the size
+    of the real contamination, not the corpus. This is the public-API
+    equivalent of the Bloom-prefilter + exact-confirm pattern (Spark's
+    bloom_filter_agg/might_contain are optimizer-internal and not in
+    the SQL registry — checked 4.1).
+    """
+    from polars_readstat_spark.functions.curation import word_ngrams
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def grams_of(df, out_id):
+        return df.select(
+            F.col("doc_id").alias(out_id),
+            F.explode(
+                word_ngrams(F.split(F.col("text"), " "), NGRAM_N)
+            ).alias("gram"),
+        ).distinct()
+
+    eg = grams_of(docs.filter(F.col("doc_id") % 97 == 0), "eval_id")
+    tg = grams_of(docs.filter(F.col("doc_id") % 97 != 0), "doc_id")
+    # phase 1: compact hash dictionary, map-side semi-join
+    hdict = eg.select(F.xxhash64("gram").alias("h")).distinct()
+    cand = tg.withColumn("h", F.xxhash64("gram")).join(
+        F.broadcast(hdict), "h", "left_semi"
+    )
+    # phase 2: exact confirm on the candidate set only
+    return (
+        cand.join(F.broadcast(eg), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_ngrams"),
+            F.countDistinct("eval_id").alias("n_eval_docs_hit"),
+        )
+    )
+
+
+@query(
     "sequence_packing_bins",
     oracle="""
     WITH tok AS (

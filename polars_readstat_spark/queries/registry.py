@@ -57,6 +57,7 @@ _PRIORITY: tuple[str, ...] = (
     # metamemo tuple-freeze/eviction, and the rowindex literal-select.
     "winnowing_copy_pairs",
     "winnowing_fingerprints",
+    "decontaminate_hash_prefilter",  # NEW this round (two-phase probe)
     "row_index_collision_guard",
     "row_index_ordered",
     "sort_by_index_roundtrip",
@@ -81,7 +82,9 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_edit_distance_verify",
     "minhash_lsh_pairs",
     "simhash_band_pairs",
-    "scan_dta_roundtrip",
+    # (scan_dta_roundtrip spilled to 51+ to make room for the new
+    # decontaminate_hash_prefilter — it re-greened r9 and its read
+    # path is covered in-window by scan_dta_multifile/_readahead)
     # part 2: the 23 r06-stale queries (VERDICT r09 missing#1 /
     # next#2 — their newest driver green is four rounds back; the
     # structural limit of a 50-row window over ~160 queries). After

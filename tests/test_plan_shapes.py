@@ -552,3 +552,14 @@ def test_winnowing_copy_pairs_relative_cap_bounded_fanout(spark):
     # equi-join on the fingerprint key
     assert "InMemoryTableScan" in plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_hash_prefilter_two_phase(spark):
+    """Phase 1 must be a broadcast semi-join on the 8-byte hash
+    dictionary (map-side, no corpus shuffle); phase 2 the exact
+    confirm join on gram strings; per-doc rollup partial-aggregates."""
+    plan = plan_of(spark, "decontaminate_hash_prefilter")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "xxhash64" in plan
+    assert "partial_count" in plan
