@@ -75,10 +75,13 @@ def _headline_line(payload: dict) -> str:
     full = payload["queries"]
     order = sorted(full, key=_headline_priority)
     kept = {}
+    n_timed = sum(1 for k in full if not k.endswith("_nparts"))
     for n in order:
         kept[n] = full[n]
         base["queries"] = kept
-        base["n_timed"] = len(full)
+        # timed entries only — the *_nparts plan probes record
+        # partition counts, not seconds (review r10)
+        base["n_timed"] = n_timed
         base["bench_full"] = "BENCH.json"
         if len(json.dumps(base, separators=(",", ":"))) > _HEADLINE_BUDGET:
             del kept[n]
