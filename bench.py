@@ -215,17 +215,32 @@ _RETRY_PAIRS = (
 )
 
 
+def _abs_bar(name: str) -> float:
+    # per-family absolute bars, set just above each family's genuine
+    # walls so the tier re-times stalls without re-running honest
+    # heavy work forever (review r10: a flat 2.5 s bar re-ran the
+    # 3-5 s exports and the 4-7 s dedup/zsav probes twice per sweep,
+    # every sweep, with no new information):
+    # - read_*: BASELINE.md surface, everything walls under ~0.9 s
+    #   isolated except zsav (~1.8-2.0, covered by the ratio trigger)
+    # - export_*: genuine 2-5 s (compressed sas encodes)
+    # - floor_*: probes up to ~7 s by design (dedup 10x, latency arms)
+    if name.startswith("read_"):
+        return 0.9
+    if name.startswith("export_"):
+        return 6.0
+    if name.startswith("floor_"):
+        return 8.0
+    return 2.5
+
+
 def _needs_retry(name: str, t: float, prev: dict) -> bool:
-    # read_* entries get a tighter bar: they are the BASELINE.md
-    # comparison surface and every one of them walls under ~0.9 s
-    # isolated except zsav (~1.8-2.0). Everything else: the 2.5 s
-    # absolute bar, PLUS a >2x-vs-last-round ratio trigger so
-    # sub-2.5 s stall clusters (r9's window family: 0.36->1.38,
+    # absolute bar PLUS a >2x-vs-last-round ratio trigger so
+    # sub-bar stall clusters (r9's window family: 0.36->1.38,
     # 0.58->2.23, ...) get re-timed too. The 0.4 s floor keeps the
     # ratio trigger off sub-0.2 s entries whose 2x swings are sweep
     # noise not worth a re-run.
-    bar = 0.9 if name.startswith("read_") else 2.5
-    if t > bar:
+    if t > _abs_bar(name):
         return True
     p = prev.get(name)
     return (

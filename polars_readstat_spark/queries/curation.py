@@ -141,9 +141,15 @@ def decontaminate_hash_prefilter(spark, sf_dir):
     cand = tg.withColumn("h", F.xxhash64("gram")).join(
         F.broadcast(hdict), "h", "left_semi"
     )
-    # phase 2: exact confirm on the candidate set only
+    # phase 2: exact confirm on the candidate set only. NO broadcast
+    # hint here — shipping the full (gram, eval_id) STRING table to
+    # every executor would re-introduce exactly the oversized
+    # broadcast phase 1 exists to avoid. Unhinted, this is a shuffle
+    # join of the contamination-sized candidate set against ONE pass
+    # over the eval set (the corpus itself never shuffles — phase 1
+    # is map-side); at small scale AQE broadcasts it anyway.
     return (
-        cand.join(F.broadcast(eg), "gram")
+        cand.join(eg, "gram")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("gram").alias("n_shared_ngrams"),

@@ -845,7 +845,7 @@ def winnowing_fingerprints(spark, sf_dir):
     rare AS (
       SELECT fingerprint FROM fp CROSS JOIN n
       GROUP BY fingerprint, n.n
-      HAVING COUNT(*) * 62 <= n.n OR COUNT(*) <= 2
+      HAVING COUNT(*) * 62 <= n.n OR COUNT(*) <= 8
     ),
     r AS (SELECT fp.doc_id, fp.fingerprint FROM fp JOIN rare USING (fingerprint))
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -870,9 +870,10 @@ def winnowing_copy_pairs(spark, sf_dir):
     exists to avoid, and anything denser than ~1.6% of the corpus is
     by definition boilerplate, not a copy. K=62 keeps the sf0.01
     selection identical to the old absolute cap (500/62 -> df<=8); the
-    df<=2 floor keeps a pure two-document copy detectable on corpora
-    small enough that N/62 < 2 (division-free exact integer algebra
-    on both engines). Shapes: fingerprint df is a map-side-combinable count; the corpus
+    df<=8 floor keeps the old ABSOLUTE behavior on corpora smaller
+    than 8*62 docs (review r10: a df<=2 floor silently lost 3-to-
+    8-way copies on sub-186-doc corpora that the old cap reported) —
+    division-free exact integer algebra on both engines. Shapes: fingerprint df is a map-side-combinable count; the corpus
     size joins in as a broadcast 1-row scalar (never a shuffle); the
     pair search is an equi-join on the fingerprint key (linear
     shuffle, never all-pairs); the >= 3 threshold is an exact integer
@@ -887,7 +888,7 @@ def winnowing_copy_pairs(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(F.broadcast(n))
         .filter(
-            (F.col("df") * 62 <= F.col("n_docs")) | (F.col("df") <= 2)
+            (F.col("df") * 62 <= F.col("n_docs")) | (F.col("df") <= 8)
         )
         .select("fingerprint")
     )

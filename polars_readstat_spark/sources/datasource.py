@@ -943,9 +943,15 @@ class MultiFileReader(DataSourceReader):
                 try:
                     sizes[i] = _os.path.getsize(p)
                 except OSError:
-                    sizes[i] = self.BIN_BYTES  # unknown: don't pack
+                    sizes[i] = None  # unknown: never pack its units
+        # unknown-size files charge a FULL bin per UNIT (not per
+        # file): dividing a stand-in size by nparts would let a huge
+        # multi-partition file coalesce ~8 of its partitions into one
+        # serial task — the opposite of the fallback's intent
         weight = [
-            sizes[u.file_idx] / nparts[u.file_idx] + self.OPEN_COST
+            self.BIN_BYTES + self.OPEN_COST
+            if sizes[u.file_idx] is None
+            else sizes[u.file_idx] / nparts[u.file_idx] + self.OPEN_COST
             for u in out
         ]
         total = sum(weight)

@@ -24,13 +24,21 @@ same file — a tuple turns that bug into an immediate TypeError.
 from __future__ import annotations
 
 import os
+import threading
 from typing import Any, Callable
 
 _MEMO: dict[tuple, Any] = {}
-# sized for big-directory planning: a 5k-file scan re-planned in the
-# same process should hit the memo, and parsed metas are ~1 KB each
-# (~4 MB at cap — bounded per worker process)
-_MAX_ENTRIES = 4096
+# sized ABOVE the biggest directory the bench plans (5k files) so a
+# same-process re-plan hits the memo — FIFO eviction at a cap below
+# the working set would evict exactly the key the next pass asks for
+# (100% miss); parsed metas are ~1 KB each (~8 MB at cap, bounded per
+# worker process)
+_MAX_ENTRIES = 8192
+# eviction+insert only — parse() runs unlocked (it can be slow, and
+# planning is concurrent since the r10 chunked-thread header parses;
+# two threads racing the unlocked evict could double-pop or hit
+# 'dict changed size during iteration')
+_LOCK = threading.Lock()
 
 
 def memoized_parse(kind: str, path: str, parse: Callable[[str], Any]) -> Any:
@@ -44,11 +52,12 @@ def memoized_parse(kind: str, path: str, parse: Callable[[str], Any]) -> Any:
         hit = parse(path)
         if isinstance(hit, list):
             hit = tuple(hit)  # freeze: shared across all callers
-        if len(_MEMO) >= _MAX_ENTRIES:
+        with _LOCK:
             # evict ONE entry (FIFO — dicts iterate in insertion
-            # order) instead of clearing: a 5k-file directory scan
+            # order) instead of clearing: a big directory scan
             # crossing the cap would otherwise drop every hot header
             # at once and re-parse the whole working set
-            _MEMO.pop(next(iter(_MEMO)))
-        _MEMO[key] = hit
+            if len(_MEMO) >= _MAX_ENTRIES:
+                _MEMO.pop(next(iter(_MEMO)), None)
+            _MEMO[key] = hit
     return hit

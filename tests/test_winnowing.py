@@ -102,3 +102,26 @@ def test_copy_pairs_relative_cap_keeps_popular_copies(spark, tmp_path):
     }
     assert got == {(a, b) for a in range(10) for b in range(a + 1, 10)}
     _cache.release_all()
+
+
+def test_copy_pairs_small_corpus_multiway_copy_survives(spark, tmp_path):
+    """Review r10: on corpora smaller than 8*62 docs the df<=8 floor
+    must keep the old absolute behavior — a 4-way copied span in a
+    150-doc corpus is a copy, not boilerplate."""
+    from polars_readstat_spark.queries import _cache
+    from polars_readstat_spark.queries.dedup import winnowing_copy_pairs
+
+    span = " ".join(f"quad{i}" for i in range(40))
+    rows = []
+    for d in range(150):
+        filler = " ".join(f"v{d}w{j}" for j in range(12))
+        text = (span + " " + filler) if d < 4 else filler
+        rows.append((d, text, "en", "s", len(text)))
+    p = _docs_table(spark, tmp_path, rows)
+    _cache.release_all()
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in winnowing_copy_pairs(spark, p).collect()
+    }
+    assert got == {(a, b) for a in range(4) for b in range(a + 1, 4)}
+    _cache.release_all()
