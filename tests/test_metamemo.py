@@ -98,3 +98,31 @@ def test_cap_evicts_one_not_all(tmp_path):
     finally:
         metamemo._MEMO.clear()
         metamemo._MEMO.update(saved)
+
+
+def test_cap_eviction_thread_safe(tmp_path):
+    """Review r10: planning parses headers concurrently, so the
+    evict-one-at-cap path must survive a thread hammer (the unlocked
+    draft could double-pop or die with 'dict changed size')."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    p = str(tmp_path / "c.bin")
+    with open(p, "wb") as f:
+        f.write(b"x")
+    saved = dict(metamemo._MEMO)
+    try:
+        metamemo._MEMO.clear()
+        # prefill to one below cap so every insert races the evictor
+        for i in range(metamemo._MAX_ENTRIES - 1):
+            metamemo.memoized_parse(f"pre{i}", p, lambda _: i)
+
+        def worker(base):
+            for j in range(200):
+                metamemo.memoized_parse(f"w{base}_{j}", p, lambda _: j)
+
+        with ThreadPoolExecutor(8) as ex:
+            list(ex.map(worker, range(8)))
+        assert len(metamemo._MEMO) <= metamemo._MAX_ENTRIES
+    finally:
+        metamemo._MEMO.clear()
+        metamemo._MEMO.update(saved)
