@@ -221,9 +221,14 @@ def main():
     else:
         sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
         args = argv[1:]
+    list_only = "--list-only" in args
+    args = [a for a in args if a != "--list-only"]
     if args[:1] == ["--changed-since"]:
         if len(args) < 2:
-            print("usage: check_oracle.py [sf_dir] --changed-since <sha>")
+            print(
+                "usage: check_oracle.py [sf_dir] --changed-since <sha>"
+                " [--list-only]"
+            )
             sys.exit(2)
         sys.path.insert(0, REPO)
         only = queries_changed_since(args[1])
@@ -231,6 +236,8 @@ def main():
             print("no package .py files changed; nothing to check")
             sys.exit(0)
         print(f"# {len(only)} queries affected: {' '.join(sorted(only))}")
+        if list_only:  # print the affected set and stop (no Spark)
+            sys.exit(0)
     else:
         only = set(args)
     sys.path.insert(0, REPO)
