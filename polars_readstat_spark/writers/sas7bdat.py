@@ -668,16 +668,24 @@ def _pack_chunk_pdf(pdf, tag_slot, ncols, kinds, widths, row_length) -> bytes:
 
 def _encode_packed(packed: bytes, row_length: int, comp: str) -> bytes:
     """RLE/RDC-encode a packed fixed-width chunk into the sink's
-    per-row framing (<BI compressed-flag, length> + payload). Pure —
-    runs on executors in either the single- or two-stage pack path."""
+    per-row framing (<BI compressed-flag, length> + payload), plus a
+    numpy-parseable footer [lens i32×n][comps u8×n][<I n>][b"SLEN"]
+    so the driver can assemble pages WITHOUT walking 5-byte headers
+    per row — the per-row driver loop was ~2 s of a 5 s compressed
+    export (round 10). Pure — runs on executors in either the single-
+    or two-stage pack path; write_encoded falls back to the header
+    walk when the footer is absent."""
     import io
     import struct as _st
 
     rows = np.frombuffer(packed, np.uint8).reshape(-1, row_length)
     enc_rows = _rdc_encode_rows if comp == "rdc" else _rle_encode_rows
     encoded = enc_rows(rows)
+    n = rows.shape[0]
+    lens = np.empty(n, dtype="<i4")
+    comps = np.empty(n, dtype=np.uint8)
     out = io.BytesIO()
-    for j in range(rows.shape[0]):
+    for j in range(n):
         e = encoded[j]
         if e is None:
             raw = rows[j].tobytes()
@@ -688,9 +696,15 @@ def _encode_packed(packed: bytes, row_length: int, comp: str) -> bytes:
                 )
             out.write(_st.pack("<BI", 0, len(raw)))
             out.write(raw)
+            lens[j], comps[j] = len(raw), 0
         else:
             out.write(_st.pack("<BI", 1, len(e)))
             out.write(e)
+            lens[j], comps[j] = len(e), 1
+    out.write(lens.tobytes())
+    out.write(comps.tobytes())
+    out.write(_st.pack("<I", n))
+    out.write(b"SLEN")
     return out.getvalue()
 
 
@@ -857,7 +871,32 @@ class _SasFileSink:
 
     def write_encoded(self, payload: bytes, n: int) -> None:
         """Append n executor-encoded rows from the staged frame: a
-        [u8 is_compressed][u32 len][blob] sequence per row."""
+        [u8 is_compressed][u32 len][blob] sequence per row, followed
+        (new executors) by the SLEN footer — see _encode_packed.
+
+        With the footer, page assembly is vectorized: blob lengths
+        come from one frombuffer, whole pages cut with searchsorted,
+        the pointer array built as one structured numpy write and the
+        blob block copied with ONE slice per page (frames store blobs
+        consecutively and META pages pack them consecutively in the
+        same order). The legacy path walks headers per row."""
+        if n > 0 and payload[-4:] == b"SLEN":
+            nf = struct.unpack_from("<I", payload, len(payload) - 8)[0]
+            foot = 8 + nf + 4 * nf
+            if nf == n and len(payload) >= foot:
+                lens = np.frombuffer(
+                    payload, "<i4", count=n, offset=len(payload) - foot
+                ).astype(np.int64)
+                comps = np.frombuffer(
+                    payload, np.uint8, count=n,
+                    offset=len(payload) - 8 - n,
+                )
+                if int(lens.sum()) + 5 * n + foot == len(payload):
+                    self._append_encoded_vec(
+                        payload[: len(payload) - foot], lens, comps
+                    )
+                    self.n_rows += n
+                    return
         i = 0
         for _ in range(n):
             comp, ln = struct.unpack_from("<BI", payload, i)
@@ -865,6 +904,132 @@ class _SasFileSink:
             self._append_blob(payload[i : i + ln], bool(comp))
             i += ln
         self.n_rows += n
+
+    def _append_encoded_vec(
+        self, frames: bytes, lens: np.ndarray, comps: np.ndarray
+    ) -> None:
+        """Vectorized META-page assembly of framed rows. Rows already
+        pending in _crows ride along: they're prepended so page
+        fitting sees one ordered sequence, and the LAST (possibly
+        partial) greedy group always goes back to _crows — the
+        per-row writer only flushes a page when the NEXT row
+        overflows it, so deferring the tail keeps the output
+        byte-identical whether rows arrive singly or in chunks
+        (close() flushes the remainder the same way)."""
+        n = lens.shape[0]
+        # blob start offsets inside `frames` (each blob sits 5 bytes
+        # after its frame start; frame k starts at sum of (5+len) of
+        # the frames before it)
+        starts = np.empty(n, dtype=np.int64)
+        starts[0] = 5
+        if n > 1:
+            np.cumsum(lens[:-1] + 5, out=starts[1:])
+            starts[1:] += 5
+        pend = self._crows
+        npend = len(pend)
+        pend_lens = (
+            np.array([len(b) for b, _ in pend], dtype=np.int64)
+            if pend
+            else np.empty(0, dtype=np.int64)
+        )
+        all_lens = (
+            np.concatenate([pend_lens, lens]) if npend else lens
+        )
+        total = all_lens.shape[0]
+        cap = self.page_length - (BIT_OFFSET + 8)
+        csum = np.cumsum(all_lens)
+        # a page holds at most cap // (PTR_LEN + 1) rows, so the
+        # greedy fit only ever inspects a bounded window per page
+        max_rows = cap // (PTR_LEN + 1) + 1
+        done = 0
+        while True:
+            base_bytes = int(csum[done - 1]) if done else 0
+            win = min(total - done, max_rows)
+            rel = (
+                csum[done : done + win]
+                - base_bytes
+                + PTR_LEN * np.arange(1, win + 1, dtype=np.int64)
+            )
+            k = int(np.searchsorted(rel, cap, side="right"))
+            if k <= 0:
+                k = 1  # page_length admits >=1 row by construction
+            if done + k >= total:
+                break  # last greedy group stays pending
+            self._emit_meta_page(
+                frames, starts, lens, comps, pend, done, k, all_lens
+            )
+            done += k
+        # rebuild the pending tail
+        tail: list = []
+        for j in range(done, total):
+            if j < npend:
+                tail.append(pend[j])
+            else:
+                jj = j - npend
+                s = int(starts[jj])
+                tail.append(
+                    (frames[s : s + int(lens[jj])], bool(comps[jj]))
+                )
+        self._crows = tail
+        self._crows_bytes = int(sum(len(b) for b, _ in tail))
+
+    def _emit_meta_page(
+        self, frames, starts, lens, comps, pend, done, k, all_lens
+    ) -> None:
+        npend = len(pend)
+        page = bytearray(self.page_length)
+        struct.pack_into("<4H", page, BIT_OFFSET, 0x0000, k, k, 0)
+        base = BIT_OFFSET + 8 + PTR_LEN * k
+        # pointer block: one structured write per field
+        ptr = np.zeros((k, PTR_LEN), dtype=np.uint8)
+        offs_out = np.full(k, base, dtype=np.int64)
+        if k > 1:
+            offs_out[1:] += np.cumsum(all_lens[done : done + k - 1])
+        ptr[:, 0:8] = offs_out.astype("<u8").view(np.uint8).reshape(k, 8)
+        ptr[:, 8:16] = (
+            all_lens[done : done + k]
+            .astype("<u8")
+            .view(np.uint8)
+            .reshape(k, 8)
+        )
+        pos = base
+        # blobs: pending rows (if any) one by one, then ONE slice for
+        # the contiguous new-frame run
+        rows_from_pend = max(0, min(npend - done, k))
+        for j in range(done, done + rows_from_pend):
+            blob, comp = pend[j]
+            page[pos : pos + len(blob)] = blob
+            ptr[j - done, 16] = 4 if comp else 0
+            ptr[j - done, 17] = 1
+            pos += len(blob)
+        new_lo = max(done, npend) - npend
+        new_hi = done + k - npend  # > new_lo iff new rows in page
+        if new_hi > new_lo:
+            s0 = int(starts[new_lo]) - 5  # include row new_lo's header
+            s1 = int(starts[new_hi - 1] + lens[new_hi - 1])
+            span = frames[s0:s1]
+            # strip the 5-byte headers: build one contiguous blob run
+            if new_hi - new_lo == 1:
+                blob_run = span[5:]
+            else:
+                arr = np.frombuffer(span, np.uint8)
+                keep = np.ones(arr.shape[0], dtype=bool)
+                hdr_starts = (
+                    starts[new_lo:new_hi] - 5 - s0
+                ).astype(np.int64)
+                drop = (
+                    hdr_starts[:, None] + np.arange(5)[None, :]
+                ).reshape(-1)
+                keep[drop] = False
+                blob_run = arr[keep].tobytes()
+            page[pos : pos + len(blob_run)] = blob_run
+            pos += len(blob_run)
+            sl = slice(rows_from_pend, k)
+            ptr[sl, 16] = np.where(comps[new_lo:new_hi] != 0, 4, 0)
+            ptr[sl, 17] = 1
+        page[BIT_OFFSET + 8 : base] = ptr.tobytes()
+        self.fh.write(page)
+        self.n_data_pages += 1
 
     def _append_blob(self, blob: bytes, comp: bool) -> None:
         need = PTR_LEN + len(blob)

@@ -660,3 +660,55 @@ def test_numeric_lengths_truncated_storage(spark, tmp_path):
     with pytest.raises(ValueError, match="not a numeric"):
         write_sas7bdat(df, str(tmp_path / "x.sas7bdat"),
                        numeric_lengths={"s": 4})
+
+
+def test_write_encoded_chunking_byte_identical(tmp_path):
+    """The vectorized META-page assembly must produce byte-identical
+    files regardless of how rows are batched into write_encoded calls
+    (the pending-tail handoff between chunks is the risky seam), and
+    identical to the legacy per-row header-walk path."""
+    import io
+
+    import numpy as np
+
+    from polars_readstat_spark.writers import sas7bdat as W
+
+    rl = 24
+    n = 3000
+    rng = np.random.RandomState(7)
+    rows = rng.randint(0, 250, size=(n, rl)).astype(np.uint8)
+    # make many rows compressible (runs) so both comp flags appear
+    rows[::3, :16] = 0x20
+    packed = rows.tobytes()
+
+    def build(chunks, strip_footer=False):
+        fh = io.BytesIO()
+        # bare sink: only the compressed-page path attrs (the real
+        # constructor writes header+meta pages, irrelevant here)
+        sink = object.__new__(W._SasFileSink)
+        sink.fh = fh
+        sink.page_length = 0x2000
+        sink.row_length = rl
+        sink.rows_per_page = (0x2000 - 32 - 8) // rl
+        sink._crows, sink._crows_bytes = [], 0
+        sink.pending = bytearray()
+        sink.n_rows = sink.n_data_pages = 0
+        start = 0
+        for c in chunks:
+            payload = W._encode_packed(
+                rows[start : start + c].tobytes(), rl, "rle"
+            )
+            if strip_footer:
+                nf = c
+                payload = payload[: len(payload) - (8 + nf + 4 * nf)]
+            sink.write_encoded(payload, c)
+            start += c
+        assert start == n
+        sink._flush_compressed_page()
+        return fh.getvalue(), sink.n_data_pages
+
+    whole, pages_a = build([n])
+    chunked, pages_b = build([1, 999, 2, 500, 498, 700, 300])
+    legacy, pages_c = build([512] * 5 + [440], strip_footer=True)
+    assert whole == chunked == legacy
+    assert pages_a == pages_b == pages_c > 1
