@@ -226,6 +226,12 @@ def _abs_bar(name: str) -> float:
     # - export_*: genuine 2-5 s (compressed sas encodes)
     # - floor_*: probes up to ~7 s by design (dedup 10x, latency arms)
     if name.startswith("read_"):
+        # zsav / ANES-wide / 100M-multifile / bytecode reads wall
+        # 1.1-2.5 s genuinely — the flat 0.9 bar re-ran them twice
+        # every sweep (review r10); the plain-format quartet and the
+        # ACS headline stay on the tight bar
+        if any(t in name for t in ("zsav", "wide", "100m", "bytecode")):
+            return 2.5
         return 0.9
     if name.startswith("export_"):
         return 6.0

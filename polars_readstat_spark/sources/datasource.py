@@ -455,7 +455,8 @@ class ReadstatDataSource(DataSource):
                     for r in readers
                 ]
             # small-file coalescing target: pack tiny files' tasks
-            # down to ~cores partitions (48 MB bins, 1 MB open cost).
+            # into 48 MB bins (1 MB open cost → ~48 tiny files per
+            # task), never fewer than ~cores partitions.
             # Off when the user pinned partition geometry explicitly
             # (rows_per_partition) or opted out (coalesce_files=0).
             tgt = 0

@@ -28,12 +28,14 @@ import threading
 from typing import Any, Callable
 
 _MEMO: dict[tuple, Any] = {}
-# sized ABOVE the biggest directory the bench plans (5k files) so a
-# same-process re-plan hits the memo — FIFO eviction at a cap below
-# the working set would evict exactly the key the next pass asks for
-# (100% miss); parsed metas are ~1 KB each (~8 MB at cap, bounded per
-# worker process)
-_MAX_ENTRIES = 8192
+# sized ABOVE the biggest directory the bench plans (5k files) AT
+# the worst entries-per-file ratio — sas7bdat planning stores up to
+# THREE entries per file (meta + page_rows + has_mix), so a cap
+# counted in files would FIFO-thrash on a big sas7bdat directory
+# re-plan (each miss evicting the next key the pass needs, 100%
+# miss). Parsed metas are ~1 KB each (~24 MB at cap, bounded per
+# worker process; the rare big page_rows tuples are few per dir).
+_MAX_ENTRIES = 3 * 8192
 # eviction+insert only — parse() runs unlocked (it can be slow, and
 # planning is concurrent since the r10 chunked-thread header parses;
 # two threads racing the unlocked evict could double-pop or hit

@@ -213,7 +213,11 @@ def queries_changed_since(sha: str) -> set[str]:
 
 
 def main():
-    argv = sys.argv[1:]
+    # flags first: a flag placed before the sf_dir positional must
+    # not be consumed AS sf_dir (review r10: `--list-only` leading
+    # argv became the data dir and launched the full Spark run)
+    argv = [a for a in sys.argv[1:] if a != "--list-only"]
+    list_only = "--list-only" in sys.argv[1:]
     # sf_dir is optional even with --changed-since
     if argv[:1] == ["--changed-since"]:
         sf_dir = "/root/testdata/sf0.01"
@@ -221,8 +225,6 @@ def main():
     else:
         sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
         args = argv[1:]
-    list_only = "--list-only" in args
-    args = [a for a in args if a != "--list-only"]
     if args[:1] == ["--changed-since"]:
         if len(args) < 2:
             print(
