@@ -470,6 +470,9 @@ class ReadstatDataSource(DataSource):
                 paths,
                 self.options.get("path_column"),
                 coalesce_target=tgt,
+                group_readahead=int(
+                    self.options.get("io_readahead", 0) or 0
+                ),
             )
         if _opt_bool(self.options, "compress"):
             base = CompressingReader(
@@ -914,7 +917,14 @@ class MultiFileReader(DataSourceReader):
     OPEN_COST = 1 << 20
     BIN_BYTES = 48 << 20  # matches partplan's per-partition target
 
-    def __init__(self, readers, paths, path_column, coalesce_target=0):
+    def __init__(
+        self,
+        readers,
+        paths,
+        path_column,
+        coalesce_target=0,
+        group_readahead=0,
+    ):
         self.readers = readers
         self.paths = paths
         self.path_column = path_column
@@ -922,6 +932,17 @@ class MultiFileReader(DataSourceReader):
         # output partitions (the scan must still cover every core);
         # 0 = one partition per inner partition, the pre-r10 shape
         self.coalesce_target = int(coalesce_target or 0)
+        # io_readahead composed with packing: a packed task otherwise
+        # opens its ~48 small files ONE BY ONE, paying each file's
+        # first-byte latency serially (50 ms x 48 = 2.4 s of pure
+        # wait per task on an object store). >0 reads up to this many
+        # units concurrently on a small pool, yielding strictly in
+        # unit order; memory is bounded by depth x unit bytes, and a
+        # group's total decoded bytes are already bin-bounded by the
+        # packer. The in-reader per-file pipelines (A4) overlap WITHIN
+        # a unit; this overlaps ACROSS unit boundaries — a single
+        # producer thread could not (sleeps in one thread serialize).
+        self.group_readahead = int(group_readahead or 0)
 
     def partitions(self):
         out = []
@@ -977,8 +998,44 @@ class MultiFileReader(DataSourceReader):
             if isinstance(partition, MultiPartGroup)
             else [partition]
         )
+        ra = self.group_readahead
+        if ra > 0 and len(units) > 1:
+            yield from self._read_units_prefetched(units, ra)
+            return
         for u in units:
             yield from self._read_unit(u)
+
+    def _read_units_prefetched(self, units, depth: int):
+        """Strictly-ordered concurrent unit reads: up to `depth` units
+        in flight on a small pool, each unit's batches materialized
+        (bounded: the packer capped the group's bytes), yielded in
+        unit order — the remote-store lever for packed tiny files."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        def fetch(u):
+            return list(self._read_unit(u))
+
+        try:
+            pool = ThreadPoolExecutor(min(4, depth))
+            pool.submit(int).result()  # probe thread availability now
+        except Exception:  # noqa: BLE001 — degraded host: read inline
+            for u in units:
+                yield from self._read_unit(u)
+            return
+        with pool:
+            inflight: deque = deque()
+            it = iter(units)
+            for u in it:
+                inflight.append(pool.submit(fetch, u))
+                if len(inflight) >= depth:
+                    break
+            for u in it:
+                done = inflight.popleft()
+                inflight.append(pool.submit(fetch, u))
+                yield from done.result()
+            while inflight:
+                yield from inflight.popleft().result()
 
     def _read_unit(self, partition: MultiPart):
         import pyarrow as pa
