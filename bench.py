@@ -212,6 +212,7 @@ _RETRY_PAIRS = (
     ("floor_acs_lat50_serial", "floor_acs_lat50_readahead"),
     ("floor_ranges50ms_serial", "floor_ranges50ms_readahead"),
     ("floor_zsav_lat50_serial", "floor_zsav_lat50_pooled"),
+    ("floor_pack20_lat60_serial", "floor_pack20_lat60_prefetch"),
 )
 
 
@@ -1026,6 +1027,58 @@ def _bench_plan5k(spark, timings: dict) -> None:
     best = min(plan_once(), plan_once())
     timings["floor_plan_5kfiles"] = round(best, 3)
     _register_retry("floor_plan_5kfiles", plan_once)
+
+    # packed-group remote-store A/B (round 10): a packed task reads
+    # its small files concurrently under io_readahead instead of
+    # paying each file's first-byte serially. 20 tiny files at 60 ms
+    # each: serial floor 1.2 s of pure wait vs ~0.4 s with depth-4
+    # prefetch. These grade against each other, not BASELINE.
+    d20 = "/tmp/prs_pack20_v1"
+    if not os.path.isdir(d20) or len(os.listdir(d20)) != 20:
+        from polars_readstat_spark.writers.dta import write_dta
+
+        tmp = d20 + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        src = os.path.join(tmp, "g00.dta")
+        write_dta(
+            spark.range(50).select(
+                (F.col("id") % 9).cast("double").alias("a")
+            ),
+            src,
+        )
+        for i in range(1, 20):
+            os.link(src, os.path.join(tmp, f"g{i:02d}.dta"))
+        shutil.rmtree(d20, ignore_errors=True)
+        os.replace(tmp, d20)
+    rdo = lambda **o: (  # noqa: E731
+        spark.read.format("readstat")
+        .options(**{k: str(v) for k, v in o.items()})
+        .load(d20)
+    )
+    run_query(rdo())  # warm the packed plan
+    for name, df in [
+        (
+            "floor_pack20_lat60_serial",
+            rdo(io_simulated_latency_ms=60, target_parallelism=2),
+        ),
+        (
+            "floor_pack20_lat60_prefetch",
+            rdo(
+                io_simulated_latency_ms=60,
+                io_readahead=4,
+                target_parallelism=2,
+            ),
+        ),
+    ]:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_query(df)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        _register_retry_df(name, df)
     # the packed READ of the same directory (small-file coalescing,
     # round 10): 5,000 tiny files pack into ~107 tasks instead of
     # 5,000 — measured 1.6-3.0 s vs 54 s unpacked on this host. The
