@@ -213,6 +213,11 @@ _RETRY_PAIRS = (
     ("floor_ranges50ms_serial", "floor_ranges50ms_readahead"),
     ("floor_zsav_lat50_serial", "floor_zsav_lat50_pooled"),
     ("floor_pack20_lat60_serial", "floor_pack20_lat60_prefetch"),
+    # the linearity pair: 10x volume must wall >= 1x volume — an r10
+    # fresh-container sweep recorded 1x at 7.55 s vs 10x at 6.28 s (a
+    # stall swallowed the 1x arm), which reads as a nonsense
+    # superlinearity-in-reverse unless both arms are re-timed
+    ("floor_dedup_scale10x", "floor_dedup_scale1x"),
 )
 
 
@@ -1301,6 +1306,18 @@ def main() -> None:
         " inversion); _nparts=plan probes; floor_*lat50*/"
         "floor_dedup_scale* grade against each other, not BASELINE;"
         " read_sas7bdat_acs_full_isolated = fresh-process best-of-5",
+        # the VM-regime yardstick, surfaced so cross-round deltas can
+        # be normalized before being read as code changes: these two
+        # floors contain zero repo code (a 16-task 1-row Spark job and
+        # a 10M7-row no-op python source), yet moved 1.6-1.9x between
+        # two same-code r10 sweeps hours apart — every read_* entry
+        # moved proportionally (SCALE.md "VM regime" note). Compare
+        # entry/floor ratios across rounds, not raw walls.
+        "regime_floors": {
+            k: timings[k]
+            for k in ("floor_16task_1row", "floor_noop_source_10m7")
+            if isinstance(timings.get(k), float)
+        },
     }
     # Durable full record on disk; a SIZE-BOUNDED headline line on
     # stdout. The driver keeps only the last ~2000 chars of stdout —
