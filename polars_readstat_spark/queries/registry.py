@@ -112,8 +112,14 @@ _PRIORITY: tuple[str, ...] = (
     "text_ngram_topk",
     "text_rare_token_ratio",
     "window_lag_delta",
-    # positions 51+: the remaining changed-since-r9 scans (re-greened
-    # locally this round; their driver green is r9 — freshest), then
+    # positions 51+: first the NEW-this-round stateful-streaming
+    # oracle query (the window is exactly full with the 23 r06-stale
+    # rotations VERDICT r09 next#2 mandates — evicting one for a new
+    # query would break that 'no green predates r07' contract; this
+    # one is local-gate green now and front-of-window next round),
+    "stream_sessionize_stateful",
+    # then the remaining changed-since-r9 scans (re-greened locally
+    # this round; their driver green is r9 — freshest), then
     # everything else keeps registration order.
     "scan_sas7bdat_types",
     "scan_sas7bdat_rle",

@@ -83,6 +83,121 @@ def sessionization_30m(spark, sf_dir):
     )
 
 
+_STREAM_SESS_CACHE_VERSION = 1
+
+
+def _ensure_events_chunks(sf_dir: str, n_chunks: int = 4) -> str:
+    """events split into n time-ordered parquet chunk files (naive µs
+    timestamps, ascending mtimes) — a landing directory whose files
+    arrive as separate micro-batches under maxFilesPerTrigger=1, so a
+    user's session can genuinely span batch boundaries."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/spark_graft_stream_sess_v{_STREAM_SESS_CACHE_VERSION}_{tag}"
+    done = os.path.join(d, ".done")
+    if os.path.exists(done):
+        return d
+    os.makedirs(d, exist_ok=True)
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "ts", "value"],
+    )
+    i = t.schema.get_field_index("ts")
+    t = t.set_column(i, "ts", t["ts"].cast(pa.timestamp("us")))
+    t = t.take(
+        pc.sort_indices(
+            t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+    )
+    n = t.num_rows
+    for k in range(n_chunks):
+        lo, hi = k * n // n_chunks, (k + 1) * n // n_chunks
+        tmp = os.path.join(d, f".tmp{os.getpid()}.chunk{k}.parquet")
+        pq.write_table(t.slice(lo, hi - lo), tmp)
+        dst = os.path.join(d, f"chunk{k}.parquet")
+        os.replace(tmp, dst)
+        # the file-stream source orders by modification time; pin an
+        # ascending sequence so batch order == time order
+        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+    with open(done, "w") as f:
+        f.write("ok")
+    return d
+
+
+@query(
+    "stream_sessionize_stateful",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, t,
+             CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                      > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e
+    ),
+    s AS (
+      SELECT user_id, t,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    ),
+    a AS (
+      SELECT user_id, sid, MIN(t) AS session_start_us,
+             COUNT(*) AS n_events
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(session_start_us AS BIGINT) AS session_start_us,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM (SELECT a.*, MAX(sid) OVER (PARTITION BY user_id) AS max_sid
+          FROM a)
+    WHERE sid < max_sid
+    """,
+)
+def stream_sessionize_stateful(spark, sf_dir):
+    """The applyInPandasWithState custom sessionizer under the full
+    value oracle: events land as four time-ordered parquet files, the
+    file stream drains them one per micro-batch (cross-batch state is
+    the point — a session open at a batch boundary must survive in the
+    state store and close from a gap seen two batches later), and the
+    operator emits exactly the gap-closed sessions at µs fidelity.
+
+    Emission is gap-only (timeout_close=False): each user's final
+    session is withheld, which makes the emitted set batching-
+    invariant — equal to the batch gaps-and-islands SQL minus each
+    user's last island — and therefore oracle-checkable. Timeout
+    emission would instead depend on where the final watermark lands,
+    which no batch SQL can express (streaming/events.py docstring).
+
+    Scale shape: state is one (last_ts, n, start_ts) triple per user
+    — O(active users), not O(events); the stream shuffles once on
+    user_id and each micro-batch is Arrow-batched into pandas per
+    group. The same plan runs unchanged against a Kafka source."""
+    import uuid
+
+    from polars_readstat_spark.streaming.events import (
+        run_available_now,
+        sessionize_stateful,
+        stream_events_dir,
+    )
+
+    d = _ensure_events_chunks(sf_dir)
+    ev = stream_events_dir(spark, d, max_files_per_trigger=1)
+    sess = sessionize_stateful(
+        ev, gap_seconds=1800, micros=True, timeout_close=False
+    )
+    name = f"prs_stream_sess_{uuid.uuid4().hex[:8]}"
+    return run_available_now(sess, name)
+
+
 @query(
     "asof_join_purchase_click",
     oracle="""

@@ -42,7 +42,11 @@ EVENT_SCHEMA = StructType(
 )
 
 
-def stream_events_dir(spark: SparkSession, directory: str) -> DataFrame:
+def stream_events_dir(
+    spark: SparkSession,
+    directory: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-stream source over a directory of events parquet files
     (the test-table schema, TESTDATA.md). New files appearing in the
     directory flow through incrementally — the Spark-native analogue
@@ -66,13 +70,18 @@ def stream_events_dir(spark: SparkSession, directory: str) -> DataFrame:
     except Exception:
         pass
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+    def rs(schema):
+        b = spark.readStream.schema(schema).format("parquet")
+        if max_files_per_trigger:
+            # one landed file per micro-batch: the multi-batch shape
+            # that actually exercises cross-batch operator state
+            b = b.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        return b.load(directory)
+
     if ts_unit == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = (
-            spark.readStream.schema(EVENT_SCHEMA)
-            .format("parquet")
-            .load(directory)
-        )
+        raw = rs(EVENT_SCHEMA)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     schema = StructType(
         [
@@ -80,7 +89,7 @@ def stream_events_dir(spark: SparkSession, directory: str) -> DataFrame:
             for f in EVENT_SCHEMA.fields
         ]
     )
-    return spark.readStream.schema(schema).format("parquet").load(directory)
+    return rs(schema)
 
 
 def hourly_window(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -128,28 +137,56 @@ SESSION_OUT_SCHEMA = (
 
 
 def sessionize_stateful(
-    events: DataFrame, gap_seconds: int = 1800, watermark: str = "2 hours"
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "2 hours",
+    *,
+    micros: bool = False,
+    timeout_close: bool = True,
 ) -> DataFrame:
     """Custom stateful sessionizer via applyInPandasWithState — the
     escape hatch for semantics session_window can't express. Emits a
     session row whenever the gap elapses (event-time timeout); state
-    is one (last_ts, n, start_ts) triple per user."""
+    is one (last_ts, n, start_ts) triple per user.
+
+    micros=True keeps event time at µs precision (column
+    `session_start_us`) instead of flooring to seconds — the
+    full-fidelity mode the SQL-oracle query uses, since the events
+    table carries sub-second timestamps.
+
+    timeout_close=False emits ONLY gap-closed sessions (each user's
+    final session is withheld, state dies with the query). That makes
+    the emitted set batching-invariant and therefore expressible as a
+    batch SQL oracle: gaps observed in the data are deterministic,
+    while timeout emission depends on where the final watermark lands
+    relative to open sessions."""
     from pyspark.sql.streaming.state import (
         GroupState,
         GroupStateTimeout,
     )
 
+    gap = gap_seconds * 1_000_000 if micros else gap_seconds
+    start_col = "session_start_us" if micros else "session_start_s"
+    out_schema = f"user_id long, {start_col} long, n_events long"
+    if micros:
+        # epoch-µs computed JVM-side: unix_micros is tz-independent,
+        # whereas the Arrow→pandas conversion of a TimestampType
+        # localizes to spark.sql.session.timeZone before dropping the
+        # tz — under a non-UTC driver session that shifts every epoch
+        # extracted pandas-side by the session offset
+        events = events.withColumn("ts_us", F.unix_micros("ts"))
+
     def fn(key, pdf_iter, state: GroupState):
         import pandas as pd
 
         (user_id,) = key
-        if state.hasTimedOut:
+        if timeout_close and state.hasTimedOut:
             last_ts, n, start_ts = state.get
             state.remove()
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],
-                    "session_start_s": [start_ts],
+                    start_col: [start_ts],
                     "n_events": [n],
                 }
             )
@@ -157,16 +194,23 @@ def sessionize_stateful(
         rows = []
         ts_all = []
         for pdf in pdf_iter:
-            ts_all.append(pdf["ts"])
-        ts = (
-            pd.concat(ts_all).sort_values().astype("int64") // 1_000_000_000
-        ).tolist()
+            ts_all.append(pdf["ts_us" if micros else "ts"])
+        if micros:
+            ts = pd.concat(ts_all).sort_values().astype("int64").tolist()
+        else:
+            ts = (
+                pd.concat(ts_all)
+                .sort_values()
+                .to_numpy(dtype="datetime64[ns]")
+                .astype("int64")
+                // 1_000_000_000
+            ).tolist()
         if state.exists:
             last_ts, n, start_ts = state.get
         else:
             last_ts, n, start_ts = None, 0, None
         for t in ts:
-            if last_ts is not None and t - last_ts > gap_seconds:
+            if last_ts is not None and t - last_ts > gap:
                 rows.append((user_id, start_ts, n))
                 n, start_ts = 0, None
             if start_ts is None:
@@ -174,10 +218,13 @@ def sessionize_stateful(
             n += 1
             last_ts = t
         state.update((last_ts, n, start_ts))
-        state.setTimeoutTimestamp((last_ts + gap_seconds) * 1000)
+        if timeout_close:
+            # event-time timeout is registered in ms
+            ms = (last_ts + gap) // 1_000 if micros else (last_ts + gap) * 1000
+            state.setTimeoutTimestamp(ms)
         if rows:
             yield pd.DataFrame(
-                rows, columns=["user_id", "session_start_s", "n_events"]
+                rows, columns=["user_id", start_col, "n_events"]
             )
 
     return (
@@ -185,10 +232,12 @@ def sessionize_stateful(
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,
-            outputStructType=SESSION_OUT_SCHEMA,
+            outputStructType=out_schema,
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout
+            if timeout_close
+            else GroupStateTimeout.NoTimeout,
         )
     )
 

@@ -205,3 +205,52 @@ def test_stateful_sessionizer(spark, events_dir):
     assert len(got) > 0
     for r in got:
         assert batch.get((r.user_id, r.session_start_s)) == r.n_events
+
+
+def test_stateful_sessionizer_gap_only_micros(spark, events_dir):
+    """micros/timeout_close=False mode (the oracle-checked registry
+    query's semantics): the emitted set must EQUAL the batch
+    gaps-and-islands minus each user's final island, at µs fidelity.
+    Set equality (not subset) is the cross-batch state proof: a
+    session spanning a chunk boundary would split into extra emitted
+    rows if state were lost between micro-batches, and a lost gap
+    would drop a row."""
+    from polars_readstat_spark.streaming.events import (
+        run_available_now,
+        sessionize_stateful,
+    )
+    from polars_readstat_spark.tables import load_table
+
+    out = run_available_now(
+        sessionize_stateful(
+            _stream(spark, events_dir), micros=True, timeout_close=False
+        ),
+        "sess_gap_mem",
+    )
+    got = {
+        (r.user_id, r.session_start_us, r.n_events) for r in out.collect()
+    }
+
+    from pyspark.sql import functions as F
+
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("user_id", F.unix_micros("ts").alias("t"))
+        .toPandas()
+        .sort_values(["user_id", "t"])
+    )
+    want = set()
+    for uid, grp in pdf.groupby("user_id"):
+        ts = grp["t"].tolist()
+        islands = []
+        start, n = ts[0], 1
+        for prev, cur in zip(ts, ts[1:]):
+            if cur - prev > 1_800_000_000:
+                islands.append((start, n))
+                start, n = cur, 0
+            n += 1
+        islands.append((start, n))  # final island — withheld by design
+        for s, k in islands[:-1]:
+            want.add((uid, s, k))
+    assert got == want
+    assert len(got) > 0
