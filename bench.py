@@ -243,6 +243,12 @@ def _abs_bar(name: str) -> float:
         return 6.0
     if name.startswith("floor_"):
         return 8.0
+    if name.startswith("stream_"):
+        # Structured Streaming drains pay a fixed ~1.2-1.5 s per
+        # micro-batch (state store + sink commit), so the 1-batch
+        # ingest walls 2.7-3.4 s and the 4-batch sessionizer ~6 s
+        # genuinely — a 2.5 s bar re-ran them every sweep for nothing
+        return 8.0
     return 2.5
 
 

@@ -118,6 +118,8 @@ _PRIORITY: tuple[str, ...] = (
     # query would break that 'no green predates r07' contract; this
     # one is local-gate green now and front-of-window next round),
     "stream_sessionize_stateful",
+    "stream_hourly_window",
+    "stream_dedup_watermark",
     # then the remaining changed-since-r9 scans (re-greened locally
     # this round; their driver green is r9 — freshest), then
     # everything else keeps registration order.

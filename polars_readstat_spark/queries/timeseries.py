@@ -86,11 +86,21 @@ def sessionization_30m(spark, sf_dir):
 _STREAM_SESS_CACHE_VERSION = 1
 
 
-def _ensure_events_chunks(sf_dir: str, n_chunks: int = 4) -> str:
+def _ensure_events_chunks(
+    sf_dir: str, n_chunks: int = 4, dup_mod: int | None = None
+) -> str:
     """events split into n time-ordered parquet chunk files (naive µs
     timestamps, ascending mtimes) — a landing directory whose files
     arrive as separate micro-batches under maxFilesPerTrigger=1, so a
-    user's session can genuinely span batch boundaries."""
+    user's session can genuinely span batch boundaries.
+
+    dup_mod: additionally append a copy of every row with
+    event_id % dup_mod == 0 to ITS OWN chunk — an at-least-once
+    redelivery stand-in. Duplicates stay within one file so the
+    dedup result is batching-invariant (a cross-batch duplicate
+    whose original aged past the watermark may legitimately pass
+    dropDuplicatesWithinWatermark — correct streaming semantics, but
+    not a fixed row set an oracle can pin)."""
     import os
 
     import pyarrow as pa
@@ -98,7 +108,11 @@ def _ensure_events_chunks(sf_dir: str, n_chunks: int = 4) -> str:
     import pyarrow.parquet as pq
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    d = f"/tmp/spark_graft_stream_sess_v{_STREAM_SESS_CACHE_VERSION}_{tag}"
+    kind = f"dup{dup_mod}" if dup_mod else "sess"
+    d = (
+        f"/tmp/spark_graft_stream_{kind}"
+        f"_v{_STREAM_SESS_CACHE_VERSION}_{tag}"
+    )
     done = os.path.join(d, ".done")
     if os.path.exists(done):
         return d
@@ -117,8 +131,15 @@ def _ensure_events_chunks(sf_dir: str, n_chunks: int = 4) -> str:
     n = t.num_rows
     for k in range(n_chunks):
         lo, hi = k * n // n_chunks, (k + 1) * n // n_chunks
+        chunk = t.slice(lo, hi - lo)
+        if dup_mod:
+            assert dup_mod & (dup_mod - 1) == 0, "dup_mod: power of two"
+            dups = chunk.filter(
+                pc.equal(pc.bit_wise_and(chunk["event_id"], dup_mod - 1), 0)
+            )
+            chunk = pa.concat_tables([chunk, dups])
         tmp = os.path.join(d, f".tmp{os.getpid()}.chunk{k}.parquet")
-        pq.write_table(t.slice(lo, hi - lo), tmp)
+        pq.write_table(chunk, tmp)
         dst = os.path.join(d, f"chunk{k}.parquet")
         os.replace(tmp, dst)
         # the file-stream source orders by modification time; pin an
@@ -196,6 +217,83 @@ def stream_sessionize_stateful(spark, sf_dir):
     )
     name = f"prs_stream_sess_{uuid.uuid4().hex[:8]}"
     return run_available_now(sess, name)
+
+
+@query(
+    "stream_hourly_window",
+    oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+               AS window_start_s,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_hourly_window(spark, sf_dir):
+    """The watermarked tumbling-window aggregation under the value
+    oracle: the event chunks drain one file per micro-batch (the
+    watermark genuinely advances batch to batch) and the complete-mode
+    memory sink must equal the batch GROUP BY — same oracle as
+    event_hourly_window, which is the point: stream and batch are one
+    logical plan in two execution modes. Complete mode retains all
+    window groups in state, so no group is watermark-evicted from the
+    OUTPUT; the watermark still bounds what a production append-mode
+    sink would hold, which the streaming suite covers."""
+    import uuid
+
+    from polars_readstat_spark.streaming.events import (
+        hourly_window,
+        run_available_now,
+        stream_events_dir,
+    )
+
+    d = _ensure_events_chunks(sf_dir)
+    ev = stream_events_dir(spark, d, max_files_per_trigger=1)
+    name = f"prs_stream_hw_{uuid.uuid4().hex[:8]}"
+    return run_available_now(hourly_window(ev), name)
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_unique
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_watermark(spark, sf_dir):
+    """dropDuplicatesWithinWatermark under the value oracle: the
+    landing chunks carry an at-least-once redelivery (every
+    event_id % 8 == 0 row appears twice in its chunk); the streaming
+    dedup must collapse them so the per-type counts over the drained
+    sink equal the duplicate-free batch table. Duplicates are
+    injected within one file each — within-horizon redelivery, the
+    case the operator guarantees; a duplicate arriving after the
+    watermark passed its original is ALLOWED to re-emit (state was
+    evicted, by design), so only the within-horizon set is a fixed
+    row set an oracle can pin. The aggregation runs batch-side over
+    the sink table: a streaming groupBy after dedup would need its
+    own watermark windows, a different operator than the one under
+    test."""
+    import uuid
+
+    from pyspark.sql import functions as F2
+
+    from polars_readstat_spark.streaming.events import (
+        dedup_within_watermark,
+        run_available_now,
+        stream_events_dir,
+    )
+
+    d = _ensure_events_chunks(sf_dir, dup_mod=8)
+    ev = stream_events_dir(spark, d, max_files_per_trigger=1)
+    name = f"prs_stream_dedup_{uuid.uuid4().hex[:8]}"
+    deduped = run_available_now(dedup_within_watermark(ev), name)
+    return deduped.groupBy("event_type").agg(
+        F2.count(F2.lit(1)).alias("n_unique")
+    )
 
 
 @query(
