@@ -120,6 +120,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_sessionize_stateful",
     "stream_hourly_window",
     "stream_dedup_watermark",
+    "training_shard_shuffle",
     # then the remaining changed-since-r9 scans (re-greened locally
     # this round; their driver green is r9 — freshest), then
     # everything else keeps registration order.
