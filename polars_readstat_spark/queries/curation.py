@@ -728,9 +728,12 @@ def training_shard_shuffle(spark, sf_dir):
     balanced (the oracle's n_docs spread shows <2% skew at sf0.01).
 
     The result pins the ORDER, not just membership: order_checksum =
-    SUM(position_in_shard * (doc_id % 100000)) changes if any two
-    documents swap places, so the oracle verifies the exact
-    permutation a trainer would consume, per shard."""
+    SUM(position_in_shard * (doc_id % 100000)) changes when two
+    documents with distinct weights (doc_id % 100000) swap places —
+    a swap is invisible only if the pair shares a weight, a ~1e-5
+    per-pair coincidence, so the oracle verifies the permutation a
+    trainer would consume to that tolerance, per shard (membership
+    and shard sizing are pinned exactly by n_docs/sum_chars)."""
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 

@@ -885,7 +885,13 @@ def stream_ingest_agg(spark, sf_dir):
     import shutil
 
     shutil.rmtree(ckpt, ignore_errors=True)  # one-shot drain: no restart
-    return spark.table(name).select("l_returnflag", "n", "sum_qty")
+    # materialize + drop the uuid-named memory sink: without this every
+    # invocation leaks an in-memory table into the driver session
+    out = spark.table(name).select("l_returnflag", "n", "sum_qty")
+    rows = out.collect()
+    schema = out.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
 
 
 # ── A3: profiled read, deterministic surface ─────────────────────────

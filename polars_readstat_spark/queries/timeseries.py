@@ -110,7 +110,7 @@ def _ensure_events_chunks(
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     kind = f"dup{dup_mod}" if dup_mod else "sess"
     d = (
-        f"/tmp/spark_graft_stream_{kind}"
+        f"/tmp/spark_graft_stream_{kind}_c{n_chunks}"
         f"_v{_STREAM_SESS_CACHE_VERSION}_{tag}"
     )
     done = os.path.join(d, ".done")
@@ -205,7 +205,7 @@ def stream_sessionize_stateful(spark, sf_dir):
     import uuid
 
     from polars_readstat_spark.streaming.events import (
-        run_available_now,
+        drain_collect,
         sessionize_stateful,
         stream_events_dir,
     )
@@ -216,7 +216,7 @@ def stream_sessionize_stateful(spark, sf_dir):
         ev, gap_seconds=1800, micros=True, timeout_close=False
     )
     name = f"prs_stream_sess_{uuid.uuid4().hex[:8]}"
-    return run_available_now(sess, name)
+    return drain_collect(sess, name)
 
 
 @query(
@@ -244,15 +244,15 @@ def stream_hourly_window(spark, sf_dir):
     import uuid
 
     from polars_readstat_spark.streaming.events import (
+        drain_collect,
         hourly_window,
-        run_available_now,
         stream_events_dir,
     )
 
     d = _ensure_events_chunks(sf_dir)
     ev = stream_events_dir(spark, d, max_files_per_trigger=1)
     name = f"prs_stream_hw_{uuid.uuid4().hex[:8]}"
-    return run_available_now(hourly_window(ev), name)
+    return drain_collect(hourly_window(ev), name)
 
 
 @query(
@@ -279,20 +279,21 @@ def stream_dedup_watermark(spark, sf_dir):
     test."""
     import uuid
 
-    from pyspark.sql import functions as F2
-
     from polars_readstat_spark.streaming.events import (
         dedup_within_watermark,
-        run_available_now,
+        drain_collect,
         stream_events_dir,
     )
 
     d = _ensure_events_chunks(sf_dir, dup_mod=8)
     ev = stream_events_dir(spark, d, max_files_per_trigger=1)
     name = f"prs_stream_dedup_{uuid.uuid4().hex[:8]}"
-    deduped = run_available_now(dedup_within_watermark(ev), name)
-    return deduped.groupBy("event_type").agg(
-        F2.count(F2.lit(1)).alias("n_unique")
+    return drain_collect(
+        dedup_within_watermark(ev),
+        name,
+        post=lambda out: out.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_unique")
+        ),
     )
 
 

@@ -131,9 +131,6 @@ def sessionize(
 
 
 SESSION_STATE_SCHEMA = "last_ts long, n long, start_ts long"
-SESSION_OUT_SCHEMA = (
-    "user_id long, session_start_s long, n_events long"
-)
 
 
 def sessionize_stateful(
@@ -259,6 +256,29 @@ def dedup_within_watermark(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def drain_collect(
+    stream_df: DataFrame, query_name: str, post=None
+) -> DataFrame:
+    """run_available_now, then materialize the sink's rows into a
+    plain local DataFrame and DROP the memory-sink temp view — the
+    registry/bench entry point. Without the drop, every invocation
+    leaks a uuid-named in-memory table (the full drained result) into
+    the driver for the life of the SparkSession; a full-registry gate
+    plus retry tiers accumulates dozens.
+
+    post: optional DataFrame→DataFrame transform applied to the sink
+    table BEFORE materialization, so a rollup over a large drained
+    set collects its few result rows instead of the whole sink."""
+    out = run_available_now(stream_df, query_name)
+    if post is not None:
+        out = post(out)
+    spark = stream_df.sparkSession
+    rows = out.collect()
+    schema = out.schema
+    spark.catalog.dropTempView(query_name)
+    return spark.createDataFrame(rows, schema)
 
 
 def run_available_now(stream_df: DataFrame, query_name: str):
