@@ -133,6 +133,31 @@ def sessionize(
 SESSION_STATE_SCHEMA = "last_ts long, n long, start_ts long"
 
 
+def advance_session_state(ts, state, gap):
+    """The sessionizer's pure state machine, one batch step: sorted
+    event times `ts` fold into `state = (last_ts, n, start_ts) | None`,
+    returning (closed_sessions, new_state) where closed_sessions is a
+    list of (start_ts, n_events) islands closed by an observed gap.
+
+    Kept module-level (not nested in the Spark fn) so the
+    batching-invariance claim the SQL oracle depends on is testable as
+    a property: folding ANY time-ordered chunking of a stream through
+    this function emits exactly the batch gaps-and-islands minus the
+    final open island (tests/test_streaming_events.py hypothesis
+    suite)."""
+    closed = []
+    last_ts, n, start_ts = state if state is not None else (None, 0, None)
+    for t in ts:
+        if last_ts is not None and t - last_ts > gap:
+            closed.append((start_ts, n))
+            n, start_ts = 0, None
+        if start_ts is None:
+            start_ts = t
+        n += 1
+        last_ts = t
+    return closed, (last_ts, n, start_ts)
+
+
 def sessionize_stateful(
     events: DataFrame,
     gap_seconds: int = 1800,
@@ -188,7 +213,6 @@ def sessionize_stateful(
                 }
             )
             return
-        rows = []
         ts_all = []
         for pdf in pdf_iter:
             ts_all.append(pdf["ts_us" if micros else "ts"])
@@ -202,19 +226,11 @@ def sessionize_stateful(
                 .astype("int64")
                 // 1_000_000_000
             ).tolist()
-        if state.exists:
-            last_ts, n, start_ts = state.get
-        else:
-            last_ts, n, start_ts = None, 0, None
-        for t in ts:
-            if last_ts is not None and t - last_ts > gap:
-                rows.append((user_id, start_ts, n))
-                n, start_ts = 0, None
-            if start_ts is None:
-                start_ts = t
-            n += 1
-            last_ts = t
-        state.update((last_ts, n, start_ts))
+        prev = state.get if state.exists else None
+        closed, new_state = advance_session_state(ts, prev, gap)
+        rows = [(user_id, s, k) for s, k in closed]
+        last_ts = new_state[0]
+        state.update(new_state)
         if timeout_close:
             # event-time timeout is registered in ms
             ms = (last_ts + gap) // 1_000 if micros else (last_ts + gap) * 1000

@@ -254,3 +254,73 @@ def test_stateful_sessionizer_gap_only_micros(spark, events_dir):
             want.add((uid, s, k))
     assert got == want
     assert len(got) > 0
+
+
+# ── batching-invariance property (pure state machine, no Spark) ──────
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+def _batch_islands(ts_sorted, gap):
+    """Reference gaps-and-islands over the WHOLE sorted stream."""
+    islands = []
+    start, n = None, 0
+    last = None
+    for t in ts_sorted:
+        if last is not None and t - last > gap:
+            islands.append((start, n))
+            start, n = None, 0
+        if start is None:
+            start = t
+        n += 1
+        last = t
+    if n:
+        islands.append((start, n))
+    return islands
+
+
+if _HYP:
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        ts=st.lists(
+            st.integers(min_value=0, max_value=100_000),
+            min_size=1,
+            max_size=60,
+        ),
+        cuts=st.lists(
+            st.integers(min_value=0, max_value=60), max_size=6
+        ),
+        gap=st.integers(min_value=1, max_value=5_000),
+    )
+    def test_session_state_machine_batching_invariant(ts, cuts, gap):
+        """Folding ANY time-ordered chunking through
+        advance_session_state emits exactly the batch islands minus
+        the final open one — the invariance stream_sessionize_stateful's
+        SQL oracle rests on. Duplicate timestamps and empty chunks
+        included."""
+        from polars_readstat_spark.streaming.events import (
+            advance_session_state,
+        )
+
+        ts = sorted(ts)
+        bounds = sorted({min(c, len(ts)) for c in cuts} | {0, len(ts)})
+        chunks = [
+            ts[a:b] for a, b in zip(bounds, bounds[1:])
+        ]  # may include empty chunks
+        state = None
+        emitted = []
+        for chunk in chunks:
+            closed, state = advance_session_state(chunk, state, gap)
+            emitted.extend(closed)
+        want = _batch_islands(ts, gap)
+        # the final island stays open in `state`, never emitted
+        assert emitted == want[:-1]
+        assert state is not None
+        assert (state[2], state[1]) == want[-1]
