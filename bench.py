@@ -218,6 +218,9 @@ _RETRY_PAIRS = (
     # stall swallowed the 1x arm), which reads as a nonsense
     # superlinearity-in-reverse unless both arms are re-timed
     ("floor_dedup_scale10x", "floor_dedup_scale1x"),
+    # micro-batch floor pair: 4 one-file batches must wall >= one
+    # 4-file batch of the same drain
+    ("floor_stream_4batch", "floor_stream_1batch"),
 )
 
 
@@ -996,6 +999,55 @@ def _bench_floor(spark, timings: dict) -> None:
         _register_retry_df(name, df)
 
 
+def _bench_stream_floor(spark, sf_dir: str, timings: dict) -> None:
+    """The Structured Streaming micro-batch floor, measured rather
+    than asserted (SCALE.md streaming note): the SAME watermarked
+    hourly-window drain over the SAME 4-file landing dir, once with
+    all files in a single micro-batch and once forced to one file per
+    batch. The difference / 3 is the per-batch fixed cost (state-store
+    commit + sink + planning), the number that decides how large
+    production micro-batches must be for per-batch overhead to
+    amortize. The pair grades against itself (4batch >= 1batch);
+    inversion triggers the end-of-run re-time like the other pairs."""
+    import uuid
+
+    from polars_readstat_spark.queries.timeseries import (
+        _ensure_events_chunks,
+    )
+    from polars_readstat_spark.streaming.events import (
+        drain_collect,
+        hourly_window,
+        stream_events_dir,
+    )
+
+    d = _ensure_events_chunks(sf_dir)
+
+    def run(mfpt):
+        ev = stream_events_dir(spark, d, max_files_per_trigger=mfpt)
+        drain_collect(
+            hourly_window(ev), f"prs_floor_stream_{uuid.uuid4().hex[:8]}"
+        )
+
+    run(None)  # warm: stream source planning + state-store init
+    for name, mfpt in (
+        ("floor_stream_1batch", None),
+        ("floor_stream_4batch", 1),
+    ):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run(mfpt)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+
+        def _retry(mfpt=mfpt):
+            run(mfpt)
+            return None
+
+        _register_retry(name, _retry)
+
+
 def _bench_plan5k(spark, timings: dict) -> None:
     """Driver-side planning cost at the 100 TB file-count shape
     (VERDICT r09 next#5): PLAN (schema + partition enumeration, no
@@ -1269,6 +1321,10 @@ def main() -> None:
         _bench_plan5k(spark, timings)
     except Exception as e:  # noqa: BLE001
         print(f"# bench plan5k failed: {e!r}", file=sys.stderr)
+    try:
+        _bench_stream_floor(spark, sf_dir, timings)
+    except Exception as e:  # noqa: BLE001
+        print(f"# bench stream floor failed: {e!r}", file=sys.stderr)
     # registry queries join the same end-of-run tier (rebuilt fresh,
     # same regime as the sweep)
     for name in qmap:

@@ -324,3 +324,20 @@ if _HYP:
         assert emitted == want[:-1]
         assert state is not None
         assert (state[2], state[1]) == want[-1]
+
+
+def test_drain_collect_drops_sink_view(spark, events_dir):
+    """drain_collect must not leak the memory-sink temp view: the
+    result stays collectable after the view is gone."""
+    from polars_readstat_spark.streaming.events import (
+        drain_collect,
+        hourly_window,
+    )
+
+    out = drain_collect(
+        hourly_window(_stream(spark, events_dir)), "drain_drop_probe"
+    )
+    assert "drain_drop_probe" not in [
+        t.name for t in spark.catalog.listTables()
+    ]
+    assert out.count() > 0
