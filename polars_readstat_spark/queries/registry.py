@@ -112,11 +112,12 @@ _PRIORITY: tuple[str, ...] = (
     "text_ngram_topk",
     "text_rare_token_ratio",
     "window_lag_delta",
-    # positions 51+: first the NEW-this-round stateful-streaming
-    # oracle query (the window is exactly full with the 23 r06-stale
-    # rotations VERDICT r09 next#2 mandates — evicting one for a new
-    # query would break that 'no green predates r07' contract; this
-    # one is local-gate green now and front-of-window next round),
+    # positions 51+: first the FOUR queries new this round — the
+    # three streaming oracle anchors and the shard shuffle (the
+    # window is exactly full with the 23 r06-stale rotations VERDICT
+    # r09 next#2 mandates — evicting any for a new query would break
+    # that 'no green predates r07' contract; all four are local-gate
+    # green now and front-of-window next round),
     "stream_sessionize_stateful",
     "stream_hourly_window",
     "stream_dedup_watermark",
