@@ -94,3 +94,52 @@ def test_nparts_probes_sorted_out_of_headline_surface():
     assert order[-1].endswith("_nparts") or bench._headline_priority(
         "read_zsav_acs_full_nparts"
     )[0] > bench._headline_priority("read_zsav_acs_full")[0]
+
+
+# ── retry-tier policy (the measurement-integrity machinery) ──────────
+
+
+def test_abs_bar_families():
+    """Per-family absolute bars: tight on the plain read quartet,
+    loose on the genuinely-heavy families, so the tier re-times
+    stalls without re-running honest heavy work every sweep."""
+    assert bench._abs_bar("read_dta_full") == 0.9
+    # zsav/wide/100m/bytecode reads wall 1.1-2.5 s genuinely
+    assert bench._abs_bar("read_zsav_acs_full") == 2.5
+    assert bench._abs_bar("read_sav_wide_full") == 2.5
+    assert bench._abs_bar("read_dta_100m_10files") == 2.5
+    assert bench._abs_bar("read_sav_acs_bytecode_full") == 2.5
+    assert bench._abs_bar("export_sas7bdat_rle") == 6.0
+    assert bench._abs_bar("floor_dedup_scale10x") == 8.0
+    # streaming drains pay a fixed per-micro-batch floor
+    assert bench._abs_bar("stream_sessionize_stateful") == 8.0
+    assert bench._abs_bar("q1_pricing_summary") == 2.5
+
+
+def test_needs_retry_ratio_trigger():
+    """>2x-vs-previous-committed fires only above the 0.4 s floor and
+    when the previous value is a real measurement (>0.15 s)."""
+    prev = {"a": 0.5, "b": 0.1, "c": 0.3}
+    assert bench._needs_retry("a", 1.2, prev)  # 2.4x prior, above floor
+    assert not bench._needs_retry("a", 0.9, prev)  # <2x
+    assert not bench._needs_retry("b", 0.3, prev)  # prior too small
+    # 2x prior but under the 0.4 s noise floor
+    assert not bench._needs_retry("c", 0.39, prev)
+    # absolute bar fires with no prior at all
+    assert bench._needs_retry("read_dta_full", 1.0, {})
+    assert not bench._needs_retry("read_dta_full", 0.5, {})
+
+
+def test_retry_pairs_direction():
+    """Every A/B pair is (slow_arm, fast_arm): the tier re-times both
+    when the supposedly-slow arm records <= the fast arm. Pin the
+    direction for the two non-latency pairs, where the naming isn't
+    self-evident: 10x volume must out-wall 1x, and a 4-micro-batch
+    drain must out-wall the same drain in one batch."""
+    pairs = dict(bench._RETRY_PAIRS)
+    assert pairs["floor_dedup_scale10x"] == "floor_dedup_scale1x"
+    assert pairs["floor_stream_4batch"] == "floor_stream_1batch"
+    for slow, fast in bench._RETRY_PAIRS:
+        # latency pairs: serial arm is the slow one by construction
+        if "serial" in slow:
+            assert "serial" not in fast
