@@ -1286,11 +1286,16 @@ def main() -> None:
     # the threshold once and keep the min, the standard noisy-host
     # latency practice. Genuinely heavy queries keep their real cost;
     # stall artifacts collapse to it.
-    # threshold 2.5 s: r05/r06 sweeps recorded 1.4-2x inflation on
-    # mid-cost queries (ann_ivf_topk 4.5 s in-sweep vs 1.8-2.0 s
-    # isolated) that the old 5 s bar never re-timed
+    # per-family bar (ADVICE r10): the flat 2.5 s threshold re-ran the
+    # stream_* queries (genuine 3.6-5 s micro-batch walls) every sweep
+    # — the exact waste _abs_bar was added to eliminate; use it here
+    # too. r05/r06 history: 1.4-2x inflation on mid-cost queries
+    # (ann_ivf_topk 4.5 s in-sweep vs 1.8-2.0 s isolated) that the old
+    # flat 5 s bar never re-timed.
     qmap = all_queries()
-    for name in [n for n, t in timings.items() if t > 2.5 and n in qmap]:
+    for name in [
+        n for n, t in timings.items() if t > _abs_bar(n) and n in qmap
+    ]:
         t0 = time.perf_counter()
         try:
             run_query(qmap[name](spark, sf_dir))

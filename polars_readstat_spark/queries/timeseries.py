@@ -109,9 +109,16 @@ def _ensure_events_chunks(
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     kind = f"dup{dup_mod}" if dup_mod else "sess"
+    # Key the cache on the source file's identity (size+mtime), not
+    # just the sf-dir name: if events.parquet is regenerated in place,
+    # stale chunks would otherwise be served while the DuckDB oracle
+    # reads the fresh table — a gate mismatch that looks like an
+    # operator bug (ADVICE r10).
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    src_id = f"{st.st_size}_{st.st_mtime_ns // 1_000_000}"
     d = (
         f"/tmp/spark_graft_stream_{kind}_c{n_chunks}"
-        f"_v{_STREAM_SESS_CACHE_VERSION}_{tag}"
+        f"_v{_STREAM_SESS_CACHE_VERSION}_{tag}_{src_id}"
     )
     done = os.path.join(d, ".done")
     if os.path.exists(done):
@@ -122,7 +129,10 @@ def _ensure_events_chunks(
         columns=["event_id", "user_id", "event_type", "ts", "value"],
     )
     i = t.schema.get_field_index("ts")
-    t = t.set_column(i, "ts", t["ts"].cast(pa.timestamp("us")))
+    # safe=False: truncate any sub-µs precision like the batch path
+    # (ts div 1000) and the oracle (CAST AS TIMESTAMP) do, instead of
+    # raising ArrowInvalid on genuine ns values (ADVICE r10).
+    t = t.set_column(i, "ts", t["ts"].cast(pa.timestamp("us"), safe=False))
     t = t.take(
         pc.sort_indices(
             t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
