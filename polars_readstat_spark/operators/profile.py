@@ -24,9 +24,8 @@ Phase definitions (they sum to total_s by construction):
 
 from __future__ import annotations
 
-import glob as _glob
-import os
 import time
+from polars_readstat_spark.sources.fs import fs_open
 
 
 def profile_read(path: str, columns: str | list | None = None, **options) -> dict:
@@ -57,17 +56,19 @@ def profile_read(path: str, columns: str | list | None = None, **options) -> dic
     parts = list(reader.partitions())
     plan_s = time.perf_counter() - t0
 
-    paths = sorted(_glob.glob(opts["path"])) or [opts["path"]]
-    if len(paths) == 1 and os.path.isdir(paths[0]):
-        paths = sorted(
-            os.path.join(paths[0], f) for f in os.listdir(paths[0])
-        )
+    from polars_readstat_spark.sources.fs import (
+        fs_glob,
+        fs_isdir,
+        fs_listdir,
+    )
+
+    paths = fs_glob(opts["path"]) or [opts["path"]]
+    if len(paths) == 1 and fs_isdir(paths[0]):
+        paths = fs_listdir(paths[0])
     t0 = time.perf_counter()
     byte_count = 0
     for p in paths:
-        if not os.path.isfile(p):
-            continue
-        with open(p, "rb") as f:
+        with fs_open(p) as f:
             while True:
                 b = f.read(8 << 20)
                 if not b:

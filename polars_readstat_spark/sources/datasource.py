@@ -120,15 +120,17 @@ class ReadstatDataSource(DataSource):
         return self._paths_cache
 
     def _resolve_paths(self) -> list[str]:
-        import glob as _glob
+        from polars_readstat_spark.sources import fs as _fs
 
         p = self.options.get("path")
         if not p:
             raise ValueError("readstat: path is required")
-        if os.path.isdir(p):
+        # one stat round-trip decides file-vs-dir; on a remote store
+        # a glob pattern never stats (can't be a directory)
+        if not any(ch in p for ch in "*?[") and _fs.fs_isdir(p):
             files = sorted(
                 f
-                for f in _glob.glob(os.path.join(p, "*"))
+                for f in _fs.fs_listdir(p)
                 if os.path.splitext(f)[1].lower().lstrip(".") in self.SUPPORTED
             )
             if not files:
@@ -140,7 +142,7 @@ class ReadstatDataSource(DataSource):
                 )
             return files
         if any(ch in p for ch in "*?["):
-            files = sorted(_glob.glob(p))
+            files = _fs.fs_glob(p)
             if not files:
                 raise ValueError(f"readstat: glob matched no files: {p}")
             return files
@@ -955,7 +957,7 @@ class MultiFileReader(DataSourceReader):
         # pack CONSECUTIVE units (preserves file order within a task)
         # into ~BIN_BYTES bins, charging OPEN_COST per unit so tiny
         # files cap out at ~48 units/task; never fewer than tgt bins.
-        import os as _os
+        from polars_readstat_spark.sources import fs as _fs
 
         sizes, nparts = {}, {}
         for u in out:
@@ -963,7 +965,7 @@ class MultiFileReader(DataSourceReader):
         for i, p in enumerate(self.paths):
             if i in nparts:
                 try:
-                    sizes[i] = _os.path.getsize(p)
+                    sizes[i] = _fs.fs_size(p)
                 except OSError:
                     sizes[i] = None  # unknown: never pack its units
         # unknown-size files charge a FULL bin per UNIT (not per
@@ -1165,8 +1167,13 @@ class DtaReader(DataSourceReader):
         strl_lookup = None
         if need_strl:
             try:
-                st = os.stat(self.path)
-                ck = (self.path, st.st_mtime_ns, st.st_size)
+                from polars_readstat_spark.sources import fs as _fs
+
+                ck = (
+                    self.path,
+                    _fs.fs_mtime_ns(self.path),
+                    _fs.fs_size(self.path),
+                )
             except OSError:
                 ck = (self.path, -1, -1)
             strl_lookup = _STRL_CACHE.get(ck)

@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from polars_readstat_spark.sources.fs import fs_open
 from polars_readstat_spark.sources.dta.meta import (
     TC_BYTE,
     TC_DOUBLE,
@@ -231,7 +232,7 @@ def build_strl_lookup(meta: DtaMeta) -> dict[int, str]:
     v_size = {117: 4, 118: 2, 119: 3}[meta.version] if meta.version >= 117 else 4
     import struct as _s
 
-    with open(meta.path, "rb") as f:
+    with fs_open(meta.path) as f:
         f.seek(meta.strls_offset)
         tag = f.read(7)
         if tag != b"<strls>":

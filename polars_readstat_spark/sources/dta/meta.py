@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 import struct
 from dataclasses import dataclass, field
+from polars_readstat_spark.sources.fs import fs_open, fs_size
 
 # normalized type codes (the v117+ encoding)
 TC_STRL = 32768
@@ -162,7 +163,7 @@ def parse_dta_meta(path: str, load_value_labels: bool = True) -> DtaMeta:
 
 
 def _parse_dta_meta(path: str, load_value_labels: bool = True) -> DtaMeta:
-    with open(path, "rb") as f:
+    with fs_open(path) as f:
         head = f.read(4)
         f.seek(0)
         cur = _Cursor(f)
@@ -436,7 +437,7 @@ def _parse_legacy(cur: _Cursor, path: str, load_value_labels: bool) -> DtaMeta:
     if load_value_labels and any(lblnames):
         meta.value_labels = _parse_legacy_value_labels(
             cur, meta.value_labels_offset, e, encoding,
-            os.path.getsize(path), version,
+            fs_size(path), version,
         )
     return meta
 

@@ -44,11 +44,14 @@ _LOCK = threading.Lock()
 
 
 def memoized_parse(kind: str, path: str, parse: Callable[[str], Any]) -> Any:
+    from polars_readstat_spark.sources.fs import fs_stat, path_scheme
+
     try:
-        st = os.stat(path)
+        size, mtime = fs_stat(path)  # one round trip, fs-seam aware
     except OSError:
         return parse(path)  # let the parser raise its own error
-    key = (kind, os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    ident = path if path_scheme(path) else os.path.abspath(path)
+    key = (kind, ident, mtime, size)
     hit = _MEMO.get(key)
     if hit is None:
         hit = parse(path)

@@ -32,6 +32,7 @@ import pyarrow as pa
 from pyspark.sql.datasource import DataSourceReader, InputPartition
 
 from polars_readstat_spark.sources import strdecode
+from polars_readstat_spark.sources.fs import fs_open
 
 LINE_LEN = 80
 SPSS_SEC_SHIFT = 12_219_379_200
@@ -201,7 +202,7 @@ from polars_readstat_spark.sources.por.b30 import (  # noqa: F401
 
 def parse_por(path: str) -> tuple[PorMeta, _PorStream]:
     """Parse dictionary; returns (meta, stream positioned at data)."""
-    with open(path, "rb") as f:
+    with fs_open(path) as f:
         data = f.read()
     st = _PorStream(data)
     vanity = st.raw_bytes(200)

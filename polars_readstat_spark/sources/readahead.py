@@ -33,6 +33,7 @@ import threading
 from collections.abc import Iterator
 
 from pyspark.sql.datasource import DataSourceReader
+from polars_readstat_spark.sources.fs import fs_open
 
 _SENTINEL = object()
 
@@ -120,7 +121,7 @@ def fetch_row_ranges(
     overlaps the caller's decode of the CURRENT range."""
 
     def fetched():
-        with open(path, "rb") as f:
+        with fs_open(path) as f:
             pos = start
             end = start + n
             while pos < end:

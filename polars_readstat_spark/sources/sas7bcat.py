@@ -27,6 +27,7 @@ from __future__ import annotations
 import struct
 
 from polars_readstat_spark.sources.sas7bdat.meta import ENCODINGS
+from polars_readstat_spark.sources.fs import fs_open
 
 CATALOG_MAGIC_TAIL = bytes(
     [0xC2, 0xEA, 0x81, 0x63, 0xB3, 0x14, 0x11, 0xCF,
@@ -242,7 +243,7 @@ def read_sas7bcat(path: str) -> dict[str, dict]:
     formats (named ``$...``) as strings; names are uppercased with
     trailing dots stripped (reference read_sas7bcat,
     src/sas/catalog.rs:312-402; Python facade __init__.py:386-402)."""
-    with open(path, "rb") as f:
+    with fs_open(path) as f:
         data = f.read()
     cat = _Cat(data)
     out: dict[str, dict] = {}

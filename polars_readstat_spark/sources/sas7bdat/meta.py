@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import struct
 from dataclasses import dataclass, field
+from polars_readstat_spark.sources.fs import fs_open
 
 MAGIC = (
     b"\x00\x00\x00\x00\x00\x00\x00\x00"
@@ -209,7 +210,7 @@ def parse_sas_meta(path: str) -> SasMeta:
 
 
 def _parse_sas_meta(path: str) -> SasMeta:
-    with open(path, "rb") as f:
+    with fs_open(path) as f:
         head = f.read(288)
         if head[: len(MAGIC)] != MAGIC:
             raise ValueError("not a sas7bdat file (magic mismatch)")

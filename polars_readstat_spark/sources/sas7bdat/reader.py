@@ -23,6 +23,7 @@ import pyarrow as pa
 from pyspark.sql.datasource import DataSourceReader, InputPartition
 
 from polars_readstat_spark.sources.sas7bdat.meta import SasMeta, parse_sas_meta
+from polars_readstat_spark.sources.fs import fs_open
 from polars_readstat_spark.sources.sas7bdat.pages import (
     page_row_bytes,
     page_row_count,
@@ -106,7 +107,7 @@ class SasReader(DataSourceReader):
         )
 
         m = self.meta
-        with open(self.path, "rb") as f:
+        with fs_open(self.path) as f:
             for i in range(m.page_count):
                 f.seek(m.header_length + i * m.page_length)
                 hdr = f.read(m.page_bit_offset + 8)
@@ -128,7 +129,7 @@ class SasReader(DataSourceReader):
         m = self.meta
         counts = []
         rows = 0
-        with open(self.path, "rb") as f:
+        with fs_open(self.path) as f:
             for i in range(m.page_count):
                 f.seek(m.header_length + i * m.page_length)
                 hdr = f.read(m.page_bit_offset + 6)
@@ -350,7 +351,7 @@ class SasReader(DataSourceReader):
                     yield from flush()
             yield from flush()
 
-        with open(self.path, "rb") as f:
+        with fs_open(self.path) as f:
             for rb in page_blobs(f):
                 n = len(rb) // rl
                 rows_seen += n

@@ -29,6 +29,7 @@ import numpy as np
 import pyarrow as pa
 
 from polars_readstat_spark.sources import strdecode
+from polars_readstat_spark.sources.fs import fs_open, fs_size, fs_mtime_ns
 from polars_readstat_spark.sources.sav.meta import (
     HIGHEST_BITS,
     LOWEST_BITS,
@@ -175,7 +176,7 @@ def _iter_zsav_inflated(
         b0 = int(np.searchsorted(starts, start_byte, side="right") - 1)
         skip0 = start_byte - int(starts[b0])
         blocks = blocks[b0:]
-    with open(meta.path, "rb") as f:
+    with fs_open(meta.path) as f:
         lock_read = threading.Lock()
 
         def inflate(blk):
@@ -250,7 +251,7 @@ def _iter_raw_chunks(
             meta, start_byte, sim_latency_s, use_pool=zsav_pool
         )
         return
-    with open(meta.path, "rb") as f:
+    with fs_open(meta.path) as f:
         f.seek(meta.data_offset + start_byte)
         while True:
             if sim_latency_s:
@@ -624,9 +625,9 @@ def _sidecar_path(meta: SavMeta, tag: str, extra: str = "") -> str | None:
 
     from polars_readstat_spark.sources import cache
 
-    st = os.stat(meta.path)
     key = hashlib.sha1(
-        f"{os.path.abspath(meta.path)}|{st.st_size}|{st.st_mtime_ns}"
+        f"{os.path.abspath(meta.path)}|{fs_size(meta.path)}"
+        f"|{fs_mtime_ns(meta.path)}"
         f"|{extra}".encode()
     ).hexdigest()[:24]
     return cache.cache_path(f"prs-{tag}-{key}")
@@ -774,7 +775,7 @@ def stream_nbytes(meta: SavMeta) -> int:
     sizes)."""
     if meta.compression == 2:
         return sum(b[2] for b in meta.zsav.blocks)
-    return max(os.path.getsize(meta.path) - meta.data_offset, 0)
+    return max(fs_size(meta.path) - meta.data_offset, 0)
 
 
 def build_checkpoint_index(
@@ -969,7 +970,7 @@ def _fetch_stream_bytes(
     sim_latency_s charges that per-range first-byte cost in bench/
     test runs; use_pool=False is the serial A/B arm."""
     if meta.compression != 2:
-        with open(meta.path, "rb") as f:
+        with fs_open(meta.path) as f:
             f.seek(meta.data_offset + lo)
             return f.read(None if hi is None else hi - lo)
     import threading
@@ -982,7 +983,7 @@ def _fetch_stream_bytes(
     end = int(starts[-1]) if hi is None else hi
     b_lo = int(np.searchsorted(starts, lo, side="right") - 1)
     b_hi = int(np.searchsorted(starts, max(end - 1, lo), side="right"))
-    with open(meta.path, "rb") as f:
+    with fs_open(meta.path) as f:
         lock_read = threading.Lock()
 
         def fetch_inflate(blk):

@@ -31,6 +31,7 @@ from __future__ import annotations
 import struct
 import zlib
 from dataclasses import dataclass, field
+from polars_readstat_spark.sources.fs import fs_open
 
 HEADER_LEN = 176
 
@@ -181,7 +182,7 @@ def parse_sav_meta(path: str) -> SavMeta:
 
 
 def _parse_sav_meta(path: str) -> SavMeta:
-    with open(path, "rb") as f:
+    with fs_open(path) as f:
         hdr = _read_exact(f, HEADER_LEN)
         magic = hdr[:4]
         if magic not in (b"$FL2", b"$FL3"):
@@ -539,7 +540,7 @@ def read_compressed_stream(meta: SavMeta) -> bytes:
     the concatenation of independently-decompressed zlib blocks
     (compression=2; blocks are self-contained zlib streams, reference
     spss/data.rs:1794-1860)."""
-    with open(meta.path, "rb") as f:
+    with fs_open(meta.path) as f:
         if meta.compression == 2:
             out = []
             for c_ofs, c_sz, _unc in meta.zsav.blocks:

@@ -26,6 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 from pyspark.sql.datasource import DataSourceReader, InputPartition
+from polars_readstat_spark.sources.fs import fs_size
 
 
 class RowRange(InputPartition):
@@ -109,7 +110,7 @@ class SavReader(DataSourceReader):
         if m.nobs >= 0:
             return m.nobs
         if m.compression == 0:
-            sz = os.path.getsize(self.path) - m.data_offset
+            sz = fs_size(self.path) - m.data_offset
             return sz // m.record_width
         # compressed with unknown count: one streaming pass (rare)
         from polars_readstat_spark.sources.sav.decode import count_compressed_rows

@@ -18,6 +18,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from polars_readstat_spark.sources.fs import fs_open, fs_size
 from polars_readstat_spark.sources.sas7bdat.meta import (
     DATE_FORMATS,
     DATETIME_FORMATS,
@@ -76,7 +77,7 @@ def parse_xpt_meta(path: str) -> XptMeta:
 def _parse_xpt_meta(path: str) -> XptMeta:
     import os
 
-    with open(path, "rb") as f:
+    with fs_open(path) as f:
         first = _rec(f)
         if not first.startswith(b"HEADER RECORD*******LIB"):
             raise ValueError("not an XPT file")
@@ -174,7 +175,7 @@ def _parse_xpt_meta(path: str) -> XptMeta:
                 seen[v.name] = 0
 
     record_width = sum(v.width for v in variables)
-    size = os.path.getsize(path)
+    size = fs_size(path)
     # v5 files are padded to 80-byte boundaries with blanks; row count =
     # usable bytes // record width, with trailing all-blank rows dropped
     # at read time
@@ -232,7 +233,7 @@ def file_text_is_utf8(meta: XptMeta) -> bool:
     ok = True
     str_vars = [v for v in meta.variables if not v.is_numeric]
     if str_vars and meta.record_width:
-        with open(meta.path, "rb") as f:
+        with fs_open(meta.path) as f:
             f.seek(meta.data_offset)
             chunk = f.read(min(1 << 20, meta.record_width * 8192))
         for r in range(len(chunk) // meta.record_width):

