@@ -222,6 +222,9 @@ _RETRY_PAIRS = (
     # micro-batch floor pair: 4 one-file batches must wall >= one
     # 4-file batch of the same drain
     ("floor_stream_4batch", "floor_stream_1batch"),
+    # stream small-file packing: 600 one-file tasks must wall >= the
+    # packed ~cores-task plan of the same 600-file micro-batch
+    ("floor_stream_smallfiles_unpacked", "floor_stream_smallfiles_packed"),
 )
 
 
@@ -1083,6 +1086,62 @@ def _bench_stream_floor(spark, sf_dir: str, timings: dict) -> None:
             return None
 
         _register_retry(name, _retry)
+
+    # stream small-file packing A/B (VERDICT r10 next#3): ONE
+    # micro-batch ingesting 600 tiny dta files, packed (default: the
+    # batch planner's 48 MB/1 MB-open-cost bins → ~cores tasks) vs
+    # unpacked (coalesce_files=0 → 600 tasks paying 600 Python-DS
+    # per-task floors — the pre-r11 stream shape). Grades against
+    # itself; the packed arm should sit near the plain 1-batch floor.
+    import shutil
+    import uuid as _uuid
+
+    d600 = "/tmp/prs_stream_smallfiles_v1"
+    if not os.path.isdir(d600) or len(os.listdir(d600)) != 600:
+        import pandas as pd
+
+        tmp = d600 + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        for k in range(600):
+            pd.DataFrame(
+                {"id": range(k * 40, k * 40 + 40)}
+            ).to_stata(
+                os.path.join(tmp, f"f{k:04d}.dta"),
+                write_index=False,
+                version=118,
+            )
+        shutil.rmtree(d600, ignore_errors=True)
+        os.replace(tmp, d600)
+
+    def drain_smallfiles(coalesce: str):
+        sink = f"/tmp/prs_stream_sf_{_uuid.uuid4().hex[:8]}"
+        q = (
+            spark.readStream.format("readstat")
+            .option("coalesce_files", coalesce)
+            .load(d600)
+            .writeStream.format("noop")
+            .option("checkpointLocation", sink + "_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        q.stop()
+        shutil.rmtree(sink + "_ckpt", ignore_errors=True)
+
+    for name, coalesce in (
+        ("floor_stream_smallfiles_packed", "1"),
+        ("floor_stream_smallfiles_unpacked", "0"),
+    ):
+        t0 = time.perf_counter()
+        drain_smallfiles(coalesce)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+        def _retry_sf(coalesce=coalesce):
+            drain_smallfiles(coalesce)
+            return None
+
+        _register_retry(name, _retry_sf)
 
 
 def _bench_plan5k(spark, timings: dict) -> None:

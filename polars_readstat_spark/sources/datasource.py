@@ -347,135 +347,7 @@ class ReadstatDataSource(DataSource):
                 self.options.get("path_column"),
             )
         else:
-            # multi-file: per-file readers, partitions unioned; row
-            # slicing belongs to Catalyst (df.limit/offset) across
-            # files, so per-file slicing options are rejected
-            for bad in ("n_rows", "limit", "offset", "row_index_name"):
-                if self.options.get(bad):
-                    raise ValueError(
-                        f"readstat: option '{bad}' is per-file; for "
-                        "multi-file reads use DataFrame ops "
-                        "(df.limit/offset/row_number) instead"
-                    )
-            # each reader's __init__ parses that file's dictionary —
-            # serial at 10^4 files means 10^4 sequential header reads
-            # on the driver, so plan with a bounded thread pool
-            # (header parses release the GIL in file I/O; order is
-            # preserved by executor.map)
-            from concurrent.futures import ThreadPoolExecutor
-
-            from polars_readstat_spark.sources import partplan
-
-            # the per-core fan-out targets the whole cluster; with N
-            # files each planning independently that would yield
-            # N × cores partitions. Split the core budget across the
-            # files instead — the 48 MB byte heuristic and the
-            # 8 MB/64k floor still bound each file's plan, so a big
-            # multi-file scan keeps its ~48 MB ranges and a handful
-            # of medium files still cover every core between them.
-            cores = partplan.cores_from_options(self.options)
-            if not cores:
-                cores = partplan._active_cores()
-            per_file = max(1, -(-int(cores or 0) // len(paths)))
-
-            union = _opt_bool(self.options, "union_by_name")
-            align_fields = None
-            file_cols: dict = {}
-            if union:
-                align_schema, file_cols = self._union_schema(paths)
-                align_fields = align_schema.fields
-
-            def _mk(p):
-                opts = dict(self.options)
-                opts["path"] = p
-                opts["target_parallelism"] = str(per_file)
-                if union:
-                    avail = set(file_cols[p])
-                    mine = [
-                        f.name for f in align_fields if f.name in avail
-                    ]
-                    # a file with NONE of the projected columns still
-                    # contributes its row count (all-null rows): scan
-                    # its cheapest native column, the aligner drops it
-                    opts["columns"] = ",".join(mine or file_cols[p][:1])
-                inner = ReadstatDataSource(opts)._reader_uncompressed(
-                    schema
-                )
-                if union:
-                    return SchemaAlignReader(inner, align_fields)
-                return inner
-
-            # adaptive planning parallelism (measured round 10 on a
-            # 5k-file dir): header parses are GIL-bound CPU + page-
-            # cache reads locally, so a thread pool is strictly WORSE
-            # there (serial 0.46 s vs 3.1 s at 16 threads — lock
-            # thrash); threads only pay off when each open/read has
-            # real first-byte latency (NFS, S3, cold spindles), where
-            # serial would cost files x latency. Probe ONE file's
-            # plan wall and pick: <5 ms -> serial, else chunked
-            # threads (one future per thread, not per file — per-file
-            # submit/result lock traffic was ~50% of the pool wall).
-            t0 = time.perf_counter()
-            first = _mk(paths[0])
-            probe_fast = (time.perf_counter() - t0) < 0.005
-            rest = paths[1:]
-            if probe_fast or len(rest) < 8:
-                readers = [first] + [_mk(p) for p in rest]
-            else:
-                nthreads = min(16, max(2, len(rest)))
-                csz = -(-len(rest) // nthreads)
-                chunks = [
-                    rest[i : i + csz] for i in range(0, len(rest), csz)
-                ]
-                with ThreadPoolExecutor(len(chunks)) as ex:
-                    readers = [first] + [
-                        r
-                        for sub in ex.map(
-                            lambda ps: [_mk(p) for p in ps], chunks
-                        )
-                        for r in sub
-                    ]
-            # mixed-format directories (ADVICE r09): wrap ONLY the
-            # per-file readers that don't pipeline io_readahead at
-            # their own fetch/decode seam. Wrapping the whole union
-            # when ANY file self-pipelines would stack a second queue
-            # (and a second buffer) on top of the dta/sav/xpt
-            # in-reader pipelines, which parse io_readahead
-            # unconditionally.
-            mf_ra = int(self.options.get("io_readahead", 0) or 0)
-            if mf_ra > 0 and not all(
-                _handles_readahead(r) for r in readers
-            ):
-                from polars_readstat_spark.sources.readahead import (
-                    ReadaheadReader,
-                )
-
-                readers = [
-                    r
-                    if _handles_readahead(r)
-                    else ReadaheadReader(r, mf_ra)
-                    for r in readers
-                ]
-            # small-file coalescing target: pack tiny files' tasks
-            # into 48 MB bins (1 MB open cost → ~48 tiny files per
-            # task), never fewer than ~cores partitions.
-            # Off when the user pinned partition geometry explicitly
-            # (rows_per_partition) or opted out (coalesce_files=0).
-            tgt = 0
-            if (
-                str(self.options.get("coalesce_files", "1")) != "0"
-                and not self.options.get("rows_per_partition")
-            ):
-                tgt = int(cores or 0)
-            base = MultiFileReader(
-                readers,
-                paths,
-                self.options.get("path_column"),
-                coalesce_target=tgt,
-                group_readahead=int(
-                    self.options.get("io_readahead", 0) or 0
-                ),
-            )
+            base = self._multi_reader(schema, paths)
         if _opt_bool(self.options, "compress"):
             base = CompressingReader(
                 base, self._compress_plan(), self.options.get("row_index_name")
@@ -516,6 +388,144 @@ class ReadstatDataSource(DataSource):
 
             return BatchFilterReader(base)
         return base
+
+    def _multi_reader(self, schema, paths, align_fields=None):
+        """Per-file readers unioned + small-file packing — the
+        multi-file scan core, shared by the batch reader() and the
+        streaming source (VERDICT r10 next#3: the stream planner now
+        reuses this instead of one-task-per-file). align_fields, when
+        given, pins the SchemaAlignReader target (a stream's schema is
+        fixed at start and cannot follow the batch's own union).
+        """
+        # multi-file: per-file readers, partitions unioned; row
+        # slicing belongs to Catalyst (df.limit/offset) across
+        # files, so per-file slicing options are rejected
+        for bad in ("n_rows", "limit", "offset", "row_index_name"):
+            if self.options.get(bad):
+                raise ValueError(
+                    f"readstat: option '{bad}' is per-file; for "
+                    "multi-file reads use DataFrame ops "
+                    "(df.limit/offset/row_number) instead"
+                )
+        # each reader's __init__ parses that file's dictionary —
+        # serial at 10^4 files means 10^4 sequential header reads
+        # on the driver, so plan with a bounded thread pool
+        # (header parses release the GIL in file I/O; order is
+        # preserved by executor.map)
+        from concurrent.futures import ThreadPoolExecutor
+
+        from polars_readstat_spark.sources import partplan
+
+        # the per-core fan-out targets the whole cluster; with N
+        # files each planning independently that would yield
+        # N × cores partitions. Split the core budget across the
+        # files instead — the 48 MB byte heuristic and the
+        # 8 MB/64k floor still bound each file's plan, so a big
+        # multi-file scan keeps its ~48 MB ranges and a handful
+        # of medium files still cover every core between them.
+        cores = partplan.cores_from_options(self.options)
+        if not cores:
+            cores = partplan._active_cores()
+        per_file = max(1, -(-int(cores or 0) // len(paths)))
+
+        union = _opt_bool(self.options, "union_by_name")
+        file_cols: dict = {}
+        if union:
+            align_schema, file_cols = self._union_schema(paths)
+            if align_fields is None:
+                align_fields = align_schema.fields
+
+        def _mk(p):
+            opts = dict(self.options)
+            opts["path"] = p
+            opts["target_parallelism"] = str(per_file)
+            if union:
+                avail = set(file_cols[p])
+                mine = [
+                    f.name for f in align_fields if f.name in avail
+                ]
+                # a file with NONE of the projected columns still
+                # contributes its row count (all-null rows): scan
+                # its cheapest native column, the aligner drops it
+                opts["columns"] = ",".join(mine or file_cols[p][:1])
+            inner = ReadstatDataSource(opts)._reader_uncompressed(
+                schema
+            )
+            if union:
+                return SchemaAlignReader(inner, align_fields)
+            return inner
+
+        # adaptive planning parallelism (measured round 10 on a
+        # 5k-file dir): header parses are GIL-bound CPU + page-
+        # cache reads locally, so a thread pool is strictly WORSE
+        # there (serial 0.46 s vs 3.1 s at 16 threads — lock
+        # thrash); threads only pay off when each open/read has
+        # real first-byte latency (NFS, S3, cold spindles), where
+        # serial would cost files x latency. Probe ONE file's
+        # plan wall and pick: <5 ms -> serial, else chunked
+        # threads (one future per thread, not per file — per-file
+        # submit/result lock traffic was ~50% of the pool wall).
+        t0 = time.perf_counter()
+        first = _mk(paths[0])
+        probe_fast = (time.perf_counter() - t0) < 0.005
+        rest = paths[1:]
+        if probe_fast or len(rest) < 8:
+            readers = [first] + [_mk(p) for p in rest]
+        else:
+            nthreads = min(16, max(2, len(rest)))
+            csz = -(-len(rest) // nthreads)
+            chunks = [
+                rest[i : i + csz] for i in range(0, len(rest), csz)
+            ]
+            with ThreadPoolExecutor(len(chunks)) as ex:
+                readers = [first] + [
+                    r
+                    for sub in ex.map(
+                        lambda ps: [_mk(p) for p in ps], chunks
+                    )
+                    for r in sub
+                ]
+        # mixed-format directories (ADVICE r09): wrap ONLY the
+        # per-file readers that don't pipeline io_readahead at
+        # their own fetch/decode seam. Wrapping the whole union
+        # when ANY file self-pipelines would stack a second queue
+        # (and a second buffer) on top of the dta/sav/xpt
+        # in-reader pipelines, which parse io_readahead
+        # unconditionally.
+        mf_ra = int(self.options.get("io_readahead", 0) or 0)
+        if mf_ra > 0 and not all(
+            _handles_readahead(r) for r in readers
+        ):
+            from polars_readstat_spark.sources.readahead import (
+                ReadaheadReader,
+            )
+
+            readers = [
+                r
+                if _handles_readahead(r)
+                else ReadaheadReader(r, mf_ra)
+                for r in readers
+            ]
+        # small-file coalescing target: pack tiny files' tasks
+        # into 48 MB bins (1 MB open cost → ~48 tiny files per
+        # task), never fewer than ~cores partitions.
+        # Off when the user pinned partition geometry explicitly
+        # (rows_per_partition) or opted out (coalesce_files=0).
+        tgt = 0
+        if (
+            str(self.options.get("coalesce_files", "1")) != "0"
+            and not self.options.get("rows_per_partition")
+        ):
+            tgt = int(cores or 0)
+        return MultiFileReader(
+            readers,
+            paths,
+            self.options.get("path_column"),
+            coalesce_target=tgt,
+            group_readahead=int(
+                self.options.get("io_readahead", 0) or 0
+            ),
+        )
 
     def _reader_uncompressed(self, schema) -> DataSourceReader:
         fmt = self._format()

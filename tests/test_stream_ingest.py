@@ -150,3 +150,99 @@ def test_stream_events_dir_reads_micros_layout(spark, tmp_path):
         for r in event_hourly_window(spark, sf).collect()
     }
     assert got == want
+
+
+def _tiny_dta_dir(dirpath: str, n_files: int, rows_per_file: int = 20):
+    """n tiny same-schema dta files written with pandas (fast, no
+    Spark round trip)."""
+    import pandas as pd
+
+    os.makedirs(dirpath, exist_ok=True)
+    for k in range(n_files):
+        lo = k * rows_per_file
+        pd.DataFrame(
+            {
+                "id": range(lo, lo + rows_per_file),
+                "v": [float(i) * 1.5 for i in range(lo, lo + rows_per_file)],
+            }
+        ).to_stata(
+            os.path.join(dirpath, f"f{k:04d}.dta"),
+            write_index=False,
+            version=118,
+        )
+
+
+def _stream_parts(opts: dict):
+    """Driver-side plan of one micro-batch containing everything in
+    the landing path: (partitions, stream_reader)."""
+    from polars_readstat_spark.sources.datasource import ReadstatDataSource
+    from polars_readstat_spark.sources.streamreader import (
+        ReadstatStreamReader,
+    )
+
+    schema = ReadstatDataSource(dict(opts))._schema_uncompressed()
+    r = ReadstatStreamReader(dict(opts), schema)
+    return r.partitions({"seen": []}, r.latestOffset()), r
+
+
+def test_stream_single_big_file_fans_out(spark, tmp_path):
+    """VERDICT r10 next#3(b): one large nightly drop must NOT read on
+    one core — the stream planner emits the file's inner row-range
+    partitions as separate tasks."""
+    src = str(tmp_path / "bigdrop")
+    os.makedirs(src)
+    _write(spark, os.path.join(src, "big.dta"), 0, 10_000)
+    parts, r = _stream_parts(
+        {"path": src, "rows_per_partition": "1000"}
+    )
+    assert len(parts) == 10  # 10k rows / 1k per partition
+    rows = []
+    for p in parts:
+        for b in r.read(p):
+            rows.extend(b.column(0).to_pylist())
+    assert sorted(rows) == list(range(10_000))
+
+
+def test_stream_small_files_pack(spark, tmp_path):
+    """VERDICT r10 next#3(a): a micro-batch of N tiny arrivals packs
+    into ~cores tasks instead of paying N per-task floors — the same
+    packer the batch scan uses."""
+    src = str(tmp_path / "tinydrop")
+    _tiny_dta_dir(src, 100)
+    packed, r = _stream_parts({"path": src, "target_parallelism": "8"})
+    assert len(packed) <= 12  # ~cores bins, not 100 tasks
+    unpacked, r2 = _stream_parts(
+        {"path": src, "target_parallelism": "8", "coalesce_files": "0"}
+    )
+    assert len(unpacked) == 100
+    got = []
+    for p in packed:
+        for b in r.read(p):
+            got.extend(b.column(0).to_pylist())
+    want = []
+    for p in unpacked:
+        for b in r2.read(p):
+            want.extend(b.column(0).to_pylist())
+    assert sorted(got) == sorted(want) == list(range(2000))
+
+
+def test_stream_many_small_files_end_to_end(spark, tmp_path):
+    """Full readStream drain over 60 tiny files: exercises pickling of
+    packed StreamUnitsPartition through the real executor path."""
+    src = str(tmp_path / "landing60")
+    _tiny_dta_dir(src, 60, rows_per_file=10)
+    ckpt = str(tmp_path / "ckpt60")
+    out = str(tmp_path / "out60")
+    q = (
+        spark.readStream.format("readstat")
+        .load(src)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    got = spark.read.parquet(out).collect()
+    assert sorted(r.id for r in got) == list(range(600))
