@@ -74,6 +74,28 @@ def deterministic_fake_decoder(data: bytes, out_w: int, out_h: int):
     return mean_luma, emb
 
 
+def replayable_fake_decoder(data: bytes, out_w: int, out_h: int):
+    """Stand-in codec whose outputs an independent SQL engine can
+    replay with hex/substring arithmetic (VERDICT r10 next#4): exact
+    integer checksums over the payload bytes, no crypto hash.
+
+    - mean_luma = (Σ byte_i·(i+1) mod 256000) / 1000.0 — a
+      position-weighted checksum scaled into the luma range [0, 256);
+    - embedding[k] = (Σ_{i ≡ k (mod 8)} byte_i mod 256) / 255.0 —
+      eight interleaved channel checksums.
+
+    All intermediates are exact integers; the two final divisions are
+    correctly-rounded IEEE doubles on identical operands, so any
+    engine computes bit-identical values."""
+    import numpy as np
+
+    a = np.frombuffer(data or b"", dtype=np.uint8).astype(np.int64)
+    w = np.arange(1, len(a) + 1, dtype=np.int64)
+    mean_luma = (int((a * w).sum()) % 256_000) / 1000.0
+    emb = [(int(a[k::8].sum()) % 256) / 255.0 for k in range(8)]
+    return mean_luma, emb
+
+
 def decode_images(
     df: DataFrame,
     media_col: str = "media",

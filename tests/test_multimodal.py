@@ -124,3 +124,20 @@ def test_decode_embed_self_check_catches_divergence(spark, monkeypatch):
         all_queries()["multimodal_decode_embed"](
             spark, "/root/testdata/sf0.001"
         )
+
+
+def test_replayable_decoder_matches_manual_checksums():
+    from polars_readstat_spark.functions.multimodal import (
+        replayable_fake_decoder,
+    )
+
+    data = bytes(range(256)) * 3 + b"\x89PNG tail"
+    luma, emb = replayable_fake_decoder(data, 32, 32)
+    ck = sum(b * (i + 1) for i, b in enumerate(data))
+    assert luma == (ck % 256_000) / 1000.0
+    assert len(emb) == 8
+    for k in range(8):
+        assert emb[k] == (sum(data[k::8]) % 256) / 255.0
+    # empty payload: defined, zero checksums
+    luma0, emb0 = replayable_fake_decoder(b"", 32, 32)
+    assert luma0 == 0.0 and emb0 == [0.0] * 8
