@@ -225,6 +225,9 @@ _RETRY_PAIRS = (
     # stream small-file packing: 600 one-file tasks must wall >= the
     # packed ~cores-task plan of the same 600-file micro-batch
     ("floor_stream_smallfiles_unpacked", "floor_stream_smallfiles_packed"),
+    # metadata sidecars: a no-sidecar re-plan at 10 ms/range must wall
+    # >= the sidecar-warm one
+    ("floor_replan50_lat10_cold", "floor_replan50_lat10_sidecar"),
 )
 
 
@@ -1186,6 +1189,47 @@ def _bench_plan5k(spark, timings: dict) -> None:
     best = min(plan_once(), plan_once())
     timings["floor_plan_5kfiles"] = round(best, 3)
     _register_retry("floor_plan_5kfiles", plan_once)
+
+    # metadata-sidecar re-plan A/B (VERDICT r10 next#6): a NEW driver
+    # session re-plans a directory it has never parsed in-process.
+    # Cold = no sidecars (every header parse pays the store's
+    # first-byte latency, here simlat10's deterministic 10 ms/range);
+    # warm = sidecars present (parse replaced by a local pickle load;
+    # only the identity stat still pays one round trip per file).
+    # Measured directly against the metamemo layer because Spark
+    # planning runs in a reused plan-worker whose in-process memo
+    # cannot be cleared from here; the layer is exactly what the
+    # plan worker calls. Hand-measured: 3.6 s vs 0.52 s (7x).
+    def replan50(cold: bool) -> float:
+        import glob as _g
+
+        from polars_readstat_spark.sources import cache as _cache
+        from polars_readstat_spark.sources import metamemo as _mm
+        from polars_readstat_spark.sources.dta.meta import parse_dta_meta
+
+        files = sorted(_g.glob(os.path.join(d5k, "*.dta")))[:50]
+        _mm._MEMO.clear()  # a fresh driver has no in-process memo
+        if cold:
+            cd = _cache.cache_dir()
+            if cd:
+                for f in _g.glob(os.path.join(cd, "prs-metamemo-*.pkl")):
+                    try:
+                        os.unlink(f)
+                    except OSError:
+                        pass
+        t0 = time.perf_counter()
+        for f in files:
+            _mm.memoized_parse("dta_meta", "simlat10://" + f, parse_dta_meta)
+        return time.perf_counter() - t0
+
+    timings["floor_replan50_lat10_cold"] = round(replan50(True), 3)
+    timings["floor_replan50_lat10_sidecar"] = round(replan50(False), 3)
+    _register_retry(
+        "floor_replan50_lat10_cold", lambda: replan50(True)
+    )
+    _register_retry(
+        "floor_replan50_lat10_sidecar", lambda: replan50(False)
+    )
 
     # packed-group remote-store A/B (round 10): a packed task reads
     # its small files concurrently under io_readahead instead of

@@ -54,9 +54,24 @@ def memoized_parse(kind: str, path: str, parse: Callable[[str], Any]) -> Any:
     key = (kind, ident, mtime, size)
     hit = _MEMO.get(key)
     if hit is None:
-        hit = parse(path)
-        if isinstance(hit, list):
-            hit = tuple(hit)  # freeze: shared across all callers
+        hit = _sidecar_load(kind, ident, mtime, size, parse)
+        if hit is None:
+            import time as _time
+
+            t0 = _time.perf_counter()
+            hit = parse(path)
+            parse_wall = _time.perf_counter() - t0
+            if isinstance(hit, list):
+                hit = tuple(hit)  # freeze: shared across all callers
+            # persist only parses worth persisting: the store path
+            # (fingerprint + pickle + atomic publish) costs ~0.25 ms,
+            # so a skinny local dta header (~0.06 ms) would pay 4x its
+            # own parse to cache — a 5k-dir first plan would regress
+            # 0.35 s → ~2 s. Anything ≥ the threshold (wide metas,
+            # sas page prescans, every remote parse whose wall
+            # includes first-byte latency) amortizes in one reuse.
+            if parse_wall >= _PERSIST_MIN_S:
+                _sidecar_store(kind, ident, mtime, size, parse, hit)
         with _LOCK:
             # evict ONE entry (FIFO — dicts iterate in insertion
             # order) instead of clearing: a big directory scan
@@ -66,3 +81,114 @@ def memoized_parse(kind: str, path: str, parse: Callable[[str], Any]) -> Any:
                 _MEMO.pop(next(iter(_MEMO)), None)
             _MEMO[key] = hit
     return hit
+
+
+# ── persistent sidecar layer (VERDICT r10 next#6) ────────────────────
+# The in-process memo dies with the driver, so every NEW session
+# re-parses every header — ~0.4 s per 5k local files, but
+# files × first-byte-latency on a remote store, and ~0.85 s for ONE
+# cold wide sas7bdat. Parsed metadata is pure file geometry, so it
+# persists as a pickle sidecar in the per-uid 0700 cache dir (the
+# zsav checkpoint-index pattern: ownership-checked reads, atomic
+# writes, content fingerprint re-verify). Invalidation:
+#   * (mtime_ns, size) in the sidecar name — any rewrite re-parses;
+#   * the parser module's own (size, mtime) stamp — a code change
+#     drops every sidecar it wrote;
+#   * for local files, cache.content_fingerprint closes the
+#     same-size-same-tick rewrite window (remote paths rely on
+#     (size, mtime): object stores don't rewrite in place).
+# Unpicklable results simply skip persistence — the sidecar is an
+# optimization, never required.
+
+_SIDE_FMT = 2  # sidecar payload layout version
+_PERSIST_MIN_S = 0.002  # parses cheaper than this re-parse instead
+
+
+def _code_stamp(parse: Callable) -> str:
+    import sys
+
+    mod = sys.modules.get(getattr(parse, "__module__", ""), None)
+    f = getattr(mod, "__file__", None)
+    if not f:
+        return "nocode"
+    try:
+        st = os.stat(f)
+        return f"{st.st_size}.{st.st_mtime_ns}"
+    except OSError:
+        return "nocode"
+
+
+def _sidecar_file(kind: str, ident: str, mtime: int, size: int):
+    import hashlib
+
+    from polars_readstat_spark.sources import cache
+
+    h = hashlib.sha1(
+        f"{_SIDE_FMT}|{kind}|{ident}|{mtime}|{size}".encode()
+    ).hexdigest()[:24]
+    return cache.cache_path(f"prs-metamemo-{h}.pkl")
+
+
+def _fingerprint(ident: str) -> str | None:
+    from polars_readstat_spark.sources import cache
+    from polars_readstat_spark.sources.fs import path_scheme
+
+    if path_scheme(ident):
+        return None  # remote: (size, mtime) identity only
+    try:
+        return cache.content_fingerprint(ident)
+    except OSError:
+        return None
+
+
+def _sidecar_load(
+    kind: str, ident: str, mtime: int, size: int, parse: Callable
+) -> Any:
+    import pickle
+
+    from polars_readstat_spark.sources import cache
+
+    p = _sidecar_file(kind, ident, mtime, size)
+    if p is None:
+        return None
+    raw = cache.read_trusted(p)
+    if raw is None:
+        return None
+    try:
+        obj = pickle.loads(raw)
+    except Exception:  # noqa: BLE001 — corrupt/foreign sidecar: re-parse
+        return None
+    if not isinstance(obj, dict) or obj.get("code") != _code_stamp(parse):
+        return None
+    if obj.get("fp") != _fingerprint(ident):
+        return None
+    return obj.get("value")
+
+
+def _sidecar_store(
+    kind: str,
+    ident: str,
+    mtime: int,
+    size: int,
+    parse: Callable,
+    value: Any,
+) -> None:
+    import pickle
+
+    from polars_readstat_spark.sources import cache
+
+    p = _sidecar_file(kind, ident, mtime, size)
+    if p is None:
+        return
+    try:
+        raw = pickle.dumps(
+            {
+                "code": _code_stamp(parse),
+                "fp": _fingerprint(ident),
+                "value": value,
+            },
+            protocol=pickle.HIGHEST_PROTOCOL,
+        )
+    except Exception:  # noqa: BLE001 — unpicklable result: skip
+        return
+    cache.write_atomic(p, raw)

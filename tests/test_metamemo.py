@@ -126,3 +126,97 @@ def test_cap_eviction_thread_safe(tmp_path):
     finally:
         metamemo._MEMO.clear()
         metamemo._MEMO.update(saved)
+
+
+def test_sidecar_persists_slow_parses_across_processes(tmp_path):
+    """A parse over the persist threshold survives a simulated driver
+    restart (in-process memo cleared): the sidecar supplies the value
+    without re-running the parser."""
+    import time
+
+    p = str(tmp_path / "slow.bin")
+    with open(p, "wb") as f:
+        f.write(b"payload" * 100)
+    calls = []
+
+    def parse(path):
+        calls.append(path)
+        time.sleep(0.005)  # over _PERSIST_MIN_S
+        return {"cols": ["a", "b"], "n": 7}
+
+    a = metamemo.memoized_parse("t_side_slow", p, parse)
+    metamemo._MEMO.clear()  # "new driver process"
+    b = metamemo.memoized_parse("t_side_slow", p, parse)
+    assert b == a and len(calls) == 1
+
+
+def test_sidecar_skips_cheap_parses(tmp_path):
+    """Sub-threshold parses never pay the store path — a fresh
+    process re-parses (cheaper than the sidecar dance)."""
+    p = str(tmp_path / "fast.bin")
+    with open(p, "wb") as f:
+        f.write(b"x")
+    calls = []
+
+    def parse(path):
+        calls.append(path)
+        return 42
+
+    metamemo.memoized_parse("t_side_fast", p, parse)
+    metamemo._MEMO.clear()
+    metamemo.memoized_parse("t_side_fast", p, parse)
+    assert len(calls) == 2
+
+
+def test_sidecar_invalidates_on_rewrite(tmp_path):
+    import time
+
+    p = str(tmp_path / "rw.bin")
+    with open(p, "wb") as f:
+        f.write(b"version-one")
+    calls = []
+
+    def parse(path):
+        calls.append(path)
+        time.sleep(0.005)
+        with open(path, "rb") as fh:
+            return fh.read()
+
+    a = metamemo.memoized_parse("t_side_rw", p, parse)
+    assert a == b"version-one"
+    tmp = p + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(b"version-TWO")
+    os.replace(tmp, p)
+    metamemo._MEMO.clear()
+    b2 = metamemo.memoized_parse("t_side_rw", p, parse)
+    assert b2 == b"version-TWO" and len(calls) == 2
+
+
+def test_sidecar_tolerates_corruption(tmp_path):
+    """A truncated/garbage sidecar silently falls back to parsing."""
+    import time
+
+    p = str(tmp_path / "c.bin")
+    with open(p, "wb") as f:
+        f.write(b"data")
+    calls = []
+
+    def parse(path):
+        calls.append(path)
+        time.sleep(0.005)
+        return "ok"
+
+    metamemo.memoized_parse("t_side_corrupt", p, parse)
+    from polars_readstat_spark.sources.fs import fs_stat
+
+    size, mtime = fs_stat(p)
+    side = metamemo._sidecar_file(
+        "t_side_corrupt", os.path.abspath(p), mtime, size
+    )
+    assert side and os.path.exists(side)
+    with open(side, "wb") as f:
+        f.write(b"\x80garbage-not-pickle")
+    metamemo._MEMO.clear()
+    assert metamemo.memoized_parse("t_side_corrupt", p, parse) == "ok"
+    assert len(calls) == 2
