@@ -1299,6 +1299,63 @@ def _bench_plan5k(spark, timings: dict) -> None:
     )
     _register_retry_df("floor_read_5kfiles_packed", df5k)
 
+    # drift at scale (VERDICT r10 next#7): the SAME 5k-tiny-file shape
+    # with THREE schema variants under union_by_name — the
+    # SchemaAlignReader runs inside packed groups, executor-side, so
+    # the wall should track floor_read_5kfiles_packed (plus linear
+    # Arrow align), never the 5k-task unpacked regime. Value parity is
+    # pinned by tests/test_multifile_read.py::test_union_packed_parity.
+    du = "/tmp/prs_union5k_v1"
+    if not os.path.isdir(du) or len(os.listdir(du)) != 5001:
+        from polars_readstat_spark.writers.dta import write_dta
+
+        tmp = du + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        variants = {
+            "a": spark.range(100).select(
+                F.col("id").alias("id"),
+                (F.col("id") % 7).cast("double").alias("a"),
+            ),
+            "b": spark.range(100).select(
+                F.col("id").alias("id"),
+                F.concat(F.lit("s"), F.col("id")).alias("b"),
+            ),
+            "c": spark.range(100).select(
+                F.col("id").alias("id"),
+                (F.col("id") % 5).cast("smallint").alias("a"),
+                (F.col("id") % 3).cast("double").alias("c"),
+            ),
+        }
+        for k, vdf in variants.items():
+            write_dta(vdf, os.path.join(tmp, f"v_{k}.dta"))
+        for i in range(5000 - 3):
+            k = "abc"[i % 3]
+            os.link(
+                os.path.join(tmp, f"v_{k}.dta"),
+                os.path.join(tmp, f"u{i:04d}_{k}.dta"),
+            )
+        with open(os.path.join(tmp, ".done"), "w") as f:
+            f.write("ok")
+        shutil.rmtree(du, ignore_errors=True)
+        os.replace(tmp, du)
+    dfu = (
+        spark.read.format("readstat")
+        .option("union_by_name", "true")
+        .load(du)
+    )
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run_query(dfu)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    timings["floor_union5k_packed_read"] = round(best, 3)
+    timings["floor_union5k_packed_read_nparts"] = (
+        dfu.rdd.getNumPartitions()
+    )
+    _register_retry_df("floor_union5k_packed_read", dfu)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
