@@ -176,8 +176,32 @@ def _iter_zsav_inflated(
         b0 = int(np.searchsorted(starts, start_byte, side="right") - 1)
         skip0 = start_byte - int(starts[b0])
         blocks = blocks[b0:]
+    from polars_readstat_spark.sources.fs import is_remote
+
     with fs_open(meta.path) as f:
         lock_read = threading.Lock()
+        # On a remote filesystem a shared handle would SERIALIZE the
+        # per-range first-byte waits behind lock_read, defeating the
+        # pool (each seek+read pays latency inside the lock). A real
+        # remote reader issues its concurrent range GETs on separate
+        # connections — so each pool thread opens its own handle,
+        # lazily, and the waits overlap exactly as the
+        # io_simulated_latency_ms model assumed. Local files keep the
+        # single shared handle (an extra open per thread buys nothing
+        # there).
+        remote = is_remote(meta.path)
+        tl = threading.local()
+        extra_handles: list = []
+        handles_lock = threading.Lock()
+
+        def _thread_handle():
+            h = getattr(tl, "f", None)
+            if h is None:
+                h = fs_open(meta.path)
+                tl.f = h
+                with handles_lock:
+                    extra_handles.append(h)
+            return h
 
         def inflate(blk):
             c_ofs, c_sz, _unc = blk
@@ -185,9 +209,14 @@ def _iter_zsav_inflated(
                 import time as _t
 
                 _t.sleep(sim_latency_s)  # per-range first-byte; see doc
-            with lock_read:
-                f.seek(c_ofs)
-                raw = f.read(c_sz)
+            if remote:
+                h = _thread_handle()
+                h.seek(c_ofs)
+                raw = h.read(c_sz)
+            else:
+                with lock_read:
+                    f.seek(c_ofs)
+                    raw = f.read(c_sz)
             return zlib.decompress(raw)
 
         try:
@@ -198,38 +227,50 @@ def _iter_zsav_inflated(
             # thread exhaustion on a loaded host must not fail (or
             # slow-path) the read — inflate inline, same output
             pool_cm = None
-        if pool_cm is None:
-            for blk in blocks:
-                out = inflate(blk)
-                if skip0:
-                    out, skip0 = out[skip0:], 0
-                if out:
-                    yield out
-            return
-        with pool_cm as pool:
-            inflight: deque = deque()
-            it = iter(blocks)
-            for blk in it:
-                inflight.append(pool.submit(inflate, blk))
-                if len(inflight) >= 8:
-                    break
+        try:
+            if pool_cm is None:
+                for blk in blocks:
+                    out = inflate(blk)
+                    if skip0:
+                        out, skip0 = out[skip0:], 0
+                    if out:
+                        yield out
+                return
+            with pool_cm as pool:
+                inflight: deque = deque()
+                it = iter(blocks)
+                for blk in it:
+                    inflight.append(pool.submit(inflate, blk))
+                    if len(inflight) >= 8:
+                        break
 
-            def emit(out):
-                nonlocal skip0
-                if skip0:
-                    out, skip0 = out[skip0:], 0
-                return out
+                def emit(out):
+                    nonlocal skip0
+                    if skip0:
+                        out, skip0 = out[skip0:], 0
+                    return out
 
-            for blk in it:
-                out = inflight.popleft().result()
-                inflight.append(pool.submit(inflate, blk))
-                o = emit(out)
-                if o:
-                    yield o
-            while inflight:
-                o = emit(inflight.popleft().result())
-                if o:
-                    yield o
+                for blk in it:
+                    out = inflight.popleft().result()
+                    inflight.append(pool.submit(inflate, blk))
+                    o = emit(out)
+                    if o:
+                        yield o
+                while inflight:
+                    o = emit(inflight.popleft().result())
+                    if o:
+                        yield o
+        finally:
+            # close the per-thread remote handles (pool threads are
+            # gone once the executor context exits; on generator
+            # close the shutdown inside `with pool_cm` drains first)
+            with handles_lock:
+                for h in extra_handles:
+                    try:
+                        h.close()
+                    except Exception:  # noqa: BLE001
+                        pass
+                extra_handles.clear()
 
 
 def _iter_raw_chunks(
