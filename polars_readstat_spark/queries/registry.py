@@ -49,107 +49,72 @@ def query(name: str, oracle: str | None = None):
 # its code. Queries past position 50 still run in the local gate
 # (tools/check_correctness.py covers the whole registry).
 _PRIORITY: tuple[str, ...] = (
-    # round 10 window, part 1: queries whose SEMANTICS or hot code
-    # path changed this round — the relative winnowing cap (VERDICT
-    # r09 next#4), the collision guard's result materialization
-    # (next#6), the zsav per-block fetch latency seam + io_zsav_pool
-    # arm (next#7), the mixed-format readahead single-wrap, the
-    # metamemo tuple-freeze/eviction, and the rowindex literal-select.
-    "winnowing_copy_pairs",
-    "winnowing_fingerprints",
-    "decontaminate_hash_prefilter",  # NEW this round (two-phase probe)
-    "row_index_collision_guard",
-    "row_index_ordered",
-    "sort_by_index_roundtrip",
-    "scan_zsav_roundtrip",
-    "scan_sav_compressed_roundtrip",
-    "scan_sav_roundtrip",
-    "scan_dta_multifile",
-    "scan_dta_multifile_readahead",
-    "scan_union_by_name",
-    "scan_dta_metadata_surface",
-    "scan_por_roundtrip",
-    "profile_read_surface",
-    "scan_sas7bdat_roundtrip",
-    "scan_sas7bdat_rle_roundtrip",
-    "scan_sas7bdat_rdc_roundtrip",
-    "scan_xpt_roundtrip",
-    "scan_federated_join",
-    "scan_sink_dir_roundtrip",
-    "stream_ingest_agg",
-    "dedup_connected_components",
-    "dedup_exact_hash",
-    "dedup_edit_distance_verify",
-    "minhash_lsh_pairs",
-    "simhash_band_pairs",
-    # (scan_dta_roundtrip spilled to 51+ to make room for the new
-    # decontaminate_hash_prefilter — it re-greened r9 and its read
-    # path is covered in-window by scan_dta_multifile/_readahead)
-    # part 2: the 23 r06-stale queries (VERDICT r09 missing#1 /
-    # next#2 — their newest driver green is four rounds back; the
-    # structural limit of a 50-row window over ~160 queries). After
-    # this round no query's newest driver green predates r07.
-    "embedding_quantize_int8",
-    "event_value_histogram",
-    "funnel_click_to_purchase",
-    "kmeans_update_step",
-    "q12_linestatus_priority",
-    "q13_customer_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q19_or_predicate_revenue",
-    "q20_excess_shipments",
-    "q21_waiting_supplier",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "range_join_click_purchase_1h",
-    "salted_skew_agg",
-    "text_bpe_token_count",
-    "text_gopher_quality_rules",
-    "text_ngram_topk",
-    "text_rare_token_ratio",
-    "window_lag_delta",
-    # positions 51+: first the FOUR queries new this round — the
-    # three streaming oracle anchors and the shard shuffle (the
-    # window is exactly full with the 23 r06-stale rotations VERDICT
-    # r09 next#2 mandates — evicting any for a new query would break
-    # that 'no green predates r07' contract; all four are local-gate
-    # green now and front-of-window next round),
+    # round 11 window, part 1: the FIVE never-driver-checked queries
+    # (VERDICT r10 missing#1 / next#1): the three streaming oracle
+    # anchors + the shard shuffle (new r10, queued behind the full r10
+    # window), and multimodal_decode_embed, which gained a full
+    # value-hash oracle THIS round (replayable checksum kernel).
     "stream_sessionize_stateful",
     "stream_hourly_window",
     "stream_dedup_watermark",
     "training_shard_shuffle",
-    # then the remaining changed-since-r9 scans (re-greened locally
-    # this round; their driver green is r9 — freshest), then
-    # everything else keeps registration order.
-    "scan_sas7bdat_types",
-    "scan_sas7bdat_rle",
-    "scan_sas7bdat_rdc",
-    "scan_sas7bdat_bigendian",
-    "scan_sas7bdat_mixpage",
-    "scan_sas7bdat_informative_nulls",
-    "scan_dta_pushdown",
-    "scan_dta_informative_nulls",
-    "scan_dta_value_labels",
-    "scan_dta_tagged_missing",
-    "scan_xpt_informative_nulls",
-    "catalog_label_case_decode",
-    "catalog_scan_formats",
-    "value_label_broadcast_decode",
-    "sas_csv_import_roundtrip",
-    "sas_csv_script_pins",
-    "corpus_clean_pipeline",
-    "dedup_cluster_size_histogram",
+    "multimodal_decode_embed",
+    # part 2: queries whose code path changed this round — the
+    # filesystem seam under every reader (fs_open/fs_stat/listing),
+    # the metamemo persistent sidecars under planning, the stream
+    # planner rewrite onto _multi_reader, the _multi_reader extraction
+    # itself, and the zsav per-thread remote handles.
+    "scan_fs_seam_roundtrip",  # NEW: non-posix simlat1:// scan
+    "stream_ingest_agg",
+    "scan_union_by_name",
+    "scan_dta_multifile",
+    "scan_dta_multifile_readahead",
+    "scan_dta_roundtrip",
+    "scan_dta_metadata_surface",
+    "scan_sas7bdat_roundtrip",
+    "scan_sas7bdat_rle_roundtrip",
+    "scan_sav_roundtrip",
+    "scan_sav_compressed_roundtrip",
+    "scan_zsav_roundtrip",
+    "scan_xpt_roundtrip",
+    "scan_por_roundtrip",
+    "profile_read_surface",
+    # part 3: the 30 queries whose newest driver green is r07 — the
+    # staleness rotation (VERDICT r10 missing#4: after this round no
+    # query's newest driver green predates r08).
+    "bm25_topk_docs",
+    "boilerplate_ngram_filter",
     "dedup_incremental_vs_index",
     "dedup_keep_best_quality",
     "dedup_keep_first_records",
+    "doc_fingerprint",
+    "embedding_l2_norms",
+    "event_dau_wau_stickiness",
+    "event_hourly_window",
+    "event_props_json_extract",
+    "event_value_quantiles",
+    "informative_null_merged",
+    "informative_null_separate",
+    "informative_null_struct",
     "minhash_signatures",
+    "multimodal_media_meta",
     "ngram_containment_sampled",
     "ngram_jaccard_sampled",
-    "simhash_fingerprint",
+    "pii_pattern_counts",
+    "pii_redact",
+    "q1_pricing_summary",
+    "repetition_chunk_dedup",
+    "resample_ffill_hourly",
+    "retention_weekly_cohorts",
+    "sas_csv_import_roundtrip",
+    "sas_csv_script_pins",
+    "scan_xpt_informative_nulls",
+    "table_profile_lineitem",
+    "tfidf_topk_terms",
+    "window_rank_family",
+    # positions 51+ follow registration order (every one of those is
+    # r08-or-newer green after this window lands; the local gate
+    # still covers the whole registry each round).
 )
 
 
