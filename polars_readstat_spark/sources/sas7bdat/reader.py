@@ -98,6 +98,41 @@ class SasReader(DataSourceReader):
 
         return memoized_parse("sas_has_mix", self.path, self._scan_mix)
 
+    def _iter_page_headers(self, need: int):
+        """(page_idx, header_bytes) for every page, header-only.
+
+        Local files seek per page (page-cache reads, ~µs each). A
+        remote path must NOT pay page_count first-byte latencies —
+        a 10k-page file would spend 500 s of pure wait at 50 ms/range
+        — so headers are read in ~4 MiB grouped ranges (the same unit
+        the data path range-GETs): one range yields every header in
+        its span, page_count/G round trips total. Object-store GET
+        cost is dominated by the request, not the bytes, and the
+        metamemo sidecar makes even that a once-per-file-ever cost."""
+        from polars_readstat_spark.sources.fs import is_remote
+
+        m = self.meta
+        if not is_remote(self.path):
+            with fs_open(self.path) as f:
+                for i in range(m.page_count):
+                    f.seek(m.header_length + i * m.page_length)
+                    hdr = f.read(need)
+                    if len(hdr) < need:
+                        return
+                    yield i, hdr
+            return
+        group = max(1, (4 << 20) // max(m.page_length, 1))
+        with fs_open(self.path) as f:
+            for g0 in range(0, m.page_count, group):
+                gn = min(group, m.page_count - g0)
+                f.seek(m.header_length + g0 * m.page_length)
+                blob = f.read(gn * m.page_length)
+                for j in range(gn):
+                    hdr = blob[j * m.page_length : j * m.page_length + need]
+                    if len(hdr) < need:
+                        return
+                    yield g0 + j, hdr
+
     def _scan_mix(self, _path: str) -> bool:
         from polars_readstat_spark.sources.sas7bdat.pages import (
             _PageReader,
@@ -107,14 +142,9 @@ class SasReader(DataSourceReader):
         )
 
         m = self.meta
-        with fs_open(self.path) as f:
-            for i in range(m.page_count):
-                f.seek(m.header_length + i * m.page_length)
-                hdr = f.read(m.page_bit_offset + 8)
-                if len(hdr) < m.page_bit_offset + 8:
-                    break
-                if _PageReader(m, hdr).page_type == PAGE_MIX_TYPE:
-                    return True
+        for _i, hdr in self._iter_page_headers(m.page_bit_offset + 8):
+            if _PageReader(m, hdr).page_type == PAGE_MIX_TYPE:
+                return True
         return False
 
     def _page_rows(self) -> list[int]:
@@ -129,15 +159,10 @@ class SasReader(DataSourceReader):
         m = self.meta
         counts = []
         rows = 0
-        with fs_open(self.path) as f:
-            for i in range(m.page_count):
-                f.seek(m.header_length + i * m.page_length)
-                hdr = f.read(m.page_bit_offset + 6)
-                if len(hdr) < m.page_bit_offset + 6:
-                    break
-                n = page_row_count(m, hdr, rows)
-                counts.append(n)
-                rows += n
+        for _i, hdr in self._iter_page_headers(m.page_bit_offset + 6):
+            n = page_row_count(m, hdr, rows)
+            counts.append(n)
+            rows += n
         return counts
 
     def partitions(self):

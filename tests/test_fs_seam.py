@@ -11,7 +11,6 @@ import time
 import pandas as pd
 import pytest
 
-from polars_readstat_spark.sources import fs as fsmod
 from polars_readstat_spark.sources.fs import (
     FsHandler,
     fs_exists,
@@ -205,3 +204,101 @@ def test_metamemo_keys_remote_paths(dta_file, monkeypatch):
     b = metamemo.memoized_parse("t_fsseam", uri, parse)
     assert a is b
     assert calls == [uri]
+
+
+def test_sas_prescan_groups_ranges_on_remote(spark, tmp_path):
+    """The SAS page prescans must not pay one range request per page
+    on a remote path: headers are read in ~4 MiB grouped ranges
+    (page_count/G round trips), with identical geometry results."""
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    p = str(tmp_path / "m.sas7bdat")
+    sdf = spark.range(200_000).selectExpr(
+        "cast(id as double) as a", "cast(id % 13 as double) as b"
+    )
+    prs.write_readstat(sdf, p)
+
+    class CountingFS(FsHandler):
+        """Local passthrough that counts range requests (open or
+        seek+read), the object-store cost unit."""
+
+        def __init__(self):
+            self.ranges = 0
+
+        def open_input(self, path):
+            outer = self
+
+            class _F:
+                def __init__(self):
+                    self._f = open(strip_scheme(path), "rb")
+                    self._pending = True
+                    outer.ranges += 1
+
+                def read(self, n=-1):
+                    if self._pending:
+                        self._pending = False
+                    return self._f.read(n)
+
+                def seek(self, pos, whence=0):
+                    r = self._f.seek(pos, whence)
+                    if not self._pending:
+                        outer.ranges += 1
+                        self._pending = True
+                    return r
+
+                def tell(self):
+                    return self._f.tell()
+
+                def close(self):
+                    self._f.close()
+
+                def __enter__(self):
+                    return self
+
+                def __exit__(self, *a):
+                    self.close()
+                    return False
+
+            return _F()
+
+        def size(self, path):
+            return os.path.getsize(strip_scheme(path))
+
+        def mtime_ns(self, path):
+            return os.stat(strip_scheme(path)).st_mtime_ns
+
+        def isdir(self, path):
+            return os.path.isdir(strip_scheme(path))
+
+        def exists(self, path):
+            return os.path.exists(strip_scheme(path))
+
+        def listdir(self, path):
+            local = strip_scheme(path)
+            return [
+                "cntfs://" + os.path.join(local, f)
+                for f in sorted(os.listdir(local))
+                if os.path.isfile(os.path.join(local, f))
+            ]
+
+    from polars_readstat_spark.sources.sas7bdat.reader import SasReader
+
+    plain = SasReader(p, {})
+    n_pages = plain.meta.page_count
+    assert n_pages > 10  # the fixture must be multi-page to mean anything
+    rows_plain = plain._scan_page_rows(p)
+
+    fs = CountingFS()
+    register_filesystem("cntfs", fs)
+    try:
+        remote = SasReader("cntfs://" + p, {})
+        rows_remote = remote._scan_page_rows("cntfs://" + p)
+        prescan_ranges = fs.ranges
+    finally:
+        unregister_filesystem("cntfs")
+    assert list(rows_remote) == list(rows_plain)
+    # grouped: ~page_count/G + meta-parse ranges, far below one/page
+    assert prescan_ranges < n_pages / 2 + 10, (
+        f"{prescan_ranges} ranges for {n_pages} pages"
+    )
