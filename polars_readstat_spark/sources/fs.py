@@ -104,6 +104,13 @@ class FsHandler:
         """Full child paths (scheme preserved), files only."""
         raise NotImplementedError
 
+    def open_output(self, path: str):
+        """Sequential binary output stream (callers never seek it —
+        fs_open_output spools seeks locally)."""
+        raise NotImplementedError(
+            f"filesystem for {path!r} is read-only (no open_output)"
+        )
+
 
 class _LatencyFile(io.RawIOBase):
     """A local file that pays `lat_s` of first-byte latency per range
@@ -172,6 +179,10 @@ class SimLatencyFS(FsHandler):
         time.sleep(self.lat_s)  # one HEAD
         st = os.stat(strip_scheme(path))
         return st.st_size, st.st_mtime_ns
+
+    def open_output(self, path: str):
+        time.sleep(self.lat_s)  # one PUT initiation
+        return open(strip_scheme(path), "wb")
 
     def isdir(self, path: str) -> bool:
         return os.path.isdir(strip_scheme(path))
@@ -243,6 +254,9 @@ class _ArrowFS(FsHandler):
             if i.type == FileType.File
         )
 
+    def open_output(self, path: str):
+        return self.fs.open_output_stream(self._inner(path))
+
 
 class _FsspecFS(FsHandler):
     """fsspec-backed handler — covers memory://, http://, and the
@@ -282,6 +296,9 @@ class _FsspecFS(FsHandler):
                     name = f"{self.scheme}://{name}"
                 out.append(name)
         return sorted(out)
+
+    def open_output(self, path: str):
+        return self.fs.open(path, "wb")
 
 
 _RESOLVED: dict[str, FsHandler] = {}
@@ -403,6 +420,74 @@ def fs_glob(pattern: str) -> list[str]:
     return sorted(
         p for p in h.listdir(parent) if fnmatch.fnmatch(posixpath.basename(p), base)
     )
+
+
+class _SpoolUpload:
+    """Seekable write target for a remote path: writes land in a local
+    spool file (every writer backpatches headers, which object-store
+    output streams cannot), and close() streams the spool to the
+    handler's output in one sequential upload — the staged-commit
+    shape Spark's own committers use."""
+
+    def __init__(self, handler: FsHandler, path: str):
+        import tempfile
+
+        self._handler = handler
+        self._path = path
+        fd, self._spool = tempfile.mkstemp(prefix="prs-spool-")
+        self._f = os.fdopen(fd, "w+b")
+        self._closed = False
+
+    def write(self, b) -> int:
+        return self._f.write(b)
+
+    def seek(self, pos: int, whence: int = 0) -> int:
+        return self._f.seek(pos, whence)
+
+    def tell(self) -> int:
+        return self._f.tell()
+
+    def flush(self) -> None:
+        self._f.flush()
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        try:
+            self._f.flush()
+            self._f.seek(0)
+            out = self._handler.open_output(self._path)
+            try:
+                while True:
+                    chunk = self._f.read(8 << 20)
+                    if not chunk:
+                        break
+                    out.write(chunk)
+            finally:
+                out.close()
+        finally:
+            self._f.close()
+            try:
+                os.unlink(self._spool)
+            except OSError:
+                pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
+def fs_open_output(path: str):
+    """Open for binary write; seekable; context manager. POSIX writes
+    directly; remote schemes spool locally and upload on close."""
+    h = _handler(path)
+    if h is None:
+        return open(strip_scheme(path), "wb")
+    return _SpoolUpload(h, path)
 
 
 def fs_join(dirpath: str, name: str) -> str:

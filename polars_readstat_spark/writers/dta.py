@@ -595,6 +595,8 @@ def write_dta(
     out = _assemble_dta(
         cols, data, strls, n_rows, data_label, variable_labels, value_labels
     )
-    with open(path, "wb") as f:
+    from polars_readstat_spark.sources.fs import fs_open_output
+
+    with fs_open_output(path) as f:
         f.write(out)
 

@@ -437,7 +437,9 @@ def write_por(
     src = df.select(*sel)
 
     now = datetime.datetime.now()
-    with open(path, "wb") as fh:
+    from polars_readstat_spark.sources.fs import fs_open_output
+
+    with fs_open_output(path) as fh:
         w = _PorWriter(fh)
         # vanity: 5 × 40 chars; file label surfaces in row 1 cols 20-39
         row0 = "ASCII SPSS PORT FILE".ljust(40)

@@ -1298,7 +1298,9 @@ def write_sas7bdat(
     # at a time — so any big-but-narrow input takes the wide protocol
     two_stage = n_src_parts < cores
 
-    with open(path, "wb") as fh:
+    from polars_readstat_spark.sources.fs import fs_open_output
+
+    with fs_open_output(path) as fh:
         sink = _SasFileSink(
             fh, fields, names, kinds, widths, dataset_name,
             variable_labels, page_length, compress,

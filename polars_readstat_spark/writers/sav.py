@@ -175,7 +175,9 @@ def write_sav(
         ]
     ) if case_size else np.zeros(0, dtype=bool)
 
-    with open(path, "wb") as fh:
+    from polars_readstat_spark.sources.fs import fs_open_output
+
+    with fs_open_output(path) as fh:
         fh.write(bytes(out))
         if zsav:
             sink = _ZlibSink(fh, len(out))

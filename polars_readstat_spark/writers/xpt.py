@@ -178,7 +178,9 @@ def write_xpt(
             ]
         return _pack_xpt(cols[:ncols_l], kinds_l, widths_l, rw, tags)
 
-    with open(path, "wb") as fh:
+    from polars_readstat_spark.sources.fs import fs_open_output
+
+    with fs_open_output(path) as fh:
         fh.write(bytes(out))
         total = 0
         for payload, _n in iter_packed_chunks(

@@ -302,3 +302,25 @@ def test_sas_prescan_groups_ranges_on_remote(spark, tmp_path):
     assert prescan_ranges < n_pages / 2 + 10, (
         f"{prescan_ranges} ranges for {n_pages} pages"
     )
+
+
+@pytest.mark.parametrize("ext", ["dta", "sav", "zsav", "sas7bdat", "xpt", "por"])
+def test_write_through_seam(spark, tmp_path, ext):
+    """write_readstat to a non-POSIX URI: the writer backpatches into
+    a local spool, which uploads on close (the staged-commit shape) —
+    bytes must be readable and value-identical to a plain-path
+    write."""
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    sdf = spark.createDataFrame(
+        [(float(i), f"s{i}") for i in range(120)], "x double, s string"
+    )
+    plain = str(tmp_path / f"plain.{ext}")
+    seamed = str(tmp_path / f"seamed.{ext}")
+    prs.write_readstat(sdf, plain)
+    prs.write_readstat(sdf, "simlat0://" + seamed)
+    assert os.path.exists(seamed)
+    a = sorted(spark.read.format("readstat").load(plain).collect())
+    b = sorted(spark.read.format("readstat").load(seamed).collect())
+    assert a == b and len(b) == 120
