@@ -50,6 +50,21 @@ _SIMLAT_RE = re.compile(r"^simlat(\d+)$")
 # scheme -> handler object (FsHandler protocol); per-process
 _REGISTRY: dict[str, object] = {}
 
+# (size, mtime_ns) hints harvested from remote directory LISTings —
+# object-store LIST responses already carry both, so a plan that
+# lists a 5k-file directory must not then issue 5k HEADs for memo
+# keys and packer sizes. Refreshed on every listdir of the parent
+# (same consistency stance as the one-snapshot-per-plan path cache);
+# bounded FIFO. POSIX paths never populate it (stat is ~µs there).
+_STAT_HINTS: dict[str, tuple[int, int]] = {}
+_STAT_HINTS_CAP = 65536
+
+
+def _hint_stat(path: str, size: int, mtime_ns: int) -> None:
+    if len(_STAT_HINTS) >= _STAT_HINTS_CAP:
+        _STAT_HINTS.clear()
+    _STAT_HINTS[path] = (size, mtime_ns)
+
 
 def register_filesystem(scheme: str, fs: object) -> None:
     """Install `fs` for `scheme://...` paths in THIS process. On a
@@ -192,15 +207,21 @@ class SimLatencyFS(FsHandler):
 
     def listdir(self, path: str) -> list[str]:
         # one LIST round trip for the whole directory (object-store
-        # LIST is paginated-bulk, not per-entry)
+        # LIST is paginated-bulk, not per-entry), carrying size+mtime
+        # for every entry like a real LIST response does
         time.sleep(self.lat_s)
         scheme = path_scheme(path)
         local = strip_scheme(path)
-        return [
-            f"{scheme}://{os.path.join(local, f)}"
-            for f in sorted(os.listdir(local))
-            if os.path.isfile(os.path.join(local, f))
-        ]
+        out = []
+        for f in sorted(os.listdir(local)):
+            lp = os.path.join(local, f)
+            st = os.stat(lp)
+            if not os.path.isfile(lp):
+                continue
+            uri = f"{scheme}://{lp}"
+            _hint_stat(uri, st.st_size, st.st_mtime_ns)
+            out.append(uri)
+        return out
 
 
 class _ArrowFS(FsHandler):
@@ -248,11 +269,17 @@ class _ArrowFS(FsHandler):
         from pyarrow.fs import FileSelector, FileType
 
         infos = self.fs.get_file_info(FileSelector(self._inner(path)))
-        return sorted(
-            f"{self.scheme}://{i.path}"
-            for i in infos
-            if i.type == FileType.File
-        )
+        out = []
+        for i in infos:
+            if i.type != FileType.File:
+                continue
+            uri = f"{self.scheme}://{i.path}"
+            if i.size is not None:
+                _hint_stat(
+                    uri, i.size, int(i.mtime_ns) if i.mtime_ns else 0
+                )
+            out.append(uri)
+        return sorted(out)
 
     def open_output(self, path: str):
         return self.fs.open_output_stream(self._inner(path))
@@ -294,6 +321,8 @@ class _FsspecFS(FsHandler):
                 name = p["name"]
                 if not _SCHEME_RE.match(name):
                     name = f"{self.scheme}://{name}"
+                if p.get("size") is not None:
+                    _hint_stat(name, int(p["size"]), 0)
                 out.append(name)
         return sorted(out)
 
@@ -356,6 +385,9 @@ def fs_size(path: str) -> int:
     h = _handler(path)
     if h is None:
         return os.path.getsize(strip_scheme(path))
+    hint = _STAT_HINTS.get(path)
+    if hint is not None:
+        return hint[0]
     return h.size(path)
 
 
@@ -367,12 +399,17 @@ def fs_mtime_ns(path: str) -> int:
 
 
 def fs_stat(path: str) -> tuple[int, int]:
-    """(size, mtime_ns) in ONE metadata round trip — cache keys and
-    memo keys use this so a remote store pays one HEAD, not two."""
+    """(size, mtime_ns) in at most ONE metadata round trip — and zero
+    when the parent directory's LIST already supplied it (the
+    _STAT_HINTS harvest): a 5k-file remote plan pays 1 LIST, not
+    5k HEADs."""
     h = _handler(path)
     if h is None:
         st = os.stat(strip_scheme(path))
         return st.st_size, st.st_mtime_ns
+    hint = _STAT_HINTS.get(path)
+    if hint is not None:
+        return hint
     stat = getattr(h, "stat", None)
     if stat is not None:
         return stat(path)

@@ -324,3 +324,21 @@ def test_write_through_seam(spark, tmp_path, ext):
     a = sorted(spark.read.format("readstat").load(plain).collect())
     b = sorted(spark.read.format("readstat").load(seamed).collect())
     assert a == b and len(b) == 120
+
+
+def test_listdir_seeds_stat_hints(tmp_path):
+    """A remote directory LIST supplies every entry's (size, mtime):
+    subsequent fs_stat/fs_size calls on listed files pay NO further
+    round trips — at 5k files that is 1 LIST vs 5k HEADs."""
+    for k in range(10):
+        (tmp_path / f"h{k}.dta").write_bytes(b"x" * (100 + k))
+    uri_d = "simlat40://" + str(tmp_path)
+    t0 = time.perf_counter()
+    listed = fs_listdir(uri_d)  # one 40 ms LIST
+    for p in listed:
+        sz, mt = fs_stat(p)  # hint hits: no 40 ms HEAD each
+        assert sz == 100 + int(p[-5])
+        assert fs_size(p) == sz
+    wall = time.perf_counter() - t0
+    assert len(listed) == 10
+    assert wall < 0.25, f"stat hints not used: {wall:.3f}s"  # ≪ 11×40 ms
