@@ -126,35 +126,48 @@ class FsHandler:
             f"filesystem for {path!r} is read-only (no open_output)"
         )
 
+    def move(self, src: str, dst: str) -> None:
+        """Atomic-or-best-effort rename (object stores: server-side
+        copy+delete). Default: stream-copy then remove."""
+        with self.open_input(src) as f, _SpoolUpload(self, dst) as out:
+            while True:
+                chunk = f.read(8 << 20)
+                if not chunk:
+                    break
+                out.write(chunk)
+        self.remove(src)
+
+    def remove(self, path: str) -> None:
+        raise NotImplementedError(f"no remove() for {path!r}")
+
+    def makedirs(self, path: str) -> None:
+        """Ensure a directory exists; object stores are a no-op."""
+        return None
+
 
 class _LatencyFile(io.RawIOBase):
     """A local file that pays `lat_s` of first-byte latency per range
-    request: once at open, and again on the first read after any
-    seek — the positioned-read cost model of an object store."""
+    request: once at open, and again at every seek (each repositioning
+    starts a new range GET) — the positioned-read cost model of an
+    object store. Charging at seek rather than at first-read-after-
+    seek keeps read() free of instance mutation (the reader
+    thread-safety lint guards every read method in sources/), with
+    identical totals for the seek-then-read pattern all readers use."""
 
     def __init__(self, path: str, lat_s: float):
         self._f = open(path, "rb")
         self._lat = lat_s
-        self._pending = True  # open itself is the first range
-        time.sleep(lat_s)
-        self._pending = False
+        time.sleep(lat_s)  # open itself is the first range
 
     def read(self, n: int = -1) -> bytes:
-        if self._pending:
-            time.sleep(self._lat)
-            self._pending = False
         return self._f.read(n)
 
     def readinto(self, b) -> int:
-        if self._pending:
-            time.sleep(self._lat)
-            self._pending = False
         return self._f.readinto(b)
 
     def seek(self, pos: int, whence: int = 0) -> int:
-        r = self._f.seek(pos, whence)
-        self._pending = True
-        return r
+        time.sleep(self._lat)  # new range request
+        return self._f.seek(pos, whence)
 
     def tell(self) -> int:
         return self._f.tell()
@@ -198,6 +211,17 @@ class SimLatencyFS(FsHandler):
     def open_output(self, path: str):
         time.sleep(self.lat_s)  # one PUT initiation
         return open(strip_scheme(path), "wb")
+
+    def move(self, src: str, dst: str) -> None:
+        time.sleep(self.lat_s)  # one server-side copy round trip
+        os.replace(strip_scheme(src), strip_scheme(dst))
+
+    def remove(self, path: str) -> None:
+        time.sleep(self.lat_s)
+        os.unlink(strip_scheme(path))
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(strip_scheme(path), exist_ok=True)
 
     def isdir(self, path: str) -> bool:
         return os.path.isdir(strip_scheme(path))
@@ -284,6 +308,18 @@ class _ArrowFS(FsHandler):
     def open_output(self, path: str):
         return self.fs.open_output_stream(self._inner(path))
 
+    def move(self, src: str, dst: str) -> None:
+        self.fs.move(self._inner(src), self._inner(dst))
+
+    def remove(self, path: str) -> None:
+        self.fs.delete_file(self._inner(path))
+
+    def makedirs(self, path: str) -> None:
+        try:
+            self.fs.create_dir(self._inner(path), recursive=True)
+        except Exception:  # noqa: BLE001 — object stores: no dirs
+            pass
+
 
 class _FsspecFS(FsHandler):
     """fsspec-backed handler — covers memory://, http://, and the
@@ -328,6 +364,18 @@ class _FsspecFS(FsHandler):
 
     def open_output(self, path: str):
         return self.fs.open(path, "wb")
+
+    def move(self, src: str, dst: str) -> None:
+        self.fs.mv(src, dst)
+
+    def remove(self, path: str) -> None:
+        self.fs.rm_file(path)
+
+    def makedirs(self, path: str) -> None:
+        try:
+            self.fs.makedirs(path, exist_ok=True)
+        except Exception:  # noqa: BLE001 — object stores: no dirs
+            pass
 
 
 _RESOLVED: dict[str, FsHandler] = {}
@@ -525,6 +573,33 @@ def fs_open_output(path: str):
     if h is None:
         return open(strip_scheme(path), "wb")
     return _SpoolUpload(h, path)
+
+
+def fs_move(src: str, dst: str) -> None:
+    """Rename/publish within ONE filesystem (same scheme both sides)."""
+    hs, hd = _handler(src), _handler(dst)
+    if hs is None and hd is None:
+        os.replace(strip_scheme(src), strip_scheme(dst))
+        return
+    if type(hs) is not type(hd):
+        raise ValueError(f"fs_move: cross-filesystem move {src} -> {dst}")
+    hs.move(src, dst)  # type: ignore[union-attr]
+
+
+def fs_remove(path: str) -> None:
+    h = _handler(path)
+    if h is None:
+        os.unlink(strip_scheme(path))
+        return
+    h.remove(path)
+
+
+def fs_makedirs(path: str) -> None:
+    h = _handler(path)
+    if h is None:
+        os.makedirs(strip_scheme(path), exist_ok=True)
+        return
+    h.makedirs(path)
 
 
 def fs_join(dirpath: str, name: str) -> str:

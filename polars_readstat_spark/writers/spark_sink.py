@@ -37,6 +37,9 @@ import os
 import uuid
 from dataclasses import dataclass
 
+from polars_readstat_spark.sources.fs import (
+    fs_open_output as _fs_open_output,
+)
 from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceStreamArrowWriter,
@@ -217,7 +220,7 @@ def write_partition_file(
     if fmt == "sas7bdat":
         from polars_readstat_spark.writers.sas7bdat import _SasFileSink
 
-        with open(staged_path, "wb") as fh:
+        with _fs_open_output(staged_path) as fh:
             sink = _SasFileSink(
                 fh, fields, names, kinds, widths,
                 options.get("dataset_name", "DATA"), {},
@@ -242,7 +245,7 @@ def write_partition_file(
             fields, names, shorts, kinds, widths, el_per, case_size,
             n_rows, zsav, options.get("data_label", ""), {}, {}, {},
         )
-        with open(staged_path, "wb") as fh:
+        with _fs_open_output(staged_path) as fh:
             fh.write(bytes(head))
             sink = _ZlibSink(fh, len(head)) if zsav else fh
             for pdf in frames:
@@ -265,7 +268,7 @@ def write_partition_file(
                 options.get("dataset_name", "DATA"), {}, 5,
             )
         )
-        with open(staged_path, "wb") as fh:
+        with _fs_open_output(staged_path) as fh:
             fh.write(head)
             total = 0
             for pdf in frames:
@@ -341,7 +344,7 @@ def _write_dta_part(staged_path, fields, names, frames, widths_map, options):
     out = _assemble_dta(
         cols, data, strls, n_rows, options.get("data_label", ""), {}, {},
     )
-    with open(staged_path, "wb") as fh:
+    with _fs_open_output(staged_path) as fh:
         fh.write(out)
     return n_rows
 
@@ -361,7 +364,9 @@ class ReadstatDataSourceWriter(DataSourceArrowWriter):
             plan_write(schema, self.options)
         )
         self.run_id = uuid.uuid4().hex[:12]
-        os.makedirs(path, exist_ok=True)
+        from polars_readstat_spark.sources.fs import fs_makedirs
+
+        fs_makedirs(path)
 
     def write(self, iterator):
         from pyspark import TaskContext
@@ -376,12 +381,14 @@ class ReadstatDataSourceWriter(DataSourceArrowWriter):
         )
         if not any(len(p) for p in frames):
             return _PartMessage("", "", 0)
-        final = os.path.join(
+        from polars_readstat_spark.sources.fs import fs_join
+
+        final = fs_join(
             self.path, f"part-{pid:05d}-{self.run_id}.{self.fmt}"
         )
         # attempt id in the staged name: a speculative/retried task
         # must never write the same staging file as its sibling
-        staged = os.path.join(
+        staged = fs_join(
             self.path,
             f".staged-{self.run_id}-a{attempt}-part-{pid:05d}.{self.fmt}",
         )
@@ -392,19 +399,29 @@ class ReadstatDataSourceWriter(DataSourceArrowWriter):
         return _PartMessage(staged, final, n)
 
     def commit(self, messages):
+        from polars_readstat_spark.sources.fs import (
+            fs_exists,
+            fs_listdir,
+            fs_move,
+            fs_remove,
+        )
+
         if self.overwrite:
-            for f in os.listdir(self.path):
-                if f.endswith(f".{self.fmt}") and not f.startswith("."):
-                    if self.run_id not in f:
-                        os.remove(os.path.join(self.path, f))
+            for fp in fs_listdir(self.path):
+                base = os.path.basename(fp)
+                if base.endswith(f".{self.fmt}") and not base.startswith("."):
+                    if self.run_id not in base:
+                        fs_remove(fp)
         for m in messages:
             if m and m.staged:
-                os.replace(m.staged, m.final)
+                fs_move(m.staged, m.final)
 
     def abort(self, messages):
+        from polars_readstat_spark.sources.fs import fs_exists, fs_remove
+
         for m in messages or []:
-            if m and m.staged and os.path.exists(m.staged):
-                os.remove(m.staged)
+            if m and m.staged and fs_exists(m.staged):
+                fs_remove(m.staged)
 
 
 class ReadstatStreamWriter(DataSourceStreamArrowWriter):
@@ -429,10 +446,14 @@ class ReadstatStreamWriter(DataSourceStreamArrowWriter):
         self.fmt, self.fields, self.names, self.shorts, self.kinds = (
             plan_write(schema, self.options)
         )
-        os.makedirs(path, exist_ok=True)
+        from polars_readstat_spark.sources.fs import fs_makedirs
+
+        fs_makedirs(path)
 
     def write(self, iterator):
         from pyspark import TaskContext
+
+        from polars_readstat_spark.sources.fs import fs_join
 
         ctx = TaskContext.get()
         pid = ctx.partitionId()
@@ -441,7 +462,7 @@ class ReadstatStreamWriter(DataSourceStreamArrowWriter):
         )
         if not any(len(p) for p in frames):
             return _PartMessage("", "", 0, pid)
-        staged = os.path.join(
+        staged = fs_join(
             self.path,
             f".staged-stream-{uuid.uuid4().hex[:12]}-p{pid:05d}.{self.fmt}",
         )
@@ -452,14 +473,18 @@ class ReadstatStreamWriter(DataSourceStreamArrowWriter):
         return _PartMessage(staged, "", n, pid)
 
     def commit(self, messages, batchId):
+        from polars_readstat_spark.sources.fs import fs_join, fs_move
+
         for m in messages:
             if m and m.staged:
-                final = os.path.join(
+                final = fs_join(
                     self.path, f"part-b{batchId:08d}-p{m.pid:05d}.{self.fmt}"
                 )
-                os.replace(m.staged, final)
+                fs_move(m.staged, final)
 
     def abort(self, messages, batchId):
+        from polars_readstat_spark.sources.fs import fs_exists, fs_remove
+
         for m in messages or []:
-            if m and m.staged and os.path.exists(m.staged):
-                os.remove(m.staged)
+            if m and m.staged and fs_exists(m.staged):
+                fs_remove(m.staged)

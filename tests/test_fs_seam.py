@@ -342,3 +342,30 @@ def test_listdir_seeds_stat_hints(tmp_path):
     wall = time.perf_counter() - t0
     assert len(listed) == 10
     assert wall < 0.25, f"stat hints not used: {wall:.3f}s"  # ≪ 11×40 ms
+
+
+def test_distributed_sink_through_seam(spark, tmp_path):
+    """df.write.format('readstat') to a non-POSIX URI: executor tasks
+    stage through the seam and commit publishes with filesystem-level
+    moves (server-side copy+delete on object stores)."""
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    out = str(tmp_path / "sinkout")
+    sdf = spark.range(2000).selectExpr(
+        "cast(id as long) as id", "cast(id * 0.5 as double) as v"
+    )
+    sdf.repartition(4).write.format("readstat").option(
+        "format", "dta"
+    ).mode("overwrite").save("simlat0://" + out)
+    files = sorted(os.listdir(out))
+    assert files and all(f.endswith(".dta") for f in files)
+    assert not any(f.startswith(".staged") for f in files)
+    back = spark.read.format("readstat").load(out)
+    assert back.count() == 2000
+    assert back.agg({"id": "sum"}).collect()[0][0] == sum(range(2000))
+    # overwrite through the seam removes the previous run's parts
+    sdf.limit(100).repartition(2).write.format("readstat").option(
+        "format", "dta"
+    ).mode("overwrite").save("simlat0://" + out)
+    assert spark.read.format("readstat").load(out).count() == 100
