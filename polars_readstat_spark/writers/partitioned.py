@@ -49,7 +49,9 @@ def write_dta_partitioned(
     stats = df.agg(*aggs).collect()[0].asDict()
     cols = _finalize_cols(plan, stats)
     names = [c[0] for c in cols]
-    os.makedirs(dir_path, exist_ok=True)
+    from polars_readstat_spark.sources.fs import fs_makedirs
+
+    fs_makedirs(dir_path)
 
     def write_partition(batches):
         import pandas as pd
@@ -63,11 +65,13 @@ def write_dta_partitioned(
                 cols, data, strls, n_rows, data_label, variable_labels,
                 value_labels,
             )
-            path = os.path.join(dir_path, f"part-{pid:05d}.dta")
+            from polars_readstat_spark.sources.fs import fs_join, fs_move, fs_open_output
+
+            path = fs_join(dir_path, f"part-{pid:05d}.dta")
             tmp = path + f".tmp{os.getpid()}"
-            with open(tmp, "wb") as f:
+            with fs_open_output(tmp) as f:
                 f.write(out)
-            os.replace(tmp, path)
+            fs_move(tmp, path)
             yield pd.DataFrame({"path": [path], "n_rows": [n_rows]})
 
     results = (
@@ -111,7 +115,9 @@ def write_sav_partitioned(
     widths = _sav_widths(fields, kinds, stats)
     el_per = [max((w + 7) // 8, 1) if w else 1 for w in widths]
     case_size = sum(el_per)
-    os.makedirs(dir_path, exist_ok=True)
+    from polars_readstat_spark.sources.fs import fs_makedirs
+
+    fs_makedirs(dir_path)
     src = _sav_cast(df, fields, kinds)
 
     def write_partition(batches):
@@ -136,9 +142,11 @@ def write_sav_partitioned(
                 measures,
             )
             ext = "zsav" if zsav else "sav"
-            path = os.path.join(dir_path, f"part-{pid:05d}.{ext}")
+            from polars_readstat_spark.sources.fs import fs_join, fs_move, fs_open_output
+
+            path = fs_join(dir_path, f"part-{pid:05d}.{ext}")
             tmp = path + f".tmp{os.getpid()}"
-            with open(tmp, "wb") as f:
+            with fs_open_output(tmp) as f:
                 f.write(bytes(head))
                 if zsav:
                     from polars_readstat_spark.writers.sav import _ZlibSink
@@ -148,7 +156,7 @@ def write_sav_partitioned(
                     zs.close()
                 else:
                     f.write(bytes(data))
-            os.replace(tmp, path)
+            fs_move(tmp, path)
             yield pd.DataFrame({"path": [path], "n_rows": [n_rows]})
 
     results = (
@@ -189,7 +197,9 @@ def write_xpt_partitioned(
             version,
         )
     )
-    os.makedirs(dir_path, exist_ok=True)
+    from polars_readstat_spark.sources.fs import fs_makedirs
+
+    fs_makedirs(dir_path)
     src = _xpt_cast(df, fields, kinds)
 
     def write_partition(batches):
@@ -208,13 +218,15 @@ def write_xpt_partitioned(
             )
             n_rows += len(pdf)
         if n_rows > 0:
-            path = os.path.join(dir_path, f"part-{pid:05d}.xpt")
+            from polars_readstat_spark.sources.fs import fs_join, fs_move, fs_open_output
+
+            path = fs_join(dir_path, f"part-{pid:05d}.xpt")
             tmp = path + f".tmp{os.getpid()}"
-            with open(tmp, "wb") as f:
+            with fs_open_output(tmp) as f:
                 f.write(head)
                 f.write(bytes(data))
                 f.write(b" " * ((-len(data)) % 80))
-            os.replace(tmp, path)
+            fs_move(tmp, path)
             yield pd.DataFrame({"path": [path], "n_rows": [n_rows]})
 
     results = (
@@ -250,7 +262,9 @@ def write_sas7bdat_partitioned(
     stats = df.agg(*aggs).collect()[0].asDict() if aggs else {}
     widths = _sas_widths(fields, kinds, stats)
     src = _sas_cast(df, fields, kinds)
-    os.makedirs(dir_path, exist_ok=True)
+    from polars_readstat_spark.sources.fs import fs_makedirs
+
+    fs_makedirs(dir_path)
 
     def write_partition(batches):
         import pandas as pd
@@ -258,14 +272,16 @@ def write_sas7bdat_partitioned(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        path = os.path.join(dir_path, f"part-{pid:05d}.sas7bdat")
+        from polars_readstat_spark.sources.fs import fs_join, fs_move, fs_open_output
+
+        path = fs_join(dir_path, f"part-{pid:05d}.sas7bdat")
         tmp = path + f".tmp{os.getpid()}"
         fh = sink = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             if fh is None:
-                fh = open(tmp, "wb")
+                fh = fs_open_output(tmp)
                 sink = _SasFileSink(
                     fh, fields, names, kinds, widths, dataset_name,
                     variable_labels, page_length, compress,
@@ -275,7 +291,7 @@ def write_sas7bdat_partitioned(
             n_rows = sink.n_rows
             sink.close()
             fh.close()
-            os.replace(tmp, path)
+            fs_move(tmp, path)
             yield pd.DataFrame({"path": [path], "n_rows": [n_rows]})
 
     results = (
