@@ -97,6 +97,16 @@ class ReadstatDataSource(DataSource):
                 )
             except Exception:
                 pass  # planning falls back to SparkContext/cpu_count
+        # remote default: fetch/decode pipelining ON for non-POSIX
+        # URIs (each range pays real first-byte latency there; on
+        # local disk the same wrapper only duplicates OS readahead,
+        # so the local default stays off). io_readahead=0 opts out.
+        if "io_readahead" not in options:
+            from polars_readstat_spark.sources.fs import is_remote
+
+            p = options.get("path") or ""
+            if is_remote(p):
+                options["io_readahead"] = "2"
 
     @classmethod
     def name(cls) -> str:

@@ -390,3 +390,18 @@ def test_partitioned_export_through_seam(spark, tmp_path):
     assert all(p["path"].startswith("simlat0://") for p in parts)
     back = spark.read.format("readstat").load(out)
     assert back.count() == 500
+
+
+def test_remote_paths_default_to_readahead(dta_file):
+    from polars_readstat_spark.sources.datasource import ReadstatDataSource
+
+    ds = ReadstatDataSource({"path": "simlat0://" + dta_file})
+    assert ds.options.get("io_readahead") == "2"
+    # explicit opt-out survives
+    ds0 = ReadstatDataSource(
+        {"path": "simlat0://" + dta_file, "io_readahead": "0"}
+    )
+    assert ds0.options.get("io_readahead") == "0"
+    # local paths keep the off default
+    dsl = ReadstatDataSource({"path": dta_file})
+    assert "io_readahead" not in dsl.options
