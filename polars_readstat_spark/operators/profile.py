@@ -68,6 +68,8 @@ def profile_read(path: str, columns: str | list | None = None, **options) -> dic
     t0 = time.perf_counter()
     byte_count = 0
     for p in paths:
+        if fs_isdir(p):  # a glob can match subdirectories
+            continue
         with fs_open(p) as f:
             while True:
                 b = f.read(8 << 20)

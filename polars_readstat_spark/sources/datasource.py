@@ -138,10 +138,15 @@ class ReadstatDataSource(DataSource):
         # one stat round-trip decides file-vs-dir; on a remote store
         # a glob pattern never stats (can't be a directory)
         if not any(ch in p for ch in "*?[") and _fs.fs_isdir(p):
+            # skip dotfiles: crashed writers can leave .staged-* /
+            # .tmp* debris whose extension still matches (glob's '*'
+            # used to exclude them implicitly; listdir does not)
             files = sorted(
                 f
                 for f in _fs.fs_listdir(p)
-                if os.path.splitext(f)[1].lower().lstrip(".") in self.SUPPORTED
+                if not os.path.basename(f).startswith(".")
+                and os.path.splitext(f)[1].lower().lstrip(".")
+                in self.SUPPORTED
             )
             if not files:
                 raise ValueError(f"readstat: no supported files in {p}")
@@ -399,24 +404,31 @@ class ReadstatDataSource(DataSource):
             return BatchFilterReader(base)
         return base
 
-    def _multi_reader(self, schema, paths, align_fields=None):
+    def _multi_reader(
+        self, schema, paths, align_fields=None, per_file_slicing=False
+    ):
         """Per-file readers unioned + small-file packing — the
         multi-file scan core, shared by the batch reader() and the
         streaming source (VERDICT r10 next#3: the stream planner now
         reuses this instead of one-task-per-file). align_fields, when
         given, pins the SchemaAlignReader target (a stream's schema is
         fixed at start and cannot follow the batch's own union).
+        per_file_slicing=True keeps n_rows/offset/row_index_name legal
+        and applied file-by-file — the streaming source's documented
+        semantics (each landed file is its own unit of work; there is
+        no Catalyst limit across a stream's files).
         """
-        # multi-file: per-file readers, partitions unioned; row
+        # multi-file batch: per-file readers, partitions unioned; row
         # slicing belongs to Catalyst (df.limit/offset) across
         # files, so per-file slicing options are rejected
-        for bad in ("n_rows", "limit", "offset", "row_index_name"):
-            if self.options.get(bad):
-                raise ValueError(
-                    f"readstat: option '{bad}' is per-file; for "
-                    "multi-file reads use DataFrame ops "
-                    "(df.limit/offset/row_number) instead"
-                )
+        if not per_file_slicing:
+            for bad in ("n_rows", "limit", "offset", "row_index_name"):
+                if self.options.get(bad):
+                    raise ValueError(
+                        f"readstat: option '{bad}' is per-file; for "
+                        "multi-file reads use DataFrame ops "
+                        "(df.limit/offset/row_number) instead"
+                    )
         # each reader's __init__ parses that file's dictionary —
         # serial at 10^4 files means 10^4 sequential header reads
         # on the driver, so plan with a bounded thread pool
@@ -445,6 +457,8 @@ class ReadstatDataSource(DataSource):
             if align_fields is None:
                 align_fields = align_schema.fields
 
+        file_opts: dict[str, dict] = {}
+
         def _mk(p):
             opts = dict(self.options)
             opts["path"] = p
@@ -458,6 +472,7 @@ class ReadstatDataSource(DataSource):
                 # contributes its row count (all-null rows): scan
                 # its cheapest native column, the aligner drops it
                 opts["columns"] = ",".join(mine or file_cols[p][:1])
+            file_opts[p] = opts
             inner = ReadstatDataSource(opts)._reader_uncompressed(
                 schema
             )
@@ -527,7 +542,7 @@ class ReadstatDataSource(DataSource):
             and not self.options.get("rows_per_partition")
         ):
             tgt = int(cores or 0)
-        return MultiFileReader(
+        mf = MultiFileReader(
             readers,
             paths,
             self.options.get("path_column"),
@@ -536,6 +551,11 @@ class ReadstatDataSource(DataSource):
                 self.options.get("io_readahead", 0) or 0
             ),
         )
+        # per-file option table for planners that rebuild readers
+        # executor-side from options instead of pickling parsed metas
+        # per partition (the streaming source)
+        mf.file_opts = [file_opts[p] for p in paths]
+        return mf
 
     def _reader_uncompressed(self, schema) -> DataSourceReader:
         fmt = self._format()

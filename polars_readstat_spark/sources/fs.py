@@ -66,6 +66,12 @@ def _hint_stat(path: str, size: int, mtime_ns: int) -> None:
     _STAT_HINTS[path] = (size, mtime_ns)
 
 
+def _invalidate_hint(path: str) -> None:
+    """Writes/moves/removes through the seam drop their hint so a
+    read-after-write in the same process can't see stale metadata."""
+    _STAT_HINTS.pop(path, None)
+
+
 def register_filesystem(scheme: str, fs: object) -> None:
     """Install `fs` for `scheme://...` paths in THIS process. On a
     cluster, call from a module the executors import."""
@@ -254,17 +260,29 @@ class _ArrowFS(FsHandler):
     per process via FileSystem.from_uri."""
 
     def __init__(self, scheme: str, fs, example_uri: str):
-        self.scheme = scheme
-        self.fs = fs
-        # from_uri strips the scheme; recover the inner form by
-        # re-parsing each call (bucket stays inside the inner path)
-        del example_uri
-
-    def _inner(self, path: str) -> str:
         from pyarrow import fs as _pafs
 
-        _, inner = _pafs.FileSystem.from_uri(path)
-        return inner
+        self.scheme = scheme
+        self.fs = fs
+        # from_uri strips the scheme and may also strip an authority
+        # (hdfs://host:port/a/b → /a/b, while s3://bucket/k → bucket/k).
+        # Derive the strip prefix ONCE from the example instead of
+        # calling from_uri per operation — from_uri constructs (and
+        # discards) a whole new filesystem object each time, paying
+        # credential/client setup on every metadata call.
+        _, inner = _pafs.FileSystem.from_uri(example_uri)
+        stripped = strip_scheme(example_uri)
+        self._prefix = (
+            stripped[: len(stripped) - len(inner)]
+            if stripped.endswith(inner)
+            else ""
+        )
+
+    def _inner(self, path: str) -> str:
+        stripped = strip_scheme(path)
+        if self._prefix and stripped.startswith(self._prefix):
+            return stripped[len(self._prefix) :]
+        return stripped
 
     def open_input(self, path: str):
         return self.fs.open_input_file(self._inner(path))
@@ -351,14 +369,26 @@ class _FsspecFS(FsHandler):
         return self.fs.exists(path)
 
     def listdir(self, path: str) -> list[str]:
+        import datetime
+
         out = []
         for p in self.fs.ls(path, detail=True):
             if p.get("type") == "file":
                 name = p["name"]
                 if not _SCHEME_RE.match(name):
                     name = f"{self.scheme}://{name}"
-                if p.get("size") is not None:
-                    _hint_stat(name, int(p["size"]), 0)
+                # hint ONLY with a real mtime: a 0 stamp would give
+                # cache identities that miss same-size in-place
+                # rewrites (and flip-flop against direct fs_stat)
+                mt = p.get("LastModified") or p.get("mtime")
+                if p.get("size") is not None and isinstance(
+                    mt, datetime.datetime
+                ):
+                    _hint_stat(
+                        name,
+                        int(p["size"]),
+                        int(mt.timestamp() * 1e9),
+                    )
                 out.append(name)
         return sorted(out)
 
@@ -502,8 +532,14 @@ def fs_glob(pattern: str) -> list[str]:
         return sorted(_glob.glob(strip_scheme(pattern)))
     parent = posixpath.dirname(pattern)
     base = posixpath.basename(pattern)
+    # glob semantics: '*' never matches a leading dot
     return sorted(
-        p for p in h.listdir(parent) if fnmatch.fnmatch(posixpath.basename(p), base)
+        p
+        for p in h.listdir(parent)
+        if fnmatch.fnmatch(posixpath.basename(p), base)
+        and not (
+            posixpath.basename(p).startswith(".") and not base.startswith(".")
+        )
     )
 
 
@@ -572,6 +608,7 @@ def fs_open_output(path: str):
     h = _handler(path)
     if h is None:
         return open(strip_scheme(path), "wb")
+    _invalidate_hint(path)
     return _SpoolUpload(h, path)
 
 
@@ -581,8 +618,13 @@ def fs_move(src: str, dst: str) -> None:
     if hs is None and hd is None:
         os.replace(strip_scheme(src), strip_scheme(dst))
         return
-    if type(hs) is not type(hd):
+    # identity, not type: two schemes can share a handler CLASS
+    # (fsspec s3 vs gs, simlat5 vs simlat10) while being different
+    # filesystems — handing dst to the src handler would misroute it
+    if hs is not hd:
         raise ValueError(f"fs_move: cross-filesystem move {src} -> {dst}")
+    _invalidate_hint(src)
+    _invalidate_hint(dst)
     hs.move(src, dst)  # type: ignore[union-attr]
 
 
@@ -591,6 +633,7 @@ def fs_remove(path: str) -> None:
     if h is None:
         os.unlink(strip_scheme(path))
         return
+    _invalidate_hint(path)
     h.remove(path)
 
 

@@ -29,7 +29,7 @@ import numpy as np
 import pyarrow as pa
 
 from polars_readstat_spark.sources import strdecode
-from polars_readstat_spark.sources.fs import fs_open, fs_size, fs_mtime_ns
+from polars_readstat_spark.sources.fs import fs_open, fs_size
 from polars_readstat_spark.sources.sav.meta import (
     HIGHEST_BITS,
     LOWEST_BITS,
@@ -665,11 +665,17 @@ def _sidecar_path(meta: SavMeta, tag: str, extra: str = "") -> str | None:
     import hashlib
 
     from polars_readstat_spark.sources import cache
+    from polars_readstat_spark.sources.fs import fs_stat, path_scheme
 
+    # URI paths are already absolute identities (abspath would make
+    # the key cwd-dependent); fs_stat does size+mtime in one round
+    # trip and rides LIST hints
+    ident = (
+        meta.path if path_scheme(meta.path) else os.path.abspath(meta.path)
+    )
+    size, mtime = fs_stat(meta.path)
     key = hashlib.sha1(
-        f"{os.path.abspath(meta.path)}|{fs_size(meta.path)}"
-        f"|{fs_mtime_ns(meta.path)}"
-        f"|{extra}".encode()
+        f"{ident}|{size}|{mtime}|{extra}".encode()
     ).hexdigest()[:24]
     return cache.cache_path(f"prs-{tag}-{key}")
 
@@ -1024,8 +1030,26 @@ def _fetch_stream_bytes(
     end = int(starts[-1]) if hi is None else hi
     b_lo = int(np.searchsorted(starts, lo, side="right") - 1)
     b_hi = int(np.searchsorted(starts, max(end - 1, lo), side="right"))
+    from polars_readstat_spark.sources.fs import is_remote
+
     with fs_open(meta.path) as f:
         lock_read = threading.Lock()
+        # per-thread handles on remote paths, same reasoning as
+        # _iter_zsav_inflated: a shared handle serializes the
+        # first-byte waits behind lock_read, defeating the pool
+        remote = is_remote(meta.path)
+        tl = threading.local()
+        extra_handles: list = []
+        handles_lock = threading.Lock()
+
+        def _thread_handle():
+            h = getattr(tl, "f", None)
+            if h is None:
+                h = fs_open(meta.path)
+                tl.f = h
+                with handles_lock:
+                    extra_handles.append(h)
+            return h
 
         def fetch_inflate(blk):
             c_ofs, c_sz, _u = blk
@@ -1033,20 +1057,34 @@ def _fetch_stream_bytes(
                 import time as _t
 
                 _t.sleep(sim_latency_s)  # per-range first-byte
-            with lock_read:
-                f.seek(c_ofs)
-                raw = f.read(c_sz)
+            if remote:
+                h = _thread_handle()
+                h.seek(c_ofs)
+                raw = h.read(c_sz)
+            else:
+                with lock_read:
+                    f.seek(c_ofs)
+                    raw = f.read(c_sz)
             return zlib.decompress(raw)
 
-        span = blocks[b_lo:b_hi]
-        if use_pool:
-            try:
-                with ThreadPoolExecutor(4) as pool:
-                    infl = list(pool.map(fetch_inflate, span))
-            except Exception:
+        try:
+            span = blocks[b_lo:b_hi]
+            if use_pool:
+                try:
+                    with ThreadPoolExecutor(4) as pool:
+                        infl = list(pool.map(fetch_inflate, span))
+                except Exception:
+                    infl = [fetch_inflate(b) for b in span]
+            else:
                 infl = [fetch_inflate(b) for b in span]
-        else:
-            infl = [fetch_inflate(b) for b in span]
+        finally:
+            with handles_lock:
+                for h in extra_handles:
+                    try:
+                        h.close()
+                    except Exception:  # noqa: BLE001
+                        pass
+                extra_handles.clear()
     joined = b"".join(infl)
     base = int(starts[b_lo])
     return joined[lo - base : None if hi is None else end - base]

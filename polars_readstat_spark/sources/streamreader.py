@@ -51,13 +51,18 @@ def _list_files(path: str) -> list[str]:
 
 class StreamUnitsPartition(InputPartition):
     """One scheduled task of a micro-batch: a list of
-    (file_reader, inner_partition, path) units — either one unit (a
-    slice of a big file) or a packed group of small files. Each
-    partition carries exactly its own units' readers, so serializing
-    a batch's partitions is O(total units), never O(files²)."""
+    (file_options, inner_partition, path) units — either one unit (a
+    slice of a big file) or a packed group of small files. Units
+    carry OPTION DICTS, not reader objects: a wide file's parsed
+    metadata (1000+ variable records) would otherwise be pickled once
+    per inner partition per micro-batch. The executor rebuilds each
+    reader from its options — the metadata parse is memoized per
+    worker process and backed by the persistent sidecars, so only the
+    first task per (worker, file) pays it."""
 
-    def __init__(self, units: list):
+    def __init__(self, units: list, union: bool):
         self.units = units
+        self.union = union
 
 
 class ReadstatStreamReader(DataSourceStreamReader):
@@ -103,10 +108,14 @@ class ReadstatStreamReader(DataSourceStreamReader):
         # batch — absent columns read as null, widened numerics cast,
         # unknown columns are projected away (a stream cannot widen
         # its schema mid-flight). align_fields pins that target.
+        # per_file_slicing: n_rows/offset/row_index_name stay legal and
+        # apply per landed file (the stream's pre-r11 semantics — there
+        # is no Catalyst limit across a stream's files).
         mf = ds._multi_reader(
             self._schema,
             new,
             align_fields=list(self._schema.fields) if union else None,
+            per_file_slicing=True,
         )
         out = []
         for p in mf.partitions():
@@ -114,9 +123,14 @@ class ReadstatStreamReader(DataSourceStreamReader):
             out.append(
                 StreamUnitsPartition(
                     [
-                        (mf.readers[u.file_idx], u.inner, mf.paths[u.file_idx])
+                        (
+                            mf.file_opts[u.file_idx],
+                            u.inner,
+                            mf.paths[u.file_idx],
+                        )
                         for u in units
-                    ]
+                    ],
+                    union,
                 )
             )
         return out
@@ -129,14 +143,33 @@ class ReadstatStreamReader(DataSourceStreamReader):
             MultiFileReader,
             MultiPart,
             MultiPartGroup,
+            ReadstatDataSource,
+            SchemaAlignReader,
+            _handles_readahead,
         )
 
-        # rebuild a minimal MultiFileReader over just this task's
-        # units, reusing its path_column append and the across-unit
-        # prefetch pool (io_readahead) for packed small-file groups
+        # rebuild this task's readers from their option dicts (parsed
+        # metadata comes from the worker-process memo / sidecars),
+        # then reuse MultiFileReader's path_column append and the
+        # across-unit prefetch pool for packed small-file groups
         units = partition.units
+        readers = []
+        for opts, _inner, _path in units:
+            r = ReadstatDataSource(dict(opts))._reader_uncompressed(
+                self._schema
+            )
+            if partition.union:
+                r = SchemaAlignReader(r, list(self._schema.fields))
+            ra = int(opts.get("io_readahead", 0) or 0)
+            if ra > 0 and not _handles_readahead(r):
+                from polars_readstat_spark.sources.readahead import (
+                    ReadaheadReader,
+                )
+
+                r = ReadaheadReader(r, ra)
+            readers.append(r)
         mf = MultiFileReader(
-            [u[0] for u in units],
+            readers,
             [u[2] for u in units],
             self.options.get("path_column"),
             coalesce_target=0,

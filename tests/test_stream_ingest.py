@@ -246,3 +246,33 @@ def test_stream_many_small_files_end_to_end(spark, tmp_path):
     q.stop()
     got = spark.read.parquet(out).collect()
     assert sorted(r.id for r in got) == list(range(600))
+
+
+def test_stream_per_file_n_rows(spark, tmp_path):
+    """Per-file slicing options stay legal on streams (each landed
+    file is its own unit of work — there is no Catalyst limit across
+    a stream's files): n_rows=5 takes the first 5 rows of EVERY
+    landed file."""
+    src = str(tmp_path / "sliced")
+    _tiny_dta_dir(src, 4, rows_per_file=20)
+    parts, r = _stream_parts({"path": src, "n_rows": "5"})
+    rows = []
+    for p in parts:
+        for b in r.read(p):
+            rows.extend(b.column(0).to_pylist())
+    assert sorted(rows) == sorted(
+        x for k in range(4) for x in range(k * 20, k * 20 + 5)
+    )
+
+
+def test_stream_partition_payload_has_no_reader_objects(spark, tmp_path):
+    """StreamUnitsPartition ships option dicts, never parsed reader
+    objects — a wide file's metadata must not be pickled once per
+    inner partition (finding r11-review#10)."""
+    src = str(tmp_path / "payload")
+    _tiny_dta_dir(src, 3)
+    parts, _r = _stream_parts({"path": src, "coalesce_files": "0"})
+    for p in parts:
+        for opts, _inner, path in p.units:
+            assert isinstance(opts, dict) and isinstance(path, str)
+            assert "path" in opts
