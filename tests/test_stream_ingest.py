@@ -276,3 +276,25 @@ def test_stream_partition_payload_has_no_reader_objects(spark, tmp_path):
         for opts, _inner, path in p.units:
             assert isinstance(opts, dict) and isinstance(path, str)
             assert "path" in opts
+
+
+def test_stream_from_remote_uri(spark, tmp_path):
+    """readStream from a non-POSIX URI: listings, offsets, planning,
+    and executor reads all resolve through the filesystem seam."""
+    src = str(tmp_path / "remote_landing")
+    _tiny_dta_dir(src, 5, rows_per_file=10)
+    ckpt = str(tmp_path / "rl_ckpt")
+    out = str(tmp_path / "rl_out")
+    q = (
+        spark.readStream.format("readstat")
+        .load("simlat0://" + src)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = spark.read.parquet(out).collect()
+    assert sorted(r.id for r in got) == list(range(50))
