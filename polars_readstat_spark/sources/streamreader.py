@@ -76,14 +76,43 @@ class ReadstatStreamReader(DataSourceStreamReader):
         # state instead of ingesting what's already there
         v = str(self.options.get("include_existing", "true")).lower()
         self.include_existing = v in {"1", "true", "yes"}
+        # max_file_age_sec bounds offset growth on long-lived landing
+        # zones: the offset keeps only files whose mtime is within
+        # this window of the newest file (Spark's own FileStreamSource
+        # maxFileAge design). Files outside the window are simply
+        # outside the stream's scope — trimmed after ingestion, and
+        # never ingested if they were already too old at start or land
+        # backdated. Off by default — offsets then carry the exact
+        # full file list (100k files ≈ MBs per checkpoint commit), and
+        # nothing is ever skipped. Requires atomically-landed files
+        # with sane mtimes, which the source already assumes.
+        age = self.options.get("max_file_age_sec")
+        self.max_age_ns = (
+            int(float(age) * 1e9) if age not in (None, "") else None
+        )
+
+    def _listing(self) -> dict:
+        """Current-offset dict: full listing, or the age-compacted
+        (seen, horizon) form when max_file_age_sec is set."""
+        files = _list_files(self.path)
+        if self.max_age_ns is None or not files:
+            return {"seen": files}
+        from polars_readstat_spark.sources.fs import fs_stat
+
+        mt = {f: fs_stat(f)[1] for f in files}
+        horizon = max(mt.values()) - self.max_age_ns
+        return {
+            "seen": [f for f in files if mt[f] >= horizon],
+            "horizon": horizon,
+        }
 
     def initialOffset(self) -> dict:
         if self.include_existing:
             return {"seen": []}
-        return {"seen": _list_files(self.path)}
+        return self._listing()
 
     def latestOffset(self) -> dict:
-        return {"seen": _list_files(self.path)}
+        return self._listing()
 
     def partitions(self, start: dict, end: dict):
         from polars_readstat_spark.sources.datasource import (
@@ -93,6 +122,23 @@ class ReadstatStreamReader(DataSourceStreamReader):
 
         prev = set(start.get("seen", []))
         new = [f for f in end.get("seen", []) if f not in prev]
+        prev_h = start.get("horizon")
+        if prev_h is not None and new:
+            # age-compacted offsets: a name absent from prev.seen with
+            # an mtime older than prev's horizon was trimmed as
+            # already-ingested, not newly landed — re-reading it would
+            # duplicate rows on every replay. (A genuinely NEW file
+            # backdated past the window is skipped — the documented
+            # maxFileAge trade.) fs_stat rides the LIST's hints.
+            from polars_readstat_spark.sources.fs import fs_stat
+
+            def _fresh(f: str) -> bool:
+                try:
+                    return fs_stat(f)[1] >= prev_h
+                except OSError:
+                    return False  # vanished since the listing
+
+            new = [f for f in new if _fresh(f)]
         if not new:
             return []
         opts = dict(self.options)

@@ -298,3 +298,75 @@ def test_stream_from_remote_uri(spark, tmp_path):
     q.stop()
     got = spark.read.parquet(out).collect()
     assert sorted(r.id for r in got) == list(range(50))
+
+
+def test_stream_max_file_age_bounds_offsets(spark, tmp_path):
+    """max_file_age_sec compacts offsets to the mtime window of the
+    newest file (Spark FileStreamSource maxFileAge design): offsets
+    stay bounded on a long-lived landing zone, already-ingested names
+    trimmed from the window never re-ingest, and backdated arrivals
+    outside the window are skipped (the documented trade)."""
+    from polars_readstat_spark.sources.datasource import ReadstatDataSource
+    from polars_readstat_spark.sources.streamreader import (
+        ReadstatStreamReader,
+    )
+
+    src = str(tmp_path / "aged")
+    _tiny_dta_dir(src, 5, rows_per_file=4)  # f0000..f0004
+    base = 1_700_000_000  # deterministic mtimes, seconds apart
+    for k in range(5):
+        t = base + k
+        os.utime(os.path.join(src, f"f{k:04d}.dta"), (t, t))
+    opts = {"path": src, "max_file_age_sec": "2"}
+    schema = ReadstatDataSource(dict(opts))._schema_uncompressed()
+    r = ReadstatStreamReader(dict(opts), schema)
+
+    end1 = r.latestOffset()
+    names1 = [os.path.basename(f) for f in end1["seen"]]
+    # window = newest(base+4) - 2s → f0002..f0004 only
+    assert names1 == ["f0002.dta", "f0003.dta", "f0004.dta"]
+    assert end1["horizon"] == (base + 2) * 10**9
+
+    def rows_of(parts):
+        out = []
+        for p in parts:
+            for b in r.read(p):
+                out.extend(b.column(0).to_pylist())
+        return sorted(out)
+
+    # first batch ingests exactly the in-window files
+    got1 = rows_of(r.partitions({"seen": []}, end1))
+    assert got1 == sorted(x for k in (2, 3, 4) for x in range(k * 4, k * 4 + 4))
+
+    # a new file lands; the old ones age out of the offset entirely
+    p5 = os.path.join(src, "f0005.dta")
+    import pandas as pd
+
+    pd.DataFrame({"id": range(20, 24), "v": [0.0] * 4}).to_stata(
+        p5, write_index=False, version=118
+    )
+    t5 = base + 10
+    os.utime(p5, (t5, t5))
+    end2 = r.latestOffset()
+    assert [os.path.basename(f) for f in end2["seen"]] == ["f0005.dta"]
+    # bounded: the offset no longer carries the 5 older names
+    got2 = rows_of(r.partitions(end1, end2))
+    assert got2 == [20, 21, 22, 23]
+
+    # f0003 is still on disk, absent from both seens, and older than
+    # end2's horizon — it was trimmed as ingested, NOT new: a replay
+    # from end2 must not re-read it even if a listing resurfaces it
+    fake_end = {
+        "seen": end2["seen"] + [os.path.join(src, "f0003.dta")],
+        "horizon": end2["horizon"],
+    }
+    assert r.partitions(end2, fake_end) == []
+
+    # a backdated file landing outside the window is skipped
+    p6 = os.path.join(src, "f0006.dta")
+    pd.DataFrame({"id": [99], "v": [0.0]}).to_stata(
+        p6, write_index=False, version=118
+    )
+    os.utime(p6, (base + 1, base + 1))
+    end3 = r.latestOffset()
+    assert "f0006.dta" not in [os.path.basename(f) for f in end3["seen"]]
