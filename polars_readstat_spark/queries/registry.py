@@ -72,7 +72,7 @@ _PRIORITY: tuple[str, ...] = (
     "scan_dta_roundtrip",
     "scan_dta_metadata_surface",
     "scan_sas7bdat_roundtrip",
-    "scan_sas7bdat_rle_roundtrip",
+    "sink_remote_roundtrip",  # NEW: distributed sink to a simlat1:// URI
     "scan_sav_roundtrip",
     "scan_sav_compressed_roundtrip",
     "scan_zsav_roundtrip",

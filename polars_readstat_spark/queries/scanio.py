@@ -270,6 +270,34 @@ def scan_sink_dir_roundtrip(spark, sf_dir):
     return _canon(_scan(spark, d))
 
 
+@query("sink_remote_roundtrip", oracle=_CANON_ORACLE)
+def sink_remote_roundtrip(spark, sf_dir):
+    """The WRITE side of the filesystem seam under the driver oracle:
+    the distributed sink saves lineitem as dta part-files to a
+    ``simlat1://`` URI (executor tasks spool+upload staged names, the
+    commit publishes with filesystem-level moves), then the same URI
+    is scanned back through the seam. One hash-match proves the
+    upload, publish, listing, and decode paths are all
+    byte-transparent end to end."""
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    d = os.path.join(_cache_dir(sf_dir), "sink_remote_dta")
+    done = os.path.join(d, ".done")
+    if not os.path.exists(done):
+        (
+            _source_frame(spark, sf_dir)
+            .repartition(3)
+            .write.format("readstat")
+            .option("format", "dta")
+            .mode("overwrite")
+            .save("simlat1://" + d)
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return _canon(_scan(spark, "simlat1://" + d))
+
+
 @query("scan_sav_roundtrip", oracle=_CANON_ORACLE)
 def scan_sav_roundtrip(spark, sf_dir):
     """S10/W3: SPSS SAV write → scan (uncompressed records)."""
