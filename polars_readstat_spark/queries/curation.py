@@ -692,6 +692,77 @@ def train_val_test_split(spark, sf_dir):
 
 
 @query(
+    "training_sequence_pack",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id,
+             GREATEST(n_chars // 4, 1) AS tokens,
+             ((doc_id % 1000003) * 2654435761 + 12345) % 4294967296
+               AS skey
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, tokens, skey, skey % 32 AS shard,
+             SUM(tokens) OVER (PARTITION BY skey % 32
+                               ORDER BY skey, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM k
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST((cum - tokens) // 8192 AS BIGINT) AS seq_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS sum_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM s GROUP BY shard, (cum - tokens) // 8192
+    """,
+)
+def training_sequence_pack(spark, sf_dir):
+    """Context-window sequence packing — the step between a shuffled
+    corpus and a trainer's fixed-length batches: documents are laid
+    end-to-end in deterministic shard order and cut into 8192-token
+    sequences; each document belongs to the sequence where it STARTS
+    (cross-boundary docs span into the next window, the standard
+    packed-pretraining layout). No global sort: the same
+    multiplicative-hash sharding as training_shard_shuffle gives 32
+    independent streams, and the within-shard running token total is
+    one window cumsum per shard — one shuffle, local sorts, linear in
+    corpus size. Token counts use the n_chars/4 proxy in exact
+    integer arithmetic so the oracle replays bit-for-bit; a real
+    tokenizer drops in by swapping the tokens expression. Output is
+    one row per packed sequence (fill accounting + first doc), the
+    manifest a data loader consumes."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    skey = (
+        (F.col("doc_id") % F.lit(1000003)) * F.lit(2654435761)
+        + F.lit(12345)
+    ) % F.lit(4294967296)
+    d = docs.select(
+        "doc_id",
+        F.greatest(
+            F.expr("n_chars div 4"), F.lit(1).cast("long")
+        ).alias("tokens"),
+        skey.alias("skey"),
+        (skey % 32).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("skey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("cum", F.sum("tokens").over(w))
+    d = d.withColumn(
+        "seq_idx", F.expr("(cum - tokens) div 8192").cast("bigint")
+    )
+    return d.groupBy("shard", "seq_idx").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").cast("bigint").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@query(
     "training_shard_shuffle",
     oracle="""
     WITH k AS (

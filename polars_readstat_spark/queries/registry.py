@@ -59,6 +59,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_dedup_watermark",
     "training_shard_shuffle",
     "multimodal_decode_embed",
+    "training_sequence_pack",  # NEW r11: context-window packing manifest
     # part 2: queries whose code path changed this round — the
     # filesystem seam under every reader (fs_open/fs_stat/listing),
     # the metamemo persistent sidecars under planning, the stream
@@ -67,7 +68,9 @@ _PRIORITY: tuple[str, ...] = (
     "scan_fs_seam_roundtrip",  # NEW: non-posix simlat1:// scan
     "stream_ingest_agg",
     "scan_union_by_name",
-    "scan_dta_multifile",
+    # (scan_dta_multifile evicted to 51+: its dir+canon is covered
+    # in-window by scan_dta_multifile_readahead and the fs-seam scan
+    # of the same fixture)
     "scan_dta_multifile_readahead",
     "scan_dta_roundtrip",
     "scan_dta_metadata_surface",
