@@ -134,3 +134,25 @@ def test_redact_chain_order_is_fixed(spark):
     # happened, but the phone pattern also matched the original text —
     # the documented semantic reports 2 (see redact()'s docstring).
     assert row.n_redactions == 2
+
+
+def test_training_sequence_pack_properties(spark):
+    """Packing invariants: every document lands in exactly one
+    sequence, per-shard sequence indices are contiguous from 0 (the
+    windows are cut from a continuous cumsum), and no sequence except
+    a shard's last can be under-filled by more than one document's
+    spillover."""
+    from polars_readstat_spark.queries.curation import (
+        training_sequence_pack,
+    )
+    from polars_readstat_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = training_sequence_pack(spark, sf).collect()
+    total_docs = load_table(spark, sf, "documents").count()
+    assert sum(r.n_docs for r in out) == total_docs
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.seq_idx)
+    for shard, idxs in by_shard.items():
+        assert sorted(idxs) == list(range(max(idxs) + 1)), shard
