@@ -405,3 +405,43 @@ def test_remote_paths_default_to_readahead(dta_file):
     # local paths keep the off default
     dsl = ReadstatDataSource({"path": dta_file})
     assert "io_readahead" not in dsl.options
+
+
+def test_spool_upload_failure_leaves_no_partial_and_cleans_spool(tmp_path):
+    """If the remote upload fails at close, the spool temp file is
+    still removed and the error propagates (no silent half-writes)."""
+    import glob
+
+    from polars_readstat_spark.sources.fs import fs_open_output
+
+    class FailingFS(FsHandler):
+        def open_output(self, path):
+            raise IOError("upload rejected")
+
+    register_filesystem("failfs", FailingFS())
+    try:
+        before = set(glob.glob("/tmp/prs-spool-*"))
+        w = fs_open_output("failfs://bucket/x.dta")
+        w.write(b"abc")
+        w.seek(0)
+        w.write(b"Z")
+        with pytest.raises(IOError, match="upload rejected"):
+            w.close()
+        after = set(glob.glob("/tmp/prs-spool-*"))
+        assert after - before == set()  # spool cleaned up
+    finally:
+        unregister_filesystem("failfs")
+
+
+def test_spool_upload_preserves_backpatched_bytes(tmp_path):
+    """Seek-backpatch into the spool must reach the uploaded object
+    byte-for-byte (writers patch row counts and block tables)."""
+    from polars_readstat_spark.sources.fs import fs_open_output
+
+    dest = str(tmp_path / "patched.bin")
+    with fs_open_output("simlat0://" + dest) as w:
+        w.write(b"\x00" * 8 + b"PAYLOAD")
+        w.seek(0)
+        w.write(b"HDR:0007")
+    with open(dest, "rb") as f:
+        assert f.read() == b"HDR:0007PAYLOAD"
