@@ -18,7 +18,6 @@ pandas.io.stata):
 
 from __future__ import annotations
 
-import os
 import struct
 from dataclasses import dataclass, field
 from polars_readstat_spark.sources.fs import fs_open, fs_size

@@ -20,7 +20,6 @@ strictly serially, PARALLELIZATION.md:34-40):
 
 from __future__ import annotations
 
-import os
 
 import numpy as np
 import pyarrow as pa

@@ -75,8 +75,6 @@ def parse_xpt_meta(path: str) -> XptMeta:
 
 
 def _parse_xpt_meta(path: str) -> XptMeta:
-    import os
-
     with fs_open(path) as f:
         first = _rec(f)
         if not first.startswith(b"HEADER RECORD*******LIB"):
