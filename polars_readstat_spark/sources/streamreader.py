@@ -214,12 +214,16 @@ class ReadstatStreamReader(DataSourceStreamReader):
 
                 r = ReadaheadReader(r, ra)
             readers.append(r)
+        # group prefetch depth from the per-file opts (they carry the
+        # remote io_readahead default injected at plan time; the raw
+        # stream options may not)
+        g_ra = int(units[0][0].get("io_readahead", 0) or 0) if units else 0
         mf = MultiFileReader(
             readers,
             [u[2] for u in units],
             self.options.get("path_column"),
             coalesce_target=0,
-            group_readahead=int(self.options.get("io_readahead", 0) or 0),
+            group_readahead=g_ra,
         )
         inner = [MultiPart(i, u[1]) for i, u in enumerate(units)]
         part = inner[0] if len(inner) == 1 else MultiPartGroup(inner)
