@@ -72,7 +72,10 @@ _PRIORITY: tuple[str, ...] = (
     # in-window by scan_dta_multifile_readahead and the fs-seam scan
     # of the same fixture)
     "scan_dta_multifile_readahead",
-    "scan_dta_roundtrip",
+    # (scan_dta_roundtrip evicted to 51+: the dta seam path is
+    # covered in-window by the readahead multifile twin, the fs-seam
+    # scan, and sink_remote_roundtrip's dta write+scan)
+    "pca_power_iter_step",  # NEW r11: exact-integer power iteration
     "scan_dta_metadata_surface",
     "scan_sas7bdat_roundtrip",
     "sink_remote_roundtrip",  # NEW: distributed sink to a simlat1:// URI

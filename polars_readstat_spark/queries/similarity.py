@@ -62,6 +62,67 @@ _NORM_DUCK = f"""
 
 
 @query(
+    "pca_power_iter_step",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id,
+             UNNEST(range(0, len(embedding))) AS j,
+             embedding
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, j,
+             CAST(FLOOR(CAST(embedding[CAST(j+1 AS INT)] AS DOUBLE)
+                        * 10000) AS BIGINT) AS qe,
+             (j*37 + 11) % 21 - 10 AS x
+      FROM ex
+    ),
+    d AS (
+      SELECT vec_id, SUM(qe * x) AS dot FROM q GROUP BY vec_id
+    )
+    SELECT CAST(q.j AS BIGINT) AS j,
+           CAST(SUM(d.dot * q.qe) AS BIGINT) AS y
+    FROM q JOIN d USING (vec_id)
+    GROUP BY q.j
+    """,
+)
+def pca_power_iter_step(spark, sf_dir):
+    """One distributed power-iteration step y = (XᵀX)·x over the
+    embedding matrix WITHOUT materializing the covariance: per row,
+    y += (row·x)·row — an explode, one windowed per-vector dot, one
+    d-row aggregation. Iterating this (renormalizing driver-side
+    between steps, like kmeans_update_step's loop shape) converges to
+    the top principal component; each iteration is two shuffles
+    bounded by N·d rows regardless of corpus size, never the d×d
+    covariance build (which explodes to N·d² rows).
+
+    Exactness: embeddings quantize to integers via floor(e·10⁴)
+    (float32→double widening is exact, floor is correctly defined in
+    both engines), and the fixed start vector x_j = ((37j+11) mod 21)
+    − 10 is integer, so every dot product and the final accumulation
+    are pure int64 arithmetic — the oracle replays bit-for-bit with
+    no float-summation-order caveats."""
+    from pyspark.sql import Window as _W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("vec_id", F.posexplode("embedding").alias("j", "ev"))
+    q = ex.select(
+        "vec_id",
+        "j",
+        F.floor(F.col("ev").cast("double") * 10000)
+        .cast("long")
+        .alias("qe"),
+        ((F.col("j") * 37 + 11) % 21 - 10).alias("x"),
+    )
+    q = q.withColumn(
+        "dot", F.sum(F.col("qe") * F.col("x")).over(_W.partitionBy("vec_id"))
+    )
+    return q.groupBy(F.col("j").cast("bigint").alias("j")).agg(
+        F.sum(F.col("dot") * F.col("qe")).cast("bigint").alias("y")
+    )
+
+
+@query(
     "embedding_l2_norms",
     oracle="WITH "
     + _NORM_DUCK
