@@ -563,3 +563,28 @@ def test_decontaminate_hash_prefilter_two_phase(spark):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "xxhash64" in plan
     assert "partial_count" in plan
+
+
+def test_training_sequence_pack_single_shard_shuffle(spark):
+    """Packing = shard-partitioned window cumsum + hash agg: the plan
+    must exchange on the shard hash (one shuffle feeding the window),
+    combine the final agg map-side, and never global-sort."""
+    plan = plan_of(spark, "training_sequence_pack")
+    assert "Window" in plan
+    assert "partial_" in plan  # final rollup combines map-side
+    assert "CartesianProduct" not in plan
+    # a global sort (total ordering exchange) would be the scale bug
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_pca_power_iter_step_no_covariance_blowup(spark):
+    """The matvec stays N*d: explode + per-vector window + d-row agg —
+    no join of the exploded table against itself (which would be the
+    N*d^2 covariance materialization) and no cartesian product."""
+    plan = plan_of(spark, "pca_power_iter_step")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    # exactly one explode pass (formatted plans print each Generate
+    # node twice: once in the tree, once in the detail section)
+    assert plan.count("posexplode(") == 1
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
