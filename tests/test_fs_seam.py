@@ -445,3 +445,36 @@ def test_spool_upload_preserves_backpatched_bytes(tmp_path):
         w.write(b"HDR:0007")
     with open(dest, "rb") as f:
         assert f.read() == b"HDR:0007PAYLOAD"
+
+
+def test_latency_file_random_access_equivalence(dta_file):
+    """Property: ANY interleaving of seeks and reads through the
+    latency wrapper returns byte-identical results to the plain file
+    (the wrapper must never desynchronize its position tracking)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    size = os.path.getsize(dta_file)
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=size + 10),
+                st.integers(min_value=0, max_value=256),
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def check(ops):
+        with fs_open("simlat0://" + dta_file) as a, open(
+            dta_file, "rb"
+        ) as b:
+            for pos, n in ops:
+                a.seek(pos)
+                b.seek(pos)
+                assert a.read(n) == b.read(n)
+                assert a.tell() == b.tell()
+
+    check()
