@@ -259,22 +259,19 @@ class _ArrowFS(FsHandler):
     production remote path. Resolved (and connection-pooled) lazily
     per process via FileSystem.from_uri."""
 
-    def __init__(self, scheme: str, fs, example_uri: str):
-        from pyarrow import fs as _pafs
-
+    def __init__(self, scheme: str, fs, example_uri: str, example_inner: str):
         self.scheme = scheme
         self.fs = fs
         # from_uri strips the scheme and may also strip an authority
         # (hdfs://host:port/a/b → /a/b, while s3://bucket/k → bucket/k).
-        # Derive the strip prefix ONCE from the example instead of
-        # calling from_uri per operation — from_uri constructs (and
-        # discards) a whole new filesystem object each time, paying
-        # credential/client setup on every metadata call.
-        _, inner = _pafs.FileSystem.from_uri(example_uri)
+        # Derive the strip prefix ONCE from the example's (uri, inner)
+        # pair instead of calling from_uri per operation — from_uri
+        # constructs (and discards) a whole new filesystem object each
+        # time, paying credential/client setup on every metadata call.
         stripped = strip_scheme(example_uri)
         self._prefix = (
-            stripped[: len(stripped) - len(inner)]
-            if stripped.endswith(inner)
+            stripped[: len(stripped) - len(example_inner)]
+            if stripped.endswith(example_inner)
             else ""
         )
 
@@ -442,8 +439,8 @@ def _resolve_external(scheme: str, path: str) -> FsHandler:
         pass  # fsspec present but doesn't know the scheme
     from pyarrow import fs as _pafs
 
-    fs, _ = _pafs.FileSystem.from_uri(path)
-    return _ArrowFS(scheme, fs, path)
+    fs, inner = _pafs.FileSystem.from_uri(path)
+    return _ArrowFS(scheme, fs, path, inner)
 
 
 # ------------------------- call-site surface -------------------------
