@@ -543,3 +543,64 @@ def test_arrow_adapter_full_surface(spark, tmp_path):
         assert not fs_exists("xarrow://" + base + "/b.dta")
     finally:
         unregister_filesystem("xarrow")
+
+
+def test_fsspec_adapter_with_fake_filesystem(tmp_path):
+    """_FsspecFS logic (hint harvesting incl. LastModified, listing
+    scheme prefixes, open modes) against a minimal fsspec-shaped fake
+    — the container has no fsspec, but the adapter must keep working
+    when one is installed."""
+    import datetime
+
+    from polars_readstat_spark.sources.fs import _FsspecFS, _STAT_HINTS
+
+    base = str(tmp_path)
+    (tmp_path / "x.bin").write_bytes(b"hello-fsspec")
+
+    class FakeFS:
+        def open(self, path, mode):
+            return open(strip_scheme(path), mode)
+
+        def size(self, path):
+            return os.path.getsize(strip_scheme(path))
+
+        def modified(self, path):
+            return datetime.datetime.fromtimestamp(
+                os.stat(strip_scheme(path)).st_mtime,
+                tz=datetime.timezone.utc,
+            )
+
+        def isdir(self, path):
+            return os.path.isdir(strip_scheme(path))
+
+        def exists(self, path):
+            return os.path.exists(strip_scheme(path))
+
+        def ls(self, path, detail=True):
+            local = strip_scheme(path)
+            out = []
+            for f in sorted(os.listdir(local)):
+                fp = os.path.join(local, f)
+                st = os.stat(fp)
+                out.append(
+                    {
+                        "name": fp,  # fsspec returns scheme-less names
+                        "type": "file" if os.path.isfile(fp) else "directory",
+                        "size": st.st_size,
+                        "LastModified": datetime.datetime.fromtimestamp(
+                            st.st_mtime, tz=datetime.timezone.utc
+                        ),
+                    }
+                )
+            return out
+
+    h = _FsspecFS("xfs", FakeFS())
+    uri = "xfs://" + base + "/x.bin"
+    with h.open_input(uri) as f:
+        assert f.read() == b"hello-fsspec"
+    assert h.size(uri) == 12
+    assert h.exists(uri) and not h.isdir(uri)
+    listed = h.listdir("xfs://" + base)
+    assert listed == [uri]  # scheme restored on scheme-less ls names
+    hint = _STAT_HINTS.get(uri)
+    assert hint is not None and hint[0] == 12 and hint[1] > 0
