@@ -555,7 +555,37 @@ class ReadstatDataSource(DataSource):
         # executor-side from options instead of pickling parsed metas
         # per partition (the streaming source)
         mf.file_opts = [file_opts[p] for p in paths]
+        mf.file_stats = self._load_stats_manifest(paths)
         return mf
+
+    def _load_stats_manifest(self, paths) -> dict | None:
+        """{full_path: manifest entry} from a sink-published
+        _prs_stats.json sitting beside the part-files — the zone maps
+        the filter pushdown uses to skip whole files. One existence
+        probe per plan; absent or unparsable → None (skip is an
+        optimization, never required)."""
+        import json
+
+        from polars_readstat_spark.sources import fs as _fs
+
+        dirs = {os.path.dirname(p) for p in paths}
+        if len(dirs) != 1:
+            return None
+        mpath = _fs.fs_join(next(iter(dirs)), "_prs_stats.json")
+        try:
+            if not _fs.fs_exists(mpath):
+                return None
+            with _fs.fs_open(mpath) as f:
+                doc = json.loads(f.read())
+        except Exception:  # noqa: BLE001 — corrupt manifest: no skip
+            return None
+        files = doc.get("files", {})
+        out = {}
+        for p in paths:
+            e = files.get(os.path.basename(p))
+            if e is not None:
+                out[p] = e
+        return out or None
 
     def _reader_uncompressed(self, schema) -> DataSourceReader:
         fmt = self._format()

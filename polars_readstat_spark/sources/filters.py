@@ -101,14 +101,72 @@ def _compile(f: Filter):
     return None
 
 
+def _refutes(f: Filter, cols: dict) -> bool:
+    """True when a file's zone maps PROVE filter `f` matches no row.
+    cols: {name: {min, max, nn (non-null), n}} over plain numeric
+    columns; comparisons never match nulls, so [min, max] of the
+    non-null values is the complete match range."""
+    if isinstance(f, Not):
+        return False  # negations don't refute from ranges safely
+    attr = getattr(f, "attribute", None)
+    if not attr or len(attr) != 1:
+        return False
+    st = cols.get(attr[0])
+    if st is None:
+        return False
+    nn, n = st.get("nn"), st.get("n")
+    if isinstance(f, IsNotNull):
+        return nn == 0
+    if isinstance(f, IsNull):
+        return nn == n
+    mn, mx = st.get("min"), st.get("max")
+    if not isinstance(mn, (int, float)) or isinstance(mn, bool):
+        return False
+    if not isinstance(mx, (int, float)) or isinstance(mx, bool):
+        return False
+
+    def num(v):
+        return (
+            v
+            if isinstance(v, (int, float)) and not isinstance(v, bool)
+            else None
+        )
+
+    if isinstance(f, In):
+        vs = [num(v) for v in f.value]
+        if any(v is None for v in vs):
+            return False
+        return all(v < mn or v > mx for v in vs)
+    v = num(getattr(f, "value", None))
+    if v is None:
+        return False
+    if isinstance(f, (EqualTo, EqualNullSafe)):
+        return v < mn or v > mx
+    if isinstance(f, GreaterThan):
+        return mx <= v
+    if isinstance(f, GreaterThanOrEqual):
+        return mx < v
+    if isinstance(f, LessThan):
+        return mn >= v
+    if isinstance(f, LessThanOrEqual):
+        return mn > v
+    return False
+
+
 class BatchFilterReader(DataSourceReader):
     """Outermost reader wrapper: accepts what it can at pushFilters
     time, applies the conjunction per batch (null → row dropped, SQL
-    semantics), delegates everything else."""
+    semantics), delegates everything else. When the inner chain is a
+    multi-file scan whose directory carries a _prs_stats.json zone-map
+    manifest, accepted filters additionally SKIP whole part-files
+    whose ranges refute them (Delta/Iceberg-style file skipping) —
+    each pruned file's manifest size is validated against the live
+    file first, so a stale manifest costs the skip, never rows."""
 
     def __init__(self, inner: DataSourceReader):
         self.inner = inner
         self._preds = []
+        self._accepted = []
 
     def pushFilters(self, filters):
         rest = []
@@ -118,10 +176,65 @@ class BatchFilterReader(DataSourceReader):
                 rest.append(f)
             else:
                 self._preds.append(fn)
+                self._accepted.append(f)
         return rest
 
+    def _find_multi(self):
+        r = self.inner
+        while r is not None:
+            if hasattr(r, "file_stats") and hasattr(r, "paths"):
+                return r
+            r = getattr(r, "inner", None)
+        return None
+
     def partitions(self):
-        return self.inner.partitions()
+        parts = self.inner.partitions()
+        mf = self._find_multi()
+        stats = getattr(mf, "file_stats", None) if mf is not None else None
+        if not stats or not self._accepted:
+            return parts
+        from polars_readstat_spark.sources.datasource import (
+            MultiPart,
+            MultiPartGroup,
+        )
+        from polars_readstat_spark.sources.fs import fs_size
+
+        keep_cache: dict = {}
+
+        def keep(path: str) -> bool:
+            k = keep_cache.get(path)
+            if k is None:
+                e = stats.get(path)
+                k = True
+                if e is not None and any(
+                    _refutes(f, e.get("cols", {})) for f in self._accepted
+                ):
+                    # trust the refutation only if the live file still
+                    # matches the manifest's size (stale stats must
+                    # never drop rows)
+                    try:
+                        k = fs_size(path) != e.get("size")
+                    except OSError:
+                        k = True
+                keep_cache[path] = k
+            return k
+
+        out = []
+        for p in parts:
+            if isinstance(p, MultiPartGroup):
+                kept = [u for u in p.units if keep(mf.paths[u.file_idx])]
+                if len(kept) == len(p.units):
+                    out.append(p)
+                elif len(kept) > 1:
+                    out.append(MultiPartGroup(kept))
+                elif kept:
+                    out.append(kept[0])
+            elif isinstance(p, MultiPart):
+                if keep(mf.paths[p.file_idx]):
+                    out.append(p)
+            else:
+                out.append(p)
+        return out
 
     def read(self, partition):
         if not self._preds:

@@ -39,14 +39,18 @@ from pyspark.sql.datasource import DataSourceStreamReader, InputPartition
 
 def _list_files(path: str) -> list[str]:
     from polars_readstat_spark.sources import fs as _fs
+    from polars_readstat_spark.sources.datasource import ReadstatDataSource
+
+    def ok(f: str) -> bool:
+        # skip dotfiles (staged debris) and non-data sidecars like a
+        # sink-published _prs_stats.json manifest
+        b = os.path.basename(f)
+        ext = os.path.splitext(b)[1].lower().lstrip(".")
+        return not b.startswith(".") and ext in ReadstatDataSource.SUPPORTED
 
     if _fs.fs_isdir(path):
-        return sorted(
-            f
-            for f in _fs.fs_listdir(path)
-            if not os.path.basename(f).startswith(".")
-        )
-    return sorted(_fs.fs_glob(path))
+        return sorted(f for f in _fs.fs_listdir(path) if ok(f))
+    return sorted(f for f in _fs.fs_glob(path) if ok(f))
 
 
 class StreamUnitsPartition(InputPartition):

@@ -69,6 +69,11 @@ class _PartMessage(WriterCommitMessage):
     final: str
     n_rows: int
     pid: int = -1
+    # per-column zone maps for the _prs_stats.json manifest:
+    # {col: [min, max, non_null, n_rows]} over PLAIN NUMERIC columns
+    # (logical values, computed on the Arrow batches before epoch
+    # conversion so they compare against reader output)
+    stats: dict | None = None
 
 
 def plan_write(schema, options):
@@ -153,20 +158,46 @@ def convert_batches(batches, names, kinds, fmt):
 
     widths = {n: 1 for n, k in zip(names, kinds) if k == "str"}
     frames = []
+    stats: dict = {
+        n: [None, None, 0, 0]
+        for n, k in zip(names, kinds)
+        if k not in ("str", "date", "datetime", "time")
+    }
+
+    def _accumulate(batch):
+        for i, name in enumerate(names):
+            st = stats.get(name)
+            if st is None:
+                continue
+            arr = batch.column(i)
+            st[3] += len(arr)
+            nn = len(arr) - arr.null_count
+            if nn == 0:
+                continue
+            st[2] += nn
+            mm = pc.min_max(arr)
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            if st[0] is None or mn < st[0]:
+                st[0] = mn
+            if st[1] is None or mx > st[1]:
+                st[1] = mx
+
     if fmt == "dta":
         # the dta packer (_pack_batch) consumes raw Arrow→pandas
         # representations (datetime64, float-with-NaN ints, strings)
         # and does its own epoch/missing-sentinel conversions — only
         # the string widths are gathered here
         for batch in batches:
+            _accumulate(batch)
             pdf = batch.to_pandas()
             for name, k in zip(names, kinds):
                 if k == "str":
                     widths[name] = max(widths[name], _utf8_width(pdf[name]))
             frames.append(pdf)
-        return frames, widths
+        return frames, widths, stats
     date_mul, date_add, sec_add = _EPOCH[fmt]
     for batch in batches:
+        _accumulate(batch)
         cols = {}
         for i, (name, k) in enumerate(zip(names, kinds)):
             arr = batch.column(i)
@@ -190,7 +221,7 @@ def convert_batches(batches, names, kinds, fmt):
                 s = arr.cast(pa.float64()).to_pandas()
             cols[name] = s
         frames.append(pd.DataFrame(cols))
-    return frames, widths
+    return frames, widths, stats
 
 
 def write_partition_file(
@@ -376,7 +407,7 @@ class ReadstatDataSourceWriter(DataSourceArrowWriter):
         attempt = ctx.taskAttemptId()
         # stream straight off the iterator: holding the Arrow batches
         # AND the converted frames would double the partition's peak
-        frames, widths = convert_batches(
+        frames, widths, stats = convert_batches(
             iterator, self.names, self.kinds, self.fmt
         )
         if not any(len(p) for p in frames):
@@ -396,7 +427,7 @@ class ReadstatDataSourceWriter(DataSourceArrowWriter):
             staged, self.fmt, self.fields, self.names, self.shorts,
             self.kinds, frames, widths, self.options,
         )
-        return _PartMessage(staged, final, n)
+        return _PartMessage(staged, final, n, stats=stats)
 
     def commit(self, messages):
         from polars_readstat_spark.sources.fs import (
@@ -415,6 +446,62 @@ class ReadstatDataSourceWriter(DataSourceArrowWriter):
         for m in messages:
             if m and m.staged:
                 fs_move(m.staged, m.final)
+        self._write_stats_manifest(messages)
+
+    def _write_stats_manifest(self, messages) -> None:
+        """Publish _prs_stats.json: per-part zone maps (numeric
+        min/max + null accounting + file size) the reader's filter
+        pushdown uses to SKIP whole part-files — the Delta/Iceberg
+        file-stats idea at manifest granularity. Best-effort: a
+        missing or stale manifest only costs the skip, never
+        correctness (the reader validates each pruned file's size
+        against the manifest before trusting it)."""
+        import json
+
+        from polars_readstat_spark.sources.fs import (
+            fs_join,
+            fs_open,
+            fs_open_output,
+            fs_size,
+        )
+
+        entries = {}
+        mpath = fs_join(self.path, "_prs_stats.json")
+        if not self.overwrite:
+            try:
+                with fs_open(mpath) as f:
+                    entries = json.loads(f.read()).get("files", {})
+            except Exception:  # noqa: BLE001 — absent or unreadable
+                entries = {}
+        wrote = False
+        for m in messages:
+            if not (m and m.staged and m.stats is not None):
+                continue
+            base = os.path.basename(m.final)
+            try:
+                size = fs_size(m.final)
+            except OSError:
+                continue
+            entries[base] = {
+                "n": m.n_rows,
+                "size": size,
+                "cols": {
+                    c: {"min": v[0], "max": v[1], "nn": v[2], "n": v[3]}
+                    for c, v in m.stats.items()
+                    if isinstance(v[0], (int, float))
+                    or v[2] == 0  # all-null column still prunes IsNotNull
+                },
+            }
+            wrote = True
+        if not wrote:
+            return
+        try:
+            with fs_open_output(mpath) as f:
+                f.write(
+                    json.dumps({"version": 1, "files": entries}).encode()
+                )
+        except Exception:  # noqa: BLE001 — manifest is an optimization
+            pass
 
     def abort(self, messages):
         from polars_readstat_spark.sources.fs import fs_exists, fs_remove
@@ -457,7 +544,7 @@ class ReadstatStreamWriter(DataSourceStreamArrowWriter):
 
         ctx = TaskContext.get()
         pid = ctx.partitionId()
-        frames, widths = convert_batches(
+        frames, widths, _stats = convert_batches(
             iterator, self.names, self.kinds, self.fmt
         )
         if not any(len(p) for p in frames):

@@ -1,0 +1,125 @@
+"""Zone-map file skipping: the sink publishes _prs_stats.json
+(per-part numeric min/max + null accounting + size), and the reader's
+filter pushdown uses it to skip whole part-files whose ranges refute
+accepted predicates — Delta/Iceberg-style data skipping, with stale
+manifests degrading to no-skip, never wrong rows."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sink_dir(spark, tmp_path_factory):
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    d = str(tmp_path_factory.mktemp("zonemap") / "out")
+    sdf = spark.range(4000).selectExpr(
+        "cast(id as long) as id", "cast(id * 0.5 as double) as v"
+    )
+    # range partitioning gives each part a tight disjoint id range —
+    # the layout where zone maps actually skip
+    (
+        sdf.repartitionByRange(4, "id")
+        .write.format("readstat")
+        .option("format", "dta")
+        .mode("overwrite")
+        .save(d)
+    )
+    return d
+
+
+def test_manifest_published(sink_dir):
+    m = json.load(open(os.path.join(sink_dir, "_prs_stats.json")))
+    files = m["files"]
+    parts = [f for f in sorted(os.listdir(sink_dir)) if f.endswith(".dta")]
+    assert sorted(files) == parts and len(parts) == 4
+    for e in files.values():
+        assert e["size"] == os.path.getsize(
+            os.path.join(sink_dir, [k for k, v in files.items() if v is e][0])
+        )
+        c = e["cols"]["id"]
+        assert c["nn"] == c["n"] == e["n"]
+        assert c["min"] <= c["max"]
+
+
+def _plan_parts(sink_dir, filters):
+    """Partitions surviving pushFilters on the real reader chain."""
+    from polars_readstat_spark.sources.datasource import ReadstatDataSource
+    from polars_readstat_spark.sources.filters import BatchFilterReader
+
+    ds = ReadstatDataSource({"path": sink_dir})
+    r = BatchFilterReader(ds.reader(ds._schema_uncompressed()))
+    declined = r.pushFilters(filters)
+    return r, list(r.partitions()), declined
+
+
+def test_refuting_filter_skips_files(sink_dir):
+    from pyspark.sql.datasource import GreaterThan
+
+    _, all_parts, _ = _plan_parts(sink_dir, [])
+    r, pruned, declined = _plan_parts(sink_dir, [GreaterThan(("id",), 2999)])
+    assert not declined
+    assert len(pruned) < len(all_parts)
+    # the surviving partitions still contain every matching row
+    rows = []
+    for p in pruned:
+        for b in r.read(p):
+            rows.extend(b.column(0).to_pylist())
+    assert sorted(rows) == list(range(3000, 4000))
+
+
+def test_equal_to_prunes_to_one_file(sink_dir):
+    from pyspark.sql.datasource import EqualTo
+
+    r, pruned, _ = _plan_parts(sink_dir, [EqualTo(("id",), 1500)])
+    assert len(pruned) >= 1
+    rows = []
+    for p in pruned:
+        for b in r.read(p):
+            rows.extend(b.column(0).to_pylist())
+    assert 1500 in rows
+    # at most one part can contain id=1500 under range partitioning
+    _, all_parts, _ = _plan_parts(sink_dir, [])
+    assert len(pruned) < len(all_parts)
+
+
+def test_stale_manifest_never_drops_rows(sink_dir, spark):
+    """Corrupt the manifest's size for one part: refuted-but-stale
+    files must be KEPT (validation), so results stay complete."""
+    from pyspark.sql.datasource import GreaterThan
+
+    mp = os.path.join(sink_dir, "_prs_stats.json")
+    doc = json.load(open(mp))
+    orig = json.dumps(doc)
+    try:
+        for e in doc["files"].values():
+            e["size"] += 1  # every entry stale
+        json.dump(doc, open(mp, "w"))
+        r, pruned, _ = _plan_parts(sink_dir, [GreaterThan(("id",), 2999)])
+        rows = []
+        for p in pruned:
+            for b in r.read(p):
+                rows.extend(b.column(0).to_pylist())
+        # batch-level filtering still applies; no file was pruned
+        assert sorted(x for x in rows if x > 2999) == list(range(3000, 4000))
+    finally:
+        open(mp, "w").write(orig)
+
+
+def test_end_to_end_dataframe_matches(spark, sink_dir):
+    """Through the full session path (filterPushdown on in conftest's
+    session): filtered scan over the manifest dir returns exactly the
+    matching rows."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.format("readstat").load(sink_dir)
+    got = sorted(
+        r.id for r in df.filter(F.col("id") >= 3500).select("id").collect()
+    )
+    assert got == list(range(3500, 4000))
+    assert df.count() == 4000

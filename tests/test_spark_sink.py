@@ -37,7 +37,7 @@ def test_write_read_roundtrip(spark, src, tmp_path, fmt):
     src.write.format("readstat").option("format", fmt).mode(
         "overwrite"
     ).save(path)
-    parts = [f for f in os.listdir(path) if not f.startswith(".")]
+    parts = [f for f in os.listdir(path) if not f.startswith((".", "_"))]
     assert len(parts) == 3
     assert all(f.endswith(f".{fmt}") for f in parts)
 
@@ -64,12 +64,12 @@ def test_values_exact_incl_dates(spark, src, tmp_path):
 def test_overwrite_replaces_previous_parts(spark, src, tmp_path):
     path = str(tmp_path / "ovw")
     src.write.format("readstat").option("format", "sav").mode("append").save(path)
-    first = {f for f in os.listdir(path) if not f.startswith(".")}
+    first = {f for f in os.listdir(path) if not f.startswith((".", "_"))}
     small = src.limit(10).repartition(1)
     small.write.format("readstat").option("format", "sav").mode(
         "overwrite"
     ).save(path)
-    second = {f for f in os.listdir(path) if not f.startswith(".")}
+    second = {f for f in os.listdir(path) if not f.startswith((".", "_"))}
     assert first.isdisjoint(second)
     assert spark.read.format("readstat").load(path).count() == 10
 
@@ -101,7 +101,7 @@ def test_dta_sink_schema_deterministic_types(spark, tmp_path):
     got = {r["tag"]: r for r in back.collect()}
     assert got["t39"]["big"] == 39 * 10**9
     for f in os.listdir(path):
-        if not f.startswith("."):
+        if not f.startswith((".", "_")):
             assert len(pd.read_stata(os.path.join(path, f))) > 0
 
 
@@ -147,7 +147,7 @@ def test_pandas_reads_sink_output(spark, src, tmp_path):
     src.write.format("readstat").option("format", "sas7bdat").mode("append").save(path)
     total = 0
     for f in sorted(os.listdir(path)):
-        if f.startswith("."):
+        if f.startswith((".", "_")):
             continue
         pdf = pd.read_sas(os.path.join(path, f), encoding="utf-8")
         total += len(pdf)
@@ -178,7 +178,7 @@ def test_stream_writer_exports_microbatches(spark, tmp_path, fmt):
         .start(out)
     )
     q.awaitTermination(120)
-    files = [f for f in os.listdir(out) if not f.startswith(".")]
+    files = [f for f in os.listdir(out) if not f.startswith((".", "_"))]
     assert files and all(
         f.startswith("part-b") and f.endswith(f".{fmt}") for f in files
     )
@@ -198,7 +198,7 @@ def test_zsav_sink_and_partitioned(spark, src, tmp_path):
     src.write.format("readstat").option("format", "zsav").mode(
         "overwrite"
     ).save(p1)
-    files = [f for f in os.listdir(p1) if not f.startswith(".")]
+    files = [f for f in os.listdir(p1) if not f.startswith((".", "_"))]
     assert files and all(f.endswith(".zsav") for f in files)
     back = spark.read.format("readstat").load(p1)
     assert back.count() == 2000
@@ -213,7 +213,7 @@ def test_zsav_sink_and_partitioned(spark, src, tmp_path):
     # compressed parts are smaller than the plain-sav sink output
     sz_z = sum(
         os.path.getsize(os.path.join(p1, f))
-        for f in os.listdir(p1) if not f.startswith(".")
+        for f in os.listdir(p1) if not f.startswith((".", "_"))
     )
     p3 = str(tmp_path / "plain")
     src.write.format("readstat").option("format", "sav").mode(
@@ -221,6 +221,6 @@ def test_zsav_sink_and_partitioned(spark, src, tmp_path):
     ).save(p3)
     sz_s = sum(
         os.path.getsize(os.path.join(p3, f))
-        for f in os.listdir(p3) if not f.startswith(".")
+        for f in os.listdir(p3) if not f.startswith((".", "_"))
     )
     assert sz_z < sz_s
