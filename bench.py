@@ -228,6 +228,9 @@ _RETRY_PAIRS = (
     # metadata sidecars: a no-sidecar re-plan at 10 ms/range must wall
     # >= the sidecar-warm one
     ("floor_replan50_lat10_cold", "floor_replan50_lat10_sidecar"),
+    # zone maps: decoding all 8 parts + batch filtering must wall >=
+    # the manifest-pruned 1-part read
+    ("floor_zonemap8_fullscan", "floor_zonemap8_skip"),
 )
 
 
@@ -1230,6 +1233,59 @@ def _bench_plan5k(spark, timings: dict) -> None:
     _register_retry(
         "floor_replan50_lat10_sidecar", lambda: replan50(False)
     )
+
+    # zone-map file skipping A/B (late r11): a selective filter over a
+    # range-partitioned sink directory WITH its _prs_stats.json
+    # manifest skips 7 of 8 part-files at plan time vs decoding all 8
+    # x 5M rows and filtering batch-side (manifest renamed away for
+    # the full-scan arm). 40M rows so decode dominates the per-task
+    # floors (at 4M both arms sat on the ~0.4s floor). Grades against
+    # itself.
+    dzm = "/tmp/prs_zonemap8_v3"
+    if not os.path.isdir(dzm) or not os.path.exists(
+        os.path.join(dzm, "_prs_stats.json")
+    ):
+        sdfz = spark.range(20_000_000).selectExpr(
+            "cast(id as long) as id",
+            *[f"cast(id % {97 + k} as double) as v{k}" for k in range(7)],
+        )
+        (
+            sdfz.repartitionByRange(8, "id")
+            .write.format("readstat")
+            .option("format", "dta")
+            .mode("overwrite")
+            .save(dzm)
+        )
+    manifest = os.path.join(dzm, "_prs_stats.json")
+    hidden = os.path.join(dzm, ".prs_stats.hidden")
+
+    def zm_read() -> None:
+        run_query(
+            spark.read.format("readstat")
+            .load(dzm)
+            .filter(F.col("id") >= 18_750_000)
+        )
+
+    def zm(skip: bool) -> float:
+        if skip and not os.path.exists(manifest):
+            os.replace(hidden, manifest)
+        if not skip and os.path.exists(manifest):
+            os.replace(manifest, hidden)
+        try:
+            t0 = time.perf_counter()
+            zm_read()
+            return time.perf_counter() - t0
+        finally:
+            if os.path.exists(hidden):
+                os.replace(hidden, manifest)
+
+    zm(True)  # warm plan+JIT
+    timings["floor_zonemap8_skip"] = round(min(zm(True), zm(True)), 3)
+    timings["floor_zonemap8_fullscan"] = round(
+        min(zm(False), zm(False)), 3
+    )
+    _register_retry("floor_zonemap8_skip", lambda: zm(True))
+    _register_retry("floor_zonemap8_fullscan", lambda: zm(False))
 
     # packed-group remote-store A/B (round 10): a packed task reads
     # its small files concurrently under io_readahead instead of

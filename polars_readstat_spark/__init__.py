@@ -111,10 +111,31 @@ def register(spark):
     # immune to concurrent sessions (VERDICT r05 wrong#1 replaced a
     # shared tempdir hint file that sessions clobbered).
     cores = int(spark.sparkContext.defaultParallelism)
+    # same plan-worker problem for filter pushdown: reader() must only
+    # wrap with BatchFilterReader (whose mere pushFilters presence
+    # errors under the default conf=false) when the session enables
+    # it — but the plan worker can't see the session, so the sniff
+    # there always said False and batch-side pushdown (and zone-map
+    # file skipping) never engaged through the registered path. Bake
+    # the conf at register time like the parallelism.
+    try:
+        fp = (
+            str(
+                spark.conf.get(
+                    "spark.sql.python.filterPushdown.enabled", "false"
+                )
+            ).lower()
+            == "true"
+        )
+    except Exception:  # noqa: BLE001
+        fp = False
     cls = type(
         "ReadstatDataSource",
         (ReadstatDataSource,),
-        {"_registered_parallelism": cores},
+        {
+            "_registered_parallelism": cores,
+            "_registered_filter_pushdown": fp,
+        },
     )
     spark.dataSource.register(cls)
     return spark

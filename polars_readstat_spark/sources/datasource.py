@@ -85,6 +85,9 @@ class ReadstatDataSource(DataSource):
     # width with zero shared mutable state — no tempdir hint file for
     # concurrent sessions to clobber (VERDICT r05 wrong#1).
     _registered_parallelism: int | None = None
+    # conf snapshot baked by register() (None = unregistered: fall
+    # back to an active-session sniff, which only works driver-side)
+    _registered_filter_pushdown: bool | None = None
 
     def __init__(self, options):
         super().__init__(options)
@@ -380,22 +383,32 @@ class ReadstatDataSource(DataSource):
         # batch-level filter pushdown only when the session allows it —
         # merely *implementing* pushFilters errors under the default
         # spark.sql.python.filterPushdown.enabled=false, and the
-        # external driver may hand us a vanilla session
-        try:
-            from pyspark.sql import SparkSession
+        # external driver may hand us a vanilla session. The conf is
+        # BAKED at register() time (like _registered_parallelism):
+        # reader() runs in the plan-worker process where
+        # getActiveSession() is None, so a live sniff always said
+        # False there and pushdown never engaged through the
+        # registered path (found via the zone-map A/B probe reading
+        # identical walls). The active-session probe remains as the
+        # fallback for direct un-registered construction (tests).
+        enabled = getattr(self, "_registered_filter_pushdown", None)
+        if enabled is None:
+            try:
+                from pyspark.sql import SparkSession
 
-            s = SparkSession.getActiveSession()
-            enabled = (
-                s is not None
-                and str(
-                    s.conf.get(
-                        "spark.sql.python.filterPushdown.enabled", "false"
-                    )
-                ).lower()
-                == "true"
-            )
-        except Exception:
-            enabled = False
+                s = SparkSession.getActiveSession()
+                enabled = (
+                    s is not None
+                    and str(
+                        s.conf.get(
+                            "spark.sql.python.filterPushdown.enabled",
+                            "false",
+                        )
+                    ).lower()
+                    == "true"
+                )
+            except Exception:
+                enabled = False
         if enabled:
             from polars_readstat_spark.sources.filters import (
                 BatchFilterReader,
