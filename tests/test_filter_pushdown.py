@@ -132,3 +132,30 @@ def test_equal_null_safe_non_null_semantics():
     fn = _compile(EqualNullSafe(("x",), 1.0))
     batch = pa.record_batch({"x": pa.array([1.0, 2.0, None])})
     assert fn(batch).to_pylist() == [True, False, False]
+
+
+def test_pushdown_engages_through_registered_path(spark, tmp_path):
+    """Regression (r11): reader() runs in the plan-worker where
+    getActiveSession() is None, so a live conf sniff silently
+    disabled pushdown for every registered session — the plan must
+    show PushedFilters on the BatchScan node, not a Catalyst Filter
+    doing all the work."""
+    import contextlib
+    import io
+
+    import pandas as pd
+
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    p = str(tmp_path / "fp.dta")
+    pd.DataFrame({"a": range(200)}).to_stata(
+        p, write_index=False, version=118
+    )
+    df = spark.read.format("readstat").load(p).filter("a >= 150")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan, plan
+    assert sorted(r.a for r in df.collect()) == list(range(150, 200))
