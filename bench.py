@@ -1267,15 +1267,28 @@ def _bench_plan5k(spark, timings: dict) -> None:
         )
 
     def zm(skip: bool) -> float:
+        # pushdown is OPT-IN (Spark 4.1 reuses pushed plans for
+        # filterless actions on a shared DataFrame — see session.py);
+        # the probe opts in around each timing and re-registers so
+        # the conf snapshot reaches the plan worker. zm_read builds a
+        # FRESH relation per call, the pattern the leak cannot touch.
+        import polars_readstat_spark as _prs
+
         if skip and not os.path.exists(manifest):
             os.replace(hidden, manifest)
         if not skip and os.path.exists(manifest):
             os.replace(manifest, hidden)
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        _prs.register(spark)
         try:
             t0 = time.perf_counter()
             zm_read()
             return time.perf_counter() - t0
         finally:
+            spark.conf.set(
+                "spark.sql.python.filterPushdown.enabled", "false"
+            )
+            _prs.register(spark)
             if os.path.exists(hidden):
                 os.replace(hidden, manifest)
 

@@ -46,9 +46,14 @@ def get_spark(app: str = "polars_readstat_spark", cpus: int | None = None) -> Sp
         # events.parquet carries TIMESTAMP(NANOS) which the vectorized
         # reader otherwise rejects; read as long and convert in-plan.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # let the readstat data source accept pushed filters (applied
-        # per Arrow batch inside the Python worker)
-        .config("spark.sql.python.filterPushdown.enabled", "true")
+        # NOTE: spark.sql.python.filterPushdown.enabled is deliberately
+        # NOT set here. Spark 4.1 caches the pushed-reader plan on the
+        # shared relation and reuses it for FILTERLESS queries on the
+        # same DataFrame (df.filter(x).count() then df.count() returns
+        # the filtered count — verified, see SCALE.md r11). Until that
+        # upstream reuse is fixed, batch pushdown + zone-map skipping
+        # are opt-in: set the conf and call prs.register(spark) again;
+        # fresh-relation patterns (one load per query) are unaffected.
         # keep metastore/warehouse artifacts out of the repo cwd
         .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
         .config(
@@ -69,7 +74,6 @@ def configure_existing(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
-        ("spark.sql.python.filterPushdown.enabled", "true"),
         # runtime-settable: a handed-in session otherwise keeps the
         # 200-partition default, which at sf0.01 means 200 tiny tasks
         # per shuffle in the driver's correctness sweep

@@ -169,6 +169,13 @@ class BatchFilterReader(DataSourceReader):
         self._accepted = []
 
     def pushFilters(self, filters):
+        # RESET, never accumulate: Spark keeps the pushed reader state
+        # across query executions that share one DataFrame relation,
+        # so appending here would leak one query's predicates into the
+        # next (observed r11: df.filter(...).count() then df.count()
+        # returned the filtered count once pushdown went live).
+        self._preds = []
+        self._accepted = []
         rest = []
         for f in filters:
             fn = _compile(f)

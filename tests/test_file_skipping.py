@@ -112,14 +112,27 @@ def test_stale_manifest_never_drops_rows(sink_dir, spark):
 
 
 def test_end_to_end_dataframe_matches(spark, sink_dir):
-    """Through the full session path (filterPushdown on in conftest's
-    session): filtered scan over the manifest dir returns exactly the
-    matching rows."""
+    """Through the full session path with pushdown opted in (fresh
+    relation per action — the pattern Spark 4.1's pushed-plan reuse
+    hazard cannot touch): the filtered scan over the manifest dir
+    returns exactly the matching rows, and a fresh unfiltered scan
+    the full table."""
+    import polars_readstat_spark as prs
     from pyspark.sql import functions as F
 
-    df = spark.read.format("readstat").load(sink_dir)
-    got = sorted(
-        r.id for r in df.filter(F.col("id") >= 3500).select("id").collect()
-    )
-    assert got == list(range(3500, 4000))
-    assert df.count() == 4000
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    prs.register(spark)
+    try:
+        got = sorted(
+            r.id
+            for r in spark.read.format("readstat")
+            .load(sink_dir)
+            .filter(F.col("id") >= 3500)
+            .select("id")
+            .collect()
+        )
+        assert got == list(range(3500, 4000))
+        assert spark.read.format("readstat").load(sink_dir).count() == 4000
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+        prs.register(spark)

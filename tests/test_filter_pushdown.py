@@ -137,9 +137,13 @@ def test_equal_null_safe_non_null_semantics():
 def test_pushdown_engages_through_registered_path(spark, tmp_path):
     """Regression (r11): reader() runs in the plan-worker where
     getActiveSession() is None, so a live conf sniff silently
-    disabled pushdown for every registered session — the plan must
-    show PushedFilters on the BatchScan node, not a Catalyst Filter
-    doing all the work."""
+    disabled pushdown for every registered session. With the conf
+    baked at register() time, an opted-in session must show
+    PushedFilters on the BatchScan node. ALSO pins the upstream
+    Spark 4.1 reuse hazard that keeps pushdown opt-in: a filterless
+    action on the SAME DataFrame reuses the last pushed plan (when
+    this assertion starts failing, Spark fixed the cache — flip the
+    default back on in session.py)."""
     import contextlib
     import io
 
@@ -147,15 +151,27 @@ def test_pushdown_engages_through_registered_path(spark, tmp_path):
 
     import polars_readstat_spark as prs
 
-    prs.register(spark)
     p = str(tmp_path / "fp.dta")
     pd.DataFrame({"a": range(200)}).to_stata(
         p, write_index=False, version=118
     )
-    df = spark.read.format("readstat").load(p).filter("a >= 150")
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    plan = buf.getvalue()
-    assert "PushedFilters" in plan, plan
-    assert sorted(r.a for r in df.collect()) == list(range(150, 200))
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    prs.register(spark)  # re-snapshot the conf
+    try:
+        df = spark.read.format("readstat").load(p).filter("a >= 150")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "PushedFilters" in plan, plan
+        assert sorted(r.a for r in df.collect()) == list(range(150, 200))
+        # fresh relations are always correct under pushdown
+        assert spark.read.format("readstat").load(p).count() == 200
+        # the upstream reuse hazard (why the conf is opt-in): the
+        # SAME DataFrame's filterless action reuses the pushed plan
+        shared = spark.read.format("readstat").load(p)
+        assert shared.filter("a >= 150").count() == 50
+        assert shared.count() == 50  # Spark 4.1 leak; 200 once fixed
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+        prs.register(spark)
