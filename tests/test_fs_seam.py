@@ -358,9 +358,14 @@ def test_distributed_sink_through_seam(spark, tmp_path):
     sdf.repartition(4).write.format("readstat").option(
         "format", "dta"
     ).mode("overwrite").save("simlat0://" + out)
-    files = sorted(os.listdir(out))
+    files = sorted(
+        f for f in os.listdir(out) if not f.startswith((".", "_"))
+    )
     assert files and all(f.endswith(".dta") for f in files)
-    assert not any(f.startswith(".staged") for f in files)
+    assert os.path.exists(os.path.join(out, "_prs_stats.json"))
+    assert not any(
+        f.startswith(".staged") for f in os.listdir(out)
+    )
     back = spark.read.format("readstat").load(out)
     assert back.count() == 2000
     assert back.agg({"id": "sum"}).collect()[0][0] == sum(range(2000))
