@@ -1237,10 +1237,10 @@ def _bench_plan5k(spark, timings: dict) -> None:
     # zone-map file skipping A/B (late r11): a selective filter over a
     # range-partitioned sink directory WITH its _prs_stats.json
     # manifest skips 7 of 8 part-files at plan time vs decoding all 8
-    # x 5M rows and filtering batch-side (manifest renamed away for
-    # the full-scan arm). 40M rows so decode dominates the per-task
-    # floors (at 4M both arms sat on the ~0.4s floor). Grades against
-    # itself.
+    # x 2.5M-row x 8-col parts and filtering batch-side (manifest
+    # renamed away for the full-scan arm). 20M rows x 8 cols so decode
+    # dominates the per-task floors (at 4M x 2 cols both arms sat on
+    # the ~0.4s floor). Grades against itself.
     dzm = "/tmp/prs_zonemap8_v3"
     if not os.path.isdir(dzm) or not os.path.exists(
         os.path.join(dzm, "_prs_stats.json")

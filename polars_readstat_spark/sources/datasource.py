@@ -41,6 +41,15 @@ from pyspark.sql.types import (
 _TRUE = {"1", "true", "yes"}
 
 
+def is_data_file(path: str) -> bool:
+    """The one listing rule for batch and stream alike: skip dotfiles
+    (crashed-writer .staged/.tmp debris) and anything whose extension
+    isn't a supported data format (sidecars like _prs_stats.json)."""
+    b = os.path.basename(path)
+    ext = os.path.splitext(b)[1].lower().lstrip(".")
+    return not b.startswith(".") and ext in ReadstatDataSource.SUPPORTED
+
+
 def _opt_bool(options, key: str, default: bool = False) -> bool:
     v = options.get(key)
     return default if v is None else str(v).lower() in _TRUE
@@ -141,16 +150,11 @@ class ReadstatDataSource(DataSource):
         # one stat round-trip decides file-vs-dir; on a remote store
         # a glob pattern never stats (can't be a directory)
         if not any(ch in p for ch in "*?[") and _fs.fs_isdir(p):
-            # skip dotfiles: crashed writers can leave .staged-* /
-            # .tmp* debris whose extension still matches (glob's '*'
-            # used to exclude them implicitly; listdir does not)
-            files = sorted(
-                f
-                for f in _fs.fs_listdir(p)
-                if not os.path.basename(f).startswith(".")
-                and os.path.splitext(f)[1].lower().lstrip(".")
-                in self.SUPPORTED
-            )
+            # is_data_file: skip dotfiles (crashed writers leave
+            # .staged-*/.tmp* debris whose extension still matches;
+            # glob's '*' used to exclude them implicitly, listdir does
+            # not) and non-data sidecars (_prs_stats.json)
+            files = sorted(f for f in _fs.fs_listdir(p) if is_data_file(f))
             if not files:
                 raise ValueError(f"readstat: no supported files in {p}")
             exts = {os.path.splitext(f)[1].lower() for f in files}
@@ -391,6 +395,16 @@ class ReadstatDataSource(DataSource):
         # registered path (found via the zone-map A/B probe reading
         # identical walls). The active-session probe remains as the
         # fallback for direct un-registered construction (tests).
+        enabled = self._pushdown_enabled()
+        if enabled:
+            from polars_readstat_spark.sources.filters import (
+                BatchFilterReader,
+            )
+
+            return BatchFilterReader(base)
+        return base
+
+    def _pushdown_enabled(self) -> bool:
         enabled = getattr(self, "_registered_filter_pushdown", None)
         if enabled is None:
             try:
@@ -409,13 +423,7 @@ class ReadstatDataSource(DataSource):
                 )
             except Exception:
                 enabled = False
-        if enabled:
-            from polars_readstat_spark.sources.filters import (
-                BatchFilterReader,
-            )
-
-            return BatchFilterReader(base)
-        return base
+        return bool(enabled)
 
     def _multi_reader(
         self, schema, paths, align_fields=None, per_file_slicing=False
@@ -568,7 +576,15 @@ class ReadstatDataSource(DataSource):
         # executor-side from options instead of pickling parsed metas
         # per partition (the streaming source)
         mf.file_opts = [file_opts[p] for p in paths]
-        mf.file_stats = self._load_stats_manifest(paths)
+        # zone maps are consumed only by BatchFilterReader, which only
+        # exists when filter pushdown is enabled — don't pay a
+        # manifest GET+parse per plan (or per streaming micro-batch,
+        # which has no pushdown path at all) when nothing can use it
+        mf.file_stats = (
+            self._load_stats_manifest(paths)
+            if self._pushdown_enabled()
+            else None
+        )
         return mf
 
     def _load_stats_manifest(self, paths) -> dict | None:

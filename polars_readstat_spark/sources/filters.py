@@ -244,6 +244,12 @@ class BatchFilterReader(DataSourceReader):
         return out
 
     def read(self, partition):
+        if partition is None:
+            # pruning can legitimately refute EVERY file; pyspark
+            # substitutes [None] for an empty partitions list
+            # (plan_data_source_read.py) and schedules one task —
+            # that task must yield zero batches, not crash
+            return
         if not self._preds:
             yield from self.inner.read(partition)
             return

@@ -39,18 +39,11 @@ from pyspark.sql.datasource import DataSourceStreamReader, InputPartition
 
 def _list_files(path: str) -> list[str]:
     from polars_readstat_spark.sources import fs as _fs
-    from polars_readstat_spark.sources.datasource import ReadstatDataSource
-
-    def ok(f: str) -> bool:
-        # skip dotfiles (staged debris) and non-data sidecars like a
-        # sink-published _prs_stats.json manifest
-        b = os.path.basename(f)
-        ext = os.path.splitext(b)[1].lower().lstrip(".")
-        return not b.startswith(".") and ext in ReadstatDataSource.SUPPORTED
+    from polars_readstat_spark.sources.datasource import is_data_file
 
     if _fs.fs_isdir(path):
-        return sorted(f for f in _fs.fs_listdir(path) if ok(f))
-    return sorted(f for f in _fs.fs_glob(path) if ok(f))
+        return sorted(f for f in _fs.fs_listdir(path) if is_data_file(f))
+    return sorted(f for f in _fs.fs_glob(path) if is_data_file(f))
 
 
 class StreamUnitsPartition(InputPartition):

@@ -171,11 +171,17 @@ def convert_batches(batches, names, kinds, fmt):
                 continue
             arr = batch.column(i)
             st[3] += len(arr)
-            nn = len(arr) - arr.null_count
+            valid = arr.drop_null()
+            if pa.types.is_floating(valid.type) and len(valid):
+                # NaN doubles become missing sentinels on disk and
+                # read back as NULL — for zone-map purposes they are
+                # nulls, and they must not poison min/max either
+                valid = valid.filter(pc.invert(pc.is_nan(valid)))
+            nn = len(valid)
             if nn == 0:
                 continue
             st[2] += nn
-            mm = pc.min_max(arr)
+            mm = pc.min_max(valid)
             mn, mx = mm["min"].as_py(), mm["max"].as_py()
             if st[0] is None or mn < st[0]:
                 st[0] = mn

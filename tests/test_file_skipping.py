@@ -48,11 +48,19 @@ def test_manifest_published(sink_dir):
 
 
 def _plan_parts(sink_dir, filters):
-    """Partitions surviving pushFilters on the real reader chain."""
+    """Partitions surviving pushFilters on the real reader chain.
+    The manifest load is gated on pushdown enablement (it is only
+    consumable by BatchFilterReader), so the unit-level plan opts in
+    via the class snapshot the registered path uses."""
     from polars_readstat_spark.sources.datasource import ReadstatDataSource
     from polars_readstat_spark.sources.filters import BatchFilterReader
 
-    ds = ReadstatDataSource({"path": sink_dir})
+    cls = type(
+        "ReadstatDataSource",
+        (ReadstatDataSource,),
+        {"_registered_filter_pushdown": True},
+    )
+    ds = cls({"path": sink_dir})
     r = BatchFilterReader(ds.reader(ds._schema_uncompressed()))
     declined = r.pushFilters(filters)
     return r, list(r.partitions()), declined
@@ -136,3 +144,58 @@ def test_end_to_end_dataframe_matches(spark, sink_dir):
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
         prs.register(spark)
+
+
+def test_all_files_refuted_yields_empty_not_crash(sink_dir, spark):
+    """Pruning may refute EVERY file; pyspark substitutes [None] for
+    an empty partitions list, so read(None) must yield zero batches —
+    and the full DataFrame path must return an empty result."""
+    from pyspark.sql.datasource import GreaterThan
+
+    r, pruned, _ = _plan_parts(sink_dir, [GreaterThan(("id",), 10_000_000)])
+    assert pruned == []
+    assert list(r.read(None)) == []
+    # end-to-end with pushdown opted in
+    import polars_readstat_spark as prs
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    prs.register(spark)
+    try:
+        got = (
+            spark.read.format("readstat")
+            .load(sink_dir)
+            .filter(F.col("id") > 10_000_000)
+            .collect()
+        )
+        assert got == []
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+        prs.register(spark)
+
+
+def test_nan_counts_as_null_in_manifest(spark, tmp_path):
+    """NaN doubles become missing sentinels on disk (read back as
+    NULL): the manifest must count them as nulls and keep them out of
+    min/max, or IsNull pruning would skip files containing NaN-origin
+    null rows."""
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    d = str(tmp_path / "nan_out")
+    spark.sql(
+        "SELECT * FROM VALUES "
+        "(CAST(1 AS LONG), CAST('nan' AS DOUBLE)),"
+        "(CAST(2 AS LONG), CAST(5.0 AS DOUBLE)),"
+        "(CAST(3 AS LONG), CAST(NULL AS DOUBLE)) AS t(id, v)"
+    ).coalesce(1).write.format("readstat").option("format", "dta").mode(
+        "overwrite"
+    ).save(d)
+    m = json.load(open(os.path.join(d, "_prs_stats.json")))
+    e = list(m["files"].values())[0]
+    c = e["cols"]["v"]
+    assert c["n"] == 3 and c["nn"] == 1  # NaN and NULL both "null"
+    assert c["min"] == 5.0 and c["max"] == 5.0  # NaN out of the range
+    # and the reader agrees: two nulls
+    back = spark.read.format("readstat").load(d)
+    assert back.filter("v IS NULL").count() == 2
