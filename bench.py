@@ -230,7 +230,7 @@ _RETRY_PAIRS = (
     ("floor_replan50_lat10_cold", "floor_replan50_lat10_sidecar"),
     # zone maps: decoding all 8 parts + batch filtering must wall >=
     # the manifest-pruned 1-part read
-    ("floor_zonemap8_fullscan", "floor_zonemap8_skip"),
+    ("floor_zonemap64_fullscan", "floor_zonemap64_skip"),
 )
 
 
@@ -1236,21 +1236,24 @@ def _bench_plan5k(spark, timings: dict) -> None:
 
     # zone-map file skipping A/B (late r11): a selective filter over a
     # range-partitioned sink directory WITH its _prs_stats.json
-    # manifest skips 7 of 8 part-files at plan time vs decoding all 8
-    # x 2.5M-row x 8-col parts and filtering batch-side (manifest
-    # renamed away for the full-scan arm). 20M rows x 8 cols so decode
-    # dominates the per-task floors (at 4M x 2 cols both arms sat on
-    # the ~0.4s floor). Grades against itself.
-    dzm = "/tmp/prs_zonemap8_v3"
+    # manifest skips 63 of 64 part-files at plan time vs decoding all
+    # 64 x 625k-row x 8-col parts and filtering batch-side (manifest
+    # renamed away for the full-scan arm). 64 parts > 32 cores so the
+    # full scan pays two task waves that idle-core parallelism cannot
+    # hide — at 8 parts both arms read the same wall because the
+    # skipped work fit in spare cores (first cut recorded exactly
+    # that); the real currency of skipping is task-seconds, which the
+    # *_nparts plan probes record. Grades against itself.
+    dzm = "/tmp/prs_zonemap64_v1"
     if not os.path.isdir(dzm) or not os.path.exists(
         os.path.join(dzm, "_prs_stats.json")
     ):
-        sdfz = spark.range(20_000_000).selectExpr(
+        sdfz = spark.range(40_000_000).selectExpr(
             "cast(id as long) as id",
             *[f"cast(id % {97 + k} as double) as v{k}" for k in range(7)],
         )
         (
-            sdfz.repartitionByRange(8, "id")
+            sdfz.repartitionByRange(64, "id")
             .write.format("readstat")
             .option("format", "dta")
             .mode("overwrite")
@@ -1263,15 +1266,19 @@ def _bench_plan5k(spark, timings: dict) -> None:
         run_query(
             spark.read.format("readstat")
             .load(dzm)
-            .filter(F.col("id") >= 18_750_000)
+            .filter(F.col("id") >= 39_375_000)
         )
 
     def zm(skip: bool) -> float:
         # pushdown is OPT-IN (Spark 4.1 reuses pushed plans for
         # filterless actions on a shared DataFrame — see session.py);
-        # the probe opts in around each timing and re-registers so
-        # the conf snapshot reaches the plan worker. zm_read builds a
-        # FRESH relation per call, the pattern the leak cannot touch.
+        # the probe opts in for BOTH arms and toggles only the
+        # manifest, so the pair isolates the zone-map effect rather
+        # than the pushdown-planning round trip (first bench cut
+        # toggled the conf per arm and recorded the skip arm SLOWER —
+        # the extra pushdown plan worker call outweighed the saved
+        # decode). zm_read builds a FRESH relation per call, the
+        # pattern the upstream reuse leak cannot touch.
         import polars_readstat_spark as _prs
 
         if skip and not os.path.exists(manifest):
@@ -1293,12 +1300,12 @@ def _bench_plan5k(spark, timings: dict) -> None:
                 os.replace(hidden, manifest)
 
     zm(True)  # warm plan+JIT
-    timings["floor_zonemap8_skip"] = round(min(zm(True), zm(True)), 3)
-    timings["floor_zonemap8_fullscan"] = round(
+    timings["floor_zonemap64_skip"] = round(min(zm(True), zm(True)), 3)
+    timings["floor_zonemap64_fullscan"] = round(
         min(zm(False), zm(False)), 3
     )
-    _register_retry("floor_zonemap8_skip", lambda: zm(True))
-    _register_retry("floor_zonemap8_fullscan", lambda: zm(False))
+    _register_retry("floor_zonemap64_skip", lambda: zm(True))
+    _register_retry("floor_zonemap64_fullscan", lambda: zm(False))
 
     # packed-group remote-store A/B (round 10): a packed task reads
     # its small files concurrently under io_readahead instead of
