@@ -204,7 +204,7 @@ class BatchFilterReader(DataSourceReader):
             MultiPart,
             MultiPartGroup,
         )
-        from polars_readstat_spark.sources.fs import fs_size
+        from polars_readstat_spark.sources.fs import fs_stat
 
         keep_cache: dict = {}
 
@@ -217,10 +217,17 @@ class BatchFilterReader(DataSourceReader):
                     _refutes(f, e.get("cols", {})) for f in self._accepted
                 ):
                     # trust the refutation only if the live file still
-                    # matches the manifest's size (stale stats must
-                    # never drop rows)
+                    # matches the manifest's size AND (when recorded)
+                    # mtime — a same-size in-place rewrite must not be
+                    # pruned by the stale maps. Stale stats cost the
+                    # skip, never rows. fs_stat is one HEAD (zero when
+                    # the plan's LIST already hinted it).
                     try:
-                        k = fs_size(path) != e.get("size")
+                        size, mtime_ns = fs_stat(path)
+                        k = size != e.get("size") or (
+                            e.get("mtime_ns") is not None
+                            and mtime_ns != e.get("mtime_ns")
+                        )
                     except OSError:
                         k = True
                 keep_cache[path] = k

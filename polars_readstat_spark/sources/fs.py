@@ -245,8 +245,14 @@ class SimLatencyFS(FsHandler):
         out = []
         for f in sorted(os.listdir(local)):
             lp = os.path.join(local, f)
-            st = os.stat(lp)
-            if not os.path.isfile(lp):
+            # tolerate entries that vanish between listdir and stat
+            # (and broken symlinks), like the POSIX fast path does —
+            # a real LIST response never names objects it can't stat
+            try:
+                if not os.path.isfile(lp):
+                    continue
+                st = os.stat(lp)
+            except OSError:
                 continue
             uri = f"{scheme}://{lp}"
             _hint_stat(uri, st.st_size, st.st_mtime_ns)
@@ -312,7 +318,11 @@ class _ArrowFS(FsHandler):
         for i in infos:
             if i.type != FileType.File:
                 continue
-            uri = f"{self.scheme}://{i.path}"
+            # re-prepend the authority stripped by from_uri
+            # (hdfs://host:port/a → inner /a) so returned URIs
+            # round-trip through _inner unchanged and cache keys /
+            # path_column carry the user's full URI
+            uri = f"{self.scheme}://{self._prefix}{i.path}"
             if i.size is not None:
                 _hint_stat(
                     uri, i.size, int(i.mtime_ns) if i.mtime_ns else 0

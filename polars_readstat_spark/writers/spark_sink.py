@@ -139,13 +139,25 @@ def plan_write(schema, options):
     return fmt, fields, names, shorts, kinds
 
 
-def _utf8_width(series) -> int:
-    """Max UTF-8 byte width of a pandas string series (0 if empty)."""
-    if not len(series):
+def _utf8_width(arr) -> int:
+    """Max UTF-8 byte width of an Arrow string array (0 if empty/all-null).
+
+    Arrow's ``binary_length`` on a utf8 array counts BYTES (not code
+    points — that's ``utf8_length``), matching what the fixed-width
+    readstat formats size columns by. Computed on the Arrow batch
+    before any pandas conversion so the scan is a vectorized kernel,
+    not a per-value Python lambda; nulls are skipped (a null cell
+    occupies no bytes beyond the format's blank fill).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not len(arr):
         return 0
-    return int(
-        series.fillna("").map(lambda x: len(str(x).encode("utf-8"))).max()
-    )
+    if pa.types.is_dictionary(arr.type):
+        arr = arr.cast(arr.type.value_type)
+    m = pc.max(pc.binary_length(arr)).as_py()
+    return int(m) if m is not None else 0
 
 
 def convert_batches(batches, names, kinds, fmt):
@@ -195,11 +207,12 @@ def convert_batches(batches, names, kinds, fmt):
         # the string widths are gathered here
         for batch in batches:
             _accumulate(batch)
-            pdf = batch.to_pandas()
-            for name, k in zip(names, kinds):
+            for i, (name, k) in enumerate(zip(names, kinds)):
                 if k == "str":
-                    widths[name] = max(widths[name], _utf8_width(pdf[name]))
-            frames.append(pdf)
+                    widths[name] = max(
+                        widths[name], _utf8_width(batch.column(i))
+                    )
+            frames.append(batch.to_pandas())
         return frames, widths, stats
     date_mul, date_add, sec_add = _EPOCH[fmt]
     for batch in batches:
@@ -208,8 +221,8 @@ def convert_batches(batches, names, kinds, fmt):
         for i, (name, k) in enumerate(zip(names, kinds)):
             arr = batch.column(i)
             if k == "str":
+                widths[name] = max(widths[name], _utf8_width(arr))
                 s = arr.to_pandas()
-                widths[name] = max(widths[name], _utf8_width(s))
             elif k == "date":
                 days = pc.cast(arr, pa.int32()).cast(pa.float64()).to_pandas()
                 s = days * date_mul + (date_add * date_mul)
@@ -468,7 +481,7 @@ class ReadstatDataSourceWriter(DataSourceArrowWriter):
             fs_join,
             fs_open,
             fs_open_output,
-            fs_size,
+            fs_stat,
         )
 
         entries = {}
@@ -485,12 +498,16 @@ class ReadstatDataSourceWriter(DataSourceArrowWriter):
                 continue
             base = os.path.basename(m.final)
             try:
-                size = fs_size(m.final)
+                # mtime is free in the same round trip (fs_stat) and
+                # closes the same-size in-place-rewrite hole in the
+                # reader's staleness check (ADVICE r11)
+                size, mtime_ns = fs_stat(m.final)
             except OSError:
                 continue
             entries[base] = {
                 "n": m.n_rows,
                 "size": size,
+                "mtime_ns": mtime_ns,
                 "cols": {
                     c: {"min": v[0], "max": v[1], "nn": v[2], "n": v[3]}
                     for c, v in m.stats.items()

@@ -119,6 +119,35 @@ def test_stale_manifest_never_drops_rows(sink_dir, spark):
         open(mp, "w").write(orig)
 
 
+def test_same_size_rewrite_never_pruned(sink_dir):
+    """A same-size in-place rewrite of a part must defeat the
+    staleness check too: the manifest records mtime_ns alongside size
+    and a refutation is only trusted when BOTH still match (ADVICE
+    r11 — size alone can't see a byte-for-byte-length rewrite)."""
+    from pyspark.sql.datasource import GreaterThan
+
+    mp = os.path.join(sink_dir, "_prs_stats.json")
+    doc = json.load(open(mp))
+    for e in doc["files"].values():
+        assert isinstance(e["mtime_ns"], int) and e["mtime_ns"] > 0
+    # simulate: contents changed, size identical → live mtime no
+    # longer matches the manifest's recorded stamp
+    orig = json.dumps(doc)
+    try:
+        for e in doc["files"].values():
+            e["mtime_ns"] -= 1
+        json.dump(doc, open(mp, "w"))
+        r, pruned, _ = _plan_parts(sink_dir, [GreaterThan(("id",), 2999)])
+        rows = []
+        for p in pruned:
+            for b in r.read(p):
+                rows.extend(b.column(0).to_pylist())
+        # no file pruned; batch filter still yields exact rows
+        assert sorted(x for x in rows if x > 2999) == list(range(3000, 4000))
+    finally:
+        open(mp, "w").write(orig)
+
+
 def test_end_to_end_dataframe_matches(spark, sink_dir):
     """Through the full session path with pushdown opted in (fresh
     relation per action — the pattern Spark 4.1's pushed-plan reuse
