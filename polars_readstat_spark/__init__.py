@@ -118,15 +118,36 @@ def register(spark):
     # there always said False and batch-side pushdown (and zone-map
     # file skipping) never engaged through the registered path. Bake
     # the conf at register time like the parallelism.
+    # Default is VERSION-GATED on the Spark 4.1 pushed-plan reuse
+    # hazard (filters.plan_reuse_hazard): on a fixed Spark, an UNSET
+    # conf auto-enables pushdown + zone-map skipping; on a hazardous
+    # version the default stays off and an EXPLICIT opt-in gets a
+    # visible warning about the shared-DataFrame pattern it must avoid
+    # (README "Filter pushdown & zone-map file skipping").
+    from polars_readstat_spark.sources.filters import plan_reuse_hazard
+
     try:
-        fp = (
-            str(
-                spark.conf.get(
-                    "spark.sql.python.filterPushdown.enabled", "false"
-                )
-            ).lower()
-            == "true"
-        )
+        hazard = plan_reuse_hazard(spark.version)
+        raw = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+        if raw is None and not hazard:
+            # Spark only calls pushFilters when the session conf is on;
+            # baking fp=True alone would error under conf=false
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+            fp = True
+        else:
+            fp = str(raw).lower() == "true"
+        if fp and hazard:
+            import warnings
+
+            warnings.warn(
+                "readstat filter pushdown opted in on Spark "
+                f"{spark.version}, which reuses a pushed plan for "
+                "filterless actions on a SHARED DataFrame "
+                "(df.filter(x).count() then df.count() returns the "
+                "filtered count). Use a fresh load() per query, or "
+                "leave spark.sql.python.filterPushdown.enabled unset.",
+                stacklevel=2,
+            )
     except Exception:  # noqa: BLE001
         fp = False
     cls = type(

@@ -50,9 +50,12 @@ def get_spark(app: str = "polars_readstat_spark", cpus: int | None = None) -> Sp
         # NOT set here. Spark 4.1 caches the pushed-reader plan on the
         # shared relation and reuses it for FILTERLESS queries on the
         # same DataFrame (df.filter(x).count() then df.count() returns
-        # the filtered count — verified, see SCALE.md r11). Until that
-        # upstream reuse is fixed, batch pushdown + zone-map skipping
-        # are opt-in: set the conf and call prs.register(spark) again;
+        # the filtered count — verified, see SCALE.md r11). The default
+        # is VERSION-GATED in register() (filters.plan_reuse_hazard):
+        # on a Spark with the cache fixed, leaving the conf unset
+        # auto-enables pushdown + zone-map skipping; on 4.1.x and
+        # earlier it stays opt-in (conf + prs.register(spark) again —
+        # see README "Filter pushdown & zone-map file skipping");
         # fresh-relation patterns (one load per query) are unaffected.
         # keep metastore/warehouse artifacts out of the repo cwd
         .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")

@@ -35,6 +35,25 @@ from pyspark.sql.datasource import (
 )
 
 
+def plan_reuse_hazard(version: str) -> bool:
+    """True when this Spark version reuses a python-DS pushed plan for
+    FILTERLESS actions on a shared DataFrame (df.filter(x).count()
+    then df.count() returns the filtered count — verified on 4.1.x
+    with a minimal reproduction; the filterless action never re-enters
+    Python, so no reader-side fix exists). Known-bad: every release
+    up to and including 4.1.x. The pinned leak test
+    (test_filter_pushdown.py::test_pushdown_engages_through_registered_path)
+    asserts the leak itself, so it flips red on the first Spark that
+    fixes the cache — update this gate (and the default flips on) the
+    round that happens. Unparsable versions count as hazardous."""
+    try:
+        parts = version.split("-")[0].split(".")
+        major, minor = int(parts[0]), int(parts[1])
+    except (ValueError, IndexError):
+        return True
+    return (major, minor) <= (4, 1)
+
+
 def _compile(f: Filter):
     """Filter → callable(RecordBatch) -> BooleanArray, or None if the
     shape isn't supported batch-side."""
@@ -167,6 +186,7 @@ class BatchFilterReader(DataSourceReader):
         self.inner = inner
         self._preds = []
         self._accepted = []
+        self._planned = False
 
     def pushFilters(self, filters):
         # RESET, never accumulate: Spark keeps the pushed reader state
@@ -176,6 +196,7 @@ class BatchFilterReader(DataSourceReader):
         # returned the filtered count once pushdown went live).
         self._preds = []
         self._accepted = []
+        self._planned = False
         rest = []
         for f in filters:
             fn = _compile(f)
@@ -195,6 +216,25 @@ class BatchFilterReader(DataSourceReader):
         return None
 
     def partitions(self):
+        # Defense in depth for the Spark 4.1 pushed-plan reuse hazard:
+        # a second planning pass that did NOT re-invoke pushFilters is
+        # reusing predicates pushed for a different query. The known
+        # 4.1 leak never re-enters Python at all (so this can't catch
+        # it), but if a future Spark replans through the cached reader
+        # the stale state becomes visible here — warn, don't reset
+        # (the pushed predicates ARE correct for a re-execution of the
+        # same filtered query, whose JVM-side filter was removed).
+        if self._planned and self._accepted:
+            import warnings
+
+            warnings.warn(
+                "readstat reader replanned without pushFilters while "
+                "holding pushed predicates — a shared-DataFrame plan "
+                "reuse; results may reflect the previously pushed "
+                "filters (use a fresh load() per query)",
+                stacklevel=2,
+            )
+        self._planned = True
         parts = self.inner.partitions()
         mf = self._find_multi()
         stats = getattr(mf, "file_stats", None) if mf is not None else None

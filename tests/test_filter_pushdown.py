@@ -175,3 +175,49 @@ def test_pushdown_engages_through_registered_path(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
         prs.register(spark)
+
+
+def test_plan_reuse_hazard_version_gate():
+    """The pushdown default is gated on the Spark 4.1 pushed-plan
+    reuse bug: hazardous up to and including 4.1.x, auto-on after.
+    Unparsable versions count as hazardous (never silently enable a
+    correctness-risky default)."""
+    from polars_readstat_spark.sources.filters import plan_reuse_hazard
+
+    assert plan_reuse_hazard("4.0.0")
+    assert plan_reuse_hazard("4.1.2")
+    assert plan_reuse_hazard("4.1.3-SNAPSHOT")
+    assert plan_reuse_hazard("3.5.1")
+    assert not plan_reuse_hazard("4.2.0")
+    assert not plan_reuse_hazard("5.0.0")
+    assert plan_reuse_hazard("weird")
+
+
+def test_register_warns_on_hazardous_opt_in(spark, tmp_path):
+    """Opting in on a hazardous Spark version must emit a visible
+    warning about the shared-DataFrame pattern (ADVICE r11 medium);
+    with the conf unset on the same version, no warning and the baked
+    default stays off."""
+    import warnings
+
+    import polars_readstat_spark as prs
+    from polars_readstat_spark.sources.filters import plan_reuse_hazard
+
+    if not plan_reuse_hazard(spark.version):
+        pytest.skip("running Spark has the plan-cache fix")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            prs.register(spark)
+        assert any("SHARED DataFrame" in str(x.message) for x in w)
+    finally:
+        spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        prs.register(spark)
+    assert not [x for x in w if "DataFrame" in str(x.message)]
+    # conf stays unset on a hazardous version (no silent auto-flip)
+    assert spark.conf.get(
+        "spark.sql.python.filterPushdown.enabled", None
+    ) is None
