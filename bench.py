@@ -234,6 +234,10 @@ _RETRY_PAIRS = (
     # metadata sidecars: a no-sidecar re-plan at 10 ms/range must wall
     # >= the sidecar-warm one
     ("floor_replan50_lat10_cold", "floor_replan50_lat10_sidecar"),
+    # LIST-harvested stat hints: 50 per-file HEADs (~>=0.5 s) must
+    # wall >= the hinted replan of the same 50 files (1 LIST, zero
+    # HEADs, local pickle loads)
+    ("floor_replan50_lat10_unhinted", "floor_replan50_lat10_hinted"),
     # zone maps: decoding all 8 parts + batch filtering must wall >=
     # the manifest-pruned 1-part read
     ("floor_zonemap64_fullscan", "floor_zonemap64_skip"),
@@ -1240,6 +1244,72 @@ def _bench_plan5k(spark, timings: dict) -> None:
         "floor_replan50_lat10_sidecar", lambda: replan50(False)
     )
 
+    # LIST-hinted replan (VERDICT r11 next#4): the sidecar arm above
+    # still pays one identity HEAD per file because it never LISTs.
+    # The real directory plan starts with fs_listdir, whose LIST
+    # response carries (size, mtime) for every entry — fs_stat rides
+    # those hints, so a fresh-session replan of the FULL 5k-file dir
+    # is 1 LIST + 5k local pickle loads: zero per-file round trips,
+    # plan cost independent of per-file latency. Hinted-vs-unhinted
+    # at 50 files is the strict A/B (unhinted = 50 HEADs ≈ ≥0.5 s);
+    # the 5k hinted wall is the standing scale headline (100x the
+    # files of the unhinted arm, expected comparable-or-less wall).
+    def _seed5k() -> None:
+        # one-time: sidecars for every simlat10:// ident, parsed
+        # through the REAL seam but 32-wide (sleep-bound), so the
+        # first bench run pays ~5 s instead of 5000 serial ranges
+        import concurrent.futures as _cf
+
+        from polars_readstat_spark.sources import metamemo as _mm
+        from polars_readstat_spark.sources.dta.meta import parse_dta_meta
+
+        files = [
+            "simlat10://" + os.path.join(d5k, f)
+            for f in sorted(os.listdir(d5k))
+        ]
+        with _cf.ThreadPoolExecutor(32) as ex:
+            list(
+                ex.map(
+                    lambda p: _mm.memoized_parse(
+                        "dta_meta", p, parse_dta_meta
+                    ),
+                    files,
+                )
+            )
+
+    def replan5k(hinted: bool, n: int | None = None) -> float:
+        from polars_readstat_spark.sources import fs as _fs
+        from polars_readstat_spark.sources import metamemo as _mm
+        from polars_readstat_spark.sources.dta.meta import parse_dta_meta
+
+        _mm._MEMO.clear()  # a fresh driver has no in-process memo
+        _fs._STAT_HINTS.clear()
+        t0 = time.perf_counter()
+        files = _fs.fs_listdir("simlat10://" + d5k)  # ONE LIST
+        if not hinted:
+            _fs._STAT_HINTS.clear()  # pre-harvest world: HEAD per file
+        if n is not None:
+            files = files[:n]
+        for f in files:
+            _mm.memoized_parse("dta_meta", f, parse_dta_meta)
+        return time.perf_counter() - t0
+
+    _seed5k()
+    timings["floor_replan5k_lat10_hinted"] = round(replan5k(True), 3)
+    timings["floor_replan50_lat10_unhinted"] = round(
+        replan5k(False, 50), 3
+    )
+    timings["floor_replan50_lat10_hinted"] = round(replan5k(True, 50), 3)
+    _register_retry(
+        "floor_replan5k_lat10_hinted", lambda: replan5k(True)
+    )
+    _register_retry(
+        "floor_replan50_lat10_unhinted", lambda: replan5k(False, 50)
+    )
+    _register_retry(
+        "floor_replan50_lat10_hinted", lambda: replan5k(True, 50)
+    )
+
     # zone-map file skipping A/B (late r11): a selective filter over a
     # range-partitioned sink directory WITH its _prs_stats.json
     # manifest skips 63 of 64 part-files at plan time vs decoding all
@@ -1652,7 +1722,9 @@ def main() -> None:
         " A/B pair inversion); _nparts=plan probes; floor_*lat50*/"
         "floor_dedup_scale* grade against each other, not BASELINE;"
         " *_full_isolated (acs sas + wide sav) = fresh-process"
-        " best-of-5; floor_fsseam_* run through the real sources/fs.py"
+        " best-of-5; *_roundtrip_isolated + export_sas7bdat_isolated ="
+        " fresh-process best-of-3 twins of the volatile entries;"
+        " floor_fsseam_* run through the real sources/fs.py"
         " scheme seam, not option-simulated latency",
         # the VM-regime yardstick, surfaced so cross-round deltas can
         # be normalized before being read as code changes: these two
@@ -1692,9 +1764,24 @@ def main() -> None:
             "--isolated-wide",
             "/tmp/prs_bench_wide_anes_v1.sav",
         ),
+        # VERDICT r11 next#3: the volatile scan/export roundtrips
+        # (1.7-3.4x cross-round swings at similar floors) get
+        # fresh-process twins so their deltas are attributable
+        # without in-round snapshot forensics. `--isolated-entry`
+        # takes the entry key; no fixture gate (they self-build).
+        ("scan_xpt_roundtrip_isolated", "scan_xpt_roundtrip", None),
+        (
+            "scan_sas7bdat_roundtrip_isolated",
+            "scan_sas7bdat_roundtrip",
+            None,
+        ),
+        ("export_sas7bdat_isolated", "export_sas7bdat", None),
     ):
         try:
-            iso = _isolated_read_probe(flag, fixture)
+            if flag.startswith("--"):
+                iso = _isolated_read_probe(flag, fixture)
+            else:
+                iso = _isolated_entry_probe(flag, sf_dir)
             if iso is not None:
                 timings[entry] = iso
                 total, errors = _total_and_errors(timings)
@@ -1731,6 +1818,69 @@ def _isolated_read_probe(flag: str, fixture: str) -> float | None:
     return None
 
 
+def _isolated_entry_probe(key: str, sf_dir: str) -> float | None:
+    """Fresh-process best-of-3 for a named volatile entry (registry
+    scan roundtrips, the plain sas7bdat export). Same regime as
+    _isolated_read_probe: run after the main session exits, brief
+    cooldown, one untimed warm pass inside the child."""
+    import subprocess
+
+    time.sleep(5)
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--isolated-entry",
+            key,
+            sf_dir,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            return round(float(line), 3)
+        except ValueError:
+            continue
+    return None
+
+
+def _isolated_entry_main(key: str, sf_dir: str) -> None:
+    import tempfile
+
+    from polars_readstat_spark.session import get_spark
+
+    spark = get_spark(f"bench-{key}-isolated")
+    if key == "export_sas7bdat":
+        from polars_readstat_spark.tables import load_table
+        from polars_readstat_spark.writers.sas7bdat import write_sas7bdat
+
+        li = load_table(spark, sf_dir, "lineitem")
+        out = tempfile.mkdtemp(prefix="bench_export_iso_")
+
+        def run() -> None:
+            write_sas7bdat(li, out + "/li.sas7bdat")
+
+    else:
+        from polars_readstat_spark.queries import all_queries
+
+        fn = all_queries()[key]
+
+        def run() -> None:
+            run_query(fn(spark, sf_dir))
+
+    run()  # untimed warm pass (fixture build + JIT)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    print(round(best, 3), flush=True)
+    spark.stop()
+
+
 def _isolated_read_main(path: str, tag: str) -> None:
     from polars_readstat_spark.session import get_spark
 
@@ -1761,5 +1911,8 @@ if __name__ == "__main__":
         _isolated_read_main("/tmp/prs_bench_acs_v2.sas7bdat", "acs")
     elif "--isolated-wide" in sys.argv:
         _isolated_read_main("/tmp/prs_bench_wide_anes_v1.sav", "wide")
+    elif "--isolated-entry" in sys.argv:
+        i = sys.argv.index("--isolated-entry")
+        _isolated_entry_main(sys.argv[i + 1], sys.argv[i + 2])
     else:
         main()

@@ -557,6 +557,13 @@ class _SpoolUpload:
     handler's output in one sequential upload — the staged-commit
     shape Spark's own committers use."""
 
+    # one warning when a single remote artifact spools past this —
+    # the whole file lands on local disk before upload (writers
+    # backpatch headers, so the target must be seekable); bulk export
+    # belongs on write_readstat_partitioned, where each part spools
+    # only itself on its own executor (SCALE.md known-bounds)
+    _WARN_BYTES = 8 << 30
+
     def __init__(self, handler: FsHandler, path: str):
         import tempfile
 
@@ -565,9 +572,24 @@ class _SpoolUpload:
         fd, self._spool = tempfile.mkstemp(prefix="prs-spool-")
         self._f = os.fdopen(fd, "w+b")
         self._closed = False
+        self._warned = False
 
     def write(self, b) -> int:
-        return self._f.write(b)
+        n = self._f.write(b)
+        if not self._warned and self._f.tell() > self._WARN_BYTES:
+            self._warned = True
+            import warnings
+
+            warnings.warn(
+                f"remote single-file write to {self._path!r} has "
+                "spooled >8 GiB to local disk (the whole artifact "
+                "spools before upload — headers are backpatched, so "
+                "the target must be seekable). For bulk data use "
+                "write_readstat_partitioned, which spools per part "
+                "on the executors.",
+                stacklevel=2,
+            )
+        return n
 
     def seek(self, pos: int, whence: int = 0) -> int:
         return self._f.seek(pos, whence)

@@ -104,6 +104,44 @@ _SIDE_FMT = 2  # sidecar payload layout version
 _PERSIST_MIN_S = 0.002  # parses cheaper than this re-parse instead
 
 
+_PKG_STAMP: str | None = None
+
+
+def _package_stamp() -> str:
+    """(size, mtime) digest over EVERY module in sources/ — parse
+    functions call into shared helpers (strdecode, page/meta utils,
+    the fs seam), so stamping only the parse function's own module
+    left stale sidecars serving old results after a helper-only
+    change (ADVICE r11). Over-invalidation is the safe direction: any
+    sources/ edit drops all sidecars, which rebuild lazily. Computed
+    once per process (~1 ms)."""
+    global _PKG_STAMP
+    if _PKG_STAMP is None:
+        import hashlib
+
+        root = os.path.dirname(os.path.abspath(__file__))
+        h = hashlib.sha1()
+        try:
+            for dirpath, dirnames, filenames in os.walk(root):
+                dirnames[:] = sorted(
+                    d for d in dirnames if d != "__pycache__"
+                )
+                for f in sorted(filenames):
+                    if not f.endswith(".py"):
+                        continue
+                    try:
+                        st = os.stat(os.path.join(dirpath, f))
+                        h.update(
+                            f"{f}|{st.st_size}|{st.st_mtime_ns};".encode()
+                        )
+                    except OSError:
+                        h.update(f"{f}|gone;".encode())
+        except OSError:
+            return "nocode"
+        _PKG_STAMP = h.hexdigest()[:16]
+    return _PKG_STAMP
+
+
 def _code_stamp(parse: Callable) -> str:
     import sys
 
@@ -113,7 +151,7 @@ def _code_stamp(parse: Callable) -> str:
         return "nocode"
     try:
         st = os.stat(f)
-        return f"{st.st_size}.{st.st_mtime_ns}"
+        return f"{st.st_size}.{st.st_mtime_ns}.{_package_stamp()}"
     except OSError:
         return "nocode"
 

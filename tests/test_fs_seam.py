@@ -452,6 +452,29 @@ def test_spool_upload_preserves_backpatched_bytes(tmp_path):
         assert f.read() == b"HDR:0007PAYLOAD"
 
 
+def test_spool_upload_warns_past_size_bound(tmp_path, monkeypatch):
+    """A single remote artifact spooling past the local-disk bound
+    gets ONE warning pointing at the partitioned bulk path (the whole
+    file lands on local scratch before upload — SCALE.md known
+    bounds). Threshold shrunk for the test."""
+    import warnings
+
+    from polars_readstat_spark.sources.fs import _SpoolUpload, fs_open_output
+
+    monkeypatch.setattr(_SpoolUpload, "_WARN_BYTES", 64)
+    dest = str(tmp_path / "big.bin")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        with fs_open_output("simlat0://" + dest) as out:
+            for _ in range(4):
+                out.write(b"x" * 40)
+    hits = [x for x in w if "spooled" in str(x.message)]
+    assert len(hits) == 1  # warned once, not per write
+    assert "write_readstat_partitioned" in str(hits[0].message)
+    with open(dest, "rb") as f:
+        assert f.read() == b"x" * 160  # upload unaffected
+
+
 def test_latency_file_random_access_equivalence(dta_file):
     """Property: ANY interleaving of seeks and reads through the
     latency wrapper returns byte-identical results to the plain file

@@ -220,3 +220,32 @@ def test_sidecar_tolerates_corruption(tmp_path):
     metamemo._MEMO.clear()
     assert metamemo.memoized_parse("t_side_corrupt", p, parse) == "ok"
     assert len(calls) == 2
+
+
+def test_sidecar_invalidates_on_helper_module_change(tmp_path, monkeypatch):
+    """The sidecar code stamp covers the whole sources/ package, not
+    just the parse function's own module — a helper-only change
+    (strdecode, shared page/meta utils) must drop existing sidecars
+    (ADVICE r11). Simulated by forcing a different package stamp."""
+    import time
+
+    p = str(tmp_path / "helper.bin")
+    with open(p, "wb") as f:
+        f.write(b"payload" * 50)
+    calls = []
+
+    def parse(path):
+        calls.append(path)
+        time.sleep(0.005)
+        return {"n": 1}
+
+    metamemo.memoized_parse("t_side_helper", p, parse)
+    assert len(calls) == 1
+    metamemo._MEMO.clear()
+    # same parse module, "changed" helper elsewhere in sources/
+    monkeypatch.setattr(metamemo, "_PKG_STAMP", "deadbeefdeadbeef")
+    metamemo.memoized_parse("t_side_helper", p, parse)
+    assert len(calls) == 2  # sidecar refused, re-parsed
+    metamemo._MEMO.clear()
+    metamemo.memoized_parse("t_side_helper", p, parse)
+    assert len(calls) == 2  # new-stamp sidecar now serves
