@@ -203,6 +203,7 @@ class ReadstatDataSource(DataSource):
             )
             opts.pop("row_index_name", None)
             sub = ReadstatDataSource(opts)
+            sub._paths_cache = self._paths()  # same path, already resolved
             rdr = sub._reader_uncompressed(None)
             batches = []
             for part in rdr.partitions():
@@ -284,7 +285,9 @@ class ReadstatDataSource(DataSource):
             opts["path"] = p
             opts.pop("columns", None)  # project at the union level
             opts["union_by_name"] = "false"
-            return ReadstatDataSource(opts)._schema_uncompressed()
+            sub = ReadstatDataSource(opts)
+            sub._paths_cache = [p]  # listed path: skip file-vs-dir stat
+            return sub._schema_uncompressed()
 
         with ThreadPoolExecutor(min(16, max(2, len(paths)))) as ex:
             schemas = list(ex.map(schema_for, paths))
@@ -494,9 +497,12 @@ class ReadstatDataSource(DataSource):
                 # its cheapest native column, the aligner drops it
                 opts["columns"] = ",".join(mine or file_cols[p][:1])
             file_opts[p] = opts
-            inner = ReadstatDataSource(opts)._reader_uncompressed(
-                schema
-            )
+            sub = ReadstatDataSource(opts)
+            # p came from THIS plan's listing: it is a concrete file,
+            # so skip the child's file-vs-dir stat (on S3 that was one
+            # HEAD per file per plan — found by the moto smoke test)
+            sub._paths_cache = [p]
+            inner = sub._reader_uncompressed(schema)
             if union:
                 return SchemaAlignReader(inner, align_fields)
             return inner

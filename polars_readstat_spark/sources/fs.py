@@ -260,6 +260,44 @@ class SimLatencyFS(FsHandler):
         return out
 
 
+class _NativeRaw(io.RawIOBase):
+    """RawIOBase adapter over a pyarrow NativeFile so io.BufferedReader
+    can front it. Found by the moto S3 smoke test: header parses make
+    ~30 tiny sequential reads, and an unbuffered NativeFile turns each
+    into its own ranged GET — one round trip per read() on a real
+    object store. (simlat never showed this: it charges latency per
+    SEEK, the positioned-read model, so sequential small reads were
+    free there.) A 256 KiB BufferedReader collapses a header parse to
+    one GET; reads larger than the buffer bypass it, so the data
+    plane's big ranged reads are untouched."""
+
+    def __init__(self, nf):
+        self._nf = nf
+
+    def readinto(self, b) -> int:
+        data = self._nf.read(len(b))
+        n = len(data)
+        b[:n] = data
+        return n
+
+    def seek(self, pos: int, whence: int = 0) -> int:
+        return self._nf.seek(pos, whence)
+
+    def tell(self) -> int:
+        return self._nf.tell()
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def close(self) -> None:
+        if not self.closed:
+            self._nf.close()
+        super().close()
+
+
 class _ArrowFS(FsHandler):
     """pyarrow.fs-backed handler for s3:// / gs:// / hdfs:// — the
     production remote path. Resolved (and connection-pooled) lazily
@@ -288,7 +326,10 @@ class _ArrowFS(FsHandler):
         return stripped
 
     def open_input(self, path: str):
-        return self.fs.open_input_file(self._inner(path))
+        return io.BufferedReader(
+            _NativeRaw(self.fs.open_input_file(self._inner(path))),
+            buffer_size=256 * 1024,
+        )
 
     def _info(self, path: str):
         return self.fs.get_file_info([self._inner(path)])[0]

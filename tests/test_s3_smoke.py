@@ -1,0 +1,327 @@
+"""Real-protocol S3 smoke test (VERDICT r11 next#5): the fs seam
+against a local moto S3 server — authenticated s3:// resolution via
+pyarrow.fs, a multipart-sized upload through the spool, ranged reads
+through the reader chain, LIST-harvested stat hints, the sidecar
+round trip, and zone-map pruning over s3:// part-files.
+
+Server quirk found by this test (documented in SCALE.md round-12
+notes): moto names the CompleteMultipartUpload response root tag
+``CompleteMultipartUploadResponse`` where real S3 sends
+``...Result``; boto3 parses positionally and doesn't care, but
+aws-sdk-cpp (pyarrow's S3 client) checks the tag and treats the 200
+as an embedded error, retrying the complete forever. The fixture
+wraps moto in a one-line WSGI rewrite — a moto bug shim, not a seam
+fix (the seam itself needed NO changes to pass against the real
+wire protocol).
+
+Skipped wholesale when moto/boto3 are absent.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import threading
+
+import pytest
+
+pytest.importorskip("moto")
+pytest.importorskip("boto3")
+
+BUCKET = "prs-smoke"
+
+
+@pytest.fixture(scope="module")
+def s3_env():
+    """Shimmed moto server + AWS env + fresh s3 handler resolution."""
+    import boto3
+    from moto.server import DomainDispatcherApplication, create_backend_app
+    from werkzeug.serving import make_server
+
+    from polars_readstat_spark.sources import fs as _fs
+
+    inner = DomainDispatcherApplication(create_backend_app)
+    wire: list[tuple[str, str]] = []  # (method, path) of every request
+
+    def app(environ, start_response):
+        wire.append(
+            (environ.get("REQUEST_METHOD", "?"), environ.get("PATH_INFO", ""))
+        )
+        cap = {}
+
+        def sr(status, headers, exc_info=None):
+            cap["status"], cap["headers"] = status, headers
+            return lambda b: None
+
+        body = b"".join(inner(environ, sr))
+        if b"CompleteMultipartUploadResponse" in body:
+            body = body.replace(
+                b"CompleteMultipartUploadResponse",
+                b"CompleteMultipartUploadResult",
+            )
+            cap["headers"] = [
+                (k, str(len(body)) if k.lower() == "content-length" else v)
+                for k, v in cap["headers"]
+            ]
+        start_response(cap["status"], cap["headers"])
+        return [body]
+
+    srv = make_server("127.0.0.1", 0, app, threaded=True)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    port = srv.socket.getsockname()[1]
+    saved = {
+        k: os.environ.get(k)
+        for k in (
+            "AWS_ENDPOINT_URL",
+            "AWS_ACCESS_KEY_ID",
+            "AWS_SECRET_ACCESS_KEY",
+            "AWS_DEFAULT_REGION",
+        )
+    }
+    os.environ.update(
+        AWS_ENDPOINT_URL=f"http://127.0.0.1:{port}",
+        AWS_ACCESS_KEY_ID="smoke-test-key",
+        AWS_SECRET_ACCESS_KEY="smoke-test-secret",
+        AWS_DEFAULT_REGION="us-east-1",
+    )
+    boto3.client(
+        "s3", endpoint_url=os.environ["AWS_ENDPOINT_URL"]
+    ).create_bucket(Bucket=BUCKET)
+    _fs._RESOLVED.pop("s3", None)  # re-resolve against THIS endpoint
+    _fs._STAT_HINTS.clear()
+
+    class Env:
+        uri = f"s3://{BUCKET}"
+        requests = wire
+
+    try:
+        yield Env
+    finally:
+        _fs._RESOLVED.pop("s3", None)
+        _fs._STAT_HINTS.clear()
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+        srv.shutdown()
+
+
+def test_multipart_spool_roundtrip(s3_env):
+    """A multipart-sized (>10 MB) artifact through the seam's spool
+    upload, including the seek-backpatch every writer does, read back
+    byte-exact with ranged GETs; move and remove work."""
+    from polars_readstat_spark.sources.fs import (
+        fs_exists,
+        fs_move,
+        fs_open,
+        fs_open_output,
+        fs_remove,
+        fs_stat,
+    )
+
+    uri = f"{s3_env.uri}/big/artifact.bin"
+    payload = os.urandom(1 << 20) * 11  # 11 MiB, above the 10 MiB part
+    with fs_open_output(uri) as w:
+        w.write(b"\x00" * 16)
+        w.write(payload)
+        w.seek(0)
+        w.write(b"HDR" + len(payload).to_bytes(13, "little"))
+    size, mtime_ns = fs_stat(uri)
+    assert size == 16 + len(payload)
+    assert mtime_ns > 0
+    with fs_open(uri) as r:
+        assert r.read(3) == b"HDR"
+        r.seek(16 + 5 * (1 << 20))  # ranged read mid-object
+        assert r.read(64) == payload[5 * (1 << 20) : 5 * (1 << 20) + 64]
+    dst = f"{s3_env.uri}/big/artifact-final.bin"
+    fs_move(uri, dst)
+    assert fs_exists(dst) and not fs_exists(uri)
+    fs_remove(dst)
+    assert not fs_exists(dst)
+
+
+def _upload_dta(local: str, uri: str) -> None:
+    from polars_readstat_spark.sources.fs import fs_open_output
+
+    with open(local, "rb") as f, fs_open_output(uri) as w:
+        w.write(f.read())
+
+
+@pytest.fixture(scope="module")
+def s3_dta_dir(s3_env, tmp_path_factory):
+    """Two small dta part-files under one s3 prefix + local twins."""
+    import pandas as pd
+
+    d = tmp_path_factory.mktemp("s3dta")
+    locals_ = []
+    for i in range(2):
+        pdf = pd.DataFrame(
+            {
+                "id": range(i * 1000, (i + 1) * 1000),
+                "v": [x * 0.5 for x in range(i * 1000, (i + 1) * 1000)],
+            }
+        )
+        p = str(d / f"part-{i}.dta")
+        pdf.to_stata(p, write_index=False, version=118)
+        _upload_dta(p, f"{s3_env.uri}/scan/part-{i}.dta")
+        locals_.append(p)
+    return f"{s3_env.uri}/scan", locals_, s3_env
+
+
+def test_authenticated_scan_value_parity(s3_dta_dir):
+    """The reader chain (the exact objects executors run) over the
+    s3:// directory returns the same values as pandas on the local
+    twins."""
+    import pandas as pd
+
+    from polars_readstat_spark.sources.datasource import ReadstatDataSource
+
+    uri, locals_, _env = s3_dta_dir
+    ds = ReadstatDataSource({"path": uri})
+    r = ds.reader(ds._schema_uncompressed())
+    got = []
+    for p in r.partitions():
+        for b in r.read(p):
+            got.extend(
+                zip(b.column(0).to_pylist(), b.column(1).to_pylist())
+            )
+    want = []
+    for p in locals_:
+        pdf = pd.read_stata(p)
+        want.extend(zip(pdf["id"].tolist(), pdf["v"].tolist()))
+    assert sorted(got) == sorted(want)
+
+
+def test_plan_uses_list_hints_not_heads(s3_dta_dir):
+    """Planning the s3 directory issues ONE file-vs-dir probe and the
+    LIST, but ZERO per-file info calls: listed paths skip the child
+    datasource's isdir stat (this test caught one HEAD per file), and
+    the sidecar identity check rides the LIST-harvested hints. The
+    wire log is also bounded: with sidecars warm, the whole plan is
+    a handful of requests, independent of per-file round trips."""
+    from polars_readstat_spark.sources import fs as _fs
+    from polars_readstat_spark.sources import metamemo as _mm
+    from polars_readstat_spark.sources.datasource import ReadstatDataSource
+
+    uri, _, _env = s3_dta_dir
+    h = _fs._handler(uri + "/part-0.dta")
+    calls = {"dir": 0, "file": 0}
+    orig = h._info
+
+    def counting(path):
+        calls["file" if "part-" in path else "dir"] += 1
+        return orig(path)
+
+    h._info = counting
+    try:
+        # warm pass: builds sidecars for both files (pays the parses)
+        ds = ReadstatDataSource({"path": uri})
+        list(ds.reader(ds._schema_uncompressed()).partitions())
+        # fresh-driver replan: memo cleared, hints cleared
+        _mm._MEMO.clear()
+        _fs._STAT_HINTS.clear()
+        calls.update(dir=0, file=0)
+        n0 = len(_env.requests)
+        ds = ReadstatDataSource({"path": uri})
+        r = ds.reader(ds._schema_uncompressed())
+        assert len(list(r.partitions())) >= 1
+        assert calls["file"] == 0  # zero per-file HEADs
+        assert calls["dir"] <= 1  # the single file-vs-dir probe
+        # wire budget: isdir probe (<=2 reqs) + 1 LIST; nothing per file
+        assert len(_env.requests) - n0 <= 4, _env.requests[n0:]
+    finally:
+        h._info = orig
+
+
+def test_sidecar_round_trip_over_s3(s3_dta_dir):
+    """A remote parse persists to the local sidecar cache and a
+    fresh-memo replan serves it without re-reading the object."""
+    from polars_readstat_spark.sources import metamemo as _mm
+    from polars_readstat_spark.sources.dta.meta import parse_dta_meta
+
+    uri, _, _env = s3_dta_dir
+    path = uri + "/part-0.dta"
+    calls = []
+
+    def parse(p):
+        import time
+
+        calls.append(p)
+        time.sleep(0.005)  # localhost moto is faster than the 2 ms
+        return parse_dta_meta(p)  # persist threshold; a real store isn't
+
+    parse.__module__ = parse_dta_meta.__module__
+    a = _mm.memoized_parse("s3_smoke_meta", path, parse)
+    _mm._MEMO.clear()
+    b = _mm.memoized_parse("s3_smoke_meta", path, parse)
+    assert len(calls) == 1  # sidecar served the second plan
+    assert (a.nobs, a.nvar) == (b.nobs, b.nvar) == (1000, 2)
+
+
+def test_zone_map_prune_over_s3(s3_dta_dir):
+    """Filter pushdown's manifest-validated file skipping works
+    against real-protocol storage: a refuted part is pruned after a
+    live (hinted) stat match; corrupting the manifest mtime restores
+    the no-skip fallback."""
+    from pyspark.sql.datasource import GreaterThan
+
+    from polars_readstat_spark.sources.datasource import ReadstatDataSource
+    from polars_readstat_spark.sources.filters import BatchFilterReader
+    from polars_readstat_spark.sources.fs import (
+        fs_open_output,
+        fs_remove,
+        fs_stat,
+    )
+
+    uri, _, _env = s3_dta_dir
+
+    def manifest(doc: dict) -> None:
+        with fs_open_output(uri + "/_prs_stats.json") as w:
+            w.write(json.dumps(doc).encode())
+
+    files = {}
+    for i in range(2):
+        size, mtime_ns = fs_stat(f"{uri}/part-{i}.dta")
+        files[f"part-{i}.dta"] = {
+            "n": 1000,
+            "size": size,
+            "mtime_ns": mtime_ns,
+            "cols": {
+                "id": {
+                    "min": i * 1000,
+                    "max": (i + 1) * 1000 - 1,
+                    "nn": 1000,
+                    "n": 1000,
+                }
+            },
+        }
+    manifest({"files": files})
+
+    cls = type(
+        "ReadstatDataSource",
+        (ReadstatDataSource,),
+        {"_registered_filter_pushdown": True},
+    )
+
+    def plan():
+        ds = cls({"path": uri})
+        r = BatchFilterReader(ds.reader(ds._schema_uncompressed()))
+        r.pushFilters([GreaterThan(("id",), 1499)])
+        rows = []
+        for p in r.partitions():
+            for b in r.read(p):
+                rows.extend(b.column(0).to_pylist())
+        return sorted(rows)
+
+    try:
+        assert plan() == list(range(1500, 2000))  # part-0 refuted+pruned
+        # stale manifest (mtime mismatch) => no prune, same rows
+        files["part-1.dta"]["mtime_ns"] -= 1
+        files["part-0.dta"]["mtime_ns"] -= 1
+        manifest({"files": files})
+        assert plan() == list(range(1500, 2000))
+    finally:
+        fs_remove(uri + "/_prs_stats.json")
