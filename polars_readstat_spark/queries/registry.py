@@ -49,78 +49,71 @@ def query(name: str, oracle: str | None = None):
 # its code. Queries past position 50 still run in the local gate
 # (tools/check_correctness.py covers the whole registry).
 _PRIORITY: tuple[str, ...] = (
-    # round 11 window, part 1: the FIVE never-driver-checked queries
-    # (VERDICT r10 missing#1 / next#1): the three streaming oracle
-    # anchors + the shard shuffle (new r10, queued behind the full r10
-    # window), and multimodal_decode_embed, which gained a full
-    # value-hash oracle THIS round (replayable checksum kernel).
-    "stream_sessionize_stateful",
-    "stream_hourly_window",
-    "stream_dedup_watermark",
-    "training_shard_shuffle",
-    "multimodal_decode_embed",
-    "training_sequence_pack",  # NEW r11: context-window packing manifest
-    # part 2: queries whose code path changed this round — the
-    # filesystem seam under every reader (fs_open/fs_stat/listing),
-    # the metamemo persistent sidecars under planning, the stream
-    # planner rewrite onto _multi_reader, the _multi_reader extraction
-    # itself, and the zsav per-thread remote handles.
-    "scan_fs_seam_roundtrip",  # NEW: non-posix simlat1:// scan
-    "stream_ingest_agg",
-    "scan_union_by_name",
-    # (scan_dta_multifile evicted to 51+: its dir+canon is covered
-    # in-window by scan_dta_multifile_readahead and the fs-seam scan
-    # of the same fixture)
+    # round 12 window, part 1: the FIVE queries whose code path
+    # changed this round — the multi-file planner now seeds child
+    # datasources' resolved paths (zero per-file HEADs; moto smoke
+    # finding), the union-by-name schema pass got the same seeding,
+    # the compress sample plan too, the fs seam gained listdir
+    # tolerance + the ArrowFS buffered front, and the sink's zone-map
+    # manifest now records mtime_ns (plus the Arrow-native width
+    # scan in convert_batches).
     "scan_dta_multifile_readahead",
-    # (scan_dta_roundtrip evicted to 51+: the dta seam path is
-    # covered in-window by the readahead multifile twin, the fs-seam
-    # scan, and sink_remote_roundtrip's dta write+scan)
-    "pca_power_iter_step",  # NEW r11: exact-integer power iteration
-    "scan_dta_metadata_surface",
-    "scan_sas7bdat_roundtrip",
-    "sink_remote_roundtrip",  # NEW: distributed sink to a simlat1:// URI
-    "scan_sav_roundtrip",
-    "scan_sav_compressed_roundtrip",
-    "scan_zsav_roundtrip",
-    "scan_xpt_roundtrip",
-    "scan_por_roundtrip",
-    "profile_read_surface",
-    # part 3: the 30 queries whose newest driver green is r07 — the
-    # staleness rotation (VERDICT r10 missing#4: after this round no
-    # query's newest driver green predates r08).
-    "bm25_topk_docs",
-    "boilerplate_ngram_filter",
-    "dedup_incremental_vs_index",
-    "dedup_keep_best_quality",
-    "dedup_keep_first_records",
-    "doc_fingerprint",
-    "embedding_l2_norms",
-    "event_dau_wau_stickiness",
-    "event_hourly_window",
-    "event_props_json_extract",
-    "event_value_quantiles",
-    "informative_null_merged",
-    "informative_null_separate",
-    "informative_null_struct",
-    "minhash_signatures",
-    "multimodal_media_meta",
-    "ngram_containment_sampled",
-    "ngram_jaccard_sampled",
-    "pii_pattern_counts",
-    "pii_redact",
-    "q1_pricing_summary",
-    "repetition_chunk_dedup",
-    "resample_ffill_hourly",
-    "retention_weekly_cohorts",
-    "sas_csv_import_roundtrip",
-    "sas_csv_script_pins",
-    "scan_xpt_informative_nulls",
-    "table_profile_lineitem",
-    "tfidf_topk_terms",
-    "window_rank_family",
-    # positions 51+ follow registration order (every one of those is
-    # r08-or-newer green after this window lands; the local gate
-    # still covers the whole registry each round).
+    "scan_union_by_name",
+    "compress_numeric_decision",
+    "scan_fs_seam_roundtrip",
+    "sink_remote_roundtrip",
+    # part 2: the 45 queries whose newest driver green is r08 — the
+    # staleness rotation (VERDICT r11 missing#1 / next#1: they hit
+    # the 4-round boundary this round; after this window lands no
+    # query's newest driver green predates r09).
+    "ann_ivf_recall",
+    "ann_lsh_recall",
+    "anti_join_customers_without_orders",
+    "broadcast_join_order_region",
+    "cube_status_priority",
+    "customer_spend_quartiles",
+    "dedup_cluster_size_histogram",
+    "dedup_threshold_sweep",
+    "event_anomaly_days",
+    "filter_pushdown",
+    "group_count_events",
+    "intersect_except_user_sets",
+    "inverted_index_postings",
+    "limit_pushdown",
+    "max_strlen_prepass",
+    "metadata_merge_full_join",
+    "mixture_budget_fill",
+    "offset_slice",
+    "orders_monthly_rollup",
+    "pivot_user_event_counts",
+    "projection_pushdown",
+    "q10_returned_item_revenue",
+    "q11_important_value_share",
+    "q14_promo_effect",
+    "q18_large_volume_customer",
+    "q22_idle_customer_balance",
+    "q3_shipping_priority",
+    "q4_order_priority_exists",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "rollup_revenue_subtotals",
+    "running_revenue_window",
+    "sample_hash_stratified",
+    "sequence_length_histogram",
+    "sequence_packing_bins",
+    "sessionization_30m",
+    "shuffle_key_skew_report",
+    "simhash_fingerprint",
+    "source_mixing_weights",
+    "text_lang_id_score",
+    "text_quality_score",
+    "text_token_count",
+    "train_val_test_split",
+    "value_label_broadcast_decode",
+    "vocab_oov_rate",
+    # positions 51+ follow registration order (the r09-r11-green
+    # families wait their turn; the local gate still covers the
+    # whole registry each round).
 )
 
 
