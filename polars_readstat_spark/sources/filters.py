@@ -35,23 +35,34 @@ from pyspark.sql.datasource import (
 )
 
 
+# First (major, minor) VERIFIED to fix the pushed-plan reuse bug.
+# None = no release is known-fixed yet, so EVERY version stays
+# hazardous — assuming a future release fixed it would auto-enable a
+# wrong-results default on speculation (review r12). The pinned leak
+# test (test_filter_pushdown.py::
+# test_pushdown_engages_through_registered_path) asserts the leak
+# itself, so it flips red on the first Spark that fixes the cache —
+# set this to that version the round it happens and the default
+# flips on for it.
+_PUSHDOWN_FIXED_MIN: tuple[int, int] | None = None
+
+
 def plan_reuse_hazard(version: str) -> bool:
     """True when this Spark version reuses a python-DS pushed plan for
     FILTERLESS actions on a shared DataFrame (df.filter(x).count()
     then df.count() returns the filtered count — verified on 4.1.x
     with a minimal reproduction; the filterless action never re-enters
-    Python, so no reader-side fix exists). Known-bad: every release
-    up to and including 4.1.x. The pinned leak test
-    (test_filter_pushdown.py::test_pushdown_engages_through_registered_path)
-    asserts the leak itself, so it flips red on the first Spark that
-    fixes the cache — update this gate (and the default flips on) the
-    round that happens. Unparsable versions count as hazardous."""
+    Python, so no reader-side fix exists). Hazardous unless the
+    version is at or above the VERIFIED-fixed minimum
+    (_PUSHDOWN_FIXED_MIN); unparsable versions count as hazardous."""
+    if _PUSHDOWN_FIXED_MIN is None:
+        return True
     try:
         parts = version.split("-")[0].split(".")
         major, minor = int(parts[0]), int(parts[1])
     except (ValueError, IndexError):
         return True
-    return (major, minor) <= (4, 1)
+    return (major, minor) < _PUSHDOWN_FIXED_MIN
 
 
 def _compile(f: Filter):
@@ -229,9 +240,11 @@ class BatchFilterReader(DataSourceReader):
 
             warnings.warn(
                 "readstat reader replanned without pushFilters while "
-                "holding pushed predicates — a shared-DataFrame plan "
-                "reuse; results may reflect the previously pushed "
-                "filters (use a fresh load() per query)",
+                "holding pushed predicates. Re-executing the SAME "
+                "filtered query is correct; but if this action is a "
+                "DIFFERENT query on a shared DataFrame, its result "
+                "reflects the previously pushed filters — use a fresh "
+                "load() per query.",
                 stacklevel=2,
             )
         self._planned = True

@@ -364,10 +364,12 @@ class _ArrowFS(FsHandler):
             # round-trip through _inner unchanged and cache keys /
             # path_column carry the user's full URI
             uri = f"{self.scheme}://{self._prefix}{i.path}"
-            if i.size is not None:
-                _hint_stat(
-                    uri, i.size, int(i.mtime_ns) if i.mtime_ns else 0
-                )
+            # hint ONLY with a real mtime, like the fsspec adapter: a
+            # 0 stamp would give (size, 0) cache identities that miss
+            # same-size rewrites and always refute the zone-map
+            # manifest's real mtime (review r12)
+            if i.size is not None and i.mtime_ns:
+                _hint_stat(uri, i.size, int(i.mtime_ns))
             out.append(uri)
         return sorted(out)
 

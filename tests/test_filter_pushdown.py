@@ -177,20 +177,27 @@ def test_pushdown_engages_through_registered_path(spark, tmp_path):
         prs.register(spark)
 
 
-def test_plan_reuse_hazard_version_gate():
-    """The pushdown default is gated on the Spark 4.1 pushed-plan
-    reuse bug: hazardous up to and including 4.1.x, auto-on after.
-    Unparsable versions count as hazardous (never silently enable a
-    correctness-risky default)."""
-    from polars_readstat_spark.sources.filters import plan_reuse_hazard
+def test_plan_reuse_hazard_version_gate(monkeypatch):
+    """The pushdown default is gated on the Spark pushed-plan reuse
+    bug: EVERY version is hazardous until a release is VERIFIED fixed
+    (review r12 — assuming 4.2+ fixed it would auto-enable a
+    wrong-results default on speculation). Once _PUSHDOWN_FIXED_MIN
+    is recorded, versions at/above it auto-enable; unparsable
+    versions stay hazardous."""
+    from polars_readstat_spark.sources import filters
 
-    assert plan_reuse_hazard("4.0.0")
-    assert plan_reuse_hazard("4.1.2")
-    assert plan_reuse_hazard("4.1.3-SNAPSHOT")
-    assert plan_reuse_hazard("3.5.1")
-    assert not plan_reuse_hazard("4.2.0")
-    assert not plan_reuse_hazard("5.0.0")
-    assert plan_reuse_hazard("weird")
+    # no verified fix recorded: everything hazardous
+    assert filters._PUSHDOWN_FIXED_MIN is None
+    for v in ("4.0.0", "4.1.2", "4.2.0", "5.0.0", "weird"):
+        assert filters.plan_reuse_hazard(v)
+    # the day a fixed release ships: record it and the gate opens
+    monkeypatch.setattr(filters, "_PUSHDOWN_FIXED_MIN", (4, 2))
+    assert filters.plan_reuse_hazard("4.1.2")
+    assert filters.plan_reuse_hazard("4.1.3-SNAPSHOT")
+    assert filters.plan_reuse_hazard("3.5.1")
+    assert not filters.plan_reuse_hazard("4.2.0")
+    assert not filters.plan_reuse_hazard("5.0.0")
+    assert filters.plan_reuse_hazard("weird")
 
 
 def test_register_warns_on_hazardous_opt_in(spark, tmp_path):
