@@ -127,13 +127,7 @@ def apply_plan(batch: pa.RecordBatch, plan: dict) -> pa.RecordBatch:
             try:
                 d = pc.cast(col, pa.float64())
             except pa.ArrowInvalid:
-                d = pa.array(
-                    [
-                        None if v is None else _try_float(v)
-                        for v in col.to_pylist()
-                    ],
-                    type=pa.float64(),
-                )
+                d = _parse_float_lossy(col)
             arrays.append(_narrow_cast(d, tgt))
         else:
             arrays.append(_narrow_cast(col, tgt))
@@ -145,6 +139,33 @@ def _try_float(v):
         return float(v)
     except ValueError:
         return None
+
+
+def _parse_float_lossy(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """String → float64 with unparsable values nulled. One column
+    containing a single bad value used to send EVERY batch through a
+    per-row Python loop (review r12); now pandas' C parser does the
+    column and only the rows it coerced to NaN get the exact
+    Python-float retry (covers divergences like '1_000' underscores
+    and literal 'nan', which must stay a VALUE, not a null)."""
+    import pandas as pd
+
+    s = col.to_pandas()
+    d_pd = pd.to_numeric(s, errors="coerce")
+    in_null = s.isna().to_numpy()
+    bad = d_pd.isna().to_numpy() & ~in_null
+    if not bad.any():
+        return pa.array(d_pd, type=pa.float64(), from_pandas=True)
+    vals = d_pd.to_numpy(dtype=np.float64, copy=True)
+    sv = s.to_numpy()
+    mask = in_null.copy()
+    for i in np.flatnonzero(bad):
+        r = _try_float(sv[i])
+        if r is None:
+            mask[i] = True
+        else:
+            vals[i] = r
+    return pa.array(np.where(mask, 0.0, vals), type=pa.float64(), mask=mask)
 
 
 def _narrow_cast(col: pa.Array | pa.ChunkedArray, tgt: pa.DataType):

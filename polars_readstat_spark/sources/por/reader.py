@@ -1137,21 +1137,17 @@ class PorReader(DataSourceReader):
                 if isinstance(vals, pa.Array):
                     # vectorized gather already built the arrow array
                     if self.value_labels_as_strings and v.value_labels:
-                        vl = v.value_labels
                         arrays.append(
-                            pa.array(
-                                [vl.get(x, x) for x in vals.to_pylist()],
-                                type=pa.string(),
-                            )
+                            strdecode.map_str_labels(vals, v.value_labels)
                         )
                     else:
                         arrays.append(vals)
                     names.append(v.name)
                     continue
+                a = pa.array(vals, type=pa.string())
                 if self.value_labels_as_strings and v.value_labels:
-                    vl = v.value_labels
-                    vals = [vl.get(s, s) for s in vals]
-                arrays.append(pa.array(vals, type=pa.string()))
+                    a = strdecode.map_str_labels(a, v.value_labels)
+                arrays.append(a)
             else:
                 if isinstance(vals, np.ndarray):
                     fv = vals.astype(np.float64, copy=False)

@@ -1278,11 +1278,7 @@ def decode_column(
     if var.is_str:
         arr = decode_string_column(rows, var, meta, missing_string_as_null)
         if value_labels_as_strings and var.value_labels:
-            vl = var.value_labels
-            return pa.array(
-                [vl.get(s, s) if s is not None else None for s in arr.to_pylist()],
-                type=pa.string(),
-            )
+            return strdecode.map_str_labels(arr, var.value_labels)
         return arr
 
     vals, mask = decode_numeric(rows, var, meta, dense)

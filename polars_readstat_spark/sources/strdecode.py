@@ -158,6 +158,22 @@ def map_via_unique(codes: np.ndarray, mask: np.ndarray, render) -> pa.Array:
     return d.cast(pa.string())
 
 
+def map_str_labels(arr: pa.Array, labels: dict) -> pa.Array:
+    """Labeled-string → label strings, unlabeled values pass through
+    unchanged (vl.get(s, s) semantics), nulls stay null. Vectorized:
+    one index_in + take over the label table instead of a per-row
+    Python dict lookup (review r12 — the last per-row loops on the
+    T1/T2 decode path)."""
+    import pyarrow.compute as pc
+
+    keys = pa.array(list(labels.keys()), type=pa.string())
+    labs = pa.array(
+        [str(v) for v in labels.values()], type=pa.string()
+    )
+    idx = pc.index_in(arr, value_set=keys)
+    return pc.if_else(pc.is_valid(idx), pc.take(labs, idx), arr)
+
+
 def map_int_labels(
     codes: np.ndarray, mask: np.ndarray, labels: dict
 ) -> pa.Array:
