@@ -150,6 +150,8 @@ def _refutes(f: Filter, cols: dict) -> bool:
     if isinstance(f, IsNull):
         return nn == n
     mn, mx = st.get("min"), st.get("max")
+    if isinstance(mn, str) and isinstance(mx, str):
+        return _refutes_str(f, mn, mx)
     if not isinstance(mn, (int, float)) or isinstance(mn, bool):
         return False
     if not isinstance(mx, (int, float)) or isinstance(mx, bool):
@@ -180,6 +182,45 @@ def _refutes(f: Filter, cols: dict) -> bool:
         return mn >= v
     if isinstance(f, LessThanOrEqual):
         return mn > v
+    return False
+
+
+def _refutes_str(f: Filter, mn: str, mx: str) -> bool:
+    """String zone maps (round 12): the sink records min/max only for
+    columns whose every value is a fix-point of the formats' write
+    normalization (no NUL, no trailing whitespace), so the recorded
+    range bounds exactly what the reader will hand back. Python's
+    codepoint ordering equals Spark's UTF-8 binary string ordering,
+    so the same range algebra as the numeric branch applies, plus a
+    prefix-window refutation for StartsWith."""
+    if isinstance(f, In):
+        vs = list(f.value)
+        if not all(isinstance(v, str) for v in vs):
+            return False
+        return all(v < mn or v > mx for v in vs)
+    v = getattr(f, "value", None)
+    if not isinstance(v, str):
+        return False
+    if isinstance(f, (EqualTo, EqualNullSafe)):
+        return v < mn or v > mx
+    if isinstance(f, GreaterThan):
+        return mx <= v
+    if isinstance(f, GreaterThanOrEqual):
+        return mx < v
+    if isinstance(f, LessThan):
+        return mn >= v
+    if isinstance(f, LessThanOrEqual):
+        return mn > v
+    if isinstance(f, StringStartsWith):
+        if not v:
+            return False  # empty prefix matches everything
+        # value startswith v  <=>  v <= value < v[:-1]+chr(ord+1)
+        if mx < v:
+            return True
+        last = ord(v[-1])
+        if last < 0x10FFFF:
+            return mn >= v[:-1] + chr(last + 1)
+        return False
     return False
 
 

@@ -70,9 +70,11 @@ class _PartMessage(WriterCommitMessage):
     n_rows: int
     pid: int = -1
     # per-column zone maps for the _prs_stats.json manifest:
-    # {col: [min, max, non_null, n_rows]} over PLAIN NUMERIC columns
-    # (logical values, computed on the Arrow batches before epoch
-    # conversion so they compare against reader output)
+    # {col: [min, max, non_null, n_rows, poisoned]} over plain numeric
+    # AND normalization-safe string columns (logical values, computed
+    # on the Arrow batches before epoch conversion so they compare
+    # against reader output; see convert_batches for the string
+    # fix-point rule)
     stats: dict | None = None
 
 
@@ -170,11 +172,20 @@ def convert_batches(batches, names, kinds, fmt):
 
     widths = {n: 1 for n, k in zip(names, kinds) if k == "str"}
     frames = []
+    # [min, max, non_null, n_rows, poisoned]; strings participate too
+    # (round 12) but only while every value is a FIX-POINT of the
+    # formats' write normalization: no NUL byte, no trailing
+    # whitespace (dta preserves trailing spaces but sav/sas strip
+    # them, sav strips tabs, NUL truncates or vanishes per format —
+    # measured; a value the reader would hand back CHANGED makes
+    # range refutation unsound, so one such value poisons the
+    # column's stats for this part, sticky across batches)
     stats: dict = {
-        n: [None, None, 0, 0]
+        n: [None, None, 0, 0, False]
         for n, k in zip(names, kinds)
-        if k not in ("str", "date", "datetime", "time")
+        if k not in ("date", "datetime", "time")
     }
+    kind_of = dict(zip(names, kinds))
 
     def _accumulate(batch):
         for i, name in enumerate(names):
@@ -184,7 +195,23 @@ def convert_batches(batches, names, kinds, fmt):
             arr = batch.column(i)
             st[3] += len(arr)
             valid = arr.drop_null()
-            if pa.types.is_floating(valid.type) and len(valid):
+            if kind_of[name] == "str":
+                st[2] += len(valid)
+                if st[4] or not len(valid):
+                    continue
+                unsafe = pc.any(
+                    pc.or_(
+                        pc.not_equal(
+                            pc.utf8_rtrim_whitespace(valid), valid
+                        ),
+                        pc.match_substring(valid, "\x00"),
+                    )
+                ).as_py()
+                if unsafe:
+                    st[0] = st[1] = None
+                    st[4] = True
+                    continue
+            elif pa.types.is_floating(valid.type) and len(valid):
                 # NaN doubles become missing sentinels on disk and
                 # read back as NULL — for zone-map purposes they are
                 # nulls, and they must not poison min/max either
@@ -192,7 +219,8 @@ def convert_batches(batches, names, kinds, fmt):
             nn = len(valid)
             if nn == 0:
                 continue
-            st[2] += nn
+            if kind_of[name] != "str":
+                st[2] += nn
             mm = pc.min_max(valid)
             mn, mx = mm["min"].as_py(), mm["max"].as_py()
             if st[0] is None or mn < st[0]:
@@ -511,8 +539,12 @@ class ReadstatDataSourceWriter(DataSourceArrowWriter):
                 "cols": {
                     c: {"min": v[0], "max": v[1], "nn": v[2], "n": v[3]}
                     for c, v in m.stats.items()
-                    if isinstance(v[0], (int, float))
-                    or v[2] == 0  # all-null column still prunes IsNotNull
+                    if not (len(v) > 4 and v[4])  # normalization-poisoned
+                    and (
+                        isinstance(v[0], (int, float, str))
+                        # all-null column still prunes IsNotNull
+                        or v[2] == 0
+                    )
                 },
             }
             wrote = True

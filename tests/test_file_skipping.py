@@ -228,3 +228,93 @@ def test_nan_counts_as_null_in_manifest(spark, tmp_path):
     # and the reader agrees: two nulls
     back = spark.read.format("readstat").load(d)
     assert back.filter("v IS NULL").count() == 2
+
+
+@pytest.fixture(scope="module")
+def str_sink_dir(spark, tmp_path_factory):
+    """String-keyed range-partitioned sink: each part holds a tight
+    lexicographic key range, the layout where string zone maps skip."""
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    d = str(tmp_path_factory.mktemp("zonemap_str") / "out")
+    sdf = spark.range(400).selectExpr(
+        "cast(id as long) as id",
+        "concat('user_', lpad(cast(id as string), 4, '0')) as key",
+    )
+    (
+        sdf.repartitionByRange(4, "key")
+        .write.format("readstat")
+        .option("format", "dta")
+        .mode("overwrite")
+        .save(d)
+    )
+    return d
+
+
+def test_string_zone_maps_published(str_sink_dir):
+    m = json.load(open(os.path.join(str_sink_dir, "_prs_stats.json")))
+    for e in m["files"].values():
+        c = e["cols"]["key"]
+        assert isinstance(c["min"], str) and c["min"] <= c["max"]
+        assert c["nn"] == c["n"] == e["n"]
+
+
+def test_string_equal_prunes_files(str_sink_dir):
+    from pyspark.sql.datasource import EqualTo, StringStartsWith
+
+    _, all_parts, _ = _plan_parts(str_sink_dir, [])
+    r, pruned, declined = _plan_parts(
+        str_sink_dir, [EqualTo(("key",), "user_0371")]
+    )
+    assert not declined and len(pruned) < len(all_parts)
+    rows = [
+        v for p in pruned for b in r.read(p) for v in b.column(1).to_pylist()
+    ]
+    assert rows == ["user_0371"]
+    # prefix-window refutation: only the part covering user_03xx keys
+    r, pruned, _ = _plan_parts(
+        str_sink_dir, [StringStartsWith(("key",), "user_039")]
+    )
+    assert len(pruned) < len(all_parts)
+    rows = [
+        v for p in pruned for b in r.read(p) for v in b.column(1).to_pylist()
+    ]
+    assert sorted(rows) == [f"user_{i:04d}" for i in range(390, 400)]
+
+
+def test_string_stats_poisoned_by_normalization(spark, tmp_path):
+    """A single trailing-space (or NUL) value must drop the column's
+    string stats for that part: the formats rewrite such values on
+    disk (sav strips, dta NUL-truncates), so a recorded range would
+    bound the INPUT, not what the reader hands back — an unsound
+    refutation. Numeric columns in the same part keep their stats,
+    and queries stay exact with no pruning."""
+    import polars_readstat_spark as prs
+    from pyspark.sql.datasource import EqualTo
+
+    prs.register(spark)
+    d = str(tmp_path / "poison")
+    sdf = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta "), (2, "gamma")], "id long, key string"
+    )
+    (
+        sdf.coalesce(1)
+        .write.format("readstat")
+        .option("format", "dta")
+        .mode("overwrite")
+        .save(d)
+    )
+    m = json.load(open(os.path.join(d, "_prs_stats.json")))
+    (e,) = m["files"].values()
+    assert "key" not in e["cols"]  # poisoned: no unsound range
+    assert "id" in e["cols"]  # numeric stats unaffected
+    # dta preserves the trailing space on disk: the exact-value query
+    # must find the row — which it could NOT if a range computed from
+    # the (differently normalized) input had pruned the file
+    r, pruned, _ = _plan_parts(d, [EqualTo(("key",), "beta ")])
+    assert len(pruned) == 1
+    rows = [
+        v for p in pruned for b in r.read(p) for v in b.column(1).to_pylist()
+    ]
+    assert rows == ["beta "]
