@@ -241,6 +241,9 @@ _RETRY_PAIRS = (
     # zone maps: decoding all 8 parts + batch filtering must wall >=
     # the manifest-pruned 1-part read
     ("floor_zonemap64_fullscan", "floor_zonemap64_skip"),
+    # string zone maps (r12): equality on a partition-like string key
+    # decodes 1 of 64 parts vs all 64
+    ("floor_zonemap_str_fullscan", "floor_zonemap_str_skip"),
 )
 
 
@@ -1383,6 +1386,66 @@ def _bench_plan5k(spark, timings: dict) -> None:
     )
     _register_retry("floor_zonemap64_skip", lambda: zm(True))
     _register_retry("floor_zonemap64_fullscan", lambda: zm(False))
+
+    # STRING zone maps (round 12): same physics, string key column —
+    # an equality probe on a partition-like key (src name / shard id)
+    # decodes 1 of 64 parts instead of all 64. Fixture: 8M rows,
+    # 64 range-partitioned parts keyed 'k000'..'k063'.
+    dzs = "/tmp/prs_zonemap_str_v1"
+    if not os.path.isdir(dzs) or not os.path.exists(
+        os.path.join(dzs, "_prs_stats.json")
+    ):
+        sdfs = spark.range(8_000_000).selectExpr(
+            "cast(id as long) as id",
+            "concat('k', lpad(cast(cast(id / 125000 as int) as string),"
+            " 3, '0')) as src",
+            "cast(id % 997 as double) as v",
+        )
+        (
+            sdfs.repartitionByRange(64, "src")
+            .write.format("readstat")
+            .option("format", "dta")
+            .mode("overwrite")
+            .save(dzs)
+        )
+    smanifest = os.path.join(dzs, "_prs_stats.json")
+    shidden = os.path.join(dzs, ".prs_stats.hidden")
+
+    def zms_read() -> None:
+        run_query(
+            spark.read.format("readstat")
+            .load(dzs)
+            .filter(F.col("src") == "k063")
+        )
+
+    def zms(skip: bool) -> float:
+        import polars_readstat_spark as _prs
+
+        if skip and not os.path.exists(smanifest):
+            os.replace(shidden, smanifest)
+        if not skip and os.path.exists(smanifest):
+            os.replace(smanifest, shidden)
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        _prs.register(spark)
+        try:
+            t0 = time.perf_counter()
+            zms_read()
+            return time.perf_counter() - t0
+        finally:
+            spark.conf.set(
+                "spark.sql.python.filterPushdown.enabled", "false"
+            )
+            _prs.register(spark)
+            if os.path.exists(shidden):
+                os.replace(shidden, smanifest)
+
+    zms(True)  # warm plan+JIT
+    timings["floor_zonemap_str_skip"] = round(min(zms(True), zms(True)), 3)
+    timings["floor_zonemap_str_fullscan"] = round(
+        min(zms(False), zms(False)), 3
+    )
+    _register_retry("floor_zonemap_str_skip", lambda: zms(True))
+    _register_retry("floor_zonemap_str_fullscan", lambda: zms(False))
 
     # packed-group remote-store A/B (round 10): a packed task reads
     # its small files concurrently under io_readahead instead of
