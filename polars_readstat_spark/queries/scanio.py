@@ -298,6 +298,80 @@ def sink_remote_roundtrip(spark, sf_dir):
     return _canon(_scan(spark, "simlat1://" + d))
 
 
+@query(
+    "scan_zonemap_prune",
+    oracle="""
+    SELECT CONCAT(l_returnflag, l_linestatus) AS rk,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty
+    FROM lineitem
+    WHERE CONCAT(l_returnflag, l_linestatus) = 'AF'
+    GROUP BY rk
+    """,
+)
+def scan_zonemap_prune(spark, sf_dir):
+    """Zone-map file skipping under the VALUE oracle: lineitem lands
+    as 4 dta parts range-partitioned by a string key
+    rk = returnflag||linestatus (the sink publishes string min/max per
+    part — round-12 string zone maps), then an equality probe with
+    pushdown opted in prunes the refuting parts at plan time and must
+    still aggregate EXACTLY the oracle's rows — skipping may never
+    drop data. The action runs inside the opt-in window on a fresh
+    relation (the safe pattern under the Spark 4.1 pushed-plan reuse
+    hazard, see session.py) and the result is materialized before the
+    conf is restored, because pushdown participation is decided at
+    action time, not load time."""
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    d = os.path.join(_cache_dir(sf_dir), "sink_zonemap_dta")
+    done = os.path.join(d, ".done")
+    if not os.path.exists(done):
+        (
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .select(
+                "l_orderkey",
+                F.concat("l_returnflag", "l_linestatus").alias("rk"),
+                "l_quantity",
+            )
+            .repartitionByRange(4, "rk")
+            .write.format("readstat")
+            .option("format", "dta")
+            .mode("overwrite")
+            .save(d)
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    prior = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    prs.register(spark)
+    try:
+        agg = (
+            spark.read.format("readstat")
+            .load(d)
+            .filter(F.col("rk") == "AF")
+            .groupBy("rk")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_qty"),
+            )
+        )
+        rows = agg.collect()  # pruning happens HERE, inside the window
+        schema = agg.schema
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set(
+                "spark.sql.python.filterPushdown.enabled", prior
+            )
+        prs.register(spark)
+    return spark.createDataFrame(rows, schema)
+
+
 @query("scan_sav_roundtrip", oracle=_CANON_ORACLE)
 def scan_sav_roundtrip(spark, sf_dir):
     """S10/W3: SPSS SAV write → scan (uncompressed records)."""
