@@ -1341,6 +1341,12 @@ def _bench_plan5k(spark, timings: dict) -> None:
         )
     manifest = os.path.join(dzm, "_prs_stats.json")
     hidden = os.path.join(dzm, ".prs_stats.hidden")
+    if os.path.exists(manifest) and os.path.exists(hidden):
+        # a run killed mid-arm left the hidden copy behind and the
+        # fixture was since rebuilt: the finally below would clobber
+        # the fresh manifest with stale entries keyed by old part
+        # names (review r12) — the live manifest wins
+        os.unlink(hidden)
 
     def zm_read() -> None:
         run_query(
@@ -1410,6 +1416,8 @@ def _bench_plan5k(spark, timings: dict) -> None:
         )
     smanifest = os.path.join(dzs, "_prs_stats.json")
     shidden = os.path.join(dzs, ".prs_stats.hidden")
+    if os.path.exists(smanifest) and os.path.exists(shidden):
+        os.unlink(shidden)  # stale hidden copy from a killed run
 
     def zms_read() -> None:
         run_query(

@@ -145,13 +145,23 @@ def _refutes(f: Filter, cols: dict) -> bool:
     if st is None:
         return False
     nn, n = st.get("nn"), st.get("n")
-    if isinstance(f, IsNotNull):
-        return nn == 0
-    if isinstance(f, IsNull):
-        return nn == n
     mn, mx = st.get("min"), st.get("max")
-    if isinstance(mn, str) and isinstance(mx, str):
-        return _refutes_str(f, mn, mx)
+    str_stats = isinstance(mn, str) and isinstance(mx, str)
+    if isinstance(f, IsNotNull):
+        # null accounting never refutes through STRING stats: under
+        # missing_string_as_null the reader nulls '' values, and the
+        # default read un-nulls blank-filled nulls, so nn/n describe
+        # the INPUT, not the reader's output (review r12). String
+        # columns with any null are writer-poisoned, so an entry with
+        # string min/max is all-non-null input — but the '' hazard
+        # above still rules out both null refutations.
+        return nn == 0 and not str_stats
+    if isinstance(f, IsNull):
+        return nn == n and not str_stats
+    if str_stats:
+        return _range_refutes(
+            f, mn, mx, lambda v: v if isinstance(v, str) else None
+        ) or _refutes_str_prefix(f, mn, mx)
     if not isinstance(mn, (int, float)) or isinstance(mn, bool):
         return False
     if not isinstance(mx, (int, float)) or isinstance(mx, bool):
@@ -164,12 +174,22 @@ def _refutes(f: Filter, cols: dict) -> bool:
             else None
         )
 
+    return _range_refutes(f, mn, mx, num)
+
+
+def _range_refutes(f: Filter, mn, mx, coerce) -> bool:
+    """Shared range algebra for numeric and string zone maps: True
+    when [mn, mx] provably contains no value matching `f`. `coerce`
+    validates/normalizes a predicate value, returning None for a type
+    the column's stats can't be compared with (no refutation). For
+    strings the ordering agrees across layers: Python codepoint ==
+    Arrow/Spark UTF-8 binary order for valid Unicode."""
     if isinstance(f, In):
-        vs = [num(v) for v in f.value]
+        vs = [coerce(v) for v in f.value]
         if any(v is None for v in vs):
             return False
         return all(v < mn or v > mx for v in vs)
-    v = num(getattr(f, "value", None))
+    v = coerce(getattr(f, "value", None))
     if v is None:
         return False
     if isinstance(f, (EqualTo, EqualNullSafe)):
@@ -185,42 +205,19 @@ def _refutes(f: Filter, cols: dict) -> bool:
     return False
 
 
-def _refutes_str(f: Filter, mn: str, mx: str) -> bool:
-    """String zone maps (round 12): the sink records min/max only for
-    columns whose every value is a fix-point of the formats' write
-    normalization (no NUL, no trailing whitespace), so the recorded
-    range bounds exactly what the reader will hand back. Python's
-    codepoint ordering equals Spark's UTF-8 binary string ordering,
-    so the same range algebra as the numeric branch applies, plus a
-    prefix-window refutation for StartsWith."""
-    if isinstance(f, In):
-        vs = list(f.value)
-        if not all(isinstance(v, str) for v in vs):
-            return False
-        return all(v < mn or v > mx for v in vs)
+def _refutes_str_prefix(f: Filter, mn: str, mx: str) -> bool:
+    """StartsWith prefix-window refutation (string stats only):
+    value startswith v  <=>  v <= value < v[:-1]+chr(ord(v[-1])+1)."""
     v = getattr(f, "value", None)
-    if not isinstance(v, str):
+    if not isinstance(f, StringStartsWith) or not isinstance(v, str):
         return False
-    if isinstance(f, (EqualTo, EqualNullSafe)):
-        return v < mn or v > mx
-    if isinstance(f, GreaterThan):
-        return mx <= v
-    if isinstance(f, GreaterThanOrEqual):
-        return mx < v
-    if isinstance(f, LessThan):
-        return mn >= v
-    if isinstance(f, LessThanOrEqual):
-        return mn > v
-    if isinstance(f, StringStartsWith):
-        if not v:
-            return False  # empty prefix matches everything
-        # value startswith v  <=>  v <= value < v[:-1]+chr(ord+1)
-        if mx < v:
-            return True
-        last = ord(v[-1])
-        if last < 0x10FFFF:
-            return mn >= v[:-1] + chr(last + 1)
-        return False
+    if not v:
+        return False  # empty prefix matches everything
+    if mx < v:
+        return True
+    last = ord(v[-1])
+    if last < 0x10FFFF:
+        return mn >= v[:-1] + chr(last + 1)
     return False
 
 

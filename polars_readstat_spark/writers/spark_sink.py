@@ -197,7 +197,19 @@ def convert_batches(batches, names, kinds, fmt):
             valid = arr.drop_null()
             if kind_of[name] == "str":
                 st[2] += len(valid)
-                if st[4] or not len(valid):
+                if st[4]:
+                    continue
+                if len(valid) < len(arr):
+                    # NULLS poison string stats too (review r12): the
+                    # writers blank-fill nulls and the default read
+                    # hands them back as NON-null "" — a value outside
+                    # any min/max computed over the non-null inputs,
+                    # so the range (and the null accounting) would
+                    # unsoundly refute ''-probes
+                    st[0] = st[1] = None
+                    st[4] = True
+                    continue
+                if not len(valid):
                     continue
                 unsafe = pc.any(
                     pc.or_(

@@ -318,3 +318,82 @@ def test_string_stats_poisoned_by_normalization(spark, tmp_path):
         v for p in pruned for b in r.read(p) for v in b.column(1).to_pylist()
     ]
     assert rows == ["beta "]
+
+
+def test_null_strings_poison_stats(spark, tmp_path):
+    """Nulls are NOT fix-points of the string write→read round trip:
+    the writers blank-fill them and the default read hands back ''
+    (non-null) — so any null must poison the column's string stats
+    (review r12: min/max over non-null input unsoundly refuted
+    ''-probes, and an all-null string column unsoundly refuted
+    IsNotNull via the nn==0 branch)."""
+    import polars_readstat_spark as prs
+    from pyspark.sql.datasource import EqualTo
+
+    prs.register(spark)
+    d = str(tmp_path / "nullpoison")
+    sdf = spark.createDataFrame(
+        [(0, "alpha"), (1, None), (2, "zulu")], "id long, key string"
+    )
+    (
+        sdf.coalesce(1)
+        .write.format("readstat")
+        .option("format", "dta")
+        .mode("overwrite")
+        .save(d)
+    )
+    m = json.load(open(os.path.join(d, "_prs_stats.json")))
+    (e,) = m["files"].values()
+    assert "key" not in e["cols"]  # poisoned by the null
+    # the null-origin row reads back as '' — the probe must find it
+    r, pruned, _ = _plan_parts(d, [EqualTo(("key",), "")])
+    rows = [
+        v for p in pruned for b in r.read(p) for v in b.column(1).to_pylist()
+    ]
+    assert rows == [""]
+
+
+def test_all_null_string_column_never_refutes_isnotnull(spark, tmp_path):
+    import polars_readstat_spark as prs
+    from pyspark.sql.datasource import IsNotNull
+
+    prs.register(spark)
+    d = str(tmp_path / "allnull")
+    sdf = spark.createDataFrame(
+        [(0, None), (1, None)], "id long, key string"
+    )
+    (
+        sdf.coalesce(1)
+        .write.format("readstat")
+        .option("format", "dta")
+        .mode("overwrite")
+        .save(d)
+    )
+    m = json.load(open(os.path.join(d, "_prs_stats.json")))
+    (e,) = m["files"].values()
+    assert "key" not in e["cols"]  # poisoned, not admitted via nn==0
+    r, pruned, _ = _plan_parts(d, [IsNotNull(("key",))])
+    rows = [
+        v for p in pruned for b in r.read(p) for v in b.column(1).to_pylist()
+    ]
+    # default read un-nulls the blank-filled rows: both must survive
+    assert rows == ["", ""]
+
+
+def test_string_stats_never_refute_null_accounting():
+    """Even a clean all-non-null string entry must not drive
+    IsNull/IsNotNull refutation: under missing_string_as_null=true
+    the reader NULLS '' values, so nn/n describe the input, not the
+    output (review r12)."""
+    from pyspark.sql.datasource import EqualTo, IsNotNull, IsNull
+
+    from polars_readstat_spark.sources.filters import _refutes
+
+    cols = {"key": {"min": "", "max": "x", "nn": 2, "n": 2}}
+    assert not _refutes(IsNull(("key",)), cols)  # nn==n, but strings
+    assert not _refutes(IsNotNull(("key",)), cols)
+    # range refutation still works on the same entry
+    assert _refutes(EqualTo(("key",), "zz"), cols)
+    # numeric entries keep their null-accounting refutations
+    ncols = {"v": {"min": None, "max": None, "nn": 0, "n": 5}}
+    assert _refutes(IsNotNull(("v",)), ncols)
