@@ -23,6 +23,62 @@ import os
 from pyspark.sql import DataFrame
 
 
+def _zone_kinds(df: DataFrame, fmt: str):
+    """(name, kind) pairs for the zone-map accumulator, derived from
+    the Spark schema with the sink's own mapping — best-effort: a
+    schema plan_write can't express just skips the stats."""
+    try:
+        from polars_readstat_spark.writers.spark_sink import plan_write
+
+        _, _, names, _, kinds = plan_write(df.schema, {"format": fmt})
+        return list(zip(names, kinds))
+    except Exception:  # noqa: BLE001 — stats are an optimization
+        return None
+
+
+def _zone_acc(zone_kinds):
+    """Per-task ZoneMapStats (None when the schema has no stats plan).
+    Tasks see the cast frames for sav/xpt/sas7bdat — harmless: date
+    kinds are excluded from stats entirely, plain numerics cast to
+    identical logical doubles, strings pass through unchanged."""
+    if not zone_kinds:
+        return None
+    from polars_readstat_spark.writers.spark_sink import ZoneMapStats
+
+    return ZoneMapStats(
+        [n for n, _ in zone_kinds], [k for _, k in zone_kinds]
+    )
+
+
+def _stats_json(acc) -> str:
+    import json
+
+    return json.dumps(acc.stats) if acc is not None else ""
+
+
+def _publish(dir_path: str, results) -> None:
+    """Driver-side manifest publish from the collected task rows
+    (path, n_rows, stats-json). merge=True keeps valid entries from a
+    previous export into the same directory — stale ones are defused
+    by the reader's size+mtime validation anyway."""
+    import json
+
+    from polars_readstat_spark.writers.spark_sink import (
+        publish_stats_manifest,
+    )
+
+    parts = []
+    for r in results:
+        if not getattr(r, "stats", ""):
+            continue
+        try:
+            parts.append((r.path, r.n_rows, json.loads(r.stats)))
+        except ValueError:
+            continue
+    if parts:
+        publish_stats_manifest(dir_path, parts, merge=True)
+
+
 def write_dta_partitioned(
     df: DataFrame,
     dir_path: str,
@@ -59,7 +115,15 @@ def write_dta_partitioned(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        data, strls, n_rows = _pack_stream(cols, batches)
+        acc = _zone_acc(zone_kinds)
+
+        def tap(it):
+            for pdf in it:
+                if acc is not None:
+                    acc.add_pandas(pdf)
+                yield pdf
+
+        data, strls, n_rows = _pack_stream(cols, tap(batches))
         if n_rows > 0:
             out = _assemble_dta(
                 cols, data, strls, n_rows, data_label, variable_labels,
@@ -72,13 +136,23 @@ def write_dta_partitioned(
             with fs_open_output(tmp) as f:
                 f.write(out)
             fs_move(tmp, path)
-            yield pd.DataFrame({"path": [path], "n_rows": [n_rows]})
+            yield pd.DataFrame(
+                {
+                    "path": [path],
+                    "n_rows": [n_rows],
+                    "stats": [_stats_json(acc)],
+                }
+            )
 
+    zone_kinds = _zone_kinds(df, "dta")
     results = (
         df.select(*names)
-        .mapInPandas(write_partition, schema="path string, n_rows long")
+        .mapInPandas(
+            write_partition, schema="path string, n_rows long, stats string"
+        )
         .collect()
     )
+    _publish(dir_path, results)
     return [{"path": r.path, "n_rows": r.n_rows} for r in results]
 
 
@@ -126,11 +200,14 @@ def write_sav_partitioned(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
+        acc = _zone_acc(zone_kinds)
         data = bytearray()
         n_rows = 0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            if acc is not None:
+                acc.add_pandas(pdf)
             data += _pack_columns(
                 [pdf[nm] for nm in names], kinds, widths, el_per, case_size
             )
@@ -157,12 +234,22 @@ def write_sav_partitioned(
                 else:
                     f.write(bytes(data))
             fs_move(tmp, path)
-            yield pd.DataFrame({"path": [path], "n_rows": [n_rows]})
+            yield pd.DataFrame(
+                {
+                    "path": [path],
+                    "n_rows": [n_rows],
+                    "stats": [_stats_json(acc)],
+                }
+            )
 
+    zone_kinds = list(zip(names, kinds))
     results = (
-        src.mapInPandas(write_partition, schema="path string, n_rows long")
+        src.mapInPandas(
+            write_partition, schema="path string, n_rows long, stats string"
+        )
         .collect()
     )
+    _publish(dir_path, results)
     return [{"path": r.path, "n_rows": r.n_rows} for r in results]
 
 
@@ -208,11 +295,14 @@ def write_xpt_partitioned(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
+        acc = _zone_acc(zone_kinds)
         data = bytearray()
         n_rows = 0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            if acc is not None:
+                acc.add_pandas(pdf)
             data += _pack_xpt(
                 [pdf[nm] for nm in names], kinds, widths, record_width
             )
@@ -227,12 +317,29 @@ def write_xpt_partitioned(
                 f.write(bytes(data))
                 f.write(b" " * ((-len(data)) % 80))
             fs_move(tmp, path)
-            yield pd.DataFrame({"path": [path], "n_rows": [n_rows]})
+            if acc is not None:
+                # the xpt reader reports the uppercase 8-char short
+                # names — key the manifest by what scans will carry
+                ren = dict(zip(names, shorts))
+                acc.stats = {
+                    ren.get(c, c): v for c, v in acc.stats.items()
+                }
+            yield pd.DataFrame(
+                {
+                    "path": [path],
+                    "n_rows": [n_rows],
+                    "stats": [_stats_json(acc)],
+                }
+            )
 
+    zone_kinds = list(zip(names, kinds))
     results = (
-        src.mapInPandas(write_partition, schema="path string, n_rows long")
+        src.mapInPandas(
+            write_partition, schema="path string, n_rows long, stats string"
+        )
         .collect()
     )
+    _publish(dir_path, results)
     return [{"path": r.path, "n_rows": r.n_rows} for r in results]
 
 
@@ -276,10 +383,13 @@ def write_sas7bdat_partitioned(
 
         path = fs_join(dir_path, f"part-{pid:05d}.sas7bdat")
         tmp = path + f".tmp{os.getpid()}"
+        acc = _zone_acc(zone_kinds)
         fh = sink = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            if acc is not None:
+                acc.add_pandas(pdf)
             if fh is None:
                 fh = fs_open_output(tmp)
                 sink = _SasFileSink(
@@ -292,12 +402,22 @@ def write_sas7bdat_partitioned(
             sink.close()
             fh.close()
             fs_move(tmp, path)
-            yield pd.DataFrame({"path": [path], "n_rows": [n_rows]})
+            yield pd.DataFrame(
+                {
+                    "path": [path],
+                    "n_rows": [n_rows],
+                    "stats": [_stats_json(acc)],
+                }
+            )
 
+    zone_kinds = list(zip(names, kinds))
     results = (
-        src.mapInPandas(write_partition, schema="path string, n_rows long")
+        src.mapInPandas(
+            write_partition, schema="path string, n_rows long, stats string"
+        )
         .collect()
     )
+    _publish(dir_path, results)
     return [{"path": r.path, "n_rows": r.n_rows} for r in results]
 
 

@@ -162,50 +162,49 @@ def _utf8_width(arr) -> int:
     return int(m) if m is not None else 0
 
 
-def convert_batches(batches, names, kinds, fmt):
-    """Arrow RecordBatches → pandas frames in the format's numeric
-    representation (dates/datetimes shifted to the format epoch,
-    numerics float64), plus the partition-wide string byte widths."""
-    import pandas as pd
-    import pyarrow as pa
-    import pyarrow.compute as pc
+class ZoneMapStats:
+    """Per-part zone-map accumulator over Arrow batches of LOGICAL
+    (pre-epoch) values: {col: [min, max, non_null, n_rows, poisoned]}.
 
-    widths = {n: 1 for n, k in zip(names, kinds) if k == "str"}
-    frames = []
-    # [min, max, non_null, n_rows, poisoned]; strings participate too
-    # (round 12) but only while every value is a FIX-POINT of the
-    # formats' write normalization: no NUL byte, no trailing
-    # whitespace (dta preserves trailing spaces but sav/sas strip
-    # them, sav strips tabs, NUL truncates or vanishes per format —
-    # measured; a value the reader would hand back CHANGED makes
-    # range refutation unsound, so one such value poisons the
-    # column's stats for this part, sticky across batches)
-    stats: dict = {
-        n: [None, None, 0, 0, False]
-        for n, k in zip(names, kinds)
-        if k not in ("date", "datetime", "time")
-    }
-    kind_of = dict(zip(names, kinds))
+    Strings participate (round 12) but only while every value is a
+    FIX-POINT of the formats' write normalization: no NULL cell (the
+    writers blank-fill nulls and the default read hands them back as
+    NON-null ''), no NUL byte, no trailing whitespace (dta preserves
+    trailing spaces but sav/sas strip them, sav strips tabs, NUL
+    truncates or vanishes per format — measured). A value the reader
+    would hand back CHANGED makes range refutation unsound, so one
+    such value poisons the column's stats for this part, sticky
+    across batches. Columns are looked up BY NAME so batches built
+    from pandas frames (the partitioned writers) accumulate the same
+    way as the sink's Arrow batches."""
 
-    def _accumulate(batch):
-        for i, name in enumerate(names):
-            st = stats.get(name)
-            if st is None:
+    def __init__(self, names, kinds):
+        self.kind_of = dict(zip(names, kinds))
+        self.stats: dict = {
+            n: [None, None, 0, 0, False]
+            for n, k in zip(names, kinds)
+            if k not in ("date", "datetime", "time")
+        }
+
+    def add(self, batch) -> None:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for name, st in self.stats.items():
+            idx = batch.schema.get_field_index(name)
+            if idx < 0:
                 continue
-            arr = batch.column(i)
+            arr = batch.column(idx)
             st[3] += len(arr)
             valid = arr.drop_null()
-            if kind_of[name] == "str":
+            if self.kind_of[name] == "str":
                 st[2] += len(valid)
                 if st[4]:
                     continue
                 if len(valid) < len(arr):
-                    # NULLS poison string stats too (review r12): the
-                    # writers blank-fill nulls and the default read
-                    # hands them back as NON-null "" — a value outside
-                    # any min/max computed over the non-null inputs,
-                    # so the range (and the null accounting) would
-                    # unsoundly refute ''-probes
+                    # nulls poison string stats (review r12): null →
+                    # blank-fill on disk → '' on default read, a value
+                    # outside any min/max over the non-null inputs
                     st[0] = st[1] = None
                     st[4] = True
                     continue
@@ -231,7 +230,7 @@ def convert_batches(batches, names, kinds, fmt):
             nn = len(valid)
             if nn == 0:
                 continue
-            if kind_of[name] != "str":
+            if self.kind_of[name] != "str":
                 st[2] += nn
             mm = pc.min_max(valid)
             mn, mx = mm["min"].as_py(), mm["max"].as_py()
@@ -239,6 +238,35 @@ def convert_batches(batches, names, kinds, fmt):
                 st[0] = mn
             if st[1] is None or mx > st[1]:
                 st[1] = mx
+
+    def add_pandas(self, pdf) -> None:
+        """Accumulate from a pandas frame (partitioned-writer tasks):
+        one Arrow conversion of the stats-relevant columns only.
+        pandas NaN/None become Arrow nulls, matching how the packers
+        treat them (missing sentinels → read back as null)."""
+        import pyarrow as pa
+
+        cols = [c for c in self.stats if c in pdf.columns]
+        if not cols:
+            return
+        self.add(
+            pa.RecordBatch.from_pandas(pdf[cols], preserve_index=False)
+        )
+
+
+def convert_batches(batches, names, kinds, fmt):
+    """Arrow RecordBatches → pandas frames in the format's numeric
+    representation (dates/datetimes shifted to the format epoch,
+    numerics float64), plus the partition-wide string byte widths."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    widths = {n: 1 for n, k in zip(names, kinds) if k == "str"}
+    frames = []
+    acc = ZoneMapStats(names, kinds)
+    stats = acc.stats
+    _accumulate = acc.add
 
     if fmt == "dta":
         # the dta packer (_pack_batch) consumes raw Arrow→pandas
@@ -281,6 +309,71 @@ def convert_batches(batches, names, kinds, fmt):
             cols[name] = s
         frames.append(pd.DataFrame(cols))
     return frames, widths, stats
+
+
+def publish_stats_manifest(dir_path, parts, merge=True) -> None:
+    """Publish _prs_stats.json: per-part zone maps (numeric + safe
+    string min/max, null accounting, file size+mtime) the reader's
+    filter pushdown uses to SKIP whole part-files — the Delta/Iceberg
+    file-stats idea at manifest granularity. Best-effort: a missing or
+    stale manifest only costs the skip, never correctness (the reader
+    validates each pruned file's size AND mtime against the manifest
+    before trusting a refutation).
+
+    ``parts``: iterable of (final_path, n_rows, stats) where stats is
+    a ZoneMapStats.stats dict. ``merge=True`` keeps existing entries
+    (append mode); shared by the distributed sink and the partitioned
+    bulk exporters."""
+    import json
+
+    from polars_readstat_spark.sources.fs import (
+        fs_join,
+        fs_open,
+        fs_open_output,
+        fs_stat,
+    )
+
+    entries = {}
+    mpath = fs_join(dir_path, "_prs_stats.json")
+    if merge:
+        try:
+            with fs_open(mpath) as f:
+                entries = json.loads(f.read()).get("files", {})
+        except Exception:  # noqa: BLE001 — absent or unreadable
+            entries = {}
+    wrote = False
+    for final, n_rows, stats in parts:
+        base = os.path.basename(final)
+        try:
+            # mtime is free in the same round trip (fs_stat) and
+            # closes the same-size in-place-rewrite hole in the
+            # reader's staleness check (ADVICE r11)
+            size, mtime_ns = fs_stat(final)
+        except OSError:
+            continue
+        entries[base] = {
+            "n": n_rows,
+            "size": size,
+            "mtime_ns": mtime_ns,
+            "cols": {
+                c: {"min": v[0], "max": v[1], "nn": v[2], "n": v[3]}
+                for c, v in stats.items()
+                if not (len(v) > 4 and v[4])  # normalization-poisoned
+                and (
+                    isinstance(v[0], (int, float, str))
+                    # all-null column still prunes IsNotNull
+                    or v[2] == 0
+                )
+            },
+        }
+        wrote = True
+    if not wrote:
+        return
+    try:
+        with fs_open_output(mpath) as f:
+            f.write(json.dumps({"version": 1, "files": entries}).encode())
+    except Exception:  # noqa: BLE001 — manifest is an optimization
+        pass
 
 
 def write_partition_file(
@@ -486,6 +579,12 @@ class ReadstatDataSourceWriter(DataSourceArrowWriter):
             staged, self.fmt, self.fields, self.names, self.shorts,
             self.kinds, frames, widths, self.options,
         )
+        if self.fmt == "xpt" and self.shorts:
+            # the xpt READER reports the uppercase 8-char short names;
+            # key the manifest by what the scan's filters will carry
+            # or the refutation lookup never matches (review r12)
+            ren = dict(zip(self.names, self.shorts))
+            stats = {ren.get(c, c): v for c, v in stats.items()}
         return _PartMessage(staged, final, n, stats=stats)
 
     def commit(self, messages):
@@ -508,67 +607,15 @@ class ReadstatDataSourceWriter(DataSourceArrowWriter):
         self._write_stats_manifest(messages)
 
     def _write_stats_manifest(self, messages) -> None:
-        """Publish _prs_stats.json: per-part zone maps (numeric
-        min/max + null accounting + file size) the reader's filter
-        pushdown uses to SKIP whole part-files — the Delta/Iceberg
-        file-stats idea at manifest granularity. Best-effort: a
-        missing or stale manifest only costs the skip, never
-        correctness (the reader validates each pruned file's size
-        against the manifest before trusting it)."""
-        import json
-
-        from polars_readstat_spark.sources.fs import (
-            fs_join,
-            fs_open,
-            fs_open_output,
-            fs_stat,
+        publish_stats_manifest(
+            self.path,
+            [
+                (m.final, m.n_rows, m.stats)
+                for m in messages
+                if m and m.staged and m.stats is not None
+            ],
+            merge=not self.overwrite,
         )
-
-        entries = {}
-        mpath = fs_join(self.path, "_prs_stats.json")
-        if not self.overwrite:
-            try:
-                with fs_open(mpath) as f:
-                    entries = json.loads(f.read()).get("files", {})
-            except Exception:  # noqa: BLE001 — absent or unreadable
-                entries = {}
-        wrote = False
-        for m in messages:
-            if not (m and m.staged and m.stats is not None):
-                continue
-            base = os.path.basename(m.final)
-            try:
-                # mtime is free in the same round trip (fs_stat) and
-                # closes the same-size in-place-rewrite hole in the
-                # reader's staleness check (ADVICE r11)
-                size, mtime_ns = fs_stat(m.final)
-            except OSError:
-                continue
-            entries[base] = {
-                "n": m.n_rows,
-                "size": size,
-                "mtime_ns": mtime_ns,
-                "cols": {
-                    c: {"min": v[0], "max": v[1], "nn": v[2], "n": v[3]}
-                    for c, v in m.stats.items()
-                    if not (len(v) > 4 and v[4])  # normalization-poisoned
-                    and (
-                        isinstance(v[0], (int, float, str))
-                        # all-null column still prunes IsNotNull
-                        or v[2] == 0
-                    )
-                },
-            }
-            wrote = True
-        if not wrote:
-            return
-        try:
-            with fs_open_output(mpath) as f:
-                f.write(
-                    json.dumps({"version": 1, "files": entries}).encode()
-                )
-        except Exception:  # noqa: BLE001 — manifest is an optimization
-            pass
 
     def abort(self, messages):
         from polars_readstat_spark.sources.fs import fs_exists, fs_remove

@@ -397,3 +397,95 @@ def test_string_stats_never_refute_null_accounting():
     # numeric entries keep their null-accounting refutations
     ncols = {"v": {"min": None, "max": None, "nn": 0, "n": 5}}
     assert _refutes(IsNotNull(("v",)), ncols)
+
+
+@pytest.mark.parametrize("fmt", ["dta", "sav", "sas7bdat", "xpt"])
+def test_partitioned_export_publishes_zone_maps(spark, tmp_path, fmt):
+    """write_readstat_partitioned (the bulk path) publishes the same
+    _prs_stats.json the distributed sink does, so its outputs are
+    skippable too — round 12 closed the gap where only the
+    df.write.format path produced manifests."""
+    import polars_readstat_spark as prs
+    from polars_readstat_spark.writers.partitioned import (
+        write_readstat_partitioned,
+    )
+
+    prs.register(spark)
+    d = str(tmp_path / f"bulk_{fmt}")
+    sdf = spark.range(2000).selectExpr(
+        "cast(id as long) as id",
+        "concat('g', cast(cast(id / 500 as int) as string)) as grp",
+        "cast(id * 0.5 as double) as v",
+    )
+    write_readstat_partitioned(
+        sdf.repartitionByRange(4, "id"), d, ext=fmt
+    )
+    m = json.load(open(os.path.join(d, "_prs_stats.json")))
+    assert len(m["files"]) == 4
+    tot = 0
+    for e in m["files"].values():
+        cid = [k for k in e["cols"] if k.lower() == "id"][0]
+        cgrp = [k for k in e["cols"] if k.lower() == "grp"][0]
+        assert e["cols"][cid]["min"] <= e["cols"][cid]["max"]
+        assert isinstance(e["cols"][cgrp]["min"], str)
+        assert e["mtime_ns"] > 0 and e["size"] > 0
+        tot += e["n"]
+    assert tot == 2000
+
+
+def test_partitioned_export_prunes_on_read(spark, tmp_path):
+    """End to end: a bulk-exported directory's manifest drives file
+    skipping through the reader chain, rows exact."""
+    from pyspark.sql.datasource import GreaterThan
+
+    import polars_readstat_spark as prs
+    from polars_readstat_spark.writers.partitioned import (
+        write_readstat_partitioned,
+    )
+
+    prs.register(spark)
+    d = str(tmp_path / "bulk_prune")
+    sdf = spark.range(4000).selectExpr(
+        "cast(id as long) as id", "cast(id * 2 as double) as v"
+    )
+    write_readstat_partitioned(sdf.repartitionByRange(4, "id"), d)
+    _, all_parts, _ = _plan_parts(d, [])
+    r, pruned, _ = _plan_parts(d, [GreaterThan(("id",), 2999)])
+    assert len(pruned) < len(all_parts)
+    rows = [
+        v for p in pruned for b in r.read(p) for v in b.column(0).to_pylist()
+    ]
+    assert sorted(rows) == list(range(3000, 4000))
+
+
+def test_xpt_manifest_keys_match_reader_names(spark, tmp_path):
+    """XPT truncates/uppercases variable names, and the scan's pushed
+    filters carry the READER's names — the manifest must be keyed by
+    the short names or refutation lookups never match (found by the
+    round-12 partitioned-manifest tests)."""
+    from pyspark.sql.datasource import GreaterThan
+
+    import polars_readstat_spark as prs
+    from polars_readstat_spark.writers.partitioned import (
+        write_readstat_partitioned,
+    )
+
+    prs.register(spark)
+    d = str(tmp_path / "bulk_xpt_prune")
+    sdf = spark.range(4000).selectExpr(
+        "cast(id as long) as row_identifier",
+        "cast(id * 2 as double) as v",
+    )
+    write_readstat_partitioned(
+        sdf.repartitionByRange(4, "row_identifier"), d, ext="xpt"
+    )
+    m = json.load(open(os.path.join(d, "_prs_stats.json")))
+    for e in m["files"].values():
+        assert "ROW_IDEN" in e["cols"]  # 8-char uppercase short
+    _, all_parts, _ = _plan_parts(d, [])
+    r, pruned, _ = _plan_parts(d, [GreaterThan(("ROW_IDEN",), 2999.0)])
+    assert len(pruned) < len(all_parts)
+    rows = [
+        v for p in pruned for b in r.read(p) for v in b.column(0).to_pylist()
+    ]
+    assert sorted(rows) == [float(x) for x in range(3000, 4000)]
