@@ -36,17 +36,18 @@ def _zone_kinds(df: DataFrame, fmt: str):
         return None
 
 
-def _zone_acc(zone_kinds):
+def _zone_acc(zone_kinds, fmt=""):
     """Per-task ZoneMapStats (None when the schema has no stats plan).
     Tasks see the cast frames for sav/xpt/sas7bdat — harmless: date
     kinds are excluded from stats entirely, plain numerics cast to
-    identical logical doubles, strings pass through unchanged."""
+    identical logical doubles, strings pass through unchanged. fmt
+    enables format-specific numeric poisoning (xpt IBM-float range)."""
     if not zone_kinds:
         return None
     from polars_readstat_spark.writers.spark_sink import ZoneMapStats
 
     return ZoneMapStats(
-        [n for n, _ in zone_kinds], [k for _, k in zone_kinds]
+        [n for n, _ in zone_kinds], [k for _, k in zone_kinds], fmt
     )
 
 
@@ -115,7 +116,7 @@ def write_dta_partitioned(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        acc = _zone_acc(zone_kinds)
+        acc = _zone_acc(zone_kinds, "dta")
 
         def tap(it):
             for pdf in it:
@@ -200,7 +201,7 @@ def write_sav_partitioned(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        acc = _zone_acc(zone_kinds)
+        acc = _zone_acc(zone_kinds, "sav")
         data = bytearray()
         n_rows = 0
         for pdf in batches:
@@ -295,7 +296,7 @@ def write_xpt_partitioned(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        acc = _zone_acc(zone_kinds)
+        acc = _zone_acc(zone_kinds, "xpt")
         data = bytearray()
         n_rows = 0
         for pdf in batches:
@@ -318,12 +319,13 @@ def write_xpt_partitioned(
                 f.write(b" " * ((-len(data)) % 80))
             fs_move(tmp, path)
             if acc is not None:
-                # the xpt reader reports the uppercase 8-char short
-                # names — key the manifest by what scans will carry
-                ren = dict(zip(names, shorts))
-                acc.stats = {
-                    ren.get(c, c): v for c, v in acc.stats.items()
-                }
+                from polars_readstat_spark.writers.spark_sink import (
+                    stats_reader_keys,
+                )
+
+                acc.stats = stats_reader_keys(
+                    acc.stats, "xpt", names, shorts
+                )
             yield pd.DataFrame(
                 {
                     "path": [path],
@@ -383,7 +385,7 @@ def write_sas7bdat_partitioned(
 
         path = fs_join(dir_path, f"part-{pid:05d}.sas7bdat")
         tmp = path + f".tmp{os.getpid()}"
-        acc = _zone_acc(zone_kinds)
+        acc = _zone_acc(zone_kinds, "sas7bdat")
         fh = sink = None
         for pdf in batches:
             if len(pdf) == 0:

@@ -174,11 +174,23 @@ class ZoneMapStats:
     truncates or vanishes per format — measured). A value the reader
     would hand back CHANGED makes range refutation unsound, so one
     such value poisons the column's stats for this part, sticky
-    across batches. Columns are looked up BY NAME so batches built
-    from pandas frames (the partitioned writers) accumulate the same
-    way as the sink's Arrow batches."""
+    across batches. NUMERIC extremes poison too: values in the
+    formats' missing-sentinel range (dta codes missing as doubles
+    ≥ ~8.99e307, SPSS sysmis is -DBL_MAX) read back as NULL, ±inf
+    silently lands as 0.0 in xpt's IBM floats, and xpt flushes
+    magnitudes below 16^-65 (~5.4e-79) to 0.0 — each a value outside
+    the recorded range (review r12). Columns are looked up BY NAME so
+    batches built from pandas frames (the partitioned writers)
+    accumulate the same way as the sink's Arrow batches."""
 
-    def __init__(self, names, kinds):
+    # |v| at/above this may be a missing code on disk (dta missing
+    # doubles start at 0x7fe0... ≈ 8.988e307; sav sysmis = -DBL_MAX);
+    # inf compares >= too, covering xpt's silent inf→0.0
+    _NUM_POISON_ABS = 8.9e307
+    _XPT_TINY = 16.0**-65  # IBM hex-float underflow: flushed to 0.0
+
+    def __init__(self, names, kinds, fmt=""):
+        self.fmt = fmt
         self.kind_of = dict(zip(names, kinds))
         self.stats: dict = {
             n: [None, None, 0, 0, False]
@@ -196,11 +208,11 @@ class ZoneMapStats:
                 continue
             arr = batch.column(idx)
             st[3] += len(arr)
+            if st[4]:
+                continue
             valid = arr.drop_null()
             if self.kind_of[name] == "str":
                 st[2] += len(valid)
-                if st[4]:
-                    continue
                 if len(valid) < len(arr):
                     # nulls poison string stats (review r12): null →
                     # blank-fill on disk → '' on default read, a value
@@ -227,6 +239,23 @@ class ZoneMapStats:
                 # read back as NULL — for zone-map purposes they are
                 # nulls, and they must not poison min/max either
                 valid = valid.filter(pc.invert(pc.is_nan(valid)))
+                if len(valid):
+                    absv = pc.abs(valid)
+                    unsafe = pc.greater_equal(
+                        absv, pa.scalar(self._NUM_POISON_ABS)
+                    )
+                    if self.fmt == "xpt":
+                        unsafe = pc.or_(
+                            unsafe,
+                            pc.and_(
+                                pc.greater(absv, pa.scalar(0.0)),
+                                pc.less(absv, pa.scalar(self._XPT_TINY)),
+                            ),
+                        )
+                    if pc.any(unsafe).as_py():
+                        st[0] = st[1] = None
+                        st[4] = True
+                        continue
             nn = len(valid)
             if nn == 0:
                 continue
@@ -264,7 +293,7 @@ def convert_batches(batches, names, kinds, fmt):
 
     widths = {n: 1 for n, k in zip(names, kinds) if k == "str"}
     frames = []
-    acc = ZoneMapStats(names, kinds)
+    acc = ZoneMapStats(names, kinds, fmt)
     stats = acc.stats
     _accumulate = acc.add
 
@@ -309,6 +338,18 @@ def convert_batches(batches, names, kinds, fmt):
             cols[name] = s
         frames.append(pd.DataFrame(cols))
     return frames, widths, stats
+
+
+def stats_reader_keys(stats, fmt, names, shorts):
+    """Re-key a ZoneMapStats.stats dict by what the READER will call
+    the columns — the manifest's keys must match the names the scan's
+    pushed filters carry or refutation lookups never match. Only xpt
+    renames (uppercase 8-char shorts); sav restores long names via
+    the subtype-13 record and dta/sas7bdat keep full names."""
+    if fmt != "xpt" or not shorts:
+        return stats
+    ren = dict(zip(names, shorts))
+    return {ren.get(c, c): v for c, v in stats.items()}
 
 
 def publish_stats_manifest(dir_path, parts, merge=True) -> None:
@@ -361,8 +402,12 @@ def publish_stats_manifest(dir_path, parts, merge=True) -> None:
                 if not (len(v) > 4 and v[4])  # normalization-poisoned
                 and (
                     isinstance(v[0], (int, float, str))
-                    # all-null column still prunes IsNotNull
-                    or v[2] == 0
+                    # all-null column still prunes IsNotNull — but
+                    # only when rows were actually SEEN: a name-lookup
+                    # miss (duplicate column names) leaves a zeroed
+                    # entry whose publication would prune non-null
+                    # data (review r12)
+                    or (v[2] == 0 and v[3] > 0)
                 )
             },
         }
@@ -579,12 +624,7 @@ class ReadstatDataSourceWriter(DataSourceArrowWriter):
             staged, self.fmt, self.fields, self.names, self.shorts,
             self.kinds, frames, widths, self.options,
         )
-        if self.fmt == "xpt" and self.shorts:
-            # the xpt READER reports the uppercase 8-char short names;
-            # key the manifest by what the scan's filters will carry
-            # or the refutation lookup never matches (review r12)
-            ren = dict(zip(self.names, self.shorts))
-            stats = {ren.get(c, c): v for c, v in stats.items()}
+        stats = stats_reader_keys(stats, self.fmt, self.names, self.shorts)
         return _PartMessage(staged, final, n, stats=stats)
 
     def commit(self, messages):

@@ -489,3 +489,91 @@ def test_xpt_manifest_keys_match_reader_names(spark, tmp_path):
         v for p in pruned for b in r.read(p) for v in b.column(0).to_pylist()
     ]
     assert sorted(rows) == [float(x) for x in range(3000, 4000)]
+
+
+def test_numeric_extremes_poison_stats(spark, tmp_path):
+    """Numeric values in the formats' missing-sentinel range read
+    back as NULL (dta codes missing as doubles >= ~8.99e307; SPSS
+    sysmis is -DBL_MAX) — such values must poison the column's stats
+    or the recorded range unsoundly refutes probes for the values the
+    reader actually returns (review r12)."""
+    import json as _json
+
+    from polars_readstat_spark.writers.spark_sink import ZoneMapStats
+
+    import pyarrow as pa
+
+    acc = ZoneMapStats(["v", "w"], ["num", "num"], "dta")
+    acc.add(
+        pa.RecordBatch.from_arrays(
+            [
+                pa.array([1.0, 1.7e308], type=pa.float64()),
+                pa.array([1.0, 2.0], type=pa.float64()),
+            ],
+            names=["v", "w"],
+        )
+    )
+    assert acc.stats["v"][4] is True  # poisoned by the near-DBL_MAX
+    assert acc.stats["w"][4] is False and acc.stats["w"][1] == 2.0
+    _json.dumps(acc.stats)  # still manifest-serializable
+
+
+def test_xpt_small_magnitudes_poison_stats():
+    """xpt's IBM floats flush |v| < 16^-65 (and inf) to 0.0 on disk;
+    stats recording the logical value would unsoundly refute probes
+    for the 0.0 the reader returns."""
+    import pyarrow as pa
+
+    from polars_readstat_spark.writers.spark_sink import ZoneMapStats
+
+    tiny = ZoneMapStats(["v"], ["num"], "xpt")
+    tiny.add(
+        pa.RecordBatch.from_arrays(
+            [pa.array([1e-100, 5.0], type=pa.float64())], names=["v"]
+        )
+    )
+    assert tiny.stats["v"][4] is True
+    inf = ZoneMapStats(["v"], ["num"], "xpt")
+    inf.add(
+        pa.RecordBatch.from_arrays(
+            [pa.array([5.0, float("inf")], type=pa.float64())], names=["v"]
+        )
+    )
+    assert inf.stats["v"][4] is True
+    # the same values are fine on formats that store IEEE verbatim
+    ok = ZoneMapStats(["v"], ["num"], "sas7bdat")
+    ok.add(
+        pa.RecordBatch.from_arrays(
+            [pa.array([1e-100, 5.0], type=pa.float64())], names=["v"]
+        )
+    )
+    assert ok.stats["v"][4] is False
+
+
+def test_duplicate_column_names_never_publish_phantom_stats():
+    """pyarrow's get_field_index returns -1 for duplicated names, so
+    the stats entry stays zeroed — the manifest must NOT publish it
+    through the all-null branch (nn==0 with n==0 means 'never seen',
+    not 'all null'; publishing it refuted IsNotNull on files full of
+    non-null data — review r12)."""
+    import pyarrow as pa
+
+    from polars_readstat_spark.writers.spark_sink import ZoneMapStats
+
+    acc = ZoneMapStats(["id"], ["num"], "dta")
+    acc.add(
+        pa.RecordBatch.from_arrays(
+            [
+                pa.array([1.0], type=pa.float64()),
+                pa.array([2.0], type=pa.float64()),
+            ],
+            names=["id", "id"],  # duplicate: lookup returns -1
+        )
+    )
+    v = acc.stats["id"]
+    assert v[2] == 0 and v[3] == 0  # never accumulated
+    # the publish filter requires rows to have been SEEN (v[3] > 0)
+    publishable = (not v[4]) and (
+        isinstance(v[0], (int, float, str)) or (v[2] == 0 and v[3] > 0)
+    )
+    assert not publishable
