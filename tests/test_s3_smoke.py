@@ -19,7 +19,6 @@ Skipped wholesale when moto/boto3 are absent.
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import threading
