@@ -577,3 +577,134 @@ def test_duplicate_column_names_never_publish_phantom_stats():
         isinstance(v[0], (int, float, str)) or (v[2] == 0 and v[3] > 0)
     )
     assert not publishable
+
+
+def test_zone_map_refutation_soundness_battery(spark, tmp_path):
+    """Exhaustive soundness net: write a torture battery of string and
+    numeric values through the real sink, read them back through the
+    real reader, and for EVERY (column, predicate shape, operand)
+    combination assert that a refutation claimed from the published
+    manifest excludes ZERO read-back rows (SQL match semantics). This
+    is the invariant every zone-map change must preserve; the round-12
+    poisoning rules all exist because some value class violated it."""
+    import math
+
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        IsNotNull,
+        IsNull,
+        LessThan,
+        LessThanOrEqual,
+        StringStartsWith,
+    )
+
+    import polars_readstat_spark as prs
+    from polars_readstat_spark.sources.filters import _refutes
+
+    prs.register(spark)
+    strs = ["a", "a ", " b", "", "ü", "zz", "Z", "0", None, "café",
+            "a\tb", "x" * 20, "user_01", "user_02"]
+    nums = [0.0, -1.5, 3.0, 1e10, -0.0, 1e-300, None, float("nan"),
+            123456789.5, -7.25, 42.0, 8.0, 1.5, 2.5]
+    assert len(strs) == len(nums)
+    # t: a CLEAN string column (all fix-points) so string range
+    # refutations actually fire and get checked, not just the
+    # poisoned-never-refutes trivial case
+    clean = [f"k{i:02d}" for i in range(len(strs))]
+    d = str(tmp_path / "battery")
+    sdf = spark.createDataFrame(
+        list(zip(range(len(strs)), strs, clean, nums)),
+        "rid long, s string, t string, v double",
+    )
+    (
+        sdf.coalesce(1)
+        .write.format("readstat")
+        .option("format", "dta")
+        .mode("overwrite")
+        .save(d)
+    )
+    # read-back truth through the real reader chain, no filters
+    r, parts, _ = _plan_parts(d, [])
+    back_s, back_t, back_v = [], [], []
+    for p in parts:
+        for b in r.read(p):
+            back_s.extend(b.column(1).to_pylist())
+            back_t.extend(b.column(2).to_pylist())
+            back_v.extend(b.column(3).to_pylist())
+    m = json.load(open(os.path.join(d, "_prs_stats.json")))
+    (entry,) = m["files"].values()
+    cols = entry["cols"]
+
+    def matches(f, val):
+        """SQL predicate semantics on one read-back value."""
+        if isinstance(f, IsNull):
+            return val is None
+        if isinstance(f, IsNotNull):
+            return val is not None
+        if val is None:
+            return False
+        if isinstance(val, float) and math.isnan(val):
+            return False  # NaN compares false to everything in SQL
+        if isinstance(f, In):
+            return val in f.value
+        v = f.value
+        if isinstance(f, EqualTo):
+            return val == v
+        if isinstance(f, GreaterThan):
+            return val > v
+        if isinstance(f, GreaterThanOrEqual):
+            return val >= v
+        if isinstance(f, LessThan):
+            return val < v
+        if isinstance(f, LessThanOrEqual):
+            return val <= v
+        if isinstance(f, StringStartsWith):
+            return isinstance(val, str) and val.startswith(v)
+        raise AssertionError(f)
+
+    def battery(col, back, operands):
+        preds = [IsNull((col,)), IsNotNull((col,))]
+        for op in operands:
+            preds += [
+                EqualTo((col,), op),
+                GreaterThan((col,), op),
+                GreaterThanOrEqual((col,), op),
+                LessThan((col,), op),
+                LessThanOrEqual((col,), op),
+            ]
+            if isinstance(op, str):
+                preds.append(StringStartsWith((col,), op))
+        ops = [o for o in operands]
+        for i in range(0, len(ops) - 1, 2):
+            preds.append(In((col,), (ops[i], ops[i + 1])))
+        unsound = []
+        for f in preds:
+            if _refutes(f, cols) and any(matches(f, x) for x in back):
+                unsound.append(f)
+        assert not unsound, unsound
+
+    str_ops = [x for x in strs if x is not None] + [
+        x for x in back_s if x is not None
+    ] + ["", "user_0", "zzz", "A"]
+    num_ops = [
+        x
+        for x in nums
+        if x is not None and not (isinstance(x, float) and math.isnan(x))
+    ] + [1e-301, 2e308 / 2, -1e10, 0.5]
+    battery("s", back_s, sorted(set(str_ops)))
+    assert "t" in cols and isinstance(cols["t"]["min"], str)
+    t_refuted = [
+        f
+        for f in (
+            EqualTo(("t",), "zzz"),
+            LessThan(("t",), "k00"),
+            StringStartsWith(("t",), "q"),
+        )
+        if _refutes(f, cols)
+    ]
+    assert len(t_refuted) == 3  # the clean column genuinely refutes
+    battery("t", back_t, sorted(set(str_ops + clean)))
+    battery("v", back_v, sorted(set(num_ops)))
