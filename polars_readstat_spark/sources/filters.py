@@ -131,13 +131,32 @@ def _compile(f: Filter):
     return None
 
 
+# Not(cmp) matches exactly the complementary comparison on non-null
+# rows (SQL Kleene: NOT NULL is NULL, dropped) — so Not(col > v)
+# refutes exactly when col <= v does (round 12: range-partitioned
+# part-files are often single-valued, so `key != X` pruning the X
+# file is a real pattern)
+_COMPLEMENT = {
+    GreaterThan: LessThanOrEqual,
+    GreaterThanOrEqual: LessThan,
+    LessThan: GreaterThanOrEqual,
+    LessThanOrEqual: GreaterThan,
+}
+
+
 def _refutes(f: Filter, cols: dict) -> bool:
     """True when a file's zone maps PROVE filter `f` matches no row.
     cols: {name: {min, max, nn (non-null), n}} over plain numeric
     columns; comparisons never match nulls, so [min, max] of the
     non-null values is the complete match range."""
     if isinstance(f, Not):
-        return False  # negations don't refute from ranges safely
+        c = f.child
+        comp = _COMPLEMENT.get(type(c))
+        if comp is not None:
+            return _refutes(comp(c.attribute, c.value), cols)
+        if isinstance(c, (EqualTo, In, StringStartsWith)):
+            return _refutes_not(c, cols)
+        return False  # other negations don't refute from ranges safely
     attr = getattr(f, "attribute", None)
     if not attr or len(attr) != 1:
         return False
@@ -202,6 +221,58 @@ def _range_refutes(f: Filter, mn, mx, coerce) -> bool:
         return mn >= v
     if isinstance(f, LessThanOrEqual):
         return mn > v
+    return False
+
+
+def _refutes_not(c: Filter, cols: dict) -> bool:
+    """Refute a NEGATED equality/membership/prefix: possible only when
+    the zone maps prove every non-null value MATCHES the inner
+    predicate (then no row can match its negation — nulls never match
+    a Kleene NOT either). For a range that means a CONSTANT file
+    (min == max) equal to / inside the operand set, or a [min, max]
+    entirely inside the prefix window. Type guards mirror the positive
+    branches; EqualNullSafe is excluded (its negation MATCHES nulls,
+    which ranges can't bound)."""
+    attr = getattr(c, "attribute", None)
+    if not attr or len(attr) != 1:
+        return False
+    st = cols.get(attr[0])
+    if st is None:
+        return False
+    mn, mx = st.get("min"), st.get("max")
+    if isinstance(mn, bool) or isinstance(mx, bool):
+        return False
+    str_stats = isinstance(mn, str) and isinstance(mx, str)
+    num_stats = isinstance(mn, (int, float)) and isinstance(
+        mx, (int, float)
+    )
+    if not (str_stats or num_stats):
+        return False
+
+    def ok(v):
+        return (
+            isinstance(v, str)
+            if str_stats
+            else isinstance(v, (int, float)) and not isinstance(v, bool)
+        )
+
+    if isinstance(c, EqualTo):
+        return ok(c.value) and mn == mx == c.value
+    if isinstance(c, In):
+        vs = list(c.value)
+        return all(ok(v) for v in vs) and mn == mx and mn in vs
+    if isinstance(c, StringStartsWith):
+        v = c.value
+        if not str_stats or not isinstance(v, str):
+            return False
+        if not v:
+            return True  # every string startswith '' → NOT matches none
+        if mn < v:
+            return False
+        last = ord(v[-1])
+        if last < 0x10FFFF:
+            return mx < v[:-1] + chr(last + 1)
+        return False
     return False
 
 

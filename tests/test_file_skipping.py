@@ -598,6 +598,7 @@ def test_zone_map_refutation_soundness_battery(spark, tmp_path):
         IsNull,
         LessThan,
         LessThanOrEqual,
+        Not,
         StringStartsWith,
     )
 
@@ -640,6 +641,9 @@ def test_zone_map_refutation_soundness_battery(spark, tmp_path):
 
     def matches(f, val):
         """SQL predicate semantics on one read-back value."""
+        if isinstance(f, Not):
+            # Kleene: NOT NULL is NULL -> row dropped
+            return val is not None and not matches(f.child, val)
         if isinstance(f, IsNull):
             return val is None
         if isinstance(f, IsNotNull):
@@ -680,6 +684,11 @@ def test_zone_map_refutation_soundness_battery(spark, tmp_path):
         ops = [o for o in operands]
         for i in range(0, len(ops) - 1, 2):
             preds.append(In((col,), (ops[i], ops[i + 1])))
+        preds += [
+            Not(p)
+            for p in list(preds)
+            if not isinstance(p, (IsNull, IsNotNull))
+        ]
         unsound = []
         for f in preds:
             if _refutes(f, cols) and any(matches(f, x) for x in back):
@@ -708,3 +717,38 @@ def test_zone_map_refutation_soundness_battery(spark, tmp_path):
     assert len(t_refuted) == 3  # the clean column genuinely refutes
     battery("t", back_t, sorted(set(str_ops + clean)))
     battery("v", back_v, sorted(set(num_ops)))
+
+
+def test_not_equal_prunes_constant_file(spark, tmp_path):
+    """Range-partitioned-by-key part files are often single-valued,
+    so `key != X` should prune the constant X file (round 12: the
+    negation refutes only when the zone maps prove EVERY value
+    matches the inner predicate — min == max == X)."""
+    from pyspark.sql.datasource import EqualTo, Not, StringStartsWith
+
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    d = str(tmp_path / "notconst")
+    sdf = spark.range(900).selectExpr(
+        "cast(id as long) as id",
+        "concat('g', cast(cast(id / 300 as int) as string)) as grp",
+    )
+    (
+        sdf.repartitionByRange(3, "grp")
+        .write.format("readstat")
+        .option("format", "dta")
+        .mode("overwrite")
+        .save(d)
+    )
+    _, all_parts, _ = _plan_parts(d, [])
+    assert len(all_parts) == 3
+    r, pruned, declined = _plan_parts(d, [Not(EqualTo(("grp",), "g1"))])
+    assert not declined and len(pruned) == 2  # the constant g1 file gone
+    rows = [
+        v for p in pruned for b in r.read(p) for v in b.column(1).to_pylist()
+    ]
+    assert sorted(set(rows)) == ["g0", "g2"] and len(rows) == 600
+    # Not(StartsWith) prunes a file entirely inside the prefix window
+    r, pruned, _ = _plan_parts(d, [Not(StringStartsWith(("grp",), "g1"))])
+    assert len(pruned) == 2
