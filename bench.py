@@ -1371,16 +1371,22 @@ def _bench_plan5k(spark, timings: dict) -> None:
             os.replace(hidden, manifest)
         if not skip and os.path.exists(manifest):
             os.replace(manifest, hidden)
-        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        key = "spark.sql.python.filterPushdown.enabled"
+        prior = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
         _prs.register(spark)
         try:
             t0 = time.perf_counter()
             zm_read()
             return time.perf_counter() - t0
         finally:
-            spark.conf.set(
-                "spark.sql.python.filterPushdown.enabled", "false"
-            )
+            # restore the PRE-arm state, not a hardcoded 'false' —
+            # later arms must inherit the session's real conf
+            # (advice r12).
+            if prior is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prior)
             _prs.register(spark)
             if os.path.exists(hidden):
                 os.replace(hidden, manifest)
@@ -1433,16 +1439,19 @@ def _bench_plan5k(spark, timings: dict) -> None:
             os.replace(shidden, smanifest)
         if not skip and os.path.exists(smanifest):
             os.replace(smanifest, shidden)
-        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        key = "spark.sql.python.filterPushdown.enabled"
+        prior = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
         _prs.register(spark)
         try:
             t0 = time.perf_counter()
             zms_read()
             return time.perf_counter() - t0
         finally:
-            spark.conf.set(
-                "spark.sql.python.filterPushdown.enabled", "false"
-            )
+            if prior is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prior)
             _prs.register(spark)
             if os.path.exists(shidden):
                 os.replace(shidden, smanifest)

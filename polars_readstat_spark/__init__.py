@@ -131,7 +131,21 @@ def register(spark):
         raw = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
         if raw is None and not hazard:
             # Spark only calls pushFilters when the session conf is on;
-            # baking fp=True alone would error under conf=false
+            # baking fp=True alone would error under conf=false.
+            # This mutates the SESSION-WIDE conf, which also flips
+            # pushdown on for every other Python data source in the
+            # session — say so once, visibly (advice r12).
+            import warnings
+
+            warnings.warn(
+                "polars_readstat_spark.register() enabled "
+                "spark.sql.python.filterPushdown.enabled for this "
+                "session (it was unset and this Spark version has the "
+                "pushed-plan-reuse fix). This is session-wide: other "
+                "Python data sources now receive pushFilters too. Set "
+                "the conf explicitly to silence this.",
+                stacklevel=2,
+            )
             spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
             fp = True
         else:

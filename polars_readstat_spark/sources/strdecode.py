@@ -166,9 +166,15 @@ def map_str_labels(arr: pa.Array, labels: dict) -> pa.Array:
     T1/T2 decode path)."""
     import pyarrow.compute as pc
 
-    keys = pa.array(list(labels.keys()), type=pa.string())
+    # Match the old per-row vl.get(s, s) edge semantics exactly: a
+    # non-str label key can never equal a decoded string, so drop it
+    # (the dict lookup silently ignored it); a non-str label value
+    # (incl. None) yielded null, not str(v) (advice r12).
+    pairs = [(k, v) for k, v in labels.items() if isinstance(k, str)]
+    keys = pa.array([k for k, _ in pairs], type=pa.string())
     labs = pa.array(
-        [str(v) for v in labels.values()], type=pa.string()
+        [v if isinstance(v, str) else None for _, v in pairs],
+        type=pa.string(),
     )
     idx = pc.index_in(arr, value_set=keys)
     return pc.if_else(pc.is_valid(idx), pc.take(labs, idx), arr)

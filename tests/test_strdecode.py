@@ -101,3 +101,23 @@ def test_sav_slow_path_gates():
     assert _decode_string_vectorized(_mat([b"a\0b "], 4), 4, FakeMeta) is None
     # trailing tab → slow path (unicode rstrip strips it)
     assert _decode_string_vectorized(_mat([b"ab\t "], 4), 4, FakeMeta) is None
+
+
+def test_map_str_labels_edge_semantics():
+    """vl.get(s, s) parity (advice r12): a None label value maps the
+    matched key to NULL (not the literal 'None'); a non-str label key
+    is silently ignored; unlabeled values pass through; nulls stay
+    null."""
+    import pyarrow as pa
+
+    arr = pa.array(["a", "b", "c", None], type=pa.string())
+    out = sd.map_str_labels(arr, {"a": "Alpha", "b": None, 7: "seven"})
+    assert out.to_pylist() == ["Alpha", None, "c", None]
+
+
+def test_map_str_labels_empty_after_filter():
+    import pyarrow as pa
+
+    arr = pa.array(["x", None], type=pa.string())
+    out = sd.map_str_labels(arr, {3: "three"})
+    assert out.to_pylist() == ["x", None]
