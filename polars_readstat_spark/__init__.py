@@ -197,6 +197,7 @@ def scan_readstat(
     preserve_order=None,
     compress=False,
     union_by_name=False,
+    where=None,
 ):
     """Lazy scan of a statistical file → Spark DataFrame.
 
@@ -226,6 +227,11 @@ def scan_readstat(
         ),
         ("informative_null_suffix", informative_null_suffix),
         ("use_value_labels", use_value_labels),
+        # explicit reader-side filter (simple conjunction): batch-wise
+        # apply + zone-map file skipping with pushdown OFF — the
+        # hazard-free default-session path (sources/filters.py
+        # parse_where for the grammar)
+        ("where", where),
         # per-read plumbing of the cluster width into the plan worker
         ("target_parallelism", spark.sparkContext.defaultParallelism),
     ]:

@@ -372,6 +372,62 @@ def scan_zonemap_prune(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+@query(
+    "scan_where_option",
+    oracle="""
+    SELECT CONCAT(l_returnflag, l_linestatus) AS rk,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty
+    FROM lineitem
+    WHERE CONCAT(l_returnflag, l_linestatus) = 'AF'
+      AND l_quantity > 0
+    GROUP BY rk
+    """,
+)
+def scan_where_option(spark, sf_dir):
+    """The hazard-free explicit filter path (round 13): the same
+    rk-partitioned fixture as scan_zonemap_prune, but filtered via
+    ``.option("where", ...)`` with pushdown OFF — batch-side apply +
+    zone-map file skipping driven entirely by the reader option, no
+    Catalyst pushdown and therefore no Spark 4.1 plan-reuse exposure.
+    Skipping may never drop data: the pruned aggregate must equal the
+    oracle exactly."""
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    d = os.path.join(_cache_dir(sf_dir), "sink_zonemap_dta")
+    done = os.path.join(d, ".done")
+    if not os.path.exists(done):
+        (
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .select(
+                "l_orderkey",
+                F.concat("l_returnflag", "l_linestatus").alias("rk"),
+                "l_quantity",
+            )
+            .repartitionByRange(4, "rk")
+            .write.format("readstat")
+            .option("format", "dta")
+            .mode("overwrite")
+            .save(d)
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return (
+        spark.read.format("readstat")
+        .option("where", "rk = 'AF' AND l_quantity > 0")
+        .load(d)
+        .groupBy("rk")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
 @query("scan_sav_roundtrip", oracle=_CANON_ORACLE)
 def scan_sav_roundtrip(spark, sf_dir):
     """S10/W3: SPSS SAV write → scan (uncompressed records)."""

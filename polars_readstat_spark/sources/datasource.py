@@ -332,6 +332,14 @@ class ReadstatDataSource(DataSource):
             ReadstatStreamReader,
         )
 
+        if self.options.get("where"):
+            # silently ignoring the option would hand the stream
+            # unfiltered rows the batch path drops — loud until the
+            # stream planner threads WhereFilterReader
+            raise ValueError(
+                "readstat: option 'where' is batch-scan only; filter "
+                "the stream with df.filter(...) instead"
+            )
         return ReadstatStreamReader(self.options, schema)
 
     def writer(self, schema: StructType, overwrite: bool):
@@ -387,6 +395,23 @@ class ReadstatDataSource(DataSource):
             )
 
             base = ReadaheadReader(base, ra_depth)
+        # explicit filter option: same batch-apply + zone-map file
+        # skipping as pushdown, but hazard-free on every Spark — the
+        # filters are reader options, part of the relation identity,
+        # never touched by the Catalyst plan cache (VERDICT r12
+        # next#3: default sessions get file skipping without the 4.1
+        # pushed-plan reuse risk). Outermost below pushdown so an
+        # opted-in session composes both.
+        where = self.options.get("where")
+        if where:
+            from polars_readstat_spark.sources.filters import (
+                WhereFilterReader,
+                parse_where,
+            )
+
+            base = WhereFilterReader(
+                base, parse_where(where, set(schema.fieldNames()))
+            )
         # batch-level filter pushdown only when the session allows it —
         # merely *implementing* pushFilters errors under the default
         # spark.sql.python.filterPushdown.enabled=false, and the
@@ -582,13 +607,15 @@ class ReadstatDataSource(DataSource):
         # executor-side from options instead of pickling parsed metas
         # per partition (the streaming source)
         mf.file_opts = [file_opts[p] for p in paths]
-        # zone maps are consumed only by BatchFilterReader, which only
-        # exists when filter pushdown is enabled — don't pay a
-        # manifest GET+parse per plan (or per streaming micro-batch,
-        # which has no pushdown path at all) when nothing can use it
+        # zone maps are consumed only by the filter frontends —
+        # BatchFilterReader (exists only when pushdown is enabled) and
+        # WhereFilterReader (exists only when the `where` option is
+        # set) — don't pay a manifest GET+parse per plan (or per
+        # streaming micro-batch, which has neither path) when nothing
+        # can use it
         mf.file_stats = (
             self._load_stats_manifest(paths)
-            if self._pushdown_enabled()
+            if self._pushdown_enabled() or self.options.get("where")
             else None
         )
         return mf

@@ -1,0 +1,271 @@
+"""The explicit `where` reader option (round 13): batch-side
+filtering + zone-map file skipping with filter pushdown OFF — the
+hazard-free path for default sessions (the Spark 4.1 pushed-plan
+reuse bug only affects Catalyst-pushed plans; a reader option is part
+of the relation identity and can't leak across queries)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThanOrEqual,
+    In,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    Not,
+)
+
+from polars_readstat_spark.sources.filters import parse_where
+
+
+# ---------------------------------------------------------------- parser
+
+def test_parse_comparisons():
+    assert parse_where("a = 5") == [EqualTo(("a",), 5)]
+    assert parse_where("a == 5") == [EqualTo(("a",), 5)]
+    assert parse_where("a != 5") == [Not(EqualTo(("a",), 5))]
+    assert parse_where("a <> 5") == [Not(EqualTo(("a",), 5))]
+    assert parse_where("a >= 5.5") == [GreaterThanOrEqual(("a",), 5.5)]
+    assert parse_where("a < 1e2") == [LessThan(("a",), 100.0)]
+
+
+def test_parse_int_stays_int():
+    (f,) = parse_where("a = 5")
+    assert isinstance(f.value, int)
+    (f,) = parse_where("a = 5.0")
+    assert isinstance(f.value, float)
+
+
+def test_parse_strings_and_escapes():
+    assert parse_where("s = 'x''y'") == [EqualTo(("s",), "x'y")]
+    assert parse_where("s = ''") == [EqualTo(("s",), "")]
+
+
+def test_parse_in_not_null_and_conjunction():
+    got = parse_where(
+        "a IN (1, 2) AND b NOT IN ('x') AND c IS NULL AND d is not null"
+    )
+    assert got == [
+        In(("a",), (1, 2)),
+        Not(In(("b",), ("x",))),
+        IsNull(("c",)),
+        IsNotNull(("d",)),
+    ]
+
+
+def test_parse_not_prefix_and_booleans():
+    assert parse_where("NOT a > 3") == [Not(__import__(
+        "pyspark.sql.datasource", fromlist=["GreaterThan"]
+    ).GreaterThan(("a",), 3))]
+    assert parse_where("flag = TRUE and flag2 = false") == [
+        EqualTo(("flag",), True),
+        EqualTo(("flag2",), False),
+    ]
+
+
+def test_parse_backtick_column():
+    assert parse_where("`weird name` = 1") == [EqualTo(("weird name",), 1)]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "",
+        "a = 5 OR b = 6",
+        "a LIKE 'x%'",
+        "a = ",
+        "a = NULL",
+        "a BETWEEN 1 AND 2",
+        "(a = 1)",
+        "a IN ()",
+        "5 = a",
+        "a = b",  # column-to-column: rhs must be a literal
+    ],
+)
+def test_parse_rejects(bad):
+    with pytest.raises(ValueError):
+        parse_where(bad)
+
+
+def test_parse_unknown_column_against_schema():
+    with pytest.raises(ValueError, match="unknown column"):
+        parse_where("nope = 1", columns={"id", "v"})
+    parse_where("id = 1", columns={"id", "v"})  # known: no raise
+
+
+def test_every_parsed_shape_compiles_and_refutes_safely():
+    from polars_readstat_spark.sources.filters import _compile, _refutes
+
+    fs = parse_where(
+        "a = 1 AND a != 2 AND a < 3 AND a <= 4 AND a > 5 AND a >= 6 "
+        "AND a IN (7, 8) AND a NOT IN (9) AND a IS NULL AND "
+        "a IS NOT NULL AND NOT a = 10 AND s = 'x'"
+    )
+    for f in fs:
+        assert _compile(f) is not None
+        # refutation must never crash on arbitrary stats shapes
+        _refutes(f, {"a": {"min": 0, "max": 1, "nn": 1, "n": 1}})
+        _refutes(f, {})
+
+
+# ------------------------------------------------------------ end-to-end
+
+@pytest.fixture(scope="module")
+def sink_dir(spark, tmp_path_factory):
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    d = str(tmp_path_factory.mktemp("whereopt") / "out")
+    sdf = spark.range(4000).selectExpr(
+        "cast(id as long) as id",
+        "cast(id * 0.5 as double) as v",
+        "concat('s', lpad(cast(cast(id / 1000 as int) as string), 2, "
+        "'0')) as src",
+    )
+    (
+        sdf.repartitionByRange(4, "id")
+        .write.format("readstat")
+        .option("format", "dta")
+        .mode("overwrite")
+        .save(d)
+    )
+    return d
+
+
+def test_where_filters_rows_pushdown_off(spark, sink_dir):
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    assert (
+        spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+        != "true"
+    )
+    df = (
+        spark.read.format("readstat")
+        .option("where", "id >= 1000 AND id < 1100 AND src = 's01'")
+        .load(sink_dir)
+    )
+    got = sorted(r.id for r in df.select("id").collect())
+    assert got == list(range(1000, 1100))
+
+
+def test_where_prunes_files_from_manifest(sink_dir):
+    """Plan-level check: with pushdown OFF, the where option alone
+    loads the manifest and drops refuted part-files."""
+    from polars_readstat_spark.sources.datasource import ReadstatDataSource
+
+    assert os.path.exists(os.path.join(sink_dir, "_prs_stats.json"))
+
+    def parts(opts):
+        ds = ReadstatDataSource(opts)
+        r = ds.reader(ds._schema_uncompressed())
+        return r, list(r.partitions())
+
+    _, all_parts = parts({"path": sink_dir})
+    r, pruned = parts({"path": sink_dir, "where": "id > 2999"})
+    assert len(pruned) < len(all_parts)
+    rows = []
+    for p in pruned:
+        for b in r.read(p):
+            rows.extend(b.column(0).to_pylist())
+    assert sorted(rows) == list(range(3000, 4000))
+
+
+def test_where_string_equality_prunes(sink_dir):
+    from polars_readstat_spark.sources.datasource import ReadstatDataSource
+
+    def parts(opts):
+        ds = ReadstatDataSource(opts)
+        r = ds.reader(ds._schema_uncompressed())
+        return r, list(r.partitions())
+
+    _, all_parts = parts({"path": sink_dir})
+    r, pruned = parts({"path": sink_dir, "where": "src = 's03'"})
+    assert len(pruned) < len(all_parts)
+    rows = []
+    for p in pruned:
+        for b in r.read(p):
+            rows.extend(b.column(b.schema.get_field_index("id")).to_pylist())
+    assert sorted(rows) == list(range(3000, 4000))
+
+
+def test_where_stale_manifest_costs_skip_not_rows(spark, sink_dir, tmp_path):
+    """Same safety property as pushdown: a refuted-but-stale entry is
+    read anyway, and the batch-side filter still drops its rows."""
+    import shutil
+
+    d = str(tmp_path / "stale")
+    shutil.copytree(sink_dir, d)
+    mp = os.path.join(d, "_prs_stats.json")
+    m = json.load(open(mp))
+    for e in m["files"].values():
+        e["size"] = e["size"] + 1  # every entry stale
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    df = (
+        spark.read.format("readstat")
+        .option("where", "id > 2999")
+        .load(d)
+    )
+    assert df.count() == 1000
+
+
+def test_where_unknown_column_errors(spark, sink_dir):
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    df = spark.read.format("readstat").option("where", "nope = 1")
+    with pytest.raises(Exception, match="unknown column"):
+        df.load(sink_dir).count()
+
+
+def test_where_composes_with_df_filter(spark, sink_dir):
+    import polars_readstat_spark as prs
+    from pyspark.sql import functions as F
+
+    prs.register(spark)
+    df = (
+        spark.read.format("readstat")
+        .option("where", "id >= 2000")
+        .load(sink_dir)
+        .filter(F.col("id") < 2010)
+    )
+    assert sorted(r.id for r in df.collect()) == list(range(2000, 2010))
+
+
+def test_where_rejected_on_stream(sink_dir):
+    """Guard at the DataSource seam (Spark invokes streamReader only
+    at stream start, so the user sees this when the query begins)."""
+    from polars_readstat_spark.sources.datasource import ReadstatDataSource
+
+    ds = ReadstatDataSource({"path": sink_dir, "where": "id > 5"})
+    with pytest.raises(ValueError, match="batch-scan only"):
+        ds.streamReader(ds._schema_uncompressed())
+
+
+def test_where_null_semantics(spark, tmp_path):
+    """SQL comparison semantics: null rows never match, and
+    IS NULL / IS NOT NULL work."""
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    src = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 3.0)], "id int, v double"
+    )
+    p = str(tmp_path / "n.dta")
+    prs.write_readstat(src, p)
+    load = lambda w: (  # noqa: E731
+        spark.read.format("readstat").option("where", w).load(p)
+    )
+    assert [r.id for r in load("v > 0").collect()] == [1, 3]
+    assert [r.id for r in load("v IS NULL").collect()] == [2]
+    assert [r.id for r in load("NOT v = 1").collect()] == [3]  # Kleene
+    assert [r.id for r in load("v IS NOT NULL").collect()] == [1, 3]
