@@ -244,6 +244,9 @@ _RETRY_PAIRS = (
     # string zone maps (r12): equality on a partition-like string key
     # decodes 1 of 64 parts vs all 64
     ("floor_zonemap_str_fullscan", "floor_zonemap_str_skip"),
+    # per-stripe zone maps (r13): a mid-file range predicate over one
+    # large sorted part decodes ~2 of 123 stripes vs the whole file
+    ("floor_zonemap_stripe_fullscan", "floor_zonemap_stripe_skip"),
 )
 
 
@@ -1463,6 +1466,64 @@ def _bench_plan5k(spark, timings: dict) -> None:
     )
     _register_retry("floor_zonemap_str_skip", lambda: zms(True))
     _register_retry("floor_zonemap_str_fullscan", lambda: zms(False))
+
+    # per-STRIPE (intra-file) zone maps (round 13): a mid-file range
+    # predicate over ONE large sorted part must decode only the
+    # stripe-aligned row window that can match, not the whole file.
+    # Driven through the hazard-free `where` option (no pushdown conf
+    # involved); the arms toggle only the manifest, same physics as
+    # the file-level pairs above. 8M sorted rows, 65536-row stripes →
+    # the 50k-row mid-file window reads ~2 stripes of 123.
+    dzt = "/tmp/prs_zonemap_stripe_v1"
+    if not os.path.isdir(dzt) or not os.path.exists(
+        os.path.join(dzt, "_prs_stats.json")
+    ):
+        (
+            spark.range(8_000_000)
+            .selectExpr(
+                "cast(id as long) as id", "cast(id % 997 as double) as v"
+            )
+            .coalesce(1)
+            .sortWithinPartitions("id")
+            .write.format("readstat")
+            .option("format", "dta")
+            .mode("overwrite")
+            .save(dzt)
+        )
+    tmanifest = os.path.join(dzt, "_prs_stats.json")
+    thidden = os.path.join(dzt, ".prs_stats.hidden")
+    if os.path.exists(tmanifest) and os.path.exists(thidden):
+        os.unlink(thidden)  # stale hidden copy from a killed run
+
+    def zmt_read() -> None:
+        run_query(
+            spark.read.format("readstat")
+            .option("where", "id >= 4000000 AND id < 4050000")
+            .load(dzt)
+        )
+
+    def zmt(skip: bool) -> float:
+        if skip and not os.path.exists(tmanifest):
+            os.replace(thidden, tmanifest)
+        if not skip and os.path.exists(tmanifest):
+            os.replace(tmanifest, thidden)
+        try:
+            t0 = time.perf_counter()
+            zmt_read()
+            return time.perf_counter() - t0
+        finally:
+            if os.path.exists(thidden):
+                os.replace(thidden, tmanifest)
+
+    zmt(True)  # warm plan+JIT
+    timings["floor_zonemap_stripe_skip"] = round(
+        min(zmt(True), zmt(True)), 3
+    )
+    timings["floor_zonemap_stripe_fullscan"] = round(
+        min(zmt(False), zmt(False)), 3
+    )
+    _register_retry("floor_zonemap_stripe_skip", lambda: zmt(True))
+    _register_retry("floor_zonemap_stripe_fullscan", lambda: zmt(False))
 
     # packed-group remote-store A/B (round 10): a packed task reads
     # its small files concurrently under io_readahead instead of

@@ -49,71 +49,73 @@ def query(name: str, oracle: str | None = None):
 # its code. Queries past position 50 still run in the local gate
 # (tools/check_correctness.py covers the whole registry).
 _PRIORITY: tuple[str, ...] = (
-    # round 12 window, part 1: the FIVE queries whose code path
-    # changed this round — the multi-file planner now seeds child
-    # datasources' resolved paths (zero per-file HEADs; moto smoke
-    # finding), the union-by-name schema pass got the same seeding,
-    # the compress sample plan too, the fs seam gained listdir
-    # tolerance + the ArrowFS buffered front, and the sink's zone-map
-    # manifest now records mtime_ns (plus the Arrow-native width
-    # scan in convert_batches).
-    "scan_dta_multifile_readahead",
-    "scan_union_by_name",
-    "compress_numeric_decision",
-    "scan_fs_seam_roundtrip",
-    "sink_remote_roundtrip",
-    # part 2: the 45 queries whose newest driver green is r08 — the
-    # staleness rotation (VERDICT r11 missing#1 / next#1: they hit
-    # the 4-round boundary this round; after this window lands no
-    # query's newest driver green predates r09).
-    "ann_ivf_recall",
-    "ann_lsh_recall",
-    "anti_join_customers_without_orders",
-    "broadcast_join_order_region",
-    "cube_status_priority",
-    "customer_spend_quartiles",
-    "dedup_cluster_size_histogram",
-    "dedup_threshold_sweep",
-    "event_anomaly_days",
-    "filter_pushdown",
-    "group_count_events",
-    "intersect_except_user_sets",
-    "inverted_index_postings",
-    "limit_pushdown",
-    "max_strlen_prepass",
-    "metadata_merge_full_join",
-    "mixture_budget_fill",
-    "offset_slice",
-    "orders_monthly_rollup",
-    "pivot_user_event_counts",
-    "projection_pushdown",
-    "q10_returned_item_revenue",
-    "q11_important_value_share",
-    "q14_promo_effect",
-    "q18_large_volume_customer",
-    "q22_idle_customer_balance",
-    "q3_shipping_priority",
-    "q4_order_priority_exists",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "rollup_revenue_subtotals",
-    "running_revenue_window",
-    "sample_hash_stratified",
-    "sequence_length_histogram",
-    "sequence_packing_bins",
-    "sessionization_30m",
-    "shuffle_key_skew_report",
-    "simhash_fingerprint",
-    "source_mixing_weights",
-    "text_lang_id_score",
-    "text_quality_score",
-    "text_token_count",
-    "train_val_test_split",
-    "value_label_broadcast_decode",
-    "vocab_oov_rate",
-    # positions 51+ follow registration order (the r09-r11-green
-    # families wait their turn; the local gate still covers the
-    # whole registry each round).
+    # round 13 window, part 1 — never driver-checked, all on this
+    # round's changed paths: the hazard-free `where` option
+    # (scan_where_option), per-stripe intra-file zone maps
+    # (scan_zonemap_stripe_prune), and the r12-new file-level string
+    # zone-map probe that missed the r12 window
+    # (scan_zonemap_prune; VERDICT r12 missing#1). Order computed by
+    # tools/rotation_plan.py from the CORRECTNESS_r*.json union.
+    "scan_where_option",
+    "scan_zonemap_stripe_prune",
+    "scan_zonemap_prune",
+    # part 2: the 33 queries whose newest driver green is r09 — they
+    # hit the 4-round staleness boundary this round (VERDICT r12
+    # next#1); after this window lands no query's newest driver
+    # green predates r10.
+    "compress_all_midnight",
+    "compress_string_numeric_parse",
+    "decontaminate_ngram_overlap",
+    "curation_funnel_stage_counts",
+    "source_cap_topk",
+    "chunk_documents_overlap",
+    "corpus_clean_pipeline",
+    "catalog_label_case_decode",
+    "catalog_scan_formats",
+    "schema_override_cast",
+    "semi_join_customers_with_orders",
+    "union_distinct_keys",
+    "topk_orders_per_customer",
+    "sample_quality_weighted",
+    "scan_sas7bdat_types",
+    "scan_sas7bdat_rle",
+    "scan_sas7bdat_rdc",
+    "scan_sas7bdat_bigendian",
+    "scan_sas7bdat_mixpage",
+    "scan_dta_roundtrip",
+    "scan_dta_pushdown",
+    "scan_dta_value_labels",
+    "scan_dta_informative_nulls",
+    "scan_sas7bdat_informative_nulls",
+    "scan_dta_tagged_missing",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
+    "bpe_merge_candidates",
+    "lang_id_confusion",
+    "asof_join_purchase_click",
+    "decontaminate_hash_prefilter",
+    # part 3: r10-greens filling the window to 50, sink/scan-family
+    # first (the sink's manifest format and the reader's partition
+    # pruning changed this round).
+    "scan_sink_dir_roundtrip",
+    "scan_sas7bdat_rle_roundtrip",
+    "scan_sas7bdat_rdc_roundtrip",
+    "scan_dta_multifile",
+    "scan_federated_join",
+    "row_index_ordered",
+    "row_index_collision_guard",
+    "sort_by_index_roundtrip",
+    "dedup_exact_hash",
+    "minhash_lsh_pairs",
+    "simhash_band_pairs",
+    "dedup_connected_components",
+    "dedup_edit_distance_verify",
+    "winnowing_fingerprints",
+    # positions 51+ follow registration order (the remaining
+    # r10/r11/r12-green families wait their turn; the local gate
+    # still covers the whole registry each round).
 )
 
 

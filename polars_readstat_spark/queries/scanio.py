@@ -428,6 +428,62 @@ def scan_where_option(spark, sf_dir):
     )
 
 
+@query(
+    "scan_zonemap_stripe_prune",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_ok,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_ok
+    FROM lineitem
+    WHERE l_orderkey > 20000 AND l_orderkey <= 26000
+    """,
+)
+def scan_zonemap_stripe_prune(spark, sf_dir):
+    """Per-stripe (intra-file) zone maps under the VALUE oracle
+    (round 13, VERDICT r12 next#2): lineitem lands as ONE dta part
+    sorted by l_orderkey with 4096-row stripe stats, then a mid-file
+    range predicate — via the hazard-free `where` option — must TRIM
+    the single file's row-range partitions to the stripes that can
+    match and still aggregate EXACTLY the oracle's rows. Intra-file
+    skipping may never drop data; the plan-time lever is pinned by
+    tests/test_stripe_skipping.py and the bench floor pair
+    (floor_zonemap_stripe_skip vs _fullscan)."""
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    d = os.path.join(_cache_dir(sf_dir), "sink_stripe_dta")
+    done = os.path.join(d, ".done")
+    if not os.path.exists(done):
+        (
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .select("l_orderkey", "l_quantity")
+            .coalesce(1)
+            .sortWithinPartitions("l_orderkey")
+            .write.format("readstat")
+            .option("format", "dta")
+            .option("zonemap_stripe_rows", "4096")
+            .mode("overwrite")
+            .save(d)
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return (
+        spark.read.format("readstat")
+        .option("where", "l_orderkey > 20000 AND l_orderkey <= 26000")
+        .load(d)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.min(F.col("l_orderkey").cast("bigint")).alias("min_ok"),
+            F.max(F.col("l_orderkey").cast("bigint")).alias("max_ok"),
+        )
+    )
+
+
 @query("scan_sav_roundtrip", oracle=_CANON_ORACLE)
 def scan_sav_roundtrip(spark, sf_dir):
     """S10/W3: SPSS SAV write → scan (uncompressed records)."""

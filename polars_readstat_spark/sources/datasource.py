@@ -395,6 +395,26 @@ class ReadstatDataSource(DataSource):
             )
 
             base = ReadaheadReader(base, ra_depth)
+        # single-file scans get zone-map pruning too (round 13): a
+        # part-file loaded directly out of a sink directory still sits
+        # beside its _prs_stats.json, and per-STRIPE entries prune row
+        # spans inside the one file. MultiFileReader chains already
+        # attached (or deliberately skipped) their stats in
+        # _multi_reader — the hasattr guard keeps this to the
+        # raw-reader branches and avoids a second manifest probe.
+        def _chain_has_stats(r) -> bool:
+            while r is not None:
+                if hasattr(r, "file_stats"):
+                    return True  # _multi_reader attached (or skipped)
+                r = getattr(r, "inner", None)
+            return False
+
+        if (
+            self._pushdown_enabled() or self.options.get("where")
+        ) and not _chain_has_stats(base):
+            base.file_stats = self._load_stats_manifest(paths)
+            if not hasattr(base, "paths"):
+                base.paths = list(paths)
         # explicit filter option: same batch-apply + zone-map file
         # skipping as pushdown, but hazard-free on every Spark — the
         # filters are reader options, part of the relation identity,

@@ -292,6 +292,68 @@ def _refutes_str_prefix(f: Filter, mn: str, mx: str) -> bool:
     return False
 
 
+def _part_row_span(p) -> tuple[int, int] | None:
+    """Global file-row span [start, end) a reader partition covers, or
+    None when the geometry is unknowable from the partition alone
+    (compressed-sas page ranges with take=-1, POR's single eager
+    partition) — unknown spans are never pruned. Covers the row-range
+    shapes every format planner emits: (start, n) for dta/xpt/sav, and
+    (row_start, skip, take) for uncompressed sas7bdat page ranges."""
+    start = getattr(p, "start", None)
+    n = getattr(p, "n", None)
+    if isinstance(start, int) and isinstance(n, int):
+        return (start, start + n)
+    rs = getattr(p, "row_start", None)
+    if isinstance(rs, int):
+        take = getattr(p, "take", -1)
+        if isinstance(take, int) and take >= 0:
+            skip = getattr(p, "skip", 0) or 0
+            return (rs + skip, rs + skip + take)
+    return None
+
+
+def _stripes_refute(entry: dict, span: tuple[int, int], accepted) -> bool:
+    """True when a manifest entry's per-stripe zone maps prove that NO
+    row in [span) matches the accepted conjunction: every overlapping
+    stripe must be refuted by at least one filter (possibly different
+    filters per stripe — a row matches the conjunction only if ALL
+    filters match, so one refuted filter kills the stripe). Spans
+    reaching past the recorded stripes can't be proven; empty spans
+    are kept (harmless zero-row task)."""
+    st = entry.get("stripes")
+    if not isinstance(st, dict) or span is None:
+        return False
+    r, arr = st.get("rows"), st.get("cols")
+    if not isinstance(r, int) or r <= 0 or not isinstance(arr, list):
+        return False
+    s, e = span
+    if e <= s:
+        return False
+    i0, i1 = s // r, (e - 1) // r
+    if i0 < 0 or i1 >= len(arr):
+        return False
+    for i in range(i0, i1 + 1):
+        cols = arr[i]
+        if not isinstance(cols, dict):
+            return False
+        if not any(_refutes(f, cols) for f in accepted):
+            return False
+    return True
+
+
+def _trimmable(inner) -> bool:
+    """Partition classes safe to rebuild as type(inner)(start, n):
+    exact global row addressing, 2-arg constructor, no plan-derived
+    state tied to the original span. The sav RowRange is excluded
+    (its literal/ckpt fields are start-dependent plan state)."""
+    from polars_readstat_spark.sources.datasource import (
+        RowRange as _DtaRowRange,
+    )
+    from polars_readstat_spark.sources.xpt.reader import XptRowRange
+
+    return type(inner) in (_DtaRowRange, XptRowRange)
+
+
 class _FilterApplyReader(DataSourceReader):
     """Shared filter core: applies a compiled conjunction per Arrow
     batch (null → row dropped, SQL semantics) and, when the inner
@@ -329,46 +391,131 @@ class _FilterApplyReader(DataSourceReader):
         )
         from polars_readstat_spark.sources.fs import fs_stat
 
-        keep_cache: dict = {}
+        accepted = self._accepted
+        fresh_cache: dict = {}
 
-        def keep(path: str) -> bool:
-            k = keep_cache.get(path)
+        def fresh(path: str, e: dict) -> bool:
+            # trust a refutation (file- or stripe-level) only if the
+            # live file still matches the manifest's size AND (when
+            # recorded) mtime — a same-size in-place rewrite must not
+            # be pruned by the stale maps. Stale stats cost the skip,
+            # never rows. fs_stat is one HEAD per file (zero when the
+            # plan's LIST already hinted it), cached across units.
+            f = fresh_cache.get(path)
+            if f is None:
+                try:
+                    size, mtime_ns = fs_stat(path)
+                    f = size == e.get("size") and not (
+                        e.get("mtime_ns") is not None
+                        and mtime_ns != e.get("mtime_ns")
+                    )
+                except OSError:
+                    f = False
+                fresh_cache[path] = f
+            return f
+
+        file_ref_cache: dict = {}
+
+        def file_refuted(path: str, e: dict) -> bool:
+            k = file_ref_cache.get(path)
             if k is None:
-                e = stats.get(path)
-                k = True
-                if e is not None and any(
-                    _refutes(f, e.get("cols", {})) for f in self._accepted
-                ):
-                    # trust the refutation only if the live file still
-                    # matches the manifest's size AND (when recorded)
-                    # mtime — a same-size in-place rewrite must not be
-                    # pruned by the stale maps. Stale stats cost the
-                    # skip, never rows. fs_stat is one HEAD (zero when
-                    # the plan's LIST already hinted it).
-                    try:
-                        size, mtime_ns = fs_stat(path)
-                        k = size != e.get("size") or (
-                            e.get("mtime_ns") is not None
-                            and mtime_ns != e.get("mtime_ns")
-                        )
-                    except OSError:
-                        k = True
-                keep_cache[path] = k
+                k = any(_refutes(f, e.get("cols", {})) for f in accepted)
+                file_ref_cache[path] = k
             return k
 
+        def keep_unit(path: str, inner) -> bool:
+            e = stats.get(path)
+            if e is None:
+                return True
+            if file_refuted(path, e):
+                return not fresh(path, e)
+            # intra-file: drop this row-span when EVERY stripe it
+            # overlaps is refuted (each refutation is universally
+            # quantified over the stripe's rows, so any sub-span
+            # inherits it)
+            span = _part_row_span(inner)
+            if span is not None and _stripes_refute(e, span, accepted):
+                return not fresh(path, e)
+            return True
+
+        def trim_unit(path: str, inner):
+            """Shrink an exact row-addressable partition to exclude
+            refuted stripe-aligned prefix/suffix rows (kept spans stay
+            contiguous; interior holes are left to the batch filter).
+            Only for partition classes whose (start, n) is a global
+            file row span that decodes independently."""
+            if not _trimmable(inner):
+                return inner
+            e = stats.get(path)
+            st = e.get("stripes") if isinstance(e, dict) else None
+            if not isinstance(st, dict):
+                return inner
+            r, arr = st.get("rows"), st.get("cols")
+            if (
+                not isinstance(r, int)
+                or r <= 0
+                or not isinstance(arr, list)
+            ):
+                return inner
+
+            def stripe_ref(i: int) -> bool:
+                return (
+                    0 <= i < len(arr)
+                    and isinstance(arr[i], dict)
+                    and any(_refutes(f, arr[i]) for f in accepted)
+                )
+
+            s, end = inner.start, inner.start + inner.n
+            ns, ne = s, end
+            while ns < ne and stripe_ref(ns // r):
+                ns = min(ne, (ns // r + 1) * r)
+            while ne > ns and stripe_ref((ne - 1) // r):
+                ne = max(ns, ((ne - 1) // r) * r)
+            if (ns, ne) == (s, end) or ns >= ne:
+                return inner  # nothing to trim / fully refuted
+            if not fresh(path, e):
+                return inner
+            return type(inner)(ns, ne - ns)
+
+        def prune_unit(path: str, inner):
+            """None = dropped; otherwise the (possibly trimmed)
+            inner partition."""
+            if not keep_unit(path, inner):
+                return None
+            return trim_unit(path, inner)
+
+        single = mf.paths[0] if len(mf.paths) == 1 else None
         out = []
         for p in parts:
             if isinstance(p, MultiPartGroup):
-                kept = [u for u in p.units if keep(mf.paths[u.file_idx])]
-                if len(kept) == len(p.units):
+                kept = []
+                for u in p.units:
+                    ni = prune_unit(mf.paths[u.file_idx], u.inner)
+                    if ni is None:
+                        continue
+                    kept.append(
+                        u if ni is u.inner else MultiPart(u.file_idx, ni)
+                    )
+                if len(kept) == len(p.units) and all(
+                    a is b for a, b in zip(kept, p.units)
+                ):
                     out.append(p)
                 elif len(kept) > 1:
                     out.append(MultiPartGroup(kept))
                 elif kept:
                     out.append(kept[0])
             elif isinstance(p, MultiPart):
-                if keep(mf.paths[p.file_idx]):
-                    out.append(p)
+                ni = prune_unit(mf.paths[p.file_idx], p.inner)
+                if ni is not None:
+                    out.append(
+                        p if ni is p.inner else MultiPart(p.file_idx, ni)
+                    )
+            elif single is not None:
+                # raw single-file scan: the datasource attached
+                # file_stats/paths directly to the reader chain
+                ni = prune_unit(single, p)
+                if ni is not None:
+                    out.append(ni)
             else:
                 out.append(p)
         return out

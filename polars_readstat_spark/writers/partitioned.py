@@ -41,20 +41,34 @@ def _zone_acc(zone_kinds, fmt=""):
     Tasks see the cast frames for sav/xpt/sas7bdat — harmless: date
     kinds are excluded from stats entirely, plain numerics cast to
     identical logical doubles, strings pass through unchanged. fmt
-    enables format-specific numeric poisoning (xpt IBM-float range)."""
+    enables format-specific numeric poisoning (xpt IBM-float range).
+    Stripe accumulation is on (sink default) so the bulk exporters
+    publish the same intra-file pruning geometry as the sink."""
     if not zone_kinds:
         return None
-    from polars_readstat_spark.writers.spark_sink import ZoneMapStats
+    from polars_readstat_spark.writers.spark_sink import (
+        ZoneMapStats,
+        _stripe_rows_opt,
+    )
 
     return ZoneMapStats(
-        [n for n, _ in zone_kinds], [k for _, k in zone_kinds], fmt
+        [n for n, _ in zone_kinds],
+        [k for _, k in zone_kinds],
+        fmt,
+        stripe_rows=_stripe_rows_opt({}),
     )
 
 
 def _stats_json(acc) -> str:
+    """Task-result stats payload: {"cols": ..., "stripes": ...} (the
+    pre-r13 flat-dict form is still accepted by _publish)."""
     import json
 
-    return json.dumps(acc.stats) if acc is not None else ""
+    if acc is None:
+        return ""
+    return json.dumps(
+        {"cols": acc.stats, "stripes": acc.stripes_payload()}
+    )
 
 
 def _publish(dir_path: str, results) -> None:
@@ -73,9 +87,17 @@ def _publish(dir_path: str, results) -> None:
         if not getattr(r, "stats", ""):
             continue
         try:
-            parts.append((r.path, r.n_rows, json.loads(r.stats)))
+            doc = json.loads(r.stats)
         except ValueError:
             continue
+        if (
+            isinstance(doc, dict)
+            and set(doc) <= {"cols", "stripes"}
+            and isinstance(doc.get("cols"), dict)
+        ):
+            parts.append((r.path, r.n_rows, doc["cols"], doc.get("stripes")))
+        else:  # pre-r13 flat stats dict
+            parts.append((r.path, r.n_rows, doc))
     if parts:
         publish_stats_manifest(dir_path, parts, merge=True)
 
@@ -326,6 +348,14 @@ def write_xpt_partitioned(
                 acc.stats = stats_reader_keys(
                     acc.stats, "xpt", names, shorts
                 )
+                # stripe children carry the long names too — re-key
+                # them the same way or the reader's refutation
+                # lookups never match (the r12 XPT lesson, at stripe
+                # granularity)
+                for s in acc.stripes:
+                    s.stats = stats_reader_keys(
+                        s.stats, "xpt", names, shorts
+                    )
             yield pd.DataFrame(
                 {
                     "path": [path],

@@ -76,6 +76,12 @@ class _PartMessage(WriterCommitMessage):
     # against reader output; see convert_batches for the string
     # fix-point rule)
     stats: dict | None = None
+    # per-stripe zone maps (round 13): {"rows": R, "cols": [colstats
+    # per stripe]} where stripe i covers OUTPUT rows [i*R, (i+1)*R) of
+    # this part in file row order — the geometry every reader's
+    # row-range partitions address, so the scan can drop refuted row
+    # spans INSIDE kept files
+    stripes: dict | None = None
 
 
 def plan_write(schema, options):
@@ -162,6 +168,36 @@ def _utf8_width(arr) -> int:
     return int(m) if m is not None else 0
 
 
+def _merge_col(x, y):
+    """Merge two per-column stats entries [min, max, nn, n, poisoned]
+    covering disjoint row sets: ranges union, counts add, poisoning is
+    sticky (a poisoned constituent makes range refutation unsound for
+    the union too)."""
+    if (len(x) > 4 and x[4]) or (len(y) > 4 and y[4]):
+        return [None, None, x[2] + y[2], x[3] + y[3], True]
+    mn = x[0] if y[0] is None else (y[0] if x[0] is None else min(x[0], y[0]))
+    mx = x[1] if y[1] is None else (y[1] if x[1] is None else max(x[1], y[1]))
+    return [mn, mx, x[2] + y[2], x[3] + y[3], False]
+
+
+def _publishable_cols(stats: dict) -> dict:
+    """The manifest-publication filter (shared by file-level and
+    stripe-level entries): drop normalization-poisoned columns, and
+    publish only real ranges — or all-null columns whose rows were
+    actually SEEN (a name-lookup miss under duplicate column names
+    leaves a zeroed entry whose publication would prune non-null
+    data, review r12)."""
+    return {
+        c: {"min": v[0], "max": v[1], "nn": v[2], "n": v[3]}
+        for c, v in stats.items()
+        if not (len(v) > 4 and v[4])
+        and (
+            isinstance(v[0], (int, float, str))
+            or (v[2] == 0 and v[3] > 0)
+        )
+    }
+
+
 class ZoneMapStats:
     """Per-part zone-map accumulator over Arrow batches of LOGICAL
     (pre-epoch) values: {col: [min, max, non_null, n_rows, poisoned]}.
@@ -188,8 +224,12 @@ class ZoneMapStats:
     # inf compares >= too, covering xpt's silent inf→0.0
     _NUM_POISON_ABS = 8.9e307
     _XPT_TINY = 16.0**-65  # IBM hex-float underflow: flushed to 0.0
+    # manifest-size bound: past this many stripes, adjacent pairs
+    # merge and the stripe row count doubles (stripe i always covers
+    # rows [i*R, (i+1)*R), before and after a coarsen)
+    MAX_STRIPES = 512
 
-    def __init__(self, names, kinds, fmt=""):
+    def __init__(self, names, kinds, fmt="", stripe_rows=0):
         self.fmt = fmt
         self.kind_of = dict(zip(names, kinds))
         self.stats: dict = {
@@ -197,8 +237,60 @@ class ZoneMapStats:
             for n, k in zip(names, kinds)
             if k not in ("date", "datetime", "time")
         }
+        # per-stripe accumulation (round 13): same rules, same
+        # poisoning, at row-chunk granularity — stripe stats are just
+        # child ZoneMapStats fed stripe-aligned zero-copy batch slices
+        self._ctor = (names, kinds, fmt)
+        self.stripe_rows = int(stripe_rows or 0)
+        self.stripes: list[ZoneMapStats] = []
+        self._row = 0
 
     def add(self, batch) -> None:
+        self._add_batch(batch)
+        if self.stripe_rows <= 0:
+            return
+        n, off = batch.num_rows, 0
+        while off < n:
+            i = self._row // self.stripe_rows
+            while len(self.stripes) <= i:
+                self.stripes.append(ZoneMapStats(*self._ctor))
+            room = self.stripe_rows - (self._row % self.stripe_rows)
+            take = min(room, n - off)
+            self.stripes[i]._add_batch(batch.slice(off, take))
+            off += take
+            self._row += take
+        while len(self.stripes) > self.MAX_STRIPES:
+            self._coarsen()
+
+    def _coarsen(self) -> None:
+        merged = []
+        for j in range(0, len(self.stripes), 2):
+            pair = self.stripes[j : j + 2]
+            if len(pair) == 1:
+                merged.append(pair[0])
+            else:
+                m = ZoneMapStats(*self._ctor)
+                m.stats = {
+                    c: _merge_col(pair[0].stats[c], pair[1].stats[c])
+                    for c in m.stats
+                }
+                merged.append(m)
+        self.stripes = merged
+        self.stripe_rows *= 2
+
+    def stripes_payload(self) -> dict | None:
+        """Manifest fragment {"rows": R, "cols": [...]} — one
+        publishable-cols dict per stripe, in row order. None when
+        striping is off or the part fits in one stripe (file-level
+        stats already cover that)."""
+        if self.stripe_rows <= 0 or len(self.stripes) <= 1:
+            return None
+        return {
+            "rows": self.stripe_rows,
+            "cols": [_publishable_cols(s.stats) for s in self.stripes],
+        }
+
+    def _add_batch(self, batch) -> None:
         import pyarrow as pa
         import pyarrow.compute as pc
 
@@ -283,18 +375,20 @@ class ZoneMapStats:
         )
 
 
-def convert_batches(batches, names, kinds, fmt):
+def convert_batches(batches, names, kinds, fmt, stripe_rows=0):
     """Arrow RecordBatches → pandas frames in the format's numeric
     representation (dates/datetimes shifted to the format epoch,
-    numerics float64), plus the partition-wide string byte widths."""
+    numerics float64), plus the partition-wide string byte widths.
+    Returns (frames, widths, acc) — acc is the ZoneMapStats whose
+    ``.stats`` is the file-level zone map and ``.stripes_payload()``
+    the optional per-row-span fragment."""
     import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
 
     widths = {n: 1 for n, k in zip(names, kinds) if k == "str"}
     frames = []
-    acc = ZoneMapStats(names, kinds, fmt)
-    stats = acc.stats
+    acc = ZoneMapStats(names, kinds, fmt, stripe_rows=stripe_rows)
     _accumulate = acc.add
 
     if fmt == "dta":
@@ -310,7 +404,7 @@ def convert_batches(batches, names, kinds, fmt):
                         widths[name], _utf8_width(batch.column(i))
                     )
             frames.append(batch.to_pandas())
-        return frames, widths, stats
+        return frames, widths, acc
     date_mul, date_add, sec_add = _EPOCH[fmt]
     for batch in batches:
         _accumulate(batch)
@@ -337,7 +431,20 @@ def convert_batches(batches, names, kinds, fmt):
                 s = arr.cast(pa.float64()).to_pandas()
             cols[name] = s
         frames.append(pd.DataFrame(cols))
-    return frames, widths, stats
+    return frames, widths, acc
+
+
+def _stripe_rows_opt(options, default=65536) -> int:
+    """zonemap_stripe_rows option: rows per intra-file zone-map
+    stripe (0 disables striping; file-level stats always publish).
+    65536 rows ≈ 1-10 MB for typical survey extracts — several
+    stripes per ~48 MB scan partition, so a selective predicate can
+    drop or trim row spans inside kept files."""
+    v = options.get("zonemap_stripe_rows")
+    try:
+        return default if v in (None, "") else max(0, int(v))
+    except (TypeError, ValueError):
+        return default
 
 
 def stats_reader_keys(stats, fmt, names, shorts):
@@ -361,10 +468,13 @@ def publish_stats_manifest(dir_path, parts, merge=True) -> None:
     validates each pruned file's size AND mtime against the manifest
     before trusting a refutation).
 
-    ``parts``: iterable of (final_path, n_rows, stats) where stats is
-    a ZoneMapStats.stats dict. ``merge=True`` keeps existing entries
-    (append mode); shared by the distributed sink and the partitioned
-    bulk exporters."""
+    ``parts``: iterable of (final_path, n_rows, stats) or
+    (final_path, n_rows, stats, stripes) where stats is a
+    ZoneMapStats.stats dict and stripes an optional
+    ``stripes_payload()`` fragment (per-row-span zone maps — the
+    intra-file pruning geometry). ``merge=True`` keeps existing
+    entries (append mode); shared by the distributed sink and the
+    partitioned bulk exporters."""
     import json
 
     from polars_readstat_spark.sources.fs import (
@@ -383,7 +493,9 @@ def publish_stats_manifest(dir_path, parts, merge=True) -> None:
         except Exception:  # noqa: BLE001 — absent or unreadable
             entries = {}
     wrote = False
-    for final, n_rows, stats in parts:
+    for part in parts:
+        final, n_rows, stats = part[0], part[1], part[2]
+        stripes = part[3] if len(part) > 3 else None
         base = os.path.basename(final)
         try:
             # mtime is free in the same round trip (fs_stat) and
@@ -396,21 +508,10 @@ def publish_stats_manifest(dir_path, parts, merge=True) -> None:
             "n": n_rows,
             "size": size,
             "mtime_ns": mtime_ns,
-            "cols": {
-                c: {"min": v[0], "max": v[1], "nn": v[2], "n": v[3]}
-                for c, v in stats.items()
-                if not (len(v) > 4 and v[4])  # normalization-poisoned
-                and (
-                    isinstance(v[0], (int, float, str))
-                    # all-null column still prunes IsNotNull — but
-                    # only when rows were actually SEEN: a name-lookup
-                    # miss (duplicate column names) leaves a zeroed
-                    # entry whose publication would prune non-null
-                    # data (review r12)
-                    or (v[2] == 0 and v[3] > 0)
-                )
-            },
+            "cols": _publishable_cols(stats),
         }
+        if stripes:
+            entries[base]["stripes"] = stripes
         wrote = True
     if not wrote:
         return
@@ -604,9 +705,11 @@ class ReadstatDataSourceWriter(DataSourceArrowWriter):
         attempt = ctx.taskAttemptId()
         # stream straight off the iterator: holding the Arrow batches
         # AND the converted frames would double the partition's peak
-        frames, widths, stats = convert_batches(
-            iterator, self.names, self.kinds, self.fmt
+        frames, widths, acc = convert_batches(
+            iterator, self.names, self.kinds, self.fmt,
+            stripe_rows=_stripe_rows_opt(self.options),
         )
+        stats = acc.stats
         if not any(len(p) for p in frames):
             return _PartMessage("", "", 0)
         from polars_readstat_spark.sources.fs import fs_join
@@ -625,7 +728,13 @@ class ReadstatDataSourceWriter(DataSourceArrowWriter):
             self.kinds, frames, widths, self.options,
         )
         stats = stats_reader_keys(stats, self.fmt, self.names, self.shorts)
-        return _PartMessage(staged, final, n, stats=stats)
+        stripes = acc.stripes_payload()
+        if stripes is not None:
+            stripes["cols"] = [
+                stats_reader_keys(c, self.fmt, self.names, self.shorts)
+                for c in stripes["cols"]
+            ]
+        return _PartMessage(staged, final, n, stats=stats, stripes=stripes)
 
     def commit(self, messages):
         from polars_readstat_spark.sources.fs import (
@@ -650,7 +759,7 @@ class ReadstatDataSourceWriter(DataSourceArrowWriter):
         publish_stats_manifest(
             self.path,
             [
-                (m.final, m.n_rows, m.stats)
+                (m.final, m.n_rows, m.stats, getattr(m, "stripes", None))
                 for m in messages
                 if m and m.staged and m.stats is not None
             ],
