@@ -982,74 +982,21 @@ def _bench_floor(spark, timings: dict) -> None:
         def reader(self, schema):
             return _FloorReader(self.options)
 
-    class _RangeLatencyReader(DataSourceReader):
-        """Object-store shape probe: each partition issues `ranges`
-        sequential fetches that pay `fetch_ms` first-byte latency,
-        then decodes each fetched range (~45 ms of numpy work). With
-        ra>0 the fetch iterator runs through the bounded readahead
-        generator, overlapping the NEXT range's latency with the
-        CURRENT range's decode — the exact trade SCALE.md's A4 note
-        reserves for high-latency stores."""
-
-        def __init__(self, options):
-            self.nparts = int(options.get("nparts", 8))
-            self.ranges = int(options.get("ranges", 12))
-            self.fetch_s = float(options.get("fetch_ms", 50)) / 1000.0
-            self.ra = int(options.get("ra", 0))
-
-        def partitions(self):
-            return [InputPartition(i) for i in range(self.nparts)]
-
-        def _fetched(self):
-            import time as _t
-
-            for r in range(self.ranges):
-                _t.sleep(self.fetch_s)  # simulated range first-byte
-                yield r
-
-        def read(self, p):
-            it = self._fetched()
-            if self.ra:
-                from polars_readstat_spark.sources.readahead import (
-                    readahead,
-                )
-
-                it = readahead(it, self.ra)
-            for _ in it:
-                a = np.arange(400_000, dtype=np.float64)
-                for _i in range(16):  # decode stand-in (~45 ms design)
-                    a = np.sqrt(a + 1.5)
-                yield pa.RecordBatch.from_arrays([pa.array(a)], names=["c0"])
-
-    class _RangeLatencySource(DataSource):
-        @classmethod
-        def name(cls):
-            return "benchranges"
-
-        def schema(self):
-            return "c0 double"
-
-        def reader(self, schema):
-            return _RangeLatencyReader(self.options)
-
     spark.dataSource.register(_FloorSource)
-    spark.dataSource.register(_RangeLatencySource)
     rd = lambda **o: (  # noqa: E731
         spark.read.format("benchfloor")
         .options(**{k: str(v) for k, v in o.items()})
         .load()
     )
-    rr = lambda **o: (  # noqa: E731
-        spark.read.format("benchranges")
-        .options(**{k: str(v) for k, v in o.items()})
-        .load()
-    )
     run_query(rd(nparts=16, rows=16))  # spin up the worker pool
+    # (floor_ranges50ms_* fully retired r13: r11 dropped the pair from
+    # strict ordering after its margin collapsed into host noise, r12
+    # read 0.984 vs 0.990 — a dead A/B costing two timed entries. The
+    # real-seam floor_fsseam_wide_lat50 and floor_acs_lat50 pairs
+    # carry the fetch/decode-overlap physics.)
     for name, df in [
         ("floor_16task_1row", rd(nparts=16, rows=16)),
         ("floor_noop_source_10m7", rd(nparts=24, rows=10_000_000)),
-        ("floor_ranges50ms_serial", rr(nparts=8, ranges=12, ra=0)),
-        ("floor_ranges50ms_readahead", rr(nparts=8, ranges=12, ra=2)),
     ]:
         best = None
         for _ in range(2):
@@ -1918,6 +1865,7 @@ def main() -> None:
             None,
         ),
         ("export_sas7bdat_isolated", "export_sas7bdat", None),
+        ("export_zsav_isolated", "export_zsav", None),
     ):
         try:
             if flag.startswith("--"):
@@ -1925,7 +1873,10 @@ def main() -> None:
             else:
                 iso = _isolated_entry_probe(flag, sf_dir)
             if iso is not None:
-                timings[entry] = iso
+                timings[entry] = iso[0]
+                # the contention sentinel measured in the SAME child:
+                # read the twin's cross-round delta against it
+                timings[entry + "_sentinel"] = iso[1]
                 total, errors = _total_and_errors(timings)
                 payload["value"] = total
                 payload["errors"] = errors
@@ -1936,6 +1887,7 @@ def main() -> None:
         if pair is not None:
             timings["floor_fsseam_wide_lat50_serial_isolated"] = pair[0]
             timings["floor_fsseam_wide_lat50_readahead_isolated"] = pair[1]
+            timings["floor_fsseam_isolated_sentinel"] = pair[2]
             total, errors = _total_and_errors(timings)
             payload["value"] = total
             payload["errors"] = errors
@@ -1944,6 +1896,41 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH.json"), "w") as f:
         f.write(json.dumps(payload, separators=(",", ":")) + "\n")
     print(_headline_line(payload), flush=True)
+
+
+def _child_sentinel(spark) -> float:
+    """Contention sentinel measured INSIDE an isolated child, printed
+    beside every *_isolated value (VERDICT r12 next#4: the isolated
+    regime tames less variance than assumed — r12 recorded a 0.77-1.26
+    s in-round spread on read_sas7bdat_acs_full_isolated with zero
+    code cause). A Python-DS 16-task tiny read is the same unit the
+    timed entries are floor-bound by: when the child landed in a noisy
+    VM window the sentinel reads high and the twin's swing is
+    attributable without snapshot forensics."""
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    p = "/tmp/prs_bench_sentinel16_v1.dta"
+    if not os.path.exists(p):
+        from polars_readstat_spark.writers.dta import write_dta
+
+        tmp = p + f".tmp{os.getpid()}"
+        write_dta(
+            spark.range(16).selectExpr("cast(id as double) as a"), tmp
+        )
+        os.replace(tmp, p)
+    rd = (
+        spark.read.format("readstat")
+        .option("rows_per_partition", "1")
+        .load(p)
+    )
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run_query(rd)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
 
 
 def _isolated_probe(
@@ -1976,31 +1963,33 @@ def _isolated_probe(
     return None
 
 
-def _isolated_read_probe(flag: str, fixture: str) -> float | None:
-    """Best-of-5 full read in a fresh interpreter+JVM."""
-    vals = _isolated_probe([flag], fixture=fixture)
-    return vals[0] if vals else None
+def _isolated_read_probe(flag: str, fixture: str) -> tuple | None:
+    """Best-of-5 full read in a fresh interpreter+JVM; returns
+    (value, sentinel)."""
+    vals = _isolated_probe([flag], nvals=2, fixture=fixture)
+    return (vals[0], vals[1]) if vals else None
 
 
-def _isolated_entry_probe(key: str, sf_dir: str) -> float | None:
+def _isolated_entry_probe(key: str, sf_dir: str) -> tuple | None:
     """Fresh-process best-of-3 for a named volatile entry (registry
-    scan roundtrips, the plain sas7bdat export); one untimed warm
-    pass inside the child."""
-    vals = _isolated_probe(["--isolated-entry", key, sf_dir])
-    return vals[0] if vals else None
+    scan roundtrips, the sas7bdat/zsav exports); one untimed warm
+    pass inside the child. Returns (value, sentinel)."""
+    vals = _isolated_probe(["--isolated-entry", key, sf_dir], nvals=2)
+    return (vals[0], vals[1]) if vals else None
 
 
-def _isolated_fsseam_probe() -> tuple[float, float] | None:
+def _isolated_fsseam_probe() -> tuple | None:
     """Fresh-process twin of the floor_fsseam_wide_lat50 pair
     (VERDICT r11 stretch #9: the in-sweep driver margin collapsed to
     3% in a noisy regime against a hand-measured 1.38x). Both arms run
-    in ONE child JVM, back to back."""
+    in ONE child JVM, back to back. Returns (serial, readahead,
+    sentinel)."""
     vals = _isolated_probe(
         ["--isolated-fsseam"],
-        nvals=2,
+        nvals=3,
         fixture="/tmp/prs_bench_wide_anes_v1.sav",
     )
-    return (vals[0], vals[1]) if vals else None
+    return (vals[0], vals[1], vals[2]) if vals else None
 
 
 def _isolated_fsseam_main() -> None:
@@ -2031,7 +2020,7 @@ def _isolated_fsseam_main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         vals.append(round(best, 3))
-    print(vals[0], vals[1], flush=True)
+    print(vals[0], vals[1], _child_sentinel(spark), flush=True)
     spark.stop()
 
 
@@ -2051,6 +2040,19 @@ def _isolated_entry_main(key: str, sf_dir: str) -> None:
         def run() -> None:
             write_sas7bdat(li, out + "/li.sas7bdat")
 
+    elif key == "export_zsav":
+        # VERDICT r12 what's-wrong#3: the most zlib-CPU-bound entry
+        # swung 3.60->5.82 s across rounds with zero code cause and
+        # had no isolated twin to attribute it
+        from polars_readstat_spark.tables import load_table
+        from polars_readstat_spark.writers.sav import write_sav
+
+        li = load_table(spark, sf_dir, "lineitem")
+        out = tempfile.mkdtemp(prefix="bench_export_iso_")
+
+        def run() -> None:
+            write_sav(li, out + "/li.zsav")
+
     else:
         from polars_readstat_spark.queries import all_queries
 
@@ -2066,7 +2068,7 @@ def _isolated_entry_main(key: str, sf_dir: str) -> None:
         run()
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
-    print(round(best, 3), flush=True)
+    print(round(best, 3), _child_sentinel(spark), flush=True)
     spark.stop()
 
 
@@ -2091,7 +2093,7 @@ def _isolated_read_main(path: str, tag: str) -> None:
         run_query(df)
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
-    print(round(best, 3), flush=True)
+    print(round(best, 3), _child_sentinel(spark), flush=True)
     spark.stop()
 
 
