@@ -484,6 +484,76 @@ def scan_zonemap_stripe_prune(spark, sf_dir):
     )
 
 
+@query(
+    "scan_zonemap_date_prune",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty,
+           CAST(MIN(l_shipdate) AS DATE) AS min_d,
+           CAST(MAX(l_shipdate) AS DATE) AS max_d
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-06-01'
+      AND l_shipdate < DATE '1995-09-01'
+    """,
+)
+def scan_zonemap_date_prune(spark, sf_dir):
+    """DATE zone maps under the VALUE oracle (round 13): lineitem
+    lands as 4 dta parts range-partitioned AND sorted by l_shipdate
+    (the canonical date-partitioned-lake layout) with 4096-row stripe
+    stats, then a ship-date window — via the where option's ANSI
+    ``DATE 'yyyy-mm-dd'`` literals — must prune refuting files, trim
+    kept files to the matching stripes, and still aggregate EXACTLY
+    the oracle's rows. Date stats are epoch days tagged "t":"date";
+    only datetime.date operands coerce (tests/test_date_zonemaps.py
+    pins the soundness battery per format)."""
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    d = os.path.join(_cache_dir(sf_dir), "sink_datelake2_dta")
+    done = os.path.join(d, ".done")
+    if not os.path.exists(done):
+        (
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .select(
+                "l_orderkey",
+                # the testdata parquet carries shipdate as
+                # TimestampNTZ; the lake layout under test is a DATE
+                # column (dta %td), which is also what publishes
+                # date zone maps — a datetime column deliberately
+                # does not (sub-second storage rounds)
+                F.col("l_shipdate").cast("date").alias("l_shipdate"),
+                "l_quantity",
+            )
+            .repartitionByRange(4, "l_shipdate")
+            .sortWithinPartitions("l_shipdate")
+            .write.format("readstat")
+            .option("format", "dta")
+            .option("zonemap_stripe_rows", "4096")
+            .mode("overwrite")
+            .save(d)
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return (
+        spark.read.format("readstat")
+        .option(
+            "where",
+            "l_shipdate >= DATE '1995-06-01' AND "
+            "l_shipdate < DATE '1995-09-01'",
+        )
+        .load(d)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.min("l_shipdate").cast("date").alias("min_d"),
+            F.max("l_shipdate").cast("date").alias("max_d"),
+        )
+    )
+
+
 @query("scan_sav_roundtrip", oracle=_CANON_ORACLE)
 def scan_sav_roundtrip(spark, sf_dir):
     """S10/W3: SPSS SAV write → scan (uncompressed records)."""

@@ -131,6 +131,17 @@ def _compile(f: Filter):
     return None
 
 
+def _date_days_operand(v):
+    """datetime.date (NOT datetime.datetime — it subclasses date but
+    compares by instant, which day-granular stats can't bound) →
+    epoch days; anything else → None (no refutation)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+        return (v - _dt.date(1970, 1, 1)).days
+    return None
+
+
 # Not(cmp) matches exactly the complementary comparison on non-null
 # rows (SQL Kleene: NOT NULL is NULL, dropped) — so Not(col > v)
 # refutes exactly when col <= v does (round 12: range-partitioned
@@ -177,6 +188,16 @@ def _refutes(f: Filter, cols: dict) -> bool:
         return nn == 0 and not str_stats
     if isinstance(f, IsNull):
         return nn == n and not str_stats
+    if st.get("t") == "date":
+        # date zone maps (round 13): min/max are epoch DAYS; only a
+        # datetime.date operand (what Spark pushes for DateType
+        # comparisons, and what the where-option DATE literal yields)
+        # coerces — ints/strings/datetimes never refute date stats
+        if not isinstance(mn, int) or isinstance(mn, bool):
+            return False
+        if not isinstance(mx, int) or isinstance(mx, bool):
+            return False
+        return _range_refutes(f, mn, mx, _date_days_operand)
     if str_stats:
         return _range_refutes(
             f, mn, mx, lambda v: v if isinstance(v, str) else None
@@ -242,25 +263,40 @@ def _refutes_not(c: Filter, cols: dict) -> bool:
     mn, mx = st.get("min"), st.get("max")
     if isinstance(mn, bool) or isinstance(mx, bool):
         return False
+    date_stats = st.get("t") == "date"
     str_stats = isinstance(mn, str) and isinstance(mx, str)
     num_stats = isinstance(mn, (int, float)) and isinstance(
         mx, (int, float)
     )
     if not (str_stats or num_stats):
         return False
+    if date_stats and not isinstance(mn, int):
+        return False
 
     def ok(v):
+        if date_stats:
+            # epoch-day stats: only a real date operand may match —
+            # an INT equal to the day number must never refute the
+            # negation (it can't match rows, so NOT of it matches all)
+            return _date_days_operand(v) is not None
         return (
             isinstance(v, str)
             if str_stats
             else isinstance(v, (int, float)) and not isinstance(v, bool)
         )
 
+    def norm(v):
+        return _date_days_operand(v) if date_stats else v
+
     if isinstance(c, EqualTo):
-        return ok(c.value) and mn == mx == c.value
+        return ok(c.value) and mn == mx == norm(c.value)
     if isinstance(c, In):
         vs = list(c.value)
-        return all(ok(v) for v in vs) and mn == mx and mn in vs
+        return (
+            all(ok(v) for v in vs)
+            and mn == mx
+            and mn in [norm(v) for v in vs]
+        )
     if isinstance(c, StringStartsWith):
         v = c.value
         if not str_stats or not isinstance(v, str):
@@ -733,6 +769,19 @@ def parse_where(expr: str, columns=None) -> list:
         return (name,)
 
     def literal(tok):
+        # DATE 'yyyy-mm-dd' (ANSI date literal): consumed as a unit —
+        # the DATE keyword token, then the quoted string. peek(1)
+        # works because every call site has `tok` at position i.
+        if is_kw(tok, "DATE") and peek(1)[0] == "str":
+            nonlocal i
+            i += 1  # the string token; caller advances past `tok`
+            import datetime as _dt
+
+            raw = _where_literal("str", peek()[1])
+            try:
+                return _dt.date.fromisoformat(raw)
+            except ValueError:
+                fail(f"invalid date literal {raw!r}", tok)
         if tok[0] in ("str", "num") or (
             tok[0] == "word" and tok[1].upper() in ("TRUE", "FALSE")
         ):

@@ -169,15 +169,17 @@ def _utf8_width(arr) -> int:
 
 
 def _merge_col(x, y):
-    """Merge two per-column stats entries [min, max, nn, n, poisoned]
-    covering disjoint row sets: ranges union, counts add, poisoning is
-    sticky (a poisoned constituent makes range refutation unsound for
-    the union too)."""
+    """Merge two per-column stats entries [min, max, nn, n, poisoned,
+    kind?] covering disjoint row sets: ranges union, counts add,
+    poisoning is sticky (a poisoned constituent makes range refutation
+    unsound for the union too); the optional kind tag (element 5,
+    'date') survives the merge."""
+    tag = [x[5]] if len(x) > 5 else ([y[5]] if len(y) > 5 else [])
     if (len(x) > 4 and x[4]) or (len(y) > 4 and y[4]):
-        return [None, None, x[2] + y[2], x[3] + y[3], True]
+        return [None, None, x[2] + y[2], x[3] + y[3], True, *tag]
     mn = x[0] if y[0] is None else (y[0] if x[0] is None else min(x[0], y[0]))
     mx = x[1] if y[1] is None else (y[1] if x[1] is None else max(x[1], y[1]))
-    return [mn, mx, x[2] + y[2], x[3] + y[3], False]
+    return [mn, mx, x[2] + y[2], x[3] + y[3], False, *tag]
 
 
 def _publishable_cols(stats: dict) -> dict:
@@ -186,16 +188,23 @@ def _publishable_cols(stats: dict) -> dict:
     publish only real ranges — or all-null columns whose rows were
     actually SEEN (a name-lookup miss under duplicate column names
     leaves a zeroed entry whose publication would prune non-null
-    data, review r12)."""
-    return {
-        c: {"min": v[0], "max": v[1], "nn": v[2], "n": v[3]}
-        for c, v in stats.items()
-        if not (len(v) > 4 and v[4])
-        and (
+    data, review r12). Date columns (round 13) carry their epoch-day
+    ranges plus a ``"t": "date"`` tag so the reader coerces
+    datetime.date operands — and ONLY those — against them."""
+    out = {}
+    for c, v in stats.items():
+        if len(v) > 4 and v[4]:
+            continue
+        if not (
             isinstance(v[0], (int, float, str))
             or (v[2] == 0 and v[3] > 0)
-        )
-    }
+        ):
+            continue
+        e = {"min": v[0], "max": v[1], "nn": v[2], "n": v[3]}
+        if len(v) > 5 and v[5]:
+            e["t"] = v[5]
+        out[c] = e
+    return out
 
 
 class ZoneMapStats:
@@ -232,10 +241,23 @@ class ZoneMapStats:
     def __init__(self, names, kinds, fmt="", stripe_rows=0):
         self.fmt = fmt
         self.kind_of = dict(zip(names, kinds))
+        # DATE columns participate (round 13): every format stores a
+        # date as an exact integer day count (dta: int32 days; sas/
+        # xpt: float days — exact to 2^53≫date32's ±2.1e9; sav:
+        # float seconds, whole-day multiples of 86400, exact), so the
+        # reader hands back exactly the written date and min/max over
+        # epoch DAYS is sound. Stats carry a 'date' kind tag so the
+        # reader coerces datetime.date operands only. datetime/time
+        # stay excluded: sub-second storage rounds (sav seconds,
+        # dta ms), and a rounded value can cross a range bound.
         self.stats: dict = {
-            n: [None, None, 0, 0, False]
+            n: (
+                [None, None, 0, 0, False, "date"]
+                if k == "date"
+                else [None, None, 0, 0, False]
+            )
             for n, k in zip(names, kinds)
-            if k not in ("date", "datetime", "time")
+            if k not in ("datetime", "time")
         }
         # per-stripe accumulation (round 13): same rules, same
         # poisoning, at row-chunk granularity — stripe stats are just
@@ -326,6 +348,26 @@ class ZoneMapStats:
                     st[0] = st[1] = None
                     st[4] = True
                     continue
+            elif self.kind_of[name] == "date":
+                if len(valid):
+                    if pa.types.is_floating(valid.type):
+                        # cast-frame representation (partitioned
+                        # sav/xpt/sas tasks): NaN is the null-on-disk
+                        # sentinel — exclude from nn AND min/max,
+                        # like the numeric branch
+                        valid = valid.filter(
+                            pc.invert(pc.is_nan(valid))
+                        )
+                    if len(valid):
+                        days = self._date_days(valid)
+                        if days is None:
+                            # non-midnight timestamps / fractional
+                            # day counts / unknown encodings: range
+                            # refutation would be unsound
+                            st[0] = st[1] = None
+                            st[4] = True
+                            continue
+                        valid = days
             elif pa.types.is_floating(valid.type) and len(valid):
                 # NaN doubles become missing sentinels on disk and
                 # read back as NULL — for zone-map purposes they are
@@ -359,6 +401,51 @@ class ZoneMapStats:
                 st[0] = mn
             if st[1] is None or mx > st[1]:
                 st[1] = mx
+
+    def _date_days(self, valid):
+        """Normalize a date-kind array — in whichever representation
+        the calling writer holds (logical date32/64, pandas-derived
+        timestamps, or the cast frames' format-epoch numerics) — to
+        exact epoch-day integers, or None when refutation over the
+        values would be unsound (the caller poisons the column)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        t = valid.type
+        if pa.types.is_date32(t):
+            return pc.cast(valid, pa.int32())
+        if pa.types.is_date64(t):
+            try:
+                d = pc.cast(valid, pa.date32())
+            except pa.ArrowInvalid:
+                return None  # sub-day milliseconds in a date64
+            if not pc.all(
+                pc.equal(pc.cast(d, pa.date64()), valid)
+            ).as_py():
+                return None
+            return pc.cast(d, pa.int32())
+        if pa.types.is_timestamp(t):
+            v = pc.local_timestamp(valid) if t.tz else valid
+            d = pc.cast(v, pa.date32())
+            back = pc.cast(d, v.type)
+            if not pc.all(pc.equal(back, v)).as_py():
+                return None  # non-midnight timestamp in a date column
+            return pc.cast(d, pa.int32())
+        if pa.types.is_integer(t) or pa.types.is_floating(t):
+            ep = _EPOCH.get(self.fmt)
+            if ep is None:
+                return None  # no epoch mapping for this format
+            mul, dadd, _ = ep
+            f = pc.cast(valid, pa.float64())
+            # stored = (days + dadd) * mul, both terms exact floats
+            days = pc.subtract(
+                pc.divide(f, pa.scalar(mul)), pa.scalar(dadd)
+            )
+            r = pc.round(days)
+            if not pc.all(pc.equal(days, r)).as_py():
+                return None  # fractional day count
+            return pc.cast(r, pa.int64())
+        return None
 
     def add_pandas(self, pdf) -> None:
         """Accumulate from a pandas frame (partitioned-writer tasks):
