@@ -377,17 +377,23 @@ def _stripes_refute(entry: dict, span: tuple[int, int], accepted) -> bool:
     return True
 
 
-def _trimmable(inner) -> bool:
-    """Partition classes safe to rebuild as type(inner)(start, n):
-    exact global row addressing, 2-arg constructor, no plan-derived
-    state tied to the original span. The sav RowRange is excluded
-    (its literal/ckpt fields are start-dependent plan state)."""
+def _rebuilder(inner):
+    """(start, n) -> narrowed partition, or None when this partition
+    class can't be safely rebuilt. A class that carries plan-derived
+    state exposes ``retarget`` (sav's RowRange threads its
+    literal/ckpt/pipeline fields through it); the exact 2-arg
+    row-range classes (dta, xpt) rebuild via their constructor."""
+    rt = getattr(inner, "retarget", None)
+    if callable(rt):
+        return rt
     from polars_readstat_spark.sources.datasource import (
         RowRange as _DtaRowRange,
     )
     from polars_readstat_spark.sources.xpt.reader import XptRowRange
 
-    return type(inner) in (_DtaRowRange, XptRowRange)
+    if type(inner) in (_DtaRowRange, XptRowRange):
+        return lambda s, n: type(inner)(s, n)
+    return None
 
 
 class _FilterApplyReader(DataSourceReader):
@@ -480,7 +486,8 @@ class _FilterApplyReader(DataSourceReader):
             contiguous; interior holes are left to the batch filter).
             Only for partition classes whose (start, n) is a global
             file row span that decodes independently."""
-            if not _trimmable(inner):
+            rebuild = _rebuilder(inner)
+            if rebuild is None:
                 return inner
             e = stats.get(path)
             st = e.get("stripes") if isinstance(e, dict) else None
@@ -511,7 +518,7 @@ class _FilterApplyReader(DataSourceReader):
                 return inner  # nothing to trim / fully refuted
             if not fresh(path, e):
                 return inner
-            return type(inner)(ns, ne - ns)
+            return rebuild(ns, ne - ns)
 
         def prune_unit(path: str, inner):
             """None = dropped; otherwise the (possibly trimmed)

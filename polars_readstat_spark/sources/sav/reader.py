@@ -56,6 +56,21 @@ class RowRange(InputPartition):
         # the general-stream parallel path for bias/mixed bytecode
         self.ckpt = ckpt
 
+    def retarget(self, start: int, n: int) -> "RowRange":
+        """Same plan state, narrower row window — the zone-map stripe
+        trimming hook (sources/filters.py). Sound because ckpt only
+        promises to sit AT OR BEFORE the range's first element (a
+        later start just skips more from the same checkpoint), the
+        literal affine map addresses any row directly, and pipeline
+        is a pure execution hint."""
+        return RowRange(
+            start,
+            n,
+            literal=self.literal,
+            ckpt=self.ckpt,
+            pipeline=self.pipeline,
+        )
+
 
 def _opt_bool(options, key, default=False):
     v = options.get(key)

@@ -211,12 +211,13 @@ def test_sink_publishes_stripes(sorted_dir):
         assert c["max"] == min(40_000, (i + 1) * 4096) - 1
 
 
-def _ds_parts(d_or_file, where):
+def _ds_parts(d_or_file, where, **extra):
     from polars_readstat_spark.sources.datasource import ReadstatDataSource
 
     opts = {"path": d_or_file, "target_parallelism": "8"}
     if where:
         opts["where"] = where
+    opts.update({k: str(v) for k, v in extra.items()})
     ds = ReadstatDataSource(opts)
     r = ds.reader(ds._schema_uncompressed())
     return r, list(r.partitions())
@@ -513,3 +514,54 @@ def test_stripe_soundness_battery(spark, tmp_path):
                     )
                 checked += 1
     assert checked > 50 and refuted_count > 30  # the net actually fired
+
+
+@pytest.mark.parametrize("fmt", ["sav", "zsav", "sas7bdat", "xpt"])
+def test_stripe_prune_other_formats(spark, tmp_path, fmt):
+    """Stripe drop/trim through every format's own partition
+    geometry: sav RowRange retargets (literal/ckpt plan state
+    threaded through), xpt rebuilds by constructor, uncompressed
+    sas7bdat page ranges drop by (row_start, skip, take) span. Every
+    case must return exactly the matching rows AND plan strictly
+    fewer than the full scan."""
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    d = str(tmp_path / fmt)
+    (
+        spark.range(40_000)
+        .selectExpr("cast(id as double) as id")
+        .coalesce(1)
+        .sortWithinPartitions("id")
+        .write.format("readstat")
+        .option("format", fmt)
+        .option("zonemap_stripe_rows", "4096")
+        .mode("overwrite")
+        .save(d)
+    )
+    col = "id" if fmt != "xpt" else "ID"
+    # sas7bdat page-range partitions DROP but cannot trim (no
+    # row-exact rebuild) — force the multi-partition shape a large
+    # file would have, so span drops are observable
+    extra = {"rows_per_partition": 4096} if fmt == "sas7bdat" else {}
+    r, pruned = _ds_parts(d, f"{col} >= 30000", **extra)
+    got = sorted(_rows(r, pruned))
+    assert got == [float(i) for i in range(30000, 40000)]
+    r0, full = _ds_parts(d, None, **extra)
+
+    def planned(ps):
+        tot = 0
+        for p in ps:
+            for u in getattr(p, "units", [p]):
+                inner = getattr(u, "inner", u)
+                n = getattr(inner, "n", None)
+                if n is None:
+                    take = getattr(inner, "take", -1)
+                    n = take if isinstance(take, int) and take >= 0 else 0
+                tot += n
+        return tot
+
+    pf, pp = planned(full), planned(pruned)
+    assert pf > 0 and pp < pf, (pf, pp)
+    # the trim/drop should cut the planned rows to ~the matching tail
+    assert pp <= 16384  # 10k matching rows, stripe-aligned slack
