@@ -332,14 +332,6 @@ class ReadstatDataSource(DataSource):
             ReadstatStreamReader,
         )
 
-        if self.options.get("where"):
-            # silently ignoring the option would hand the stream
-            # unfiltered rows the batch path drops — loud until the
-            # stream planner threads WhereFilterReader
-            raise ValueError(
-                "readstat: option 'where' is batch-scan only; filter "
-                "the stream with df.filter(...) instead"
-            )
         return ReadstatStreamReader(self.options, schema)
 
     def writer(self, schema: StructType, overwrite: bool):

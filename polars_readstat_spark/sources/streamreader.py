@@ -87,6 +87,20 @@ class ReadstatStreamReader(DataSourceStreamReader):
         self.max_age_ns = (
             int(float(age) * 1e9) if age not in (None, "") else None
         )
+        # explicit reader-side filter (round 13): the same hazard-free
+        # `where` conjunction the batch scan takes — parsed once at
+        # stream start (plan-time error surface), applied batch-side
+        # in every task, and used at micro-batch PLANNING to drop or
+        # trim landed files/row-spans whose zone maps refute it.
+        # Ingestion bookkeeping is untouched: a fully-refuted file is
+        # still committed as seen (offsets are listings, not plans).
+        w = self.options.get("where")
+        if w:
+            from polars_readstat_spark.sources.filters import parse_where
+
+            self._where = parse_where(w, set(schema.fieldNames()))
+        else:
+            self._where = None
 
     def _listing(self) -> dict:
         """Current-offset dict: full listing, or the age-compacted
@@ -160,8 +174,20 @@ class ReadstatStreamReader(DataSourceStreamReader):
             align_fields=list(self._schema.fields) if union else None,
             per_file_slicing=True,
         )
+        if self._where:
+            # reuse the batch prune/trim machinery wholesale: the
+            # landing dir's _prs_stats.json (the sink publishes one)
+            # drops refuted files and stripe-trims kept ones before
+            # tasks are even scheduled
+            from polars_readstat_spark.sources.filters import (
+                WhereFilterReader,
+            )
+
+            plan_parts = WhereFilterReader(mf, self._where).partitions()
+        else:
+            plan_parts = mf.partitions()
         out = []
-        for p in mf.partitions():
+        for p in plan_parts:
             units = p.units if isinstance(p, MultiPartGroup) else [p]
             out.append(
                 StreamUnitsPartition(
@@ -224,4 +250,11 @@ class ReadstatStreamReader(DataSourceStreamReader):
         )
         inner = [MultiPart(i, u[1]) for i, u in enumerate(units)]
         part = inner[0] if len(inner) == 1 else MultiPartGroup(inner)
+        if self._where:
+            from polars_readstat_spark.sources.filters import (
+                WhereFilterReader,
+            )
+
+            yield from WhereFilterReader(mf, self._where).read(part)
+            return
         yield from mf.read(part)

@@ -370,3 +370,97 @@ def test_stream_max_file_age_bounds_offsets(spark, tmp_path):
     os.utime(p6, (base + 1, base + 1))
     end3 = r.latestOffset()
     assert "f0006.dta" not in [os.path.basename(f) for f in end3["seen"]]
+
+
+def test_stream_where_option_filters_and_prunes(spark, tmp_path):
+    """Round 13: the hazard-free `where` option works on the stream —
+    parsed at stream start, applied batch-side in every task, and
+    (when the landing dir carries a sink-published manifest) used at
+    micro-batch planning to drop refuted files and trim row spans.
+    Results must equal the unfiltered ingest filtered afterward."""
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    src = str(tmp_path / "landing")
+    # the sink writes the parts AND the _prs_stats.json zone maps
+    (
+        spark.range(8000)
+        .selectExpr("cast(id as long) as id", "cast(id % 5 as double) as v")
+        .repartitionByRange(4, "id")
+        .sortWithinPartitions("id")
+        .write.format("readstat")
+        .option("format", "dta")
+        .option("zonemap_stripe_rows", "512")
+        .mode("overwrite")
+        .save(src)
+    )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("readstat")
+        .option("where", "id >= 6500 AND v = 2")
+        .load(src)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    want = sorted(
+        i for i in range(6500, 8000) if i % 5 == 2
+    )
+    assert got == want
+
+
+def test_stream_where_plan_prunes_files(spark, tmp_path):
+    """Plan-level: a micro-batch whose predicate refutes most landed
+    parts schedules strictly fewer planned rows."""
+    import polars_readstat_spark as prs
+    from polars_readstat_spark.sources.streamreader import (
+        ReadstatStreamReader,
+    )
+
+    prs.register(spark)
+    src = str(tmp_path / "landing")
+    (
+        spark.range(8000)
+        .selectExpr("cast(id as long) as id")
+        .repartitionByRange(4, "id")
+        .write.format("readstat")
+        .option("format", "dta")
+        .mode("overwrite")
+        .save(src)
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("id", LongType(), True)])
+
+    def planned(opts):
+        r = ReadstatStreamReader({"path": src, **opts}, schema)
+        parts = r.partitions({"seen": []}, r.latestOffset())
+        tot = 0
+        for p in parts:
+            for _o, inner, _pth in p.units:
+                tot += getattr(inner, "n", 0)
+        return tot
+
+    full = planned({})
+    pruned = planned({"where": "id >= 7000"})
+    assert full == 8000
+    assert 0 < pruned < full / 2
+
+
+def test_stream_where_bad_column_raises_at_start(spark, tmp_path):
+    from polars_readstat_spark.sources.streamreader import (
+        ReadstatStreamReader,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("id", LongType(), True)])
+    with pytest.raises(ValueError, match="unknown column"):
+        ReadstatStreamReader(
+            {"path": str(tmp_path), "where": "nope = 1"}, schema
+        )

@@ -241,14 +241,20 @@ def test_where_composes_with_df_filter(spark, sink_dir):
     assert sorted(r.id for r in df.collect()) == list(range(2000, 2010))
 
 
-def test_where_rejected_on_stream(sink_dir):
-    """Guard at the DataSource seam (Spark invokes streamReader only
-    at stream start, so the user sees this when the query begins)."""
+def test_where_accepted_on_stream(sink_dir):
+    """Round 13: the stream takes the option too — parsed (and
+    validated against the stream schema) at stream-reader
+    construction; end-to-end semantics are pinned in
+    tests/test_stream_ingest.py::test_stream_where_option_*."""
     from polars_readstat_spark.sources.datasource import ReadstatDataSource
 
     ds = ReadstatDataSource({"path": sink_dir, "where": "id > 5"})
-    with pytest.raises(ValueError, match="batch-scan only"):
-        ds.streamReader(ds._schema_uncompressed())
+    r = ds.streamReader(ds._schema_uncompressed())
+    assert r._where is not None
+    with pytest.raises(ValueError, match="unknown column"):
+        ReadstatDataSource(
+            {"path": sink_dir, "where": "nope > 5"}
+        ).streamReader(ds._schema_uncompressed())
 
 
 def test_where_null_semantics(spark, tmp_path):
