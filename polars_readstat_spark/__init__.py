@@ -27,6 +27,9 @@ disable_hugepage_madvise()
 
 from polars_readstat_spark.operators.profile import profile_read  # noqa: F401
 from polars_readstat_spark.session import get_spark  # noqa: F401
+from polars_readstat_spark.sources.zonemap_index import (  # noqa: F401
+    index_zonemaps,
+)
 from polars_readstat_spark.writers.partitioned import (  # noqa: F401
     write_readstat_partitioned,
 )

@@ -554,6 +554,58 @@ def scan_zonemap_date_prune(spark, sf_dir):
     )
 
 
+@query(
+    "scan_zonemap_index_prune",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_ok
+    FROM lineitem
+    WHERE l_orderkey > 45000
+    """,
+)
+def scan_zonemap_index_prune(spark, sf_dir):
+    """index_zonemaps under the VALUE oracle (round 13): lineitem
+    lands as 4 range-partitioned dta parts and the sink's manifest is
+    DELETED — the externally-landed-lake shape — then a distributed
+    index_zonemaps read rebuilds _prs_stats.json from READER output,
+    and a where-option scan must prune/trim against the rebuilt maps
+    and still aggregate EXACTLY the oracle's rows."""
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    d = os.path.join(_cache_dir(sf_dir), "indexed_lake_dta")
+    done = os.path.join(d, ".done")
+    if not os.path.exists(done):
+        (
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .select("l_orderkey", "l_quantity")
+            .repartitionByRange(4, "l_orderkey")
+            .sortWithinPartitions("l_orderkey")
+            .write.format("readstat")
+            .option("format", "dta")
+            .mode("overwrite")
+            .save(d)
+        )
+        os.unlink(os.path.join(d, "_prs_stats.json"))  # external lake
+        prs.index_zonemaps(spark, d, stripe_rows=4096)
+        with open(done, "w") as f:
+            f.write("ok")
+    return (
+        spark.read.format("readstat")
+        .option("where", "l_orderkey > 45000")
+        .load(d)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.min(F.col("l_orderkey").cast("bigint")).alias("min_ok"),
+        )
+    )
+
+
 @query("scan_sav_roundtrip", oracle=_CANON_ORACLE)
 def scan_sav_roundtrip(spark, sf_dir):
     """S10/W3: SPSS SAV write → scan (uncompressed records)."""

@@ -424,6 +424,7 @@ class ReadstatDataSource(DataSource):
             base = WhereFilterReader(
                 base, parse_where(where, set(schema.fieldNames()))
             )
+            base._str_stats_ok = self._str_stats_ok()
         # batch-level filter pushdown only when the session allows it —
         # merely *implementing* pushFilters errors under the default
         # spark.sql.python.filterPushdown.enabled=false, and the
@@ -441,8 +442,19 @@ class ReadstatDataSource(DataSource):
                 BatchFilterReader,
             )
 
-            return BatchFilterReader(base)
+            fr = BatchFilterReader(base)
+            fr._str_stats_ok = self._str_stats_ok()
+            return fr
         return base
+
+    def _str_stats_ok(self) -> bool:
+        """False when scan options rewrite labeled STRING values
+        (sav/por string value labels) — string-stat refutations are
+        then unsound (filters.py _refutes docstring)."""
+        return not (
+            _opt_bool(self.options, "value_labels_as_strings")
+            or _opt_bool(self.options, "use_value_labels")
+        )
 
     def _pushdown_enabled(self) -> bool:
         enabled = getattr(self, "_registered_filter_pushdown", None)

@@ -155,18 +155,27 @@ _COMPLEMENT = {
 }
 
 
-def _refutes(f: Filter, cols: dict) -> bool:
+def _refutes(f: Filter, cols: dict, str_ok: bool = True) -> bool:
     """True when a file's zone maps PROVE filter `f` matches no row.
     cols: {name: {min, max, nn (non-null), n}} over plain numeric
     columns; comparisons never match nulls, so [min, max] of the
-    non-null values is the complete match range."""
+    non-null values is the complete match range.
+
+    ``str_ok=False`` disables every refutation whose evidence is
+    STRING stats (round 13): a scan with value_labels_as_strings /
+    use_value_labels rewrites labeled STRING values (sav/por string
+    labels map through map_str_labels), so stats over the unlabeled
+    domain could unsoundly refute a filter on the labeled one. Type
+    coercion already protects numeric/date stats (a labeled column's
+    output becomes string-typed, and string operands never coerce
+    against them)."""
     if isinstance(f, Not):
         c = f.child
         comp = _COMPLEMENT.get(type(c))
         if comp is not None:
-            return _refutes(comp(c.attribute, c.value), cols)
+            return _refutes(comp(c.attribute, c.value), cols, str_ok)
         if isinstance(c, (EqualTo, In, StringStartsWith)):
-            return _refutes_not(c, cols)
+            return _refutes_not(c, cols, str_ok)
         return False  # other negations don't refute from ranges safely
     attr = getattr(f, "attribute", None)
     if not attr or len(attr) != 1:
@@ -199,6 +208,8 @@ def _refutes(f: Filter, cols: dict) -> bool:
             return False
         return _range_refutes(f, mn, mx, _date_days_operand)
     if str_stats:
+        if not str_ok:
+            return False  # label-rewriting scan options active
         return _range_refutes(
             f, mn, mx, lambda v: v if isinstance(v, str) else None
         ) or _refutes_str_prefix(f, mn, mx)
@@ -245,7 +256,7 @@ def _range_refutes(f: Filter, mn, mx, coerce) -> bool:
     return False
 
 
-def _refutes_not(c: Filter, cols: dict) -> bool:
+def _refutes_not(c: Filter, cols: dict, str_ok: bool = True) -> bool:
     """Refute a NEGATED equality/membership/prefix: possible only when
     the zone maps prove every non-null value MATCHES the inner
     predicate (then no row can match its negation — nulls never match
@@ -265,6 +276,8 @@ def _refutes_not(c: Filter, cols: dict) -> bool:
         return False
     date_stats = st.get("t") == "date"
     str_stats = isinstance(mn, str) and isinstance(mx, str)
+    if str_stats and not str_ok:
+        return False  # label-rewriting scan options active
     num_stats = isinstance(mn, (int, float)) and isinstance(
         mx, (int, float)
     )
@@ -348,7 +361,9 @@ def _part_row_span(p) -> tuple[int, int] | None:
     return None
 
 
-def _stripes_refute(entry: dict, span: tuple[int, int], accepted) -> bool:
+def _stripes_refute(
+    entry: dict, span: tuple[int, int], accepted, str_ok: bool = True
+) -> bool:
     """True when a manifest entry's per-stripe zone maps prove that NO
     row in [span) matches the accepted conjunction: every overlapping
     stripe must be refuted by at least one filter (possibly different
@@ -372,7 +387,7 @@ def _stripes_refute(entry: dict, span: tuple[int, int], accepted) -> bool:
         cols = arr[i]
         if not isinstance(cols, dict):
             return False
-        if not any(_refutes(f, cols) for f in accepted):
+        if not any(_refutes(f, cols, str_ok) for f in accepted):
             return False
     return True
 
@@ -412,6 +427,10 @@ class _FilterApplyReader(DataSourceReader):
         self.inner = inner
         self._preds = []
         self._accepted = []
+        # False when the scan's options rewrite labeled STRING values
+        # (value_labels_as_strings / use_value_labels) — string-stat
+        # refutations are then unsound; set by the datasource
+        self._str_stats_ok = True
 
     def _find_multi(self):
         r = self.inner
@@ -458,10 +477,15 @@ class _FilterApplyReader(DataSourceReader):
 
         file_ref_cache: dict = {}
 
+        str_ok = self._str_stats_ok
+
         def file_refuted(path: str, e: dict) -> bool:
             k = file_ref_cache.get(path)
             if k is None:
-                k = any(_refutes(f, e.get("cols", {})) for f in accepted)
+                k = any(
+                    _refutes(f, e.get("cols", {}), str_ok)
+                    for f in accepted
+                )
                 file_ref_cache[path] = k
             return k
 
@@ -476,7 +500,9 @@ class _FilterApplyReader(DataSourceReader):
             # quantified over the stripe's rows, so any sub-span
             # inherits it)
             span = _part_row_span(inner)
-            if span is not None and _stripes_refute(e, span, accepted):
+            if span is not None and _stripes_refute(
+                e, span, accepted, str_ok
+            ):
                 return not fresh(path, e)
             return True
 
@@ -505,7 +531,9 @@ class _FilterApplyReader(DataSourceReader):
                 return (
                     0 <= i < len(arr)
                     and isinstance(arr[i], dict)
-                    and any(_refutes(f, arr[i]) for f in accepted)
+                    and any(
+                        _refutes(f, arr[i], str_ok) for f in accepted
+                    )
                 )
 
             s, end = inner.start, inner.start + inner.n

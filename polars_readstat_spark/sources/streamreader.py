@@ -183,7 +183,9 @@ class ReadstatStreamReader(DataSourceStreamReader):
                 WhereFilterReader,
             )
 
-            plan_parts = WhereFilterReader(mf, self._where).partitions()
+            wf = WhereFilterReader(mf, self._where)
+            wf._str_stats_ok = ds._str_stats_ok()
+            plan_parts = wf.partitions()
         else:
             plan_parts = mf.partitions()
         out = []

@@ -1,0 +1,186 @@
+"""index_zonemaps (round 13): build _prs_stats.json for EXISTING
+lakes by reading them — manifests for directories our sink never
+wrote (SAS/Stata/SPSS-authored files, externally landed extracts).
+Reader-output stats are the output domain by construction; the
+label-rewrite hazard (value_labels_as_strings remaps labeled STRING
+values) is guarded at scan time by disabling string-stat refutation
+whenever a label-applying option is active."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from polars_readstat_spark.sources.zonemap_index import index_zonemaps
+
+
+def _pandas_dta_dir(tmp_path, nfiles=3, rows=3000):
+    """Files written by pandas (NOT our sink): no manifest exists."""
+    import numpy as np
+    import pandas as pd
+
+    d = str(tmp_path / "lake")
+    os.makedirs(d)
+    for i in range(nfiles):
+        lo = i * rows
+        pdf = pd.DataFrame(
+            {
+                "id": np.arange(lo, lo + rows, dtype="int64"),
+                "v": np.arange(lo, lo + rows, dtype="float64") * 0.5,
+                "s": [f"grp{i}"] * rows,
+            }
+        )
+        pdf.to_stata(
+            os.path.join(d, f"part-{i}.dta"), write_index=False,
+            version=118,
+        )
+    return d
+
+
+def test_index_builds_manifest_and_prunes(spark, tmp_path):
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    d = _pandas_dta_dir(tmp_path)
+    assert not os.path.exists(os.path.join(d, "_prs_stats.json"))
+    indexed = index_zonemaps(spark, d, stripe_rows=1024)
+    assert len(indexed) == 3 and all(n == 3000 for n in indexed.values())
+    m = json.load(open(os.path.join(d, "_prs_stats.json")))
+    assert len(m["files"]) == 3
+    e0 = m["files"]["part-0.dta"]
+    assert e0["cols"]["id"]["min"] == 0 and e0["cols"]["id"]["max"] == 2999
+    assert e0["cols"]["s"]["min"] == "grp0"
+    assert len(e0["stripes"]["cols"]) == 3  # 3000 rows / 1024
+    # the indexed manifest actually prunes a scan
+    from polars_readstat_spark.sources.datasource import ReadstatDataSource
+
+    def parts(where=None):
+        opts = {"path": d}
+        if where:
+            opts["where"] = where
+        ds = ReadstatDataSource(opts)
+        r = ds.reader(ds._schema_uncompressed())
+        return r, [p for p in r.partitions()]
+
+    r0, full = parts()
+    r1, pruned = parts("id >= 7000")
+    assert len(pruned) < len(full)
+    rows = []
+    for p in pruned:
+        for b in r1.read(p):
+            idx = b.schema.names.index("id")
+            rows.extend(b.column(idx).to_pylist())
+    assert sorted(rows) == list(range(7000, 9000))
+
+
+def test_index_incremental_only_new_files(spark, tmp_path):
+    import pandas as pd
+
+    d = _pandas_dta_dir(tmp_path)
+    first = index_zonemaps(spark, d)
+    assert len(first) == 3
+    again = index_zonemaps(spark, d)
+    assert again == {}  # everything covered with current size+mtime
+    pd.DataFrame({"id": [90000], "v": [1.0], "s": ["new"]}).to_stata(
+        os.path.join(d, "part-9.dta"), write_index=False, version=118
+    )
+    third = index_zonemaps(spark, d)
+    assert list(third) == [os.path.join(d, "part-9.dta")]
+    m = json.load(open(os.path.join(d, "_prs_stats.json")))
+    assert len(m["files"]) == 4
+
+
+def test_index_refresh_reindexes_all(spark, tmp_path):
+    d = _pandas_dta_dir(tmp_path, nfiles=2)
+    index_zonemaps(spark, d)
+    assert len(index_zonemaps(spark, d, refresh=True)) == 2
+
+
+def test_index_skips_unreadable_file(spark, tmp_path):
+    d = _pandas_dta_dir(tmp_path, nfiles=2)
+    bad = os.path.join(d, "broken.dta")
+    with open(bad, "wb") as f:
+        f.write(b"not a stata file at all")
+    indexed = index_zonemaps(spark, d)
+    assert len(indexed) == 2  # the two good files; broken skipped
+    m = json.load(open(os.path.join(d, "_prs_stats.json")))
+    assert "broken.dta" not in m["files"]
+
+
+def test_index_date_columns_tagged(spark, tmp_path):
+    import datetime as dt
+
+    import pandas as pd
+
+    d = str(tmp_path / "dl")
+    os.makedirs(d)
+    pdf = pd.DataFrame(
+        {
+            "id": range(100),
+            "d": [dt.date(2020, 1, 1) + dt.timedelta(days=i) for i in range(100)],
+        }
+    )
+    pdf["d"] = pd.to_datetime(pdf["d"])
+    pdf.to_stata(
+        os.path.join(d, "a.dta"), write_index=False, version=118,
+        convert_dates={"d": "td"},
+    )
+    index_zonemaps(spark, d)
+    m = json.load(open(os.path.join(d, "_prs_stats.json")))
+    c = m["files"]["a.dta"]["cols"]["d"]
+    assert c["t"] == "date"
+    assert c["min"] == (dt.date(2020, 1, 1) - dt.date(1970, 1, 1)).days
+
+
+# ------------------------------------------------ label-rewrite guard
+
+def test_string_refutation_disabled_under_label_options():
+    from pyspark.sql.datasource import EqualTo, Not
+
+    from polars_readstat_spark.sources.filters import _refutes
+
+    cols = {"s": {"min": "a", "max": "b", "nn": 5, "n": 5}}
+    f = EqualTo(("s",), "Apple")
+    assert _refutes(f, cols)  # default: range refutes
+    assert not _refutes(f, cols, str_ok=False)  # labels active: never
+    const = {"s": {"min": "a", "max": "a", "nn": 5, "n": 5}}
+    assert _refutes(Not(EqualTo(("s",), "a")), const)
+    assert not _refutes(Not(EqualTo(("s",), "a")), const, str_ok=False)
+    # numeric and date stats stay live either way
+    num = {"v": {"min": 0, "max": 9, "nn": 5, "n": 5}}
+    assert _refutes(EqualTo(("v",), 99), num, str_ok=False)
+
+
+def test_label_scan_plans_full_file_set(spark, tmp_path):
+    """Plan-level: with value_labels_as_strings on, a string predicate
+    must NOT skip files (the labeled output domain is unknowable from
+    the stats); with it off, the same predicate prunes."""
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    d = str(tmp_path / "lk")
+    (
+        spark.range(4000)
+        .selectExpr(
+            "cast(id as long) as id",
+            "concat('k', lpad(cast(cast(id / 1000 as int) as string), "
+            "2, '0')) as s",
+        )
+        .repartitionByRange(4, "s")
+        .write.format("readstat")
+        .option("format", "dta")
+        .mode("overwrite")
+        .save(d)
+    )
+    from polars_readstat_spark.sources.datasource import ReadstatDataSource
+
+    def nparts(opts):
+        ds = ReadstatDataSource({"path": d, "where": "s = 'k03'", **opts})
+        r = ds.reader(ds._schema_uncompressed())
+        return len(list(r.partitions()))
+
+    pruned = nparts({})
+    unpruned = nparts({"value_labels_as_strings": "true"})
+    assert pruned < unpruned
