@@ -98,12 +98,17 @@ def index_zonemaps(
     new files land indexes just the new ones. ``refresh=True``
     re-reads everything. Returns {path: row_count} for the files
     indexed this call."""
+    from polars_readstat_spark import _ship_package
     from polars_readstat_spark.sources import fs as _fs
     from polars_readstat_spark.sources.datasource import is_data_file
     from polars_readstat_spark.writers.spark_sink import (
         publish_stats_manifest,
     )
 
+    # the tasks import this package executor-side — ship it like
+    # register() does, so a cluster session needn't have registered
+    # the data source first
+    _ship_package(spark)
     files = sorted(
         f for f in _fs.fs_listdir(dir_path) if is_data_file(f)
     )
