@@ -362,6 +362,7 @@ class ReadstatDataSource(DataSource):
         )
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        where_extra = self._widen_columns_for_where()
         paths = self._paths()
         if len(paths) == 1 and not self.options.get("path_column"):
             base = self._reader_uncompressed(schema)
@@ -422,7 +423,12 @@ class ReadstatDataSource(DataSource):
             )
 
             base = WhereFilterReader(
-                base, parse_where(where, set(schema.fieldNames()))
+                base,
+                parse_where(
+                    where,
+                    set(schema.fieldNames()) | set(where_extra),
+                ),
+                drop=where_extra,
             )
             base._str_stats_ok = self._str_stats_ok()
         # batch-level filter pushdown only when the session allows it —
@@ -446,6 +452,40 @@ class ReadstatDataSource(DataSource):
             fr._str_stats_ok = self._str_stats_ok()
             return fr
         return base
+
+    def _widen_columns_for_where(self) -> tuple[str, ...]:
+        """A `columns` projection that omits a where-referenced column
+        would make the filter un-evaluatable; widen the internal
+        projection to decode those columns too and return them — the
+        filter reader selects them away after applying, so the OUTPUT
+        schema stays the user's projection (round 13). Must run before
+        any reader construction (readers parse `columns` at init).
+        Unknown names still fail loudly in _selected_vars."""
+        where = self.options.get("where")
+        cols_opt = self.options.get("columns")
+        if not where or not cols_opt:
+            return ()
+        from polars_readstat_spark.sources.filters import parse_where
+
+        refs: set[str] = set()
+        stack = list(parse_where(where))
+        while stack:
+            g = stack.pop()
+            child = getattr(g, "child", None)
+            if child is not None:
+                stack.append(child)
+                continue
+            a = getattr(g, "attribute", None)
+            if a:
+                refs.add(a[0])
+        projected = [
+            c.strip() for c in str(cols_opt).split(",") if c.strip()
+        ]
+        missing = sorted(r for r in refs if r not in projected)
+        if not missing:
+            return ()
+        self.options["columns"] = ",".join(projected + missing)
+        return tuple(missing)
 
     def _str_stats_ok(self) -> bool:
         """False when scan options rewrite labeled STRING values

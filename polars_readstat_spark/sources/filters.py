@@ -676,10 +676,16 @@ class WhereFilterReader(_FilterApplyReader):
     reader defines. Every parsed predicate must compile (a silently
     dropped predicate would return wrong rows) — parse_where only
     emits compilable shapes, so a failure here is a bug, not user
-    error."""
+    error.
 
-    def __init__(self, inner: DataSourceReader, filters: list):
+    ``drop``: columns the scan decoded ONLY for this filter (a
+    ``columns`` projection that omitted a where-referenced column is
+    widened by the datasource) — selected away after the batch-side
+    apply so the output matches the user's projection exactly."""
+
+    def __init__(self, inner: DataSourceReader, filters: list, drop=()):
         super().__init__(inner)
+        self._drop = tuple(drop)
         for f in filters:
             fn = _compile(f)
             if fn is None:  # pragma: no cover - parse_where emits
@@ -688,6 +694,16 @@ class WhereFilterReader(_FilterApplyReader):
                 )
             self._preds.append(fn)
             self._accepted.append(f)
+
+    def read(self, partition):
+        if not self._drop:
+            yield from super().read(partition)
+            return
+        for batch in super().read(partition):
+            keep = [
+                n for n in batch.schema.names if n not in self._drop
+            ]
+            yield batch.select(keep)
 
 
 # ---------------------------------------------------------------------------

@@ -275,3 +275,39 @@ def test_where_null_semantics(spark, tmp_path):
     assert [r.id for r in load("v IS NULL").collect()] == [2]
     assert [r.id for r in load("NOT v = 1").collect()] == [3]  # Kleene
     assert [r.id for r in load("v IS NOT NULL").collect()] == [1, 3]
+
+
+def test_where_on_projected_away_column(spark, sink_dir):
+    """A `columns` projection that omits a where-referenced column:
+    the scan widens internally, filters, and drops the extra — the
+    output schema is exactly the user's projection (round 13)."""
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    df = (
+        spark.read.format("readstat")
+        .option("columns", "v")
+        .option("where", "id >= 1000 AND id < 1010")
+        .load(sink_dir)
+    )
+    assert df.columns == ["v"]
+    got = sorted(r.v for r in df.collect())
+    assert got == [i * 0.5 for i in range(1000, 1010)]
+    # projection + filter on the SAME column still works
+    df2 = (
+        spark.read.format("readstat")
+        .option("columns", "id,v")
+        .option("where", "id = 42")
+        .load(sink_dir)
+    )
+    assert df2.columns == ["id", "v"] and df2.count() == 1
+    # unknown where column under a projection: loud, names the file's
+    # real columns
+    bad = (
+        spark.read.format("readstat")
+        .option("columns", "v")
+        .option("where", "nope = 1")
+        .load(sink_dir)
+    )
+    with pytest.raises(Exception, match="unknown columns"):
+        bad.count()

@@ -184,3 +184,47 @@ def test_label_scan_plans_full_file_set(spark, tmp_path):
     pruned = nparts({})
     unpruned = nparts({"value_labels_as_strings": "true"})
     assert pruned < unpruned
+
+
+@pytest.mark.parametrize("fmt", ["sav", "xpt", "sas7bdat"])
+def test_index_other_formats(spark, tmp_path, fmt):
+    """index_zonemaps over non-dta lakes: stats keyed by the READER's
+    column names (xpt: uppercase shorts) and prune a where-scan."""
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    d = str(tmp_path / fmt)
+    (
+        spark.range(6000)
+        .selectExpr("cast(id as double) as id")
+        .repartitionByRange(3, "id")
+        .write.format("readstat")
+        .option("format", fmt)
+        .mode("overwrite")
+        .save(d)
+    )
+    os.unlink(os.path.join(d, "_prs_stats.json"))  # external-lake shape
+    indexed = index_zonemaps(spark, d, stripe_rows=1024)
+    assert len(indexed) == 3
+    col = "id" if fmt != "xpt" else "ID"
+    m = json.load(open(os.path.join(d, "_prs_stats.json")))
+    assert all(col in e["cols"] for e in m["files"].values())
+    from polars_readstat_spark.sources.datasource import ReadstatDataSource
+
+    def nparts(where=None):
+        opts = {"path": d}
+        if where:
+            opts["where"] = where
+        ds = ReadstatDataSource(opts)
+        r = ds.reader(ds._schema_uncompressed())
+        return r, list(r.partitions())
+
+    _, full = nparts()
+    r, pruned = nparts(f"{col} >= 4000")
+    assert len(pruned) < len(full)
+    rows = []
+    for p in pruned:
+        for b in r.read(p):
+            idx = b.schema.names.index(col)
+            rows.extend(b.column(idx).to_pylist())
+    assert sorted(rows) == [float(i) for i in range(4000, 6000)]
