@@ -85,6 +85,17 @@ class ReadstatDataSource(DataSource):
                                format)
       io_simulated_latency_ms  bench/test only: per-range first-byte
                                sleep standing in for an object store
+      where                    explicit reader-side filter (simple
+                               conjunction, sources/filters.py
+                               parse_where): batch-wise apply +
+                               zone-map file/stripe skipping with
+                               pushdown OFF — the hazard-free path
+                               (README "where reader option");
+                               composes with `columns` (referenced
+                               columns widen internally, dropped
+                               after the filter)
+      zonemap_stripe_rows      (write path) rows per intra-file
+                               zone-map stripe; 0 disables
     """
 
     # Cluster parallelism baked in by ``register(spark)``: it builds a
@@ -685,32 +696,40 @@ class ReadstatDataSource(DataSource):
         return mf
 
     def _load_stats_manifest(self, paths) -> dict | None:
-        """{full_path: manifest entry} from a sink-published
-        _prs_stats.json sitting beside the part-files — the zone maps
-        the filter pushdown uses to skip whole files. One existence
-        probe per plan; absent or unparsable → None (skip is an
-        optimization, never required)."""
+        """{full_path: manifest entry} from sink-published
+        _prs_stats.json files sitting beside the part-files — the zone
+        maps the filter frontends use to skip whole files. Files may
+        span MULTIPLE directories (round 13: a glob over a nested
+        date-partitioned lake, ``lake/2024-*/part*.dta`` — each
+        subdirectory carries its own manifest); one existence probe +
+        GET per distinct directory, capped so a pathological
+        thousand-directory glob doesn't turn planning into a LIST
+        storm. Absent or unparsable manifests → those files just
+        aren't skippable (an optimization, never required)."""
         import json
 
         from polars_readstat_spark.sources import fs as _fs
 
-        dirs = {os.path.dirname(p) for p in paths}
-        if len(dirs) != 1:
-            return None
-        mpath = _fs.fs_join(next(iter(dirs)), "_prs_stats.json")
-        try:
-            if not _fs.fs_exists(mpath):
-                return None
-            with _fs.fs_open(mpath) as f:
-                doc = json.loads(f.read())
-        except Exception:  # noqa: BLE001 — corrupt manifest: no skip
-            return None
-        files = doc.get("files", {})
-        out = {}
+        by_dir: dict[str, list[str]] = {}
         for p in paths:
-            e = files.get(os.path.basename(p))
-            if e is not None:
-                out[p] = e
+            by_dir.setdefault(os.path.dirname(p), []).append(p)
+        if len(by_dir) > 64:
+            return None  # manifest probes would dominate planning
+        out = {}
+        for d, ps in by_dir.items():
+            mpath = _fs.fs_join(d, "_prs_stats.json")
+            try:
+                if not _fs.fs_exists(mpath):
+                    continue
+                with _fs.fs_open(mpath) as f:
+                    doc = json.loads(f.read())
+            except Exception:  # noqa: BLE001 — corrupt: no skip here
+                continue
+            files = doc.get("files", {})
+            for p in ps:
+                e = files.get(os.path.basename(p))
+                if e is not None:
+                    out[p] = e
         return out or None
 
     def _reader_uncompressed(self, schema) -> DataSourceReader:

@@ -311,3 +311,75 @@ def test_where_on_projected_away_column(spark, sink_dir):
     )
     with pytest.raises(Exception, match="unknown columns"):
         bad.count()
+
+
+def test_where_compress_interplay(spark, tmp_path):
+    """where + compress: the filter wraps the COMPRESSED output
+    domain; type coercion keeps zone-map refutation safe (downcast
+    numerics compare equal; string→numeric parse leaves string stats
+    that numeric operands never coerce against)."""
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    d = str(tmp_path / "cz")
+    (
+        spark.range(2000)
+        .selectExpr(
+            "cast(id as double) as id",
+            "cast(cast(id % 50 as int) as double) as small",
+        )
+        .repartitionByRange(2, "id")
+        .write.format("readstat")
+        .option("format", "dta")
+        .mode("overwrite")
+        .save(d)
+    )
+    df = (
+        spark.read.format("readstat")
+        .option("compress", "true")
+        .option("where", "id >= 1500 AND small = 7")
+        .load(d)
+    )
+    got = sorted(r.id for r in df.collect())
+    assert got == [float(i) for i in range(1500, 2000) if i % 50 == 7]
+
+
+def test_where_prunes_across_nested_directories(spark, tmp_path):
+    """Round 13: a glob over a date-partitioned nested lake — each
+    subdirectory carries its own sink manifest; pruning works across
+    all of them."""
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    root = str(tmp_path / "lake")
+    for i, sub in enumerate(["m01", "m02", "m03"]):
+        (
+            spark.range(i * 1000, (i + 1) * 1000)
+            .selectExpr("cast(id as long) as id")
+            .coalesce(1)
+            .write.format("readstat")
+            .option("format", "dta")
+            .mode("overwrite")
+            .save(os.path.join(root, sub))
+        )
+    from polars_readstat_spark.sources.datasource import ReadstatDataSource
+
+    glob = os.path.join(root, "m0*", "*.dta")
+
+    def parts(where=None):
+        opts = {"path": glob}
+        if where:
+            opts["where"] = where
+        ds = ReadstatDataSource(opts)
+        r = ds.reader(ds._schema_uncompressed())
+        return r, list(r.partitions())
+
+    r0, full = parts()
+    r, pruned = parts("id >= 2200")
+    assert len(pruned) < len(full)
+    rows = []
+    for p in pruned:
+        for b in r.read(p):
+            idx = b.schema.names.index("id")
+            rows.extend(b.column(idx).to_pylist())
+    assert sorted(rows) == list(range(2200, 3000))
