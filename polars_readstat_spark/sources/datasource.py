@@ -50,6 +50,38 @@ def is_data_file(path: str) -> bool:
     return not b.startswith(".") and ext in ReadstatDataSource.SUPPORTED
 
 
+def _scrub_union_widened(file_stats: dict, float_cols: set) -> None:
+    """Drop INT-valued zone-map stats for columns a union-by-name scan
+    widened to float (see the call site in _multi_reader): the stats
+    describe the file's exact integers, but the reader output went
+    through an int→double cast that rounds past 2^53. Mutates the
+    plan-local stats dicts in place, at file and stripe level."""
+
+    def scrub(cols):
+        if not isinstance(cols, dict):
+            return
+        for name in list(cols):
+            if name not in float_cols:
+                continue
+            e = cols[name]
+            if not isinstance(e, dict) or e.get("t") == "date":
+                continue
+            mn, mx = e.get("min"), e.get("max")
+            if (
+                isinstance(mn, int) and not isinstance(mn, bool)
+            ) or (isinstance(mx, int) and not isinstance(mx, bool)):
+                del cols[name]
+
+    for entry in file_stats.values():
+        if not isinstance(entry, dict):
+            continue
+        scrub(entry.get("cols"))
+        st = entry.get("stripes")
+        if isinstance(st, dict) and isinstance(st.get("cols"), list):
+            for c in st["cols"]:
+                scrub(c)
+
+
 def _opt_bool(options, key: str, default: bool = False) -> bool:
     v = options.get(key)
     return default if v is None else str(v).lower() in _TRUE
@@ -693,6 +725,22 @@ class ReadstatDataSource(DataSource):
             if self._pushdown_enabled() or self.options.get("where")
             else None
         )
+        if union and mf.file_stats and align_fields:
+            # union widening int→double ROUNDS values past 2^53 (the
+            # documented _widen_types trade), so a file whose column
+            # was integral has INT-valued stats that may misdescribe
+            # the WIDENED reader output — an equality at a rounded
+            # value could be unsoundly refuted. Scrub int-valued
+            # stats for float-typed union columns (float-file stats
+            # are float-valued and stay; date tags are exact and
+            # stay). Plan-local dicts: in-place is safe.
+            float_cols = {
+                f.name
+                for f in align_fields
+                if f.dataType.simpleString() in ("float", "double")
+            }
+            if float_cols:
+                _scrub_union_widened(mf.file_stats, float_cols)
         return mf
 
     def _load_stats_manifest(self, paths) -> dict | None:

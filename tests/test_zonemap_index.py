@@ -228,3 +228,60 @@ def test_index_other_formats(spark, tmp_path, fmt):
             idx = b.schema.names.index(col)
             rows.extend(b.column(idx).to_pylist())
     assert sorted(rows) == [float(i) for i in range(4000, 6000)]
+
+
+def test_union_float_widening_scrubs_int_stats(spark, tmp_path):
+    """Soundness (round 13 review): union_by_name widening int→double
+    rounds values past 2^53, so INT-valued stats from an
+    integer-typed file must not refute over the widened output. The
+    scrub drops exactly those entries; the same predicate still
+    prunes when the scan is NOT widened."""
+    import numpy as np
+    import pandas as pd
+
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    d = str(tmp_path / "mix")
+    os.makedirs(d)
+    # file A: int32 column (stats publish as ints via index_zonemaps)
+    pd.DataFrame({"x": np.arange(0, 1000, dtype="int32")}).to_stata(
+        os.path.join(d, "a.dta"), write_index=False, version=118
+    )
+    # file B: float column, same name → union widens x to double
+    pd.DataFrame(
+        {"x": np.arange(5000, 6000, dtype="float64")}
+    ).to_stata(os.path.join(d, "b.dta"), write_index=False, version=118)
+    index_zonemaps(spark, d)
+    m = json.load(open(os.path.join(d, "_prs_stats.json")))
+    assert isinstance(m["files"]["a.dta"]["cols"]["x"]["min"], int)
+    assert isinstance(m["files"]["b.dta"]["cols"]["x"]["min"], float)
+
+    from polars_readstat_spark.sources.datasource import ReadstatDataSource
+
+    def nparts(opts):
+        ds = ReadstatDataSource({"path": d, "where": "x >= 5000", **opts})
+        r = ds.reader(ds._schema_uncompressed())
+        return len(list(r.partitions()))
+
+    # widened union: file A's int stats are scrubbed → A not pruned
+    # (its refutation would rest on pre-cast integers); B's float
+    # stats stay live — and the row set is still exact
+    ds = ReadstatDataSource(
+        {"path": d, "where": "x >= 5000", "union_by_name": "true"}
+    )
+    r = ds.reader(ds._schema_uncompressed())
+    parts = list(r.partitions())
+    rows = []
+    for p in parts:
+        for b in r.read(p):
+            idx = b.schema.names.index("x")
+            rows.extend(b.column(idx).to_pylist())
+    assert sorted(rows) == [float(i) for i in range(5000, 6000)]
+    # non-union scan of the int file alone: int stats still prune
+    ds2 = ReadstatDataSource(
+        {"path": os.path.join(d, "a.dta"), "where": "x >= 5000"}
+    )
+    r2 = ds2.reader(ds2._schema_uncompressed())
+    p2 = list(r2.partitions())
+    assert sum(getattr(p, "n", 0) for p in p2) < 1000
