@@ -514,7 +514,11 @@ class ReadstatDataSource(DataSource):
         stack = list(parse_where(where))
         while stack:
             g = stack.pop()
-            child = getattr(g, "child", None)
+            kids = getattr(g, "children", None)  # OrGroup
+            if kids:
+                stack.extend(kids)
+                continue
+            child = getattr(g, "child", None)  # Not
             if child is not None:
                 stack.append(child)
                 continue

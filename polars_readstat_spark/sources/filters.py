@@ -65,11 +65,44 @@ def plan_reuse_hazard(version: str) -> bool:
     return (major, minor) < _PUSHDOWN_FIXED_MIN
 
 
+class OrGroup:
+    """Disjunction node for the `where` option's parenthesized OR
+    groups — local to this module (Catalyst never pushes one; the
+    pyspark Filter algebra has no Or). Children are plain Filters."""
+
+    __slots__ = ("children",)
+
+    def __init__(self, children):
+        self.children = tuple(children)
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, OrGroup)
+            and self.children == other.children
+        )
+
+    def __repr__(self):
+        return f"OrGroup({self.children!r})"
+
+
 def _compile(f: Filter):
     """Filter → callable(RecordBatch) -> BooleanArray, or None if the
     shape isn't supported batch-side."""
     import pyarrow as pa
     import pyarrow.compute as pc
+
+    if isinstance(f, OrGroup):
+        parts = [_compile(c) for c in f.children]
+        if any(p is None for p in parts):
+            return None
+
+        def disj(batch, _parts=parts):
+            m = _parts[0](batch)
+            for p in _parts[1:]:
+                m = pc.or_kleene(m, p(batch))
+            return m
+
+        return disj
 
     if isinstance(f, Not):
         inner = _compile(f.child)
@@ -169,6 +202,10 @@ def _refutes(f: Filter, cols: dict, str_ok: bool = True) -> bool:
     coercion already protects numeric/date stats (a labeled column's
     output becomes string-typed, and string operands never coerce
     against them)."""
+    if isinstance(f, OrGroup):
+        # a row matches the disjunction iff SOME disjunct matches:
+        # refuted only when EVERY disjunct provably matches no row
+        return all(_refutes(c, cols, str_ok) for c in f.children)
     if isinstance(f, Not):
         c = f.child
         comp = _COMPLEMENT.get(type(c))
@@ -909,10 +946,38 @@ def parse_where(expr: str, columns=None) -> list:
             fail("expected an operator, IN, or IS", tok)
         return Not(f) if negate else f
 
-    out = [predicate()]
+    def term():
+        """predicate, or a parenthesized OR group:
+        '(' pred (OR pred)* ')' — with optional leading NOT, expanded
+        by De Morgan into the conjunction of negated predicates (so
+        the whole result stays a flat AND list of OrGroup/Filter
+        nodes the compile/refute layers understand)."""
+        nonlocal i
+        neg = False
+        if is_kw(peek(), "NOT") and peek(1)[1] == "(":
+            neg = True
+            i += 1
+        if peek()[1] != "(":
+            return [predicate()]
+        i += 1
+        preds = [predicate()]
+        while is_kw(peek(), "OR"):
+            i += 1
+            preds.append(predicate())
+        if peek()[1] != ")":
+            fail("expected OR or )", peek())
+        i += 1
+        if neg:
+            # NOT (a OR b) == NOT a AND NOT b
+            return [Not(p) for p in preds]
+        if len(preds) == 1:
+            return preds
+        return [OrGroup(preds)]
+
+    out = list(term())
     while i < n:
         if not is_kw(peek(), "AND"):
             fail("expected AND", peek())
         i += 1
-        out.append(predicate())
+        out.extend(term())
     return out

@@ -81,7 +81,6 @@ def test_parse_backtick_column():
         "a = ",
         "a = NULL",
         "a BETWEEN 1 AND 2",
-        "(a = 1)",
         "a IN ()",
         "5 = a",
         "a = b",  # column-to-column: rhs must be a literal
@@ -90,6 +89,70 @@ def test_parse_backtick_column():
 def test_parse_rejects(bad):
     with pytest.raises(ValueError):
         parse_where(bad)
+
+
+def test_parse_or_groups():
+    from pyspark.sql.datasource import GreaterThan, LessThan
+
+    from polars_readstat_spark.sources.filters import OrGroup
+
+    assert parse_where("(a < 5 OR a > 100) AND b = 2") == [
+        OrGroup((LessThan(("a",), 5), GreaterThan(("a",), 100))),
+        EqualTo(("b",), 2),
+    ]
+    # NOT of a group expands by De Morgan into negated conjuncts
+    assert parse_where("NOT (a = 1 OR a = 2)") == [
+        Not(EqualTo(("a",), 1)),
+        Not(EqualTo(("a",), 2)),
+    ]
+    # single-predicate parens collapse; top-level OR still requires
+    # parentheses; AND inside a group is rejected
+    assert parse_where("(a = 1)") == [EqualTo(("a",), 1)]
+    for bad in ("a = 1 OR b = 2", "(a = 1 AND b = 2)", "(a = 1 OR)"):
+        with pytest.raises(ValueError):
+            parse_where(bad)
+
+
+def test_or_group_compile_refute_and_scan(spark, tmp_path):
+    """OrGroup end-to-end: batch apply (Kleene OR), zone-map
+    refutation (all disjuncts must be refuted), and a real scan."""
+    import polars_readstat_spark as prs
+    from polars_readstat_spark.sources.filters import (
+        OrGroup,
+        _compile,
+        _refutes,
+    )
+
+    g = OrGroup((LessThan(("id",), 5), GreaterThanOrEqual(("id",), 3990)))
+    assert _compile(g) is not None
+    assert _refutes(g, {"id": {"min": 1000, "max": 2000, "nn": 1, "n": 1}})
+    assert not _refutes(g, {"id": {"min": 0, "max": 2000, "nn": 1, "n": 1}})
+    prs.register(spark)
+    d = str(tmp_path / "orx")
+    (
+        spark.range(4000)
+        .selectExpr("cast(id as long) as id")
+        .repartitionByRange(4, "id")
+        .write.format("readstat")
+        .option("format", "dta")
+        .mode("overwrite")
+        .save(d)
+    )
+    df = (
+        spark.read.format("readstat")
+        .option("where", "(id < 5 OR id >= 3990)")
+        .load(d)
+    )
+    got = sorted(r.id for r in df.collect())
+    assert got == list(range(5)) + list(range(3990, 4000))
+    # middle part-files are refuted by BOTH disjuncts and pruned
+    from polars_readstat_spark.sources.datasource import ReadstatDataSource
+
+    ds = ReadstatDataSource({"path": d, "where": "(id < 5 OR id >= 3990)"})
+    r = ds.reader(ds._schema_uncompressed())
+    ds0 = ReadstatDataSource({"path": d})
+    r0 = ds0.reader(ds0._schema_uncompressed())
+    assert len(list(r.partitions())) < len(list(r0.partitions()))
 
 
 def test_parse_unknown_column_against_schema():
