@@ -109,22 +109,37 @@ def index_zonemaps(
     # register() does, so a cluster session needn't have registered
     # the data source first
     _ship_package(spark)
-    files = sorted(
-        f for f in _fs.fs_listdir(dir_path) if is_data_file(f)
-    )
+    if any(ch in dir_path for ch in "*?["):
+        # nested/partitioned lake: a glob like lake/2024-*/ *.dta —
+        # manifests are per-directory, so files group by dirname and
+        # each directory publishes its own _prs_stats.json (the scan
+        # side already merges per-directory manifests)
+        files = sorted(f for f in _fs.fs_glob(dir_path) if is_data_file(f))
+    else:
+        files = sorted(
+            f for f in _fs.fs_listdir(dir_path) if is_data_file(f)
+        )
     if not files:
         return {}
     todo = files
     if not refresh:
-        mpath = _fs.fs_join(dir_path, "_prs_stats.json")
-        try:
-            with _fs.fs_open(mpath) as f:
-                have = json.loads(f.read()).get("files", {})
-        except Exception:  # noqa: BLE001 — absent/corrupt: index all
-            have = {}
+        have_by_dir: dict[str, dict] = {}
+
+        def have_for(d: str) -> dict:
+            h = have_by_dir.get(d)
+            if h is None:
+                try:
+                    with _fs.fs_open(
+                        _fs.fs_join(d, "_prs_stats.json")
+                    ) as f:
+                        h = json.loads(f.read()).get("files", {})
+                except Exception:  # noqa: BLE001 — absent/corrupt
+                    h = {}
+                have_by_dir[d] = h
+            return h
 
         def covered(p: str) -> bool:
-            e = have.get(os.path.basename(p))
+            e = have_for(os.path.dirname(p)).get(os.path.basename(p))
             if not isinstance(e, dict):
                 return False
             try:
@@ -162,14 +177,16 @@ def index_zonemaps(
         .mapInPandas(task, "path string, n_rows long, frag string")
         .collect()
     )
-    parts = []
+    parts_by_dir: dict[str, list] = {}
     indexed = {}
     for r in res:
         if r.n_rows < 0:
             continue
         frag = json.loads(r.frag)
-        parts.append((r.path, frag["n"], frag["stats"], frag.get("stripes")))
+        parts_by_dir.setdefault(os.path.dirname(r.path), []).append(
+            (r.path, frag["n"], frag["stats"], frag.get("stripes"))
+        )
         indexed[r.path] = frag["n"]
-    if parts:
-        publish_stats_manifest(dir_path, parts, merge=True)
+    for d, parts in parts_by_dir.items():
+        publish_stats_manifest(d, parts, merge=True)
     return indexed

@@ -285,3 +285,46 @@ def test_union_float_widening_scrubs_int_stats(spark, tmp_path):
     r2 = ds2.reader(ds2._schema_uncompressed())
     p2 = list(r2.partitions())
     assert sum(getattr(p, "n", 0) for p in p2) < 1000
+
+
+def test_index_glob_nested_lake(spark, tmp_path):
+    """index_zonemaps over a nested-lake glob: one manifest per
+    subdirectory, scan-side merge prunes across them."""
+    import numpy as np
+    import pandas as pd
+
+    root = str(tmp_path / "nested")
+    for i, sub in enumerate(["p1", "p2", "p3"]):
+        os.makedirs(os.path.join(root, sub))
+        pd.DataFrame(
+            {"id": np.arange(i * 1000, (i + 1) * 1000, dtype="float64")}
+        ).to_stata(
+            os.path.join(root, sub, "part.dta"),
+            write_index=False,
+            version=118,
+        )
+    indexed = index_zonemaps(spark, os.path.join(root, "p*", "*.dta"))
+    assert len(indexed) == 3
+    for sub in ("p1", "p2", "p3"):
+        m = json.load(
+            open(os.path.join(root, sub, "_prs_stats.json"))
+        )
+        assert len(m["files"]) == 1
+    # incremental over the same glob: nothing to do
+    assert index_zonemaps(spark, os.path.join(root, "p*", "*.dta")) == {}
+    # scan prunes across the per-dir manifests
+    from polars_readstat_spark.sources.datasource import ReadstatDataSource
+
+    ds = ReadstatDataSource(
+        {"path": os.path.join(root, "p*", "*.dta"), "where": "id >= 2500"}
+    )
+    r = ds.reader(ds._schema_uncompressed())
+    parts = list(r.partitions())
+    rows = []
+    for p in parts:
+        for b in r.read(p):
+            rows.extend(b.column(0).to_pylist())
+    assert sorted(rows) == [float(i) for i in range(2500, 3000)]
+    ds0 = ReadstatDataSource({"path": os.path.join(root, "p*", "*.dta")})
+    r0 = ds0.reader(ds0._schema_uncompressed())
+    assert len(parts) < len(list(r0.partitions()))
