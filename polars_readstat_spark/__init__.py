@@ -26,6 +26,9 @@ from polars_readstat_spark._alloc import disable_hugepage_madvise
 disable_hugepage_madvise()
 
 from polars_readstat_spark.operators.profile import profile_read  # noqa: F401
+from polars_readstat_spark.operators.scan_explain import (  # noqa: F401
+    explain_scan,
+)
 from polars_readstat_spark.session import get_spark  # noqa: F401
 from polars_readstat_spark.sources.zonemap_index import (  # noqa: F401
     index_zonemaps,

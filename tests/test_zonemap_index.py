@@ -328,3 +328,38 @@ def test_index_glob_nested_lake(spark, tmp_path):
     ds0 = ReadstatDataSource({"path": os.path.join(root, "p*", "*.dta")})
     r0 = ds0.reader(ds0._schema_uncompressed())
     assert len(parts) < len(list(r0.partitions()))
+
+
+def test_explain_scan_reports_pruning(spark, tmp_path):
+    """explain_scan: plan-only pruning report — totals shrink under a
+    refuting where, per-file rows account for trims, and a
+    manifest-less lake reports manifest=False with no pruning."""
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    d = str(tmp_path / "ex")
+    (
+        spark.range(8000)
+        .selectExpr("cast(id as long) as id")
+        .repartitionByRange(4, "id")
+        .sortWithinPartitions("id")
+        .write.format("readstat")
+        .option("format", "dta")
+        .option("zonemap_stripe_rows", "512")
+        .mode("overwrite")
+        .save(d)
+    )
+    rep = prs.explain_scan(spark, d, where="id >= 7000")
+    assert rep["manifest"] is True
+    t = rep["totals"]
+    assert t["planned_rows"] == 8000
+    assert 0 < t["pruned_rows"] < t["planned_rows"] / 2
+    assert t["pruned_partitions"] < t["planned_partitions"]
+    # per-file: three parts fully refuted, the last kept (trimmed)
+    kept = [f for f, e in rep["files"].items() if e["pruned_rows"] > 0]
+    assert len(kept) == 1
+    # no manifest → no pruning, flagged
+    os.unlink(os.path.join(d, "_prs_stats.json"))
+    rep2 = prs.explain_scan(spark, d, where="id >= 7000")
+    assert rep2["manifest"] is False
+    assert rep2["totals"]["pruned_rows"] == rep2["totals"]["planned_rows"]
