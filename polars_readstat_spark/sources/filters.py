@@ -916,6 +916,41 @@ def parse_where(expr: str, columns=None) -> list:
                     fail("expected NULL", peek())
                 i += 1
                 f = IsNull(attr)
+        elif is_kw(tok, "LIKE") or (
+            is_kw(tok, "NOT") and is_kw(peek(1), "LIKE")
+        ):
+            # the three anchored shapes map onto the pushdown string
+            # filters ('abc%' / '%abc' / '%abc%'); general patterns
+            # (interior %, _) are rejected — use df.filter
+            inner_neg = False
+            if is_kw(tok, "NOT"):
+                inner_neg = True
+                i += 1
+            i += 1
+            t = peek()
+            if t[0] != "str":
+                fail("expected a string pattern after LIKE", t)
+            pat = _where_literal("str", t[1])
+            i += 1
+            if "_" in pat:
+                fail("LIKE '_' wildcard is not supported", t)
+            core = pat.strip("%")
+            if "%" in core or not core:
+                fail(
+                    "only anchored LIKE patterns ('abc%', '%abc', "
+                    "'%abc%') are supported",
+                    t,
+                )
+            if pat.startswith("%") and pat.endswith("%"):
+                f = StringContains(attr, core)
+            elif pat.endswith("%"):
+                f = StringStartsWith(attr, core)
+            elif pat.startswith("%"):
+                f = StringEndsWith(attr, core)
+            else:  # no wildcard at all: plain equality
+                f = EqualTo(attr, pat)
+            if inner_neg:
+                f = Not(f)
         elif is_kw(tok, "IN") or (
             is_kw(tok, "NOT") and is_kw(peek(1), "IN")
         ):

@@ -77,7 +77,9 @@ def test_parse_backtick_column():
     [
         "",
         "a = 5 OR b = 6",
-        "a LIKE 'x%'",
+        "a LIKE 'a_b'",
+        "a LIKE 'a%b'",
+        "a LIKE '%%'",
         "a = ",
         "a = NULL",
         "a BETWEEN 1 AND 2",
@@ -89,6 +91,42 @@ def test_parse_backtick_column():
 def test_parse_rejects(bad):
     with pytest.raises(ValueError):
         parse_where(bad)
+
+
+def test_parse_like_anchored_shapes():
+    from pyspark.sql.datasource import (
+        StringContains,
+        StringEndsWith,
+        StringStartsWith,
+    )
+
+    assert parse_where("s LIKE 'ab%'") == [StringStartsWith(("s",), "ab")]
+    assert parse_where("s LIKE '%ab'") == [StringEndsWith(("s",), "ab")]
+    assert parse_where("s LIKE '%ab%'") == [StringContains(("s",), "ab")]
+    assert parse_where("s LIKE 'ab'") == [EqualTo(("s",), "ab")]
+    assert parse_where("s NOT LIKE 'ab%'") == [
+        Not(StringStartsWith(("s",), "ab"))
+    ]
+
+
+def test_like_scan_end_to_end(spark, sink_dir):
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    df = (
+        spark.read.format("readstat")
+        .option("where", "src LIKE 's0%' AND id < 3")
+        .load(sink_dir)
+    )
+    assert sorted(r.id for r in df.collect()) == [0, 1, 2]
+    # prefix refutation prunes: src ranges are s00..s03 per part
+    from polars_readstat_spark.sources.datasource import ReadstatDataSource
+
+    ds = ReadstatDataSource({"path": sink_dir, "where": "src LIKE 's03%'"})
+    r = ds.reader(ds._schema_uncompressed())
+    ds0 = ReadstatDataSource({"path": sink_dir})
+    r0 = ds0.reader(ds0._schema_uncompressed())
+    assert len(list(r.partitions())) < len(list(r0.partitions()))
 
 
 def test_parse_or_groups():
