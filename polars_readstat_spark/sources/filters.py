@@ -150,7 +150,21 @@ def _compile(f: Filter):
             # SQL IN drops null rows (NULL comparison yields NULL) but
             # pc.is_in null-matches them — decline rather than diverge
             return None
-        return lambda b: pc.is_in(c(b), value_set=pa.array(values))
+
+        def in_mask(b, _vals=values):
+            col = c(b)
+            m = pc.is_in(col, value_set=pa.array(_vals))
+            # pc.is_in yields non-null FALSE for null inputs; SQL says
+            # NULL IN (...) is NULL. A plain In drops the row either
+            # way, but Not(In) must keep Kleene semantics — the
+            # un-nulled False inverted to TRUE and RESURRECTED null
+            # rows (found by the where grammar property fuzz, r13;
+            # the hazard predates it: Catalyst pushes Not(In) too)
+            return pc.if_else(
+                pc.is_valid(col), m, pa.scalar(None, pa.bool_())
+            )
+
+        return in_mask
     if isinstance(f, IsNull):
         return lambda b: pc.is_null(c(b))
     if isinstance(f, IsNotNull):

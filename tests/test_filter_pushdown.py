@@ -228,3 +228,32 @@ def test_register_warns_on_hazardous_opt_in(spark, tmp_path):
     assert spark.conf.get(
         "spark.sql.python.filterPushdown.enabled", None
     ) is None
+
+
+def test_not_in_drops_null_rows_kleene(spark, tmp_path):
+    """Regression (found by the r13 where-grammar property fuzz, but
+    the hazard is in the shared compile layer Catalyst pushdown uses
+    too): pc.is_in yields non-null FALSE for null inputs, so
+    Not(In(...)) inverted it to TRUE and resurrected null rows. SQL:
+    NULL IN (...) is NULL, NOT NULL is NULL → dropped."""
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    src = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 3.0)], "id int, v double"
+    )
+    p = str(tmp_path / "n.dta")
+    prs.write_readstat(src, p)
+    df = (
+        spark.read.format("readstat")
+        .option("where", "v NOT IN (1, 99)")
+        .load(p)
+    )
+    assert [int(r.id) for r in df.collect()] == [3]  # null row dropped
+    # plain In still drops nulls too
+    df2 = (
+        spark.read.format("readstat")
+        .option("where", "v IN (1, 3)")
+        .load(p)
+    )
+    assert sorted(int(r.id) for r in df2.collect()) == [1, 3]
