@@ -8,6 +8,7 @@ with SQL semantics on nulls."""
 
 from __future__ import annotations
 
+import datetime as dt
 import os
 
 import pytest
@@ -45,10 +46,15 @@ def fixture_dir(spark, tmp_path_factory):
             i,
             None if i % 7 == 0 else i * 0.5,
             STRS[i % len(STRS)],
+            None
+            if i % 11 == 0
+            else dt.date(1994, 1, 1) + dt.timedelta(days=i // 4),
         )
         for i in range(N)
     ]
-    sdf = spark.createDataFrame(rows, "id long, v double, s string")
+    sdf = spark.createDataFrame(
+        rows, "id long, v double, s string, d date"
+    )
     (
         sdf.repartitionByRange(4, "id")
         .sortWithinPartitions("id")
@@ -78,7 +84,23 @@ def _esc(s: str) -> str:
 
 @st.composite
 def leaf(draw):
-    col = draw(st.sampled_from(["id", "v", "s"]))
+    col = draw(st.sampled_from(["id", "v", "s", "d"]))
+    if col == "d":
+        kind = draw(st.sampled_from(["cmp", "null"]))
+        if kind == "null":
+            isnull = draw(st.booleans())
+            return (
+                (IsNull(("d",)), "d IS NULL")
+                if isnull
+                else (IsNotNull(("d",)), "d IS NOT NULL")
+            )
+        op = draw(st.sampled_from(list(_num_ops)))
+        day = draw(st.integers(min_value=-3, max_value=N // 4 + 3))
+        val = dt.date(1994, 1, 1) + dt.timedelta(days=day)
+        return (
+            _num_ops[op](("d",), val),
+            f"d {op} DATE '{val.isoformat()}'",
+        )
     if col == "s":
         kind = draw(st.sampled_from(["cmp", "in", "null", "like"]))
         if kind == "cmp":
@@ -163,7 +185,7 @@ def _ev(f, row) -> bool | None:
         v = _ev(f.child, row)
         return None if v is None else (not v)
     col = f.attribute[0]
-    val = {"id": row[0], "v": row[1], "s": row[2]}[col]
+    val = {"id": row[0], "v": row[1], "s": row[2], "d": row[3]}[col]
     if isinstance(f, IsNull):
         return val is None
     if isinstance(f, IsNotNull):
