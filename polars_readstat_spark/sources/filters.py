@@ -830,6 +830,14 @@ def _where_literal(kind: str, text: str):
     return None
 
 
+class _Pair:
+    """Internal parse marker: a predicate that expands to TWO
+    conjuncts (BETWEEN). Never escapes parse_where."""
+
+    def __init__(self, a, b):
+        self.a, self.b = a, b
+
+
 def parse_where(expr: str, columns=None) -> list:
     """Parse a ``where`` option string into pushdown Filter objects.
 
@@ -930,6 +938,36 @@ def parse_where(expr: str, columns=None) -> list:
                     fail("expected NULL", peek())
                 i += 1
                 f = IsNull(attr)
+        elif is_kw(tok, "BETWEEN") or (
+            is_kw(tok, "NOT") and is_kw(peek(1), "BETWEEN")
+        ):
+            # col BETWEEN a AND b == col >= a AND col <= b; the AND
+            # here binds to BETWEEN, not the conjunction. NOT BETWEEN
+            # expands by De Morgan into an OrGroup of the strict
+            # complements.
+            inner_neg = False
+            if is_kw(tok, "NOT"):
+                inner_neg = True
+                i += 1
+            i += 1
+            lo = literal(peek())
+            i += 1
+            if not is_kw(peek(), "AND"):
+                fail("expected AND in BETWEEN", peek())
+            i += 1
+            hi = literal(peek())
+            i += 1
+            pair = _Pair(
+                GreaterThanOrEqual(attr, lo),
+                LessThanOrEqual(attr, hi),
+            )
+            # x NOT BETWEEN a AND b == NOT(x>=a) OR NOT(x<=b) — the
+            # same expansion the prefix-NOT path produces
+            f = (
+                OrGroup((Not(pair.a), Not(pair.b)))
+                if inner_neg
+                else pair
+            )
         elif is_kw(tok, "LIKE") or (
             is_kw(tok, "NOT") and is_kw(peek(1), "LIKE")
         ):
@@ -992,7 +1030,17 @@ def parse_where(expr: str, columns=None) -> list:
             if inner_neg:
                 f = Not(f)
         else:
-            fail("expected an operator, IN, or IS", tok)
+            fail("expected an operator, IN, IS, LIKE, or BETWEEN", tok)
+        if isinstance(f, _Pair):
+            if negate:
+                # NOT (x BETWEEN a AND b) == x < a OR x > b
+                return OrGroup(
+                    (
+                        Not(f.a),  # NOT(x >= a) == x < a on non-nulls
+                        Not(f.b),
+                    )
+                )
+            return f
         return Not(f) if negate else f
 
     def term():
@@ -1007,7 +1055,7 @@ def parse_where(expr: str, columns=None) -> list:
             neg = True
             i += 1
         if peek()[1] != "(":
-            return [predicate()]
+            return _flatten(predicate())
         i += 1
         preds = [predicate()]
         while is_kw(peek(), "OR"):
@@ -1018,10 +1066,21 @@ def parse_where(expr: str, columns=None) -> list:
         i += 1
         if neg:
             # NOT (a OR b) == NOT a AND NOT b
-            return [Not(p) for p in preds]
+            out = []
+            for p in preds:
+                if isinstance(p, _Pair):
+                    out.append(OrGroup((Not(p.a), Not(p.b))))
+                else:
+                    out.append(Not(p))
+            return out
         if len(preds) == 1:
-            return preds
+            return _flatten(preds[0])
+        if any(isinstance(p, _Pair) for p in preds):
+            fail("BETWEEN inside OR groups is not supported", peek())
         return [OrGroup(preds)]
+
+    def _flatten(p):
+        return [p.a, p.b] if isinstance(p, _Pair) else [p]
 
     out = list(term())
     while i < n:

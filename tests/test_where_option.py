@@ -82,7 +82,8 @@ def test_parse_backtick_column():
         "a LIKE '%%'",
         "a = ",
         "a = NULL",
-        "a BETWEEN 1 AND 2",
+        "a BETWEEN 1",
+        "a BETWEEN 1 AND",
         "a IN ()",
         "5 = a",
         "a = b",  # column-to-column: rhs must be a literal
@@ -127,6 +128,55 @@ def test_like_scan_end_to_end(spark, sink_dir):
     ds0 = ReadstatDataSource({"path": sink_dir})
     r0 = ds0.reader(ds0._schema_uncompressed())
     assert len(list(r.partitions())) < len(list(r0.partitions()))
+
+
+def test_parse_between():
+    from pyspark.sql.datasource import LessThanOrEqual
+
+    from polars_readstat_spark.sources.filters import OrGroup
+
+    assert parse_where("a BETWEEN 3 AND 9") == [
+        GreaterThanOrEqual(("a",), 3),
+        LessThanOrEqual(("a",), 9),
+    ]
+    want_neg = [
+        OrGroup(
+            (
+                Not(GreaterThanOrEqual(("a",), 3)),
+                Not(LessThanOrEqual(("a",), 9)),
+            )
+        )
+    ]
+    assert parse_where("a NOT BETWEEN 3 AND 9") == want_neg
+    assert parse_where("NOT a BETWEEN 3 AND 9") == want_neg
+    import datetime as dt
+
+    got = parse_where(
+        "d BETWEEN DATE '1994-01-01' AND DATE '1994-06-30'"
+    )
+    assert got[0].value == dt.date(1994, 1, 1)
+    with pytest.raises(ValueError):
+        parse_where("(a BETWEEN 1 AND 2 OR b = 1)")
+
+
+def test_between_scan_end_to_end(spark, sink_dir):
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    df = (
+        spark.read.format("readstat")
+        .option("where", "id BETWEEN 100 AND 110")
+        .load(sink_dir)
+    )
+    assert sorted(r.id for r in df.collect()) == list(range(100, 111))
+    df2 = (
+        spark.read.format("readstat")
+        .option("where", "id NOT BETWEEN 5 AND 3994")
+        .load(sink_dir)
+    )
+    assert sorted(r.id for r in df2.collect()) == list(range(5)) + list(
+        range(3995, 4000)
+    )
 
 
 def test_parse_or_groups():

@@ -157,20 +157,45 @@ def leaf(draw):
 
 @st.composite
 def term(draw):
+    shape = draw(st.sampled_from(["plain", "not", "or", "between"]))
+    if shape == "between":
+        col = draw(st.sampled_from(["id", "v"]))
+        lo = draw(st.integers(min_value=-5, max_value=N))
+        hi = draw(st.integers(min_value=lo - 2, max_value=N + 5))
+        neg = draw(st.booleans())
+        if neg:
+            return (
+                [
+                    OrGroup(
+                        (
+                            Not(GreaterThanOrEqual((col,), lo)),
+                            Not(LessThanOrEqual((col,), hi)),
+                        )
+                    )
+                ],
+                f"{col} NOT BETWEEN {lo} AND {hi}",
+            )
+        return (
+            [
+                GreaterThanOrEqual((col,), lo),
+                LessThanOrEqual((col,), hi),
+            ],
+            f"{col} BETWEEN {lo} AND {hi}",
+        )
     ast, txt = draw(leaf())
-    shape = draw(st.sampled_from(["plain", "not", "or"]))
     if shape == "not":
-        return Not(ast), f"NOT {txt}"
+        return [Not(ast)], f"NOT {txt}"
     if shape == "or":
         ast2, txt2 = draw(leaf())
-        return OrGroup((ast, ast2)), f"({txt} OR {txt2})"
-    return ast, txt
+        return [OrGroup((ast, ast2))], f"({txt} OR {txt2})"
+    return [ast], txt
 
 
 @st.composite
 def conjunction(draw):
     parts = draw(st.lists(term(), min_size=1, max_size=3))
-    return [a for a, _ in parts], " AND ".join(t for _, t in parts)
+    asts = [a for lst, _ in parts for a in lst]
+    return asts, " AND ".join(t for _, t in parts)
 
 
 # ------------------------------ 3VL evaluator ---------------------------
