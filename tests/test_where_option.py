@@ -534,3 +534,39 @@ def test_where_prunes_across_nested_directories(spark, tmp_path):
             idx = b.schema.names.index("id")
             rows.extend(b.column(idx).to_pylist())
     assert sorted(rows) == list(range(2200, 3000))
+
+
+def test_where_composes_with_pushdown_session(spark, sink_dir):
+    """All three filter layers stacked: the where option (inner),
+    Catalyst pushFilters (outer, opted in), and a residual Catalyst
+    filter — fresh relation per action, the safe pattern under the
+    4.1 plan-reuse hazard."""
+    import warnings
+
+    import polars_readstat_spark as prs
+    from pyspark.sql import functions as F
+
+    key = "spark.sql.python.filterPushdown.enabled"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        prs.register(spark)
+    try:
+        df = (
+            spark.read.format("readstat")
+            .option("where", "id >= 1000 AND id < 3000")
+            .load(sink_dir)
+            .filter(F.col("src") == "s01")  # pushed to the reader
+            .filter(F.col("id") % 10 == 0)  # residual, Catalyst-side
+        )
+        got = sorted(r.id for r in df.collect())
+        assert got == [i for i in range(1000, 2000) if i % 10 == 0]
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            prs.register(spark)
