@@ -14,8 +14,11 @@ from __future__ import annotations
 import os
 
 
-def _unit_info(mf, p):
-    """Yield (path, rows_or_None) for every unit inside partition p."""
+def _unit_info(paths, p):
+    """Yield (path, rows_or_None) for every unit inside partition p.
+    ``paths`` is the plan's resolved file list (a raw single-file
+    partition maps to paths[0] — the chain may expose no MultiFile
+    layer at all when neither pushdown nor where attached stats)."""
     from polars_readstat_spark.sources.datasource import (
         MultiPart,
         MultiPartGroup,
@@ -25,9 +28,9 @@ def _unit_info(mf, p):
     units = p.units if isinstance(p, MultiPartGroup) else [p]
     for u in units:
         if isinstance(u, MultiPart):
-            path, inner = mf.paths[u.file_idx], u.inner
+            path, inner = paths[u.file_idx], u.inner
         else:
-            path, inner = mf.paths[0], u
+            path, inner = paths[0], u
         span = _part_row_span(inner)
         yield path, (span[1] - span[0]) if span else None
 
@@ -52,34 +55,36 @@ def explain_scan(spark, path: str, **options) -> dict:
             o.pop("where", None)
         ds = ReadstatDataSource(o)
         reader = ds.reader(ds._schema_uncompressed())
-        # the filter frontends prune in partitions(); the bare chain
-        # exposes the stats it loaded for the manifest flag
+        # the filter frontends prune in partitions(); the chain (when
+        # one exists) exposes the stats it loaded for the manifest
+        # flag — a filterless pushdown-off single-file plan has no
+        # stats-bearing layer at all, hence the ds._paths fallback
         parts = list(reader.partitions())
         mf = reader
         while mf is not None and not hasattr(mf, "paths"):
             mf = getattr(mf, "inner", None)
-        return reader, mf, parts
+        paths = list(mf.paths) if mf is not None else ds._paths()
+        stats = getattr(mf, "file_stats", None) if mf is not None else None
+        return paths, stats, parts
 
-    _r0, mf0, full = plan(False)
-    _r1, mf1, pruned = plan(True)
-    manifest = bool(getattr(mf1, "file_stats", None) or (
-        mf0 is not None and getattr(mf0, "file_stats", None)
-    ))
+    paths0, stats0, full = plan(False)
+    paths1, stats1, pruned = plan(True)
+    manifest = bool(stats1 or stats0)
 
-    def tally(mf, parts):
+    def tally(paths, parts):
         out: dict[str, list] = {}
         for p in parts:
             if p is None:
                 continue
-            for fpath, rows in _unit_info(mf, p):
+            for fpath, rows in _unit_info(paths, p):
                 e = out.setdefault(fpath, [0, 0])
                 e[0] += 1
                 if rows is not None:
                     e[1] += rows
         return out
 
-    t_full = tally(mf0, full)
-    t_pruned = tally(mf1, pruned)
+    t_full = tally(paths0, full)
+    t_pruned = tally(paths1, pruned)
     files = {}
     for fpath, (nparts, nrows) in sorted(t_full.items()):
         kept = t_pruned.get(fpath, [0, 0])

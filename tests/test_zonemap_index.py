@@ -363,3 +363,22 @@ def test_explain_scan_reports_pruning(spark, tmp_path):
     rep2 = prs.explain_scan(spark, d, where="id >= 7000")
     assert rep2["manifest"] is False
     assert rep2["totals"]["pruned_rows"] == rep2["totals"]["planned_rows"]
+
+
+def test_explain_scan_single_file_no_manifest(spark, tmp_path):
+    """Regression (r13 self-review): a single-file plan with neither
+    pushdown nor a manifest exposes no paths-bearing layer — the
+    report must fall back to the resolved path, not crash."""
+    import pandas as pd
+
+    import polars_readstat_spark as prs
+
+    p = str(tmp_path / "one.dta")
+    pd.DataFrame({"x": [1.0, 2.0, 3.0]}).to_stata(
+        p, write_index=False, version=118
+    )
+    rep = prs.explain_scan(spark, p)
+    assert rep["manifest"] is False
+    assert rep["totals"]["planned_rows"] == 3
+    rep2 = prs.explain_scan(spark, p, where="x > 99")
+    assert rep2["totals"]["pruned_rows"] == 3  # nothing to prune with
