@@ -93,7 +93,7 @@ def _compile(f: Filter):
 
     if isinstance(f, OrGroup):
         parts = [_compile(c) for c in f.children]
-        if any(p is None for p in parts):
+        if not parts or any(p is None for p in parts):
             return None
 
         def disj(batch, _parts=parts):
@@ -245,9 +245,17 @@ def _refutes(f: Filter, cols: dict, str_ok: bool = True) -> bool:
         # columns with any null are writer-poisoned, so an entry with
         # string min/max is all-non-null input — but the '' hazard
         # above still rules out both null refutations.
-        return nn == 0 and not str_stats
+        # isinstance guard: a hand-made/corrupt entry may lack the
+        # null accounting entirely, and None == None must not read as
+        # "no nulls" (r13 review)
+        return isinstance(nn, int) and nn == 0 and not str_stats
     if isinstance(f, IsNull):
-        return nn == n and not str_stats
+        return (
+            isinstance(nn, int)
+            and isinstance(n, int)
+            and nn == n
+            and not str_stats
+        )
     if st.get("t") == "date":
         # date zone maps (round 13): min/max are epoch DAYS; only a
         # datetime.date operand (what Spark pushes for DateType

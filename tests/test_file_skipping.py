@@ -752,3 +752,21 @@ def test_not_equal_prunes_constant_file(spark, tmp_path):
     # Not(StartsWith) prunes a file entirely inside the prefix window
     r, pruned, _ = _plan_parts(d, [Not(StringStartsWith(("grp",), "g1"))])
     assert len(pruned) == 2
+
+
+def test_null_refutation_requires_accounting_fields():
+    """r13 review: a hand-made/corrupt manifest entry lacking nn/n
+    must never drive IsNull/IsNotNull refutation (None == None reads
+    as 'no nulls' without the isinstance guard)."""
+    from pyspark.sql.datasource import IsNotNull, IsNull
+
+    from polars_readstat_spark.sources.filters import _refutes
+
+    broken = {"v": {"min": 1, "max": 2}}  # no nn/n at all
+    assert not _refutes(IsNull(("v",)), broken)
+    assert not _refutes(IsNotNull(("v",)), broken)
+    partial = {"v": {"min": 1, "max": 2, "nn": None, "n": None}}
+    assert not _refutes(IsNull(("v",)), partial)
+    assert not _refutes(IsNotNull(("v",)), partial)
+    good = {"v": {"min": 1, "max": 2, "nn": 5, "n": 5}}
+    assert _refutes(IsNull(("v",)), good)
