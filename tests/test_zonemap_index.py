@@ -382,3 +382,47 @@ def test_explain_scan_single_file_no_manifest(spark, tmp_path):
     assert rep["totals"]["planned_rows"] == 3
     rep2 = prs.explain_scan(spark, p, where="x > 99")
     assert rep2["totals"]["pruned_rows"] == 3  # nothing to prune with
+
+
+def test_check_manifest_tool(spark, tmp_path):
+    """tools/check_manifest.py: a clean sink dir validates (incl. the
+    --verify-values ground-truth pass); corrupted entries are
+    flagged; a drifted data file reads as STALE, not a failure."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_manifest import check_manifest
+
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    d = str(tmp_path / "mc")
+    (
+        spark.range(3000)
+        .selectExpr("cast(id as long) as id")
+        .repartitionByRange(2, "id")
+        .write.format("readstat")
+        .option("format", "dta")
+        .option("zonemap_stripe_rows", "512")
+        .mode("overwrite")
+        .save(d)
+    )
+    problems, stale, total = check_manifest(d, verify_values=True)
+    assert (problems, stale, total) == ([], [], 2)
+    # corrupt the manifest: bad n, inverted range, truncated stripes
+    mp = os.path.join(d, "_prs_stats.json")
+    m = json.load(open(mp))
+    k = sorted(m["files"])[0]
+    m["files"][k]["n"] += 3
+    m["files"][k]["cols"]["id"]["min"] = 10**9
+    m["files"][k]["stripes"]["cols"] = m["files"][k]["stripes"]["cols"][:1]
+    json.dump(m, open(mp, "w"))
+    problems, stale, _ = check_manifest(d)
+    assert len(problems) == 3 and not stale
+    # drift a data file (append a byte): STALE, not a failure
+    m = json.load(open(mp))
+    k2 = sorted(m["files"])[1]
+    with open(os.path.join(d, k2), "ab") as f:
+        f.write(b"x")
+    problems2, stale2, _ = check_manifest(d)
+    assert any(k2 in s for s in stale2)
