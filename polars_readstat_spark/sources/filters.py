@@ -153,7 +153,26 @@ def _compile(f: Filter):
 
         def in_mask(b, _vals=values):
             col = c(b)
+            if len(_vals) <= 16:
+                # OR of comparison kernels, not pc.is_in: is_in hashes
+                # BITWISE, so -0.0 misses a 0 in the set where SQL
+                # (and pc.equal) says -0.0 = 0 — found by the
+                # refutation property fuzz (r13). Comparison kernels
+                # also propagate nulls natively (Kleene), and IN
+                # lists in predicates are nearly always small.
+                m = pc.equal(col, pa.scalar(_vals[0]))
+                for v in _vals[1:]:
+                    m = pc.or_kleene(m, pc.equal(col, pa.scalar(v)))
+                return m
             m = pc.is_in(col, value_set=pa.array(_vals))
+            if any(
+                isinstance(v, (int, float))
+                and not isinstance(v, bool)
+                and v == 0
+                for v in _vals
+            ):
+                # big-set hash path: patch the signed-zero miss
+                m = pc.or_(m, pc.equal(col, pa.scalar(0.0)))
             # pc.is_in yields non-null FALSE for null inputs; SQL says
             # NULL IN (...) is NULL. A plain In drops the row either
             # way, but Not(In) must keep Kleene semantics — the
