@@ -283,3 +283,39 @@ def test_compile_and_refute_sound(col, data):
             f"UNSOUND: {f} refuted by {pub} but rows {matching} of "
             f"{vals} match"
         )
+
+
+@settings(max_examples=200, deadline=None)
+@given(col=column(), data=st.data())
+def test_stripe_refutation_sound(col, data):
+    """Stripe-level twin of the soundness leg: accumulate the same
+    random data with tiny stripes, publish the payload, and assert
+    that any span refutation excludes zero matching rows from that
+    span."""
+    from polars_readstat_spark.sources.filters import _stripes_refute
+
+    kind, vals = col
+    f = data.draw(predicate(kind))
+    R = data.draw(st.integers(min_value=1, max_value=5))
+    acc = ZoneMapStats(["c"], [kind], "", stripe_rows=R)
+    acc.add(_batch(kind, vals))
+    payload = acc.stripes_payload()
+    if payload is None:
+        return
+    entry = {"stripes": payload}
+    norm = [
+        None
+        if v is None or (isinstance(v, float) and math.isnan(v))
+        else v
+        for v in vals
+    ]
+    lo = data.draw(st.integers(min_value=0, max_value=len(vals)))
+    hi = data.draw(st.integers(min_value=lo, max_value=len(vals)))
+    if _stripes_refute(entry, (lo, hi), [f]):
+        matching = [
+            i for i in range(lo, hi) if _ev(f, norm[i]) is True
+        ]
+        assert not matching, (
+            f"UNSOUND stripe refutation: {f} over span ({lo},{hi}) "
+            f"R={payload['rows']} kept {matching} of {vals}"
+        )
