@@ -150,6 +150,11 @@ def _cmp(val, op, operand):
     against a date value compares as the midnight instant (Arrow
     casts date32 to timestamp — SQL semantics; refutation separately
     DECLINES datetime operands, which the soundness leg verifies)."""
+    if operand is None:
+        # SQL: any comparison with NULL is NULL (Python's == None
+        # would say False and flip under NOT — a truth-model trap
+        # this fuzz itself caught)
+        return None
     if (
         isinstance(val, dt.date)
         and not isinstance(val, dt.datetime)
