@@ -1472,6 +1472,66 @@ def _bench_plan5k(spark, timings: dict) -> None:
     _register_retry("floor_zonemap_stripe_skip", lambda: zmt(True))
     _register_retry("floor_zonemap_stripe_fullscan", lambda: zmt(False))
 
+    # per-file BLOOM filters (round 13): a point predicate on an
+    # UNSORTED key — every part's [min, max] spans the whole domain,
+    # so range zone maps keep all 64 parts — decodes only the part
+    # whose bloom maybe-contains the key. Fixture: 8M rows, key
+    # domain 512k hash-partitioned into 64 parts (each part owns all
+    # rows of its 8192 distinct keys; ranges all span ~[0, 512k]).
+    # Driven through the hazard-free `where` option; arms toggle only
+    # the manifest. Grades against itself.
+    dzb = "/tmp/prs_zonemap_bloom_v1"
+    if not os.path.isdir(dzb) or not os.path.exists(
+        os.path.join(dzb, "_prs_stats.json")
+    ):
+        (
+            spark.range(8_000_000)
+            .selectExpr(
+                "cast(id % 524288 as double) as key",
+                "cast(id % 997 as double) as v",
+            )
+            .repartition(64, "key")
+            .write.format("readstat")
+            .option("format", "dta")
+            .option("zonemap_bloom_columns", "key")
+            .mode("overwrite")
+            .save(dzb)
+        )
+    bmanifest = os.path.join(dzb, "_prs_stats.json")
+    bhidden = os.path.join(dzb, ".prs_stats.hidden")
+    if os.path.exists(bmanifest) and os.path.exists(bhidden):
+        os.unlink(bhidden)  # stale hidden copy from a killed run
+
+    def zmb_read() -> None:
+        run_query(
+            spark.read.format("readstat")
+            .option("where", "key = 123456.0")
+            .load(dzb)
+        )
+
+    def zmb(skip: bool) -> float:
+        if skip and not os.path.exists(bmanifest):
+            os.replace(bhidden, bmanifest)
+        if not skip and os.path.exists(bmanifest):
+            os.replace(bmanifest, bhidden)
+        try:
+            t0 = time.perf_counter()
+            zmb_read()
+            return time.perf_counter() - t0
+        finally:
+            if os.path.exists(bhidden):
+                os.replace(bhidden, bmanifest)
+
+    zmb(True)  # warm plan+JIT
+    timings["floor_zonemap_bloom_skip"] = round(
+        min(zmb(True), zmb(True)), 3
+    )
+    timings["floor_zonemap_bloom_fullscan"] = round(
+        min(zmb(False), zmb(False)), 3
+    )
+    _register_retry("floor_zonemap_bloom_skip", lambda: zmb(True))
+    _register_retry("floor_zonemap_bloom_fullscan", lambda: zmb(False))
+
     # packed-group remote-store A/B (round 10): a packed task reads
     # its small files concurrently under io_readahead instead of
     # paying each file's first-byte serially. 20 tiny files at 60 ms

@@ -606,6 +606,65 @@ def scan_zonemap_index_prune(spark, sf_dir):
     )
 
 
+@query(
+    "scan_zonemap_bloom_prune",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem
+    WHERE l_orderkey IN (1, 7, 32)
+    """,
+)
+def scan_zonemap_bloom_prune(spark, sf_dir):
+    """Per-file Bloom-filter skipping under the VALUE oracle
+    (round 13, sources/bloom.py): lineitem lands hash-scattered by
+    l_partkey, so every part's l_orderkey [min, max] spans the whole
+    key domain and RANGE stats can never refute a point predicate —
+    the unsorted-lookup-key shape. The sink publishes per-file blooms
+    on l_orderkey (zonemap_bloom_columns, with the ndv cap raised via
+    zonemap_bloom_max_bytes since each part holds >13k distinct
+    orderkeys), and a where-option IN probe must skip the files whose
+    blooms refute all three keys while aggregating EXACTLY the
+    oracle's rows — membership pruning may never drop data. Plan-time
+    lever pinned by tests/test_zonemap_bloom.py and the bench pair
+    floor_zonemap_bloom_skip vs _fullscan."""
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    d = os.path.join(_cache_dir(sf_dir), "sink_bloom_dta")
+    done = os.path.join(d, ".done")
+    if not os.path.exists(done):
+        (
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .select("l_orderkey", "l_partkey", "l_quantity")
+            .repartitionByRange(6, "l_partkey")
+            .write.format("readstat")
+            .option("format", "dta")
+            .option("zonemap_bloom_columns", "l_orderkey")
+            .option("zonemap_bloom_max_bytes", "131072")
+            .mode("overwrite")
+            .save(d)
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return (
+        spark.read.format("readstat")
+        .option("where", "l_orderkey IN (1, 7, 32)")
+        .load(d)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.countDistinct(F.col("l_orderkey").cast("bigint")).alias(
+                "n_orders"
+            ),
+        )
+    )
+
+
 @query("scan_sav_roundtrip", oracle=_CANON_ORACLE)
 def scan_sav_roundtrip(spark, sf_dir):
     """S10/W3: SPSS SAV write → scan (uncompressed records)."""

@@ -50,6 +50,20 @@ def is_data_file(path: str) -> bool:
     return not b.startswith(".") and ext in ReadstatDataSource.SUPPORTED
 
 
+class PlanLocalStats(dict):
+    """Zone-map/bloom manifest entries are consumed ONLY at plan time,
+    on the driver (the filter frontends' partitions(), explain_scan).
+    The reader object they hang off is pickled into EVERY task binary
+    for executor-side read(partition) — and a bloom-bearing manifest
+    over a 64-part lake is >1 MB of base64 the executors never look
+    at. Reduce to an empty dict across serialization: driver-side
+    planning sees the live dict; executors see {} (falsy → no stats,
+    which read() never consults anyway)."""
+
+    def __reduce__(self):
+        return (dict, ())
+
+
 def _scrub_union_widened(file_stats: dict, float_cols: set) -> None:
     """Drop INT-valued zone-map stats for columns a union-by-name scan
     widened to float (see the call site in _multi_reader): the stats
@@ -70,7 +84,24 @@ def _scrub_union_widened(file_stats: dict, float_cols: set) -> None:
             if (
                 isinstance(mn, int) and not isinstance(mn, bool)
             ) or (isinstance(mx, int) and not isinstance(mx, bool)):
-                del cols[name]
+                # the RANGE is what widening breaks (rounded values
+                # can cross int bounds). Null accounting survives the
+                # cast unchanged, and a NUMERIC bloom stays sound by
+                # construction: its canon is float64(v) — exactly the
+                # cast the union applies — so equal-after-cast values
+                # hash identically (sources/bloom.py).
+                kept = {
+                    k: e[k]
+                    for k in ("nn", "n")
+                    if isinstance(e.get(k), int)
+                }
+                bf = e.get("bf")
+                if isinstance(bf, dict) and bf.get("d") == "num":
+                    kept["bf"] = bf
+                if kept:
+                    cols[name] = kept
+                else:
+                    del cols[name]
 
     for entry in file_stats.values():
         if not isinstance(entry, dict):
@@ -782,7 +813,7 @@ class ReadstatDataSource(DataSource):
                 e = files.get(os.path.basename(p))
                 if e is not None:
                     out[p] = e
-        return out or None
+        return PlanLocalStats(out) if out else None
 
     def _reader_uncompressed(self, schema) -> DataSourceReader:
         fmt = self._format()

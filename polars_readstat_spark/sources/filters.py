@@ -221,6 +221,49 @@ _COMPLEMENT = {
 }
 
 
+def _bloom_refutes(f: Filter, st: dict, str_ok: bool = True) -> bool:
+    """True when the column entry's Bloom filter PROVES the equality /
+    membership predicate matches no row (sources/bloom.py). Operand
+    coercion is typed by the bloom's own domain tag, mirroring the
+    range rules: numeric operands only against "num" blooms (bool
+    excluded), datetime.date only against "date", str only against
+    "str" — and string-domain evidence obeys the same label-rewrite
+    guard (str_ok) as string range stats. A None operand never
+    refutes: EqualNullSafe(None) MATCHES null rows, and a null in an
+    In list is conservatively kept."""
+    bf = st.get("bf")
+    if not isinstance(bf, dict):
+        return False
+    from polars_readstat_spark.sources.bloom import (
+        bloom_absent,
+        canon_num,
+        canon_str,
+    )
+
+    d = bf.get("d")
+    if d == "str":
+        if not str_ok:
+            return False
+        canon = canon_str
+    elif d == "date":
+
+        def canon(v):
+            days = _date_days_operand(v)
+            return None if days is None else days & ((1 << 64) - 1)
+
+    elif d == "num":
+        canon = canon_num
+    else:
+        return False
+    if isinstance(f, In):
+        xs = [canon(v) for v in f.value]
+        if not xs or any(x is None for x in xs):
+            return False
+        return all(bloom_absent(bf, x) for x in xs)
+    x = canon(getattr(f, "value", None))
+    return x is not None and bloom_absent(bf, x)
+
+
 def _refutes(f: Filter, cols: dict, str_ok: bool = True) -> bool:
     """True when a file's zone maps PROVE filter `f` matches no row.
     cols: {name: {min, max, nn (non-null), n}} over plain numeric
@@ -275,6 +318,15 @@ def _refutes(f: Filter, cols: dict, str_ok: bool = True) -> bool:
             and nn == n
             and not str_stats
         )
+    if isinstance(f, (EqualTo, EqualNullSafe, In)) and _bloom_refutes(
+        f, st, str_ok
+    ):
+        # per-file Bloom membership (round 13): refutes point
+        # predicates the range can't — an unsorted key column whose
+        # [min, max] spans the whole domain in every file. Domain
+        # typing lives in the bloom fragment itself ("d" tag), so
+        # this is independent of which range branch follows.
+        return True
     if st.get("t") == "date":
         # date zone maps (round 13): min/max are epoch DAYS; only a
         # datetime.date operand (what Spark pushes for DateType

@@ -56,7 +56,9 @@ def _kinds_for(schema) -> list[tuple[str, str]]:
     return out
 
 
-def index_one_file(path: str, stripe_rows: int = 65536) -> dict:
+def index_one_file(
+    path: str, stripe_rows: int = 65536, bloom_columns=()
+) -> dict:
     """Read one file through the real reader chain and return a
     manifest fragment {"n", "stats", "stripes"} (stats in the
     ZoneMapStats list form). Runs executor-side."""
@@ -74,13 +76,19 @@ def index_one_file(path: str, stripe_rows: int = 65536) -> dict:
         [k for _, k in pairs],
         "",
         stripe_rows=stripe_rows,
+        bloom_cols=tuple(bloom_columns),
     )
     n = 0
     for part in reader.partitions():
         for batch in reader.read(part):
             acc.add(batch)
             n += batch.num_rows
-    return {"n": n, "stats": acc.stats, "stripes": acc.stripes_payload()}
+    return {
+        "n": n,
+        "stats": acc.stats,
+        "stripes": acc.stripes_payload(),
+        "blooms": acc.bloom_payload(),
+    }
 
 
 def index_zonemaps(
@@ -88,6 +96,7 @@ def index_zonemaps(
     dir_path: str,
     stripe_rows: int = 65536,
     refresh: bool = False,
+    bloom_columns=(),
 ) -> dict:
     """Build/refresh ``_prs_stats.json`` for a directory of
     statistical files by READING them (distributed; one task per
@@ -156,12 +165,14 @@ def index_zonemaps(
 
     import pandas as pd
 
+    bloom_cols = tuple(bloom_columns)
+
     def task(batches):
         for pdf in batches:
             rows = []
             for path in pdf["path"]:
                 try:
-                    frag = index_one_file(path, stripe_rows)
+                    frag = index_one_file(path, stripe_rows, bloom_cols)
                 except Exception as e:  # noqa: BLE001 — skip, report
                     rows.append((path, -1, json.dumps({"err": str(e)[:200]})))
                     continue
@@ -184,7 +195,13 @@ def index_zonemaps(
             continue
         frag = json.loads(r.frag)
         parts_by_dir.setdefault(os.path.dirname(r.path), []).append(
-            (r.path, frag["n"], frag["stats"], frag.get("stripes"))
+            (
+                r.path,
+                frag["n"],
+                frag["stats"],
+                frag.get("stripes"),
+                frag.get("blooms"),
+            )
         )
         indexed[r.path] = frag["n"]
     for d, parts in parts_by_dir.items():

@@ -36,7 +36,7 @@ def _zone_kinds(df: DataFrame, fmt: str):
         return None
 
 
-def _zone_acc(zone_kinds, fmt=""):
+def _zone_acc(zone_kinds, fmt="", bloom_cols=(), bloom_max_bytes=None):
     """Per-task ZoneMapStats (None when the schema has no stats plan).
     Tasks see the cast frames for sav/xpt/sas7bdat — harmless: date
     kinds are excluded from stats entirely, plain numerics cast to
@@ -56,6 +56,8 @@ def _zone_acc(zone_kinds, fmt=""):
         [k for _, k in zone_kinds],
         fmt,
         stripe_rows=_stripe_rows_opt({}),
+        bloom_cols=bloom_cols,
+        bloom_max_bytes=bloom_max_bytes,
     )
 
 
@@ -67,7 +69,11 @@ def _stats_json(acc) -> str:
     if acc is None:
         return ""
     return json.dumps(
-        {"cols": acc.stats, "stripes": acc.stripes_payload()}
+        {
+            "cols": acc.stats,
+            "stripes": acc.stripes_payload(),
+            "blooms": acc.bloom_payload(),
+        }
     )
 
 
@@ -92,10 +98,18 @@ def _publish(dir_path: str, results) -> None:
             continue
         if (
             isinstance(doc, dict)
-            and set(doc) <= {"cols", "stripes"}
+            and set(doc) <= {"cols", "stripes", "blooms"}
             and isinstance(doc.get("cols"), dict)
         ):
-            parts.append((r.path, r.n_rows, doc["cols"], doc.get("stripes")))
+            parts.append(
+                (
+                    r.path,
+                    r.n_rows,
+                    doc["cols"],
+                    doc.get("stripes"),
+                    doc.get("blooms"),
+                )
+            )
         else:  # pre-r13 flat stats dict
             parts.append((r.path, r.n_rows, doc))
     if parts:
@@ -109,6 +123,8 @@ def write_dta_partitioned(
     data_label: str = "",
     variable_labels: dict | None = None,
     value_labels: dict | None = None,
+    bloom_columns: tuple = (),
+    bloom_max_bytes: int | None = None,
 ) -> list[dict]:
     """Write one .dta per partition into ``dir_path``.
 
@@ -138,7 +154,9 @@ def write_dta_partitioned(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        acc = _zone_acc(zone_kinds, "dta")
+        acc = _zone_acc(
+            zone_kinds, "dta", bloom_columns, bloom_max_bytes
+        )
 
         def tap(it):
             for pdf in it:
@@ -188,6 +206,8 @@ def write_sav_partitioned(
     value_labels: dict | None = None,
     measures: dict | None = None,
     zsav: bool = False,
+    bloom_columns: tuple = (),
+    bloom_max_bytes: int | None = None,
 ) -> list[dict]:
     """Write one .sav per partition into ``dir_path`` (uncompressed
     system files — each re-partitionable by our own reader). Same
@@ -223,7 +243,9 @@ def write_sav_partitioned(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        acc = _zone_acc(zone_kinds, "sav")
+        acc = _zone_acc(
+            zone_kinds, "sav", bloom_columns, bloom_max_bytes
+        )
         data = bytearray()
         n_rows = 0
         for pdf in batches:
@@ -283,6 +305,8 @@ def write_xpt_partitioned(
     dataset_name: str = "DATA",
     variable_labels: dict | None = None,
     version: int = 5,
+    bloom_columns: tuple = (),
+    bloom_max_bytes: int | None = None,
 ) -> list[dict]:
     """Write one .xpt per partition into ``dir_path``. XPT carries no
     row count in its header, so each task writes header + its packed
@@ -318,7 +342,9 @@ def write_xpt_partitioned(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        acc = _zone_acc(zone_kinds, "xpt")
+        acc = _zone_acc(
+            zone_kinds, "xpt", bloom_columns, bloom_max_bytes
+        )
         data = bytearray()
         n_rows = 0
         for pdf in batches:
@@ -347,6 +373,9 @@ def write_xpt_partitioned(
 
                 acc.stats = stats_reader_keys(
                     acc.stats, "xpt", names, shorts
+                )
+                acc.bloom = stats_reader_keys(
+                    acc.bloom, "xpt", names, shorts
                 )
                 # stripe children carry the long names too — re-key
                 # them the same way or the reader's refutation
@@ -383,6 +412,8 @@ def write_sas7bdat_partitioned(
     variable_labels: dict | None = None,
     page_length: int | None = None,
     compress: str | None = None,
+    bloom_columns: tuple = (),
+    bloom_max_bytes: int | None = None,
 ) -> list[dict]:
     """Write one .sas7bdat per partition into ``dir_path``. Each task
     assembles a complete file (header + meta page + data pages) and
@@ -415,7 +446,9 @@ def write_sas7bdat_partitioned(
 
         path = fs_join(dir_path, f"part-{pid:05d}.sas7bdat")
         tmp = path + f".tmp{os.getpid()}"
-        acc = _zone_acc(zone_kinds, "sas7bdat")
+        acc = _zone_acc(
+            zone_kinds, "sas7bdat", bloom_columns, bloom_max_bytes
+        )
         fh = sink = None
         for pdf in batches:
             if len(pdf) == 0:

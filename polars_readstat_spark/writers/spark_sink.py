@@ -82,6 +82,11 @@ class _PartMessage(WriterCommitMessage):
     # row-range partitions address, so the scan can drop refuted row
     # spans INSIDE kept files
     stripes: dict | None = None
+    # per-column Bloom filters (round 13, opt-in via
+    # zonemap_bloom_columns): {col: {"k","m","b","d"}} — point-
+    # predicate file skipping for unsorted key columns; see
+    # sources/bloom.py for the canonicalization invariant
+    blooms: dict | None = None
 
 
 def plan_write(schema, options):
@@ -238,7 +243,15 @@ class ZoneMapStats:
     # rows [i*R, (i+1)*R), before and after a coarsen)
     MAX_STRIPES = 512
 
-    def __init__(self, names, kinds, fmt="", stripe_rows=0):
+    def __init__(
+        self,
+        names,
+        kinds,
+        fmt="",
+        stripe_rows=0,
+        bloom_cols=(),
+        bloom_max_bytes=None,
+    ):
         self.fmt = fmt
         self.kind_of = dict(zip(names, kinds))
         # DATE columns participate (round 13): every format stores a
@@ -258,6 +271,23 @@ class ZoneMapStats:
             )
             for n, k in zip(names, kinds)
             if k not in ("datetime", "time")
+        }
+        # per-column Bloom accumulators (round 13, opt-in): file-level
+        # only — stripe children never carry them (the _ctor below has
+        # no bloom_cols). Domain follows the kind: membership is typed
+        # exactly like the range stats it rides beside.
+        from polars_readstat_spark.sources.bloom import (
+            DEFAULT_MAX_BYTES,
+            BloomAccumulator,
+        )
+
+        self.bloom = {
+            n: BloomAccumulator(
+                {"str": "str", "date": "date"}.get(self.kind_of[n], "num"),
+                bloom_max_bytes or DEFAULT_MAX_BYTES,
+            )
+            for n in bloom_cols
+            if n in self.stats
         }
         # per-stripe accumulation (round 13): same rules, same
         # poisoning, at row-chunk granularity — stripe stats are just
@@ -311,6 +341,22 @@ class ZoneMapStats:
             "rows": self.stripe_rows,
             "cols": [_publishable_cols(s.stats) for s in self.stripes],
         }
+
+    def bloom_payload(self) -> dict | None:
+        """Manifest fragment {col: {"k","m","b","d"}} for columns whose
+        Bloom accumulator survived (not dropped, not over the ndv cap)
+        AND whose range stats aren't poisoned — a value the reader
+        hands back CHANGED breaks membership exactly like it breaks
+        ranges, so the poison flag gates both. None when empty."""
+        out = {}
+        for name, bl in self.bloom.items():
+            st = self.stats.get(name)
+            if st is None or (len(st) > 4 and st[4]):
+                continue
+            p = bl.payload()
+            if p is not None:
+                out[name] = p
+        return out or None
 
     def _add_batch(self, batch) -> None:
         import pyarrow as pa
@@ -393,6 +439,12 @@ class ZoneMapStats:
             nn = len(valid)
             if nn == 0:
                 continue
+            bl = self.bloom.get(name)
+            if bl is not None:
+                # `valid` is already the domain the reader outputs:
+                # fix-point-checked strings, NaN-filtered numerics,
+                # exact epoch-day ints — the same array min/max ranges
+                bl.add_array(valid)
             if self.kind_of[name] != "str":
                 st[2] += nn
             mm = pc.min_max(valid)
@@ -462,7 +514,10 @@ class ZoneMapStats:
         )
 
 
-def convert_batches(batches, names, kinds, fmt, stripe_rows=0):
+def convert_batches(
+    batches, names, kinds, fmt, stripe_rows=0, bloom_cols=(),
+    bloom_max_bytes=None,
+):
     """Arrow RecordBatches → pandas frames in the format's numeric
     representation (dates/datetimes shifted to the format epoch,
     numerics float64), plus the partition-wide string byte widths.
@@ -475,7 +530,10 @@ def convert_batches(batches, names, kinds, fmt, stripe_rows=0):
 
     widths = {n: 1 for n, k in zip(names, kinds) if k == "str"}
     frames = []
-    acc = ZoneMapStats(names, kinds, fmt, stripe_rows=stripe_rows)
+    acc = ZoneMapStats(
+        names, kinds, fmt, stripe_rows=stripe_rows,
+        bloom_cols=bloom_cols, bloom_max_bytes=bloom_max_bytes,
+    )
     _accumulate = acc.add
 
     if fmt == "dta":
@@ -532,6 +590,32 @@ def _stripe_rows_opt(options, default=65536) -> int:
         return default if v in (None, "") else max(0, int(v))
     except (TypeError, ValueError):
         return default
+
+
+def _bloom_cols_opt(options) -> tuple:
+    """zonemap_bloom_columns option: comma-separated column names to
+    publish per-file Bloom filters for (point-predicate skipping on
+    unsorted key columns — sources/bloom.py). Off by default: blooms
+    cost manifest bytes per file per column, so the user names the
+    join/lookup keys worth it, like Parquet's per-column opt-in."""
+    v = options.get("zonemap_bloom_columns")
+    if not v:
+        return ()
+    if isinstance(v, (list, tuple)):
+        return tuple(str(c).strip() for c in v if str(c).strip())
+    return tuple(c.strip() for c in str(v).split(",") if c.strip())
+
+
+def _bloom_max_bytes_opt(options) -> int | None:
+    """zonemap_bloom_max_bytes option: per-column bit-table cap
+    (default 16 KiB ≈ 13k distinct values/file at ~1% fp). A column
+    whose distinct count outgrows the cap drops its bloom — costing
+    the skip, never rows."""
+    v = options.get("zonemap_bloom_max_bytes")
+    try:
+        return None if v in (None, "") else max(64, int(v))
+    except (TypeError, ValueError):
+        return None
 
 
 def stats_reader_keys(stats, fmt, names, shorts):
@@ -591,11 +675,21 @@ def publish_stats_manifest(dir_path, parts, merge=True) -> None:
             size, mtime_ns = fs_stat(final)
         except OSError:
             continue
+        cols = _publishable_cols(stats)
+        blooms = part[4] if len(part) > 4 else None
+        if isinstance(blooms, dict):
+            # blooms ride inside the column entry they describe; a
+            # column whose range stats didn't publish (poisoned /
+            # never seen) publishes no bloom either — membership
+            # breaks under the same rewrites ranges do
+            for c, bf in blooms.items():
+                if c in cols and isinstance(bf, dict):
+                    cols[c]["bf"] = bf
         entries[base] = {
             "n": n_rows,
             "size": size,
             "mtime_ns": mtime_ns,
-            "cols": _publishable_cols(stats),
+            "cols": cols,
         }
         if stripes:
             entries[base]["stripes"] = stripes
@@ -795,6 +889,8 @@ class ReadstatDataSourceWriter(DataSourceArrowWriter):
         frames, widths, acc = convert_batches(
             iterator, self.names, self.kinds, self.fmt,
             stripe_rows=_stripe_rows_opt(self.options),
+            bloom_cols=_bloom_cols_opt(self.options),
+            bloom_max_bytes=_bloom_max_bytes_opt(self.options),
         )
         stats = acc.stats
         if not any(len(p) for p in frames):
@@ -821,7 +917,16 @@ class ReadstatDataSourceWriter(DataSourceArrowWriter):
                 stats_reader_keys(c, self.fmt, self.names, self.shorts)
                 for c in stripes["cols"]
             ]
-        return _PartMessage(staged, final, n, stats=stats, stripes=stripes)
+        blooms = acc.bloom_payload()
+        if blooms is not None:
+            # same re-key rule as the stats: manifest keys must match
+            # what the READER calls the columns (xpt shorts)
+            blooms = stats_reader_keys(
+                blooms, self.fmt, self.names, self.shorts
+            )
+        return _PartMessage(
+            staged, final, n, stats=stats, stripes=stripes, blooms=blooms
+        )
 
     def commit(self, messages):
         from polars_readstat_spark.sources.fs import (
@@ -846,7 +951,13 @@ class ReadstatDataSourceWriter(DataSourceArrowWriter):
         publish_stats_manifest(
             self.path,
             [
-                (m.final, m.n_rows, m.stats, getattr(m, "stripes", None))
+                (
+                    m.final,
+                    m.n_rows,
+                    m.stats,
+                    getattr(m, "stripes", None),
+                    getattr(m, "blooms", None),
+                )
                 for m in messages
                 if m and m.staged and m.stats is not None
             ],

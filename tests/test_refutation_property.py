@@ -324,3 +324,41 @@ def test_stripe_refutation_sound(col, data):
             f"UNSOUND stripe refutation: {f} over span ({lo},{hi}) "
             f"R={payload['rows']} kept {matching} of {vals}"
         )
+
+
+@settings(max_examples=300, deadline=None)
+@given(col=column(), data=st.data())
+def test_bloom_refutation_sound(col, data):
+    """Bloom-filter twin of the soundness leg (round 13): accumulate
+    the same random torture data with a Bloom accumulator on the
+    column, publish the fragment the way publish_stats_manifest does
+    (inside the publishable col entry), and assert that whenever
+    `_refutes` fires — now possibly on Bloom evidence for Eq /
+    EqualNullSafe / In, bare or under Not/OrGroup — zero matching
+    rows were excluded. Covers the canon edges the unit tests pin
+    (-0.0, NaN, huge ints, date-vs-datetime operands, null in In
+    lists) under random composition."""
+    kind, vals = col
+    f = data.draw(predicate(kind))
+    batch = _batch(kind, vals)
+    acc = ZoneMapStats(["c"], [kind], "", bloom_cols=("c",))
+    acc.add(batch)
+    pub = _publishable_cols(acc.stats)
+    blooms = acc.bloom_payload()
+    if not pub or not blooms:
+        return
+    for c, bf in blooms.items():
+        if c in pub:
+            pub[c]["bf"] = bf
+    if _refutes(f, pub):
+        norm = [
+            None
+            if v is None or (isinstance(v, float) and math.isnan(v))
+            else v
+            for v in vals
+        ]
+        matching = [i for i, v in enumerate(norm) if _ev(f, v) is True]
+        assert not matching, (
+            f"UNSOUND bloom refutation: {f} refuted by {pub} but rows "
+            f"{matching} of {vals} match"
+        )

@@ -90,6 +90,28 @@ def _check_cols(name: str, cols: dict, n: int, problems: list) -> None:
             problems.append(
                 f"{name}.{col}: column n {cn} exceeds entry rows {n}"
             )
+        bf = e.get("bf")
+        if bf is not None:
+            from polars_readstat_spark.sources.bloom import bloom_valid
+
+            if not bloom_valid(bf):
+                problems.append(
+                    f"{name}.{col}: bloom fragment malformed "
+                    "(the reader ignores it — no refutation risk, "
+                    "but it is dead manifest weight)"
+                )
+            else:
+                import base64
+
+                try:
+                    raw = base64.b64decode(bf["b"], validate=True)
+                except Exception:  # noqa: BLE001
+                    raw = b""
+                if len(raw) * 8 != bf["m"]:
+                    problems.append(
+                        f"{name}.{col}: bloom bits length "
+                        f"{len(raw) * 8} != m {bf['m']}"
+                    )
 
 
 def check_manifest(dir_path: str, verify_values: bool = False):
@@ -161,8 +183,19 @@ def _verify_values(path: str, base: str, entry: dict) -> list[str]:
         schema = ds._schema_uncompressed()
         reader = ds._reader_uncompressed(schema)
         pairs = _kinds_for(schema)
+        bloom_cols = tuple(
+            c
+            for c, e in (entry.get("cols") or {}).items()
+            if isinstance(e, dict) and "bf" in e
+        )
         acc = ZoneMapStats(
-            [nm for nm, _ in pairs], [k for _, k in pairs], ""
+            [nm for nm, _ in pairs],
+            [k for _, k in pairs],
+            "",
+            bloom_cols=bloom_cols,
+            # unbounded re-derivation: the goal is the exact canon
+            # set, not a publishable payload
+            bloom_max_bytes=1 << 30,
         )
         for part in reader.partitions():
             for batch in reader.read(part):
@@ -171,6 +204,23 @@ def _verify_values(path: str, base: str, entry: dict) -> list[str]:
         return [f"{base}: verify read failed: {e!r}"]
     truth = _publishable_cols(acc.stats)
     for col, pub in (entry.get("cols") or {}).items():
+        bf = pub.get("bf") if isinstance(pub, dict) else None
+        bl = acc.bloom.get(col) if isinstance(bf, dict) else None
+        if bl is not None and not bl.dropped:
+            # the false-NEGATIVE check: every canon value the reader
+            # actually outputs must test maybe-present in the
+            # published bloom, or a point predicate could drop rows
+            from polars_readstat_spark.sources.bloom import bloom_absent
+
+            probe = dict(bf)  # keep the entry's memo untouched
+            missing = sum(
+                1 for x in bl.seen if bloom_absent(probe, x)
+            )
+            if missing:
+                out.append(
+                    f"{base}.{col}: bloom MISSES {missing} live "
+                    "values (false-negative capable — unsound)"
+                )
         t = truth.get(col)
         if t is None:
             # published but truth says unpublishable (e.g. the
