@@ -241,6 +241,21 @@ def _bloom_refutes(f: Filter, st: dict, str_ok: bool = True) -> bool:
     )
 
     d = bf.get("d")
+    # defense in depth for hand-made/corrupt manifests: when the
+    # entry carries range stats, the bloom's domain tag must agree
+    # with them — a "num" bloom on a date-tagged entry would let an
+    # int operand refute where the range rules say ints never do
+    if st.get("t") == "date":
+        if d != "date":
+            return False
+    elif isinstance(st.get("min"), str) or isinstance(st.get("max"), str):
+        if d != "str":
+            return False
+    elif isinstance(st.get("min"), (int, float)) and not isinstance(
+        st.get("min"), bool
+    ):
+        if d != "num":
+            return False
     if d == "str":
         if not str_ok:
             return False

@@ -429,3 +429,31 @@ def test_vacuum_manifest(bloom_dir, tmp_path):
     assert prs.vacuum_manifest(d) == {"kept": 2, "dropped": 0}
     # the kept entries still prune
     assert _kept(d, where="key = 41.5") == 1  # only the drifted file
+
+
+def test_bloom_domain_must_match_range_stats():
+    """Defense in depth: a hand-made manifest pairing a 'num' bloom
+    with a date-tagged (or string-ranged) entry must not refute —
+    otherwise an int operand could bloom-refute where the range rules
+    say ints never refute date stats."""
+    from pyspark.sql.datasource import EqualTo
+
+    from polars_readstat_spark.sources.bloom import BloomAccumulator
+    from polars_readstat_spark.sources.filters import _bloom_refutes
+
+    bl = BloomAccumulator("num")
+    bl.seen = {123}
+    bf = bl.payload()
+    # num bloom on a date-tagged entry: int operand never refutes
+    st = {"min": 10, "max": 20, "t": "date", "bf": dict(bf)}
+    assert not _bloom_refutes(EqualTo(("c",), 5), st, True)
+    # num bloom on string-ranged entry
+    st2 = {"min": "a", "max": "z", "bf": dict(bf)}
+    assert not _bloom_refutes(EqualTo(("c",), 5.0), st2, True)
+    # str bloom on numeric-ranged entry
+    bf_s = {**bf, "d": "str"}
+    st3 = {"min": 1.0, "max": 9.0, "bf": bf_s}
+    assert not _bloom_refutes(EqualTo(("c",), "x"), st3, True)
+    # consistent pairing still works
+    st4 = {"min": 1.0, "max": 9.0, "bf": dict(bf)}
+    assert _bloom_refutes(EqualTo(("c",), 5.0), st4, True)
