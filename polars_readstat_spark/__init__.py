@@ -34,6 +34,9 @@ from polars_readstat_spark.sources.zonemap_index import (  # noqa: F401
     index_zonemaps,
     vacuum_manifest,
 )
+from polars_readstat_spark.writers.hive import (  # noqa: F401
+    write_readstat_hive,
+)
 from polars_readstat_spark.writers.partitioned import (  # noqa: F401
     write_readstat_partitioned,
 )

@@ -61,6 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     "scan_zonemap_date_prune",
     "scan_zonemap_index_prune",
     "scan_zonemap_bloom_prune",
+    "scan_hive_layout_prune",
     "scan_zonemap_prune",
     # part 2: the 33 queries whose newest driver green is r09 — they
     # hit the 4-round staleness boundary this round (VERDICT r12

@@ -665,6 +665,59 @@ def scan_zonemap_bloom_prune(spark, sf_dir):
     )
 
 
+@query(
+    "scan_hive_layout_prune",
+    oracle="""
+    SELECT CONCAT(l_returnflag, l_linestatus) AS rk,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty
+    FROM lineitem
+    WHERE CONCAT(l_returnflag, l_linestatus) <> 'AF'
+    GROUP BY rk ORDER BY rk
+    """,
+)
+def scan_hive_layout_prune(spark, sf_dir):
+    """Hive-style layout under the VALUE oracle (round 13,
+    writers/hive.py): lineitem lands as rk=<value>/ subdirectories in
+    one pass (keys kept IN the data), a glob scan merges the
+    per-subdir manifests, and a `rk <> 'AF'` probe — the
+    negated-constant shape only key-partitioned layouts can prune —
+    must skip the rk=AF subdirectory entirely while aggregating
+    EXACTLY the oracle's rows."""
+    import polars_readstat_spark as prs
+
+    prs.register(spark)
+    d = os.path.join(_cache_dir(sf_dir), "hive_rk_dta")
+    done = os.path.join(d, ".done")
+    if not os.path.exists(done):
+        prs.write_readstat_hive(
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .select(
+                F.concat("l_returnflag", "l_linestatus").alias("rk"),
+                "l_quantity",
+            ),
+            d,
+            ext="dta",
+            partition_by=["rk"],
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return (
+        spark.read.format("readstat")
+        .option("where", "rk <> 'AF'")
+        .load(os.path.join(d, "rk=*", "*.dta"))
+        .groupBy("rk")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("rk")
+    )
+
+
 @query("scan_sav_roundtrip", oracle=_CANON_ORACLE)
 def scan_sav_roundtrip(spark, sf_dir):
     """S10/W3: SPSS SAV write → scan (uncompressed records)."""

@@ -488,8 +488,14 @@ def write_sas7bdat_partitioned(
 
 def write_readstat_partitioned(df: DataFrame, dir_path: str, ext: str = "dta", **kwargs):
     """Format-dispatching facade. dta, sav, xpt, and sas7bdat ship
-    distributed; POR stays driver-streamed (legacy eager format)."""
+    distributed; POR stays driver-streamed (legacy eager format).
+    ``partition_by=[...]`` routes to the hive-style layout writer
+    (key=value/ subdirectories, one manifest each — writers/hive.py)."""
     fmt = ext.lstrip(".").lower()
+    if kwargs.get("partition_by"):
+        from polars_readstat_spark.writers.hive import write_readstat_hive
+
+        return write_readstat_hive(df, dir_path, ext=fmt, **kwargs)
     if fmt == "dta":
         return write_dta_partitioned(df, dir_path, **kwargs)
     if fmt == "sav":
