@@ -261,7 +261,20 @@ def bm25_topk_docs(spark, sf_dir):
         F.count("*").alias("n"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
-    tok = _tokens(d).filter(F.col("term").isin(*_BM25_TERMS))
+    # filter INSIDE the token array before explode: the old
+    # explode-then-isin shape generated one row per corpus token and
+    # filtered after row generation; the array filter keeps the scan
+    # at O(tokens) lambda evals but explodes only the ~3-term matches
+    # (guide §2.3: drop rows before they exist, not after)
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split("text", " "),
+                lambda t: t.isin(*_BM25_TERMS),
+            )
+        ).alias("term"),
+    )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
     per = (
@@ -365,18 +378,22 @@ def repetition_chunk_dedup(spark, sf_dir):
     # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0] rather
     # than an empty array (DuckDB RANGE(1, 1) is empty), so sub-chunk
     # docs must short-circuit explicitly
+    # pre-projected token array: split() inside the transform lambda
+    # is re-evaluated per chunk index (O(len²) per doc on top of the
+    # intended first-occurrence scan; see text.py text_ngram_topk note)
     chunks = F.expr(
-        "CASE WHEN size(split(text, ' ')) < 2 THEN "
+        "CASE WHEN size(t) < 2 THEN "
         "cast(array() as array<string>) ELSE "
-        "transform(sequence(1, int(size(split(text, ' ')) / 2)), "
-        "i -> concat_ws(' ', slice(split(text, ' '), (i-1)*2+1, 2))) "
+        "transform(sequence(1, int(size(t) / 2)), "
+        "i -> concat_ws(' ', slice(t, (i-1)*2+1, 2))) "
         "END"
     )
     kept = F.expr(
         "filter(__chunks, (c, i) -> array_position(__chunks, c) == i + 1)"
     )
     return (
-        d.select("doc_id", chunks.alias("__chunks"))
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .select("doc_id", chunks.alias("__chunks"))
         .filter(F.size("__chunks") > 0)
         .select(
             "doc_id",

