@@ -110,146 +110,127 @@ def iter_packed_chunks(df, pack_fn, max_rows: int = 8192, modules=()):
         yield row[0], row[1]
 
 
-def iter_packed_chunks_wide(df, pack_fn, max_rows: int = 8192, modules=()):
-    """iter_packed_chunks with pack_fn fanned across EVERY core.
+# chunk-id buckets per core in the wide packing protocol (see
+# iter_ordered_packed). 1, measured: 4x over-partitioning to
+# load-balance unevenly-hashed chunk ids LOST to its own per-task
+# Python-worker overhead in an interleaved A/B at sf0.1 (por
+# 4.2 vs 4.4 s, rle 3.6 vs 3.9, zsav 2.9 vs 3.6) — the straggler
+# tail it targets is smaller than 96 extra mapInArrow task spin-ups.
+_WIDE_FACTOR = 1
 
-    toLocalIterator runs a narrow pipeline's partitions one at a time
-    (prefetch 1), so executor packing through iter_packed_chunks only
-    ever uses a core or two when pack_fn dominates. Here stage 1
-    slices the input into row chunks shipped as Arrow IPC blobs
-    tagged (partition, seq, is-last); a repartition(cores) spreads
-    them; stage 2 applies pack_fn on every core; persist+count
-    materializes the whole stage in parallel; and chunks are yielded
-    to the caller in exact partition order reconstructed from the
-    tags (the same protocol as the sas7bdat compressed sink). One
-    extra pass of chunk bytes through the shuffle — the single-file
-    convenience path's trade; bulk exports use the partitioned
-    writers."""
+
+def iter_ordered_packed(df, pack_fn, max_rows: int = 8192, modules=(), cast=None):
+    """Executor packing fanned across every core with JVM-side order
+    tags — one Python crossing (round 13; guide §4.1: control how
+    often data crosses the boundary).
+
+    Rows are tagged in the JVM with a monotonically-increasing id and
+    a chunk id (``__prs_cid = __prs_mid div max_rows`` — contiguous,
+    in-order row groups, because the id is (partition << 33) + offset
+    so chunk ids sort exactly like the input row order), then
+    hash-repartitioned BY CHUNK ID across the cluster: whole chunks
+    travel together through a JVM-only shuffle, and the data crosses
+    into Python exactly once, in the pack stage. Chunk payloads are
+    persisted, totalled, and streamed to the driver in exact input
+    order via orderBy(cid) + toLocalIterator.
+
+    The previous protocol (two mapInArrow stages around the shuffle)
+    paid a second full Python crossing — slicing + Arrow-IPC
+    re-serializing every row on the narrow input partitions before
+    the shuffle could spread the work — measured 0.65 s of the
+    sas7bdat export pipeline at sf0.1 — plus a driver-side (pid, seq)
+    reassembly dict.
+
+    ``cast``, when given, is applied AFTER the repartition and must
+    preserve the ``__prs_mid``/``__prs_cid`` columns: the shuffle
+    then carries the narrow source types and the cast's row-widening
+    (e.g. dates → display strings) runs on every core instead of on
+    the scan's partition count.
+    """
     import sys
 
     from pyspark import cloudpickle
 
     for m in modules:
         cloudpickle.register_pickle_by_value(sys.modules[m])
-    names = df.columns
-    tag_schema = "pid int, seq int, last boolean, payload binary, n bigint"
-
-    def chunk_stage(batches):
-        import io
-
-        import pyarrow as _pa
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-
-        def rec(seq, last, payload, n):
-            return _pa.RecordBatch.from_arrays(
-                [
-                    _pa.array([pid], type=_pa.int32()),
-                    _pa.array([seq], type=_pa.int32()),
-                    _pa.array([last], type=_pa.bool_()),
-                    _pa.array([payload], type=_pa.binary()),
-                    _pa.array([n], type=_pa.int64()),
-                ],
-                names=["pid", "seq", "last", "payload", "n"],
-            )
-
-        def ipc(piece):
-            sink = io.BytesIO()
-            with _pa.ipc.new_stream(sink, piece.schema) as wtr:
-                wtr.write_batch(piece)
-            return sink.getvalue()
-
-        seq = 0
-        pending = None
-        for b in batches:
-            start = 0
-            while start < b.num_rows:
-                piece = b.slice(start, max_rows)
-                start += piece.num_rows
-                if pending is not None:
-                    yield rec(seq, False, *pending)
-                    seq += 1
-                pending = (ipc(piece), piece.num_rows)
-        yield rec(seq, True, *(pending if pending is not None else (b"", 0)))
-
-    def pack_stage(batches):
-        import pyarrow as _pa
-
-        for b in batches:
-            enc = []
-            pays = b.column(3)
-            for j in range(b.num_rows):
-                blob = pays[j].as_py()
-                if blob:
-                    with _pa.ipc.open_stream(blob) as reader:
-                        pdf = reader.read_pandas()
-                    pdf.columns = names
-                    enc.append(pack_fn(pdf))
-                else:
-                    enc.append(b"")
-            yield _pa.RecordBatch.from_arrays(
-                [
-                    b.column(0),
-                    b.column(1),
-                    b.column(2),
-                    _pa.array(enc, type=_pa.binary()),
-                    b.column(4),
-                ],
-                names=["pid", "seq", "last", "payload", "n"],
-            )
-
+    for c in ("__prs_mid", "__prs_cid"):
+        if c in df.columns:
+            raise ValueError(f"iter_ordered_packed: column {c!r} is reserved")
     sc = df.sparkSession.sparkContext
     cores = max(int(sc.defaultParallelism), 1)
+    tagged = df.withColumn(
+        "__prs_mid", F.monotonically_increasing_id()
+    ).withColumn("__prs_cid", F.expr(f"__prs_mid div {int(max_rows)}"))
+    body = tagged.repartition(_WIDE_FACTOR * cores, "__prs_cid")
+    if cast is not None:
+        body = cast(body)
+    names = [c for c in body.columns if c not in ("__prs_mid", "__prs_cid")]
+
+    def stage(batches):
+        import numpy as np
+        import pyarrow as _pa
+
+        blist = list(batches)
+        if not blist:
+            return
+        tbl = _pa.Table.from_batches(blist)
+        if tbl.num_rows == 0:
+            return
+        # the shuffle reader merges map-output streams in arbitrary
+        # order — restore row order inside the task, then split on
+        # chunk-id boundaries (all rows of a chunk hash to this task)
+        mid = tbl.column("__prs_mid").to_numpy()
+        tbl = tbl.take(np.argsort(mid, kind="stable"))
+        cid = tbl.column("__prs_cid").to_numpy()
+        bounds = np.flatnonzero(cid[1:] != cid[:-1]) + 1
+        starts = np.concatenate(([0], bounds)).tolist()
+        ends = np.concatenate((bounds, [len(cid)])).tolist()
+        data = tbl.select(names)
+        for s, e in zip(starts, ends):
+            pdf = data.slice(s, e - s).to_pandas()
+            pdf.columns = names
+            yield _pa.RecordBatch.from_arrays(
+                [
+                    _pa.array([int(cid[s])], type=_pa.int64()),
+                    _pa.array([pack_fn(pdf)], type=_pa.binary()),
+                    _pa.array([e - s], type=_pa.int64()),
+                ],
+                names=["cid", "payload", "n"],
+            )
+
     from pyspark import StorageLevel
 
-    staged = (
-        df.mapInArrow(chunk_stage, tag_schema)
-        .repartition(cores)
-        .mapInArrow(pack_stage, tag_schema)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    staged = body.mapInArrow(
+        stage, "cid bigint, payload binary, n bigint"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        # materialize (pack runs on all cores) AND capture the total
-        # row count JVM-side: count() aggregates over every executed
-        # partition, so comparing it to the rows the local iterator
-        # actually delivered restores an end-to-end total that is
-        # independent of the iterator path — losing every row of one
-        # or more trailing partitions (max_pid would shrink in step)
-        # cannot pass. Terminator/pid bookkeeping below still derives
-        # from the DATA, not a separately converted RDD lineage's
-        # getNumPartitions() (AQE/plan re-optimization can desync the
-        # latter from the executed stage).
-        expected_rows = staged.count()
-        pending: dict = {}
-        cur_pid, cur_seq = 0, 0
-        max_pid, terminators, received = -1, 0, 0
-        for row in staged.toLocalIterator(prefetchPartitions=True):
-            received += 1
-            max_pid = max(max_pid, row[0])
-            if row[2]:
-                terminators += 1
-            pending[(row[0], row[1])] = (row[2], row[3], row[4])
-            while (cur_pid, cur_seq) in pending:
-                last, payload, n = pending.pop((cur_pid, cur_seq))
-                if n:
-                    yield payload, n
-                if last:
-                    cur_pid, cur_seq = cur_pid + 1, 0
-                else:
-                    cur_seq += 1
-        if (
-            pending
-            or cur_pid != max_pid + 1
-            or terminators != max_pid + 1
-            or received != expected_rows
+        # materialize on every core AND capture chunk/row totals from
+        # the same executed plan: the drained stream must match both,
+        # which catches whole-trailing-partition loss in the local
+        # iterator (the failure mode the old protocol's terminator
+        # bookkeeping guarded against)
+        tot = staged.agg(
+            F.count(F.lit(1)).alias("c"), F.sum("n").alias("r")
+        ).collect()[0]
+        exp_chunks, exp_rows = tot[0], tot[1] or 0
+        got_chunks = got_rows = 0
+        for row in staged.orderBy("cid").toLocalIterator(
+            prefetchPartitions=True
         ):
+            got_chunks += 1
+            got_rows += row[2]
+            yield row[1], row[2]
+        if got_chunks != exp_chunks or got_rows != exp_rows:
             raise RuntimeError(
-                "iter_packed_chunks_wide: chunk stream incomplete "
-                f"(at partition {cur_pid}/{max_pid + 1}, "
-                f"{terminators} terminators, "
-                f"{received}/{expected_rows} rows, "
-                f"{len(pending)} chunks unplaced)"
+                "iter_ordered_packed: chunk stream incomplete "
+                f"({got_chunks}/{exp_chunks} chunks, "
+                f"{got_rows}/{exp_rows} rows)"
             )
     finally:
         staged.unpersist()
+
+
+def iter_packed_chunks_wide(df, pack_fn, max_rows: int = 8192, modules=()):
+    """Back-compat name for the wide (all-cores) packing protocol —
+    now the JVM-tagged single-crossing iter_ordered_packed."""
+    yield from iter_ordered_packed(df, pack_fn, max_rows, modules)

@@ -557,8 +557,13 @@ def write_dta(
         data, strls, n_rows = _pack_stream(cols, batches, tagged_missing)
     else:
         # fixed-width records with no cross-row state: pack on the
-        # executors, concatenate on the driver in partition order
-        from polars_readstat_spark.writers import iter_packed_chunks
+        # executors, concatenate on the driver in partition order.
+        # Big exports take the all-cores JVM-tagged protocol (see
+        # iter_ordered_packed; same ≥100k-row policy as por/sav/xpt).
+        from polars_readstat_spark.writers import (
+            iter_packed_chunks,
+            iter_packed_chunks_wide,
+        )
 
         cols_l, tm = list(cols), dict(tagged_missing)
         rec_dtype = _rec_dtype(cols_l)
@@ -583,7 +588,17 @@ def write_dta(
         data = bytearray()
         strls = bytearray()
         n_rows = 0
-        for payload, n in iter_packed_chunks(
+        # dta's pack is a vectorized numpy recarray fill (~2 s per
+        # million rows single-core) — cheap enough that the wide
+        # protocol's shuffle+persist costs MORE than it saves at the
+        # 100k scale where the ladder-style packers (por/sav/xpt)
+        # already win; measured 2.0 -> 3.2 s at 600k rows. Only very
+        # large exports take the wide path.
+        chunks_iter = (
+            iter_packed_chunks_wide if int(stats["__n"]) >= 2_000_000
+            else iter_packed_chunks
+        )
+        for payload, n in chunks_iter(
             src, pack_fn, 65536,
             modules=(
                 "polars_readstat_spark.writers.dta",

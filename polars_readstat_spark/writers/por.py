@@ -498,17 +498,24 @@ def write_por(
         # across the cluster (wide protocol) once the pre-pass count
         # says it's worth a shuffle + persist; small writes keep the
         # cheap narrow path
+        # wide path: 8192-row chunks so the ladder fans across every
+        # core (65536-row chunks capped a 600k-row export at ~10-way);
+        # the byte stream is chunk-boundary independent — tokens are
+        # per-value and the 80-column wrap tracks a running position
+        por_mods = (
+            "polars_readstat_spark.writers.por",
+            "polars_readstat_spark.sources.por.b30",
+        )
         chunks = (
-            iter_packed_chunks_wide if int(stats["__n"]) >= 100_000
-            else iter_packed_chunks
-        )(
-            src,
-            lambda pdf: _pack_por_chunk(pdf, kinds_l),
-            65536,
-            modules=(
-                "polars_readstat_spark.writers.por",
-                "polars_readstat_spark.sources.por.b30",
-            ),
+            iter_packed_chunks_wide(
+                src, lambda pdf: _pack_por_chunk(pdf, kinds_l), 8192,
+                modules=por_mods,
+            )
+            if int(stats["__n"]) >= 100_000
+            else iter_packed_chunks(
+                src, lambda pdf: _pack_por_chunk(pdf, kinds_l), 65536,
+                modules=por_mods,
+            )
         )
         pos = w.pos
         for payload, _n in chunks:

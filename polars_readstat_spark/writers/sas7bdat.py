@@ -1204,84 +1204,6 @@ def write_sas7bdat(
                     names=["payload", "n"],
                 )
 
-    def chunk_tagged_stage(batches):
-        """Two-stage variant, stage 1: slice the input into row
-        chunks, ship them as Arrow IPC blobs tagged with (partition,
-        sequence, is-last) so the driver can restore the exact
-        partition-order byte stream after the shuffle. Near-free —
-        ALL per-row work (pack + encode) moves to stage 2, which runs
-        on every core. Every partition emits at least one (possibly
-        empty) chunk — the driver's ordered merge needs a terminator
-        per partition."""
-        import io
-
-        import pyarrow as _pa
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-
-        def rec(seq, last, payload, n):
-            return _pa.RecordBatch.from_arrays(
-                [
-                    _pa.array([pid], type=_pa.int32()),
-                    _pa.array([seq], type=_pa.int32()),
-                    _pa.array([last], type=_pa.bool_()),
-                    _pa.array([payload], type=_pa.binary()),
-                    _pa.array([n], type=_pa.int64()),
-                ],
-                names=["pid", "seq", "last", "payload", "n"],
-            )
-
-        def ipc(piece):
-            sink = io.BytesIO()
-            with _pa.ipc.new_stream(sink, piece.schema) as w:
-                w.write_batch(piece)
-            return sink.getvalue()
-
-        seq = 0
-        pending = None
-        for b in batches:
-            start = 0
-            while start < b.num_rows:
-                piece = b.slice(start, 8192)
-                start += piece.num_rows
-                if pending is not None:
-                    yield rec(seq, False, *pending)
-                    seq += 1
-                pending = (ipc(piece), piece.num_rows)
-        yield rec(seq, True, *(pending if pending is not None else (b"", 0)))
-
-    def pack_encode_stage(batches):
-        """Two-stage variant, stage 2 (after repartition): pack the
-        fixed-width rows AND run the expensive per-row RLE/RDC
-        encode, fanned across every core instead of being capped at
-        the input partition count."""
-        import pyarrow as _pa
-
-        for b in batches:
-            pids, seqs, lasts = b.column(0), b.column(1), b.column(2)
-            pays, ns = b.column(3), b.column(4)
-            enc = []
-            for j in range(b.num_rows):
-                blob = pays[j].as_py()
-                if blob:
-                    with _pa.ipc.open_stream(blob) as reader:
-                        pdf = reader.read_pandas()
-                    packed = pack_pdf_f(
-                        pdf, tag_slot_l, ncols_l, kinds_l, widths_l, rl
-                    )
-                    enc.append(
-                        encode_packed_f(packed, rl, comp)
-                        if comp
-                        else packed
-                    )
-                else:
-                    enc.append(b"")
-            yield _pa.RecordBatch.from_arrays(
-                [pids, seqs, lasts, _pa.array(enc, type=_pa.binary()), ns],
-                names=["pid", "seq", "last", "payload", "n"],
-            )
-
     sc = df.sparkSession.sparkContext
     cores = max(int(sc.defaultParallelism), 1)
     n_src_parts = src.rdd.getNumPartitions()
@@ -1306,70 +1228,44 @@ def write_sas7bdat(
             variable_labels, page_length, compress,
         )
         if two_stage:
-            tag_schema = (
-                "pid int, seq int, last boolean, payload binary, n bigint"
-            )
-            staged = (
-                src.mapInArrow(chunk_tagged_stage, tag_schema)
-                .repartition(cores)
-                .mapInArrow(pack_encode_stage, tag_schema)
-            )
-            from pyspark import StorageLevel
+            # JVM-tagged single-crossing protocol (round 13; see
+            # writers.iter_ordered_packed): the shuffle carries the
+            # NARROW source types and the row-widening _sas_cast runs
+            # post-shuffle on every core, as do pack + RLE/RDC encode.
+            from polars_readstat_spark.writers import iter_ordered_packed
 
-            staged = staged.persist(StorageLevel.MEMORY_AND_DISK)
-            try:
-                # materialize (encode runs on all cores;
-                # toLocalIterator alone would run the post-shuffle
-                # stage one partition at a time) AND capture the
-                # JVM-side total row count: the local iterator must
-                # deliver exactly this many rows, an end-to-end check
-                # that catches whole-trailing-partition loss which
-                # the terminator/pid bookkeeping alone cannot (max_pid
-                # would shrink in step). Completeness still derives
-                # from the terminator records, not a
-                # separately-converted RDD lineage's
-                # getNumPartitions(), which AQE/plan re-optimization
-                # can desync from the executed stage.
-                expected_rows = staged.count()
-                pending_chunks: dict = {}
-                cur_pid, cur_seq = 0, 0
-                max_pid, terminators, received = -1, 0, 0
-                for row in staged.toLocalIterator(prefetchPartitions=True):
-                    received += 1
-                    max_pid = max(max_pid, row[0])
-                    if row[2]:
-                        terminators += 1
-                    pending_chunks[(row[0], row[1])] = (
-                        row[2], row[3], row[4],
-                    )
-                    while (cur_pid, cur_seq) in pending_chunks:
-                        last, payload, n = pending_chunks.pop(
-                            (cur_pid, cur_seq)
-                        )
-                        if n:
-                            if comp:
-                                sink.write_encoded(payload, n)
-                            else:
-                                sink.write_packed(payload, n)
-                        if last:
-                            cur_pid, cur_seq = cur_pid + 1, 0
-                        else:
-                            cur_seq += 1
-                if (
-                    pending_chunks
-                    or cur_pid != max_pid + 1
-                    or terminators != max_pid + 1
-                    or received != expected_rows
-                ):
-                    raise RuntimeError(
-                        "write_sas7bdat: chunk stream incomplete "
-                        f"(at partition {cur_pid}/{max_pid + 1}, "
-                        f"{terminators} terminators, "
-                        f"{received}/{expected_rows} rows, "
-                        f"{len(pending_chunks)} chunks unplaced)"
-                    )
-            finally:
-                staged.unpersist()
+            tag_exprs = [
+                F.col(c).cast("string").alias(f"__tag_{i}")
+                for i, c in enumerate(ind_names)
+            ]
+
+            def cast_after(shuffled):
+                return _sas_cast(
+                    shuffled, fields, kinds,
+                    extra=tag_exprs
+                    + [F.col("__prs_mid"), F.col("__prs_cid")],
+                )
+
+            def pack_encode_fn(pdf):
+                packed = pack_pdf_f(
+                    pdf, tag_slot_l, ncols_l, kinds_l, widths_l, rl
+                )
+                return (
+                    encode_packed_f(packed, rl, comp) if comp else packed
+                )
+
+            for payload, n in iter_ordered_packed(
+                df, pack_encode_fn, 4096,
+                modules=(
+                    "polars_readstat_spark.writers.sas7bdat",
+                    "polars_readstat_spark.writers.tagged",
+                ),
+                cast=cast_after,
+            ):
+                if comp:
+                    sink.write_encoded(payload, n)
+                else:
+                    sink.write_packed(payload, n)
         else:
             staged = src.mapInArrow(pack_stage, "payload binary, n bigint")
             for row in staged.toLocalIterator(prefetchPartitions=True):

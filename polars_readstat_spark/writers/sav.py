@@ -186,8 +186,15 @@ def write_sav(
         else:
             sink = fh
         # case packing runs on the executors; the driver concatenates
-        # (and, for zsav, zlib-frames) in partition order
-        from polars_readstat_spark.writers import iter_packed_chunks
+        # (and, for zsav, zlib-frames) in partition order. Big
+        # exports take the all-cores JVM-tagged protocol — the narrow
+        # path's toLocalIterator runs ~1 input partition at a time,
+        # capping pack parallelism at the scan's partition count
+        # (guide §2.6 idle capacity; same policy as the por writer).
+        from polars_readstat_spark.writers import (
+            iter_packed_chunks,
+            iter_packed_chunks_wide,
+        )
 
         kinds_l, widths_l, el_l, cs = (
             list(kinds), list(widths), list(el_per), case_size
@@ -199,8 +206,12 @@ def write_sav(
                 kinds_l, widths_l, el_l, cs,
             )
 
+        chunks_iter = (
+            iter_packed_chunks_wide if int(nrows) >= 100_000
+            else iter_packed_chunks
+        )
         try:
-            for payload, _n in iter_packed_chunks(
+            for payload, _n in chunks_iter(
                 src, pack_fn, 8192,
                 modules=("polars_readstat_spark.writers.sav",),
             ):

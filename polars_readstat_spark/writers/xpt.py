@@ -160,8 +160,13 @@ def write_xpt(
     )
 
     # packing (incl. IEEE→IBM) runs on the executors; the driver only
-    # concatenates fixed-width records in partition order
-    from polars_readstat_spark.writers import iter_packed_chunks
+    # concatenates fixed-width records in partition order. Big exports
+    # take the all-cores JVM-tagged protocol (see iter_ordered_packed;
+    # same ≥100k-row policy as the por/sav writers).
+    from polars_readstat_spark.writers import (
+        iter_packed_chunks,
+        iter_packed_chunks_wide,
+    )
 
     kinds_l, widths_l = list(kinds), list(widths)
     tag_slot_l, ncols_l, rw = dict(tag_slot), ncols, record_width
@@ -180,10 +185,14 @@ def write_xpt(
 
     from polars_readstat_spark.sources.fs import fs_open_output
 
+    chunks_iter = (
+        iter_packed_chunks_wide if int(stats["__n"]) >= 100_000
+        else iter_packed_chunks
+    )
     with fs_open_output(path) as fh:
         fh.write(bytes(out))
         total = 0
-        for payload, _n in iter_packed_chunks(
+        for payload, _n in chunks_iter(
             src, pack_fn, 8192,
             modules=(
                 "polars_readstat_spark.writers.xpt",
