@@ -152,11 +152,27 @@ def multimodal_decode_embed(spark, sf_dir):
     )
 
     # ── self-differential on a fixed sample ──────────────────────────
+    # Decode a PRE-filtered input: a doc_id filter on `out` cannot cross
+    # the mapInPandas boundary, so filtering after decode re-runs the
+    # kernel over the whole corpus for a 10-doc check. Same kernel, same
+    # plumbing, 10 rows of work.
     sample_ids = list(range(10))
-    got = {
-        r["doc_id"]: r
-        for r in out.filter(F.col("doc_id").isin(sample_ids)).collect()
-    }
+    sample_dec = decode_images(
+        _with_media(
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id").isin(sample_ids)
+            )
+        ),
+        "media",
+        key_cols=("doc_id",),
+        out_w=32,
+        out_h=32,
+        decoder=replayable_fake_decoder,
+    ).select(
+        "doc_id", "width", "height", "mean_luma",
+        F.col("embedding")[0].alias("emb0"),
+    )
+    got = {r["doc_id"]: r for r in sample_dec.collect()}
     src = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id").isin(sample_ids))

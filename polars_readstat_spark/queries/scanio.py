@@ -1330,31 +1330,47 @@ def stream_ingest_agg(spark, sf_dir):
     import uuid
 
     import polars_readstat_spark as prs
+    from polars_readstat_spark.streaming.events import (
+        state_partitions_for,
+    )
 
     prs.register(spark)
     d = ensure_multifile_dir(spark, sf_dir, "dta")
     name = f"prs_stream_agg_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="prs_stream_ckpt_")
-    q = (
-        spark.readStream.format("readstat")
-        .load(d)
-        .filter(F.col("l_orderkey") % 10 == 0)
-        .groupBy("l_returnflag")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_qty"),
+    # state = one row per l_returnflag (single-char flag domain, author
+    # knowledge like a broadcast hint): the map-side partial agg still
+    # fans across all input partitions; only the bounded merge state
+    # needs stores, so size them to the key domain, not core count
+    pkey = "spark.sql.shuffle.partitions"
+    prior_parts = spark.conf.get(pkey, None)
+    spark.conf.set(pkey, str(state_partitions_for(spark, 8)))
+    try:
+        q = (
+            spark.readStream.format("readstat")
+            .load(d)
+            .filter(F.col("l_orderkey") % 10 == 0)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_qty"),
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
+        q.awaitTermination(300)
+        q.stop()
+    finally:
+        if prior_parts is None:
+            spark.conf.unset(pkey)
+        else:
+            spark.conf.set(pkey, prior_parts)
     import shutil
 
     shutil.rmtree(ckpt, ignore_errors=True)  # one-shot drain: no restart

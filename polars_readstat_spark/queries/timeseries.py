@@ -215,8 +215,10 @@ def stream_sessionize_stateful(spark, sf_dir):
     import uuid
 
     from polars_readstat_spark.streaming.events import (
+        approx_rows_in_dir,
         drain_collect,
         sessionize_stateful,
+        state_partitions_for,
         stream_events_dir,
     )
 
@@ -226,7 +228,15 @@ def stream_sessionize_stateful(spark, sf_dir):
         ev, gap_seconds=1800, micros=True, timeout_close=False
     )
     name = f"prs_stream_sess_{uuid.uuid4().hex[:8]}"
-    return drain_collect(sess, name)
+    # state = one triple per user (<< rows); the pandas group kernel
+    # still wants cores, so python_groups keeps a parallelism floor
+    return drain_collect(
+        sess,
+        name,
+        state_partitions=state_partitions_for(
+            spark, approx_rows_in_dir(d), python_groups=True
+        ),
+    )
 
 
 @query(
@@ -254,15 +264,23 @@ def stream_hourly_window(spark, sf_dir):
     import uuid
 
     from polars_readstat_spark.streaming.events import (
+        approx_rows_in_dir,
         drain_collect,
         hourly_window,
+        state_partitions_for,
         stream_events_dir,
     )
 
     d = _ensure_events_chunks(sf_dir)
     ev = stream_events_dir(spark, d, max_files_per_trigger=1)
     name = f"prs_stream_hw_{uuid.uuid4().hex[:8]}"
-    return drain_collect(hourly_window(ev), name)
+    # state = one row per (hour-window, type) — bounded far below the
+    # input-row estimate, which is already the conservative upper bound
+    return drain_collect(
+        hourly_window(ev),
+        name,
+        state_partitions=state_partitions_for(spark, approx_rows_in_dir(d)),
+    )
 
 
 @query(
@@ -290,20 +308,25 @@ def stream_dedup_watermark(spark, sf_dir):
     import uuid
 
     from polars_readstat_spark.streaming.events import (
+        approx_rows_in_dir,
         dedup_within_watermark,
         drain_collect,
+        state_partitions_for,
         stream_events_dir,
     )
 
     d = _ensure_events_chunks(sf_dir, dup_mod=8)
     ev = stream_events_dir(spark, d, max_files_per_trigger=1)
     name = f"prs_stream_dedup_{uuid.uuid4().hex[:8]}"
+    # state = one key per event_id in the watermark horizon — the
+    # input-row estimate IS the state size here, the worst case
     return drain_collect(
         dedup_within_watermark(ev),
         name,
         post=lambda out: out.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n_unique")
         ),
+        state_partitions=state_partitions_for(spark, approx_rows_in_dir(d)),
     )
 
 

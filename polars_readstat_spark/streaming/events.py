@@ -20,6 +20,9 @@ Scale notes:
 
 from __future__ import annotations
 
+import glob as _glob
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -30,6 +33,59 @@ from pyspark.sql.types import (
     StructType,
     TimestampType,
 )
+
+# target keyed-state rows per state-store instance: each micro-batch
+# commits one delta file (+ maintenance snapshot) PER shuffle partition
+# per stateful operator, so partition count is a per-batch fixed cost.
+# Size it to state volume, not core count (AQE cannot coalesce inside a
+# streaming query). 100k keys/store keeps store files in the MBs range;
+# override for clusters where state rows are wide.
+_STATE_ROWS_PER_PARTITION = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_ROWS_PER_STORE", "100000")
+)
+
+
+def approx_rows_in_dir(directory: str, bytes_per_row: int = 40) -> int:
+    """Cheap upper-bound row estimate for a landing directory from file
+    bytes (no data pass) — the input-size signal the state-partition
+    sizing derives from."""
+    total = 0
+    for p in _glob.glob(os.path.join(directory, "*")):
+        try:
+            if os.path.isfile(p):
+                total += os.path.getsize(p)
+        except OSError:
+            continue
+    return max(1, total // max(1, bytes_per_row))
+
+
+def state_partitions_for(
+    spark: SparkSession,
+    approx_state_rows: int,
+    *,
+    python_groups: bool = False,
+) -> int:
+    """Scale-adaptive shuffle-partition count for a stateful stream.
+
+    Stateful streaming pays one state-store commit (delta file write +
+    maintenance) per shuffle partition per micro-batch, independent of
+    data volume — with the session default (cores) and tiny keyed
+    state, that fixed cost dominates the drain (measured 4.7→2.1 s /
+    5.4→2.2 s on the hourly-window and watermark-dedup drains at sf0.1
+    going 32→4 stores). Partitions therefore scale with estimated
+    keyed-state rows (`approx_state_rows`, typically the input-row
+    upper bound from `approx_rows_in_dir`), clamped to the session's
+    shuffle parallelism so a genuinely large state still fans out to
+    every core. `python_groups=True` keeps a parallelism floor of a
+    quarter of the session setting for applyInPandas* group kernels,
+    whose per-group Python work wants cores even when state is small
+    (measured: the stateful sessionizer is fastest at 8 of 32)."""
+    session = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n = max(1, -(-int(approx_state_rows) // _STATE_ROWS_PER_PARTITION))
+    if python_groups:
+        n = max(n, max(2, session // 4))
+    return max(1, min(n, session))
+
 
 EVENT_SCHEMA = StructType(
     [
@@ -275,7 +331,10 @@ def dedup_within_watermark(
 
 
 def drain_collect(
-    stream_df: DataFrame, query_name: str, post=None
+    stream_df: DataFrame,
+    query_name: str,
+    post=None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """run_available_now, then materialize the sink's rows into a
     plain local DataFrame and DROP the memory-sink temp view — the
@@ -286,8 +345,14 @@ def drain_collect(
 
     post: optional DataFrame→DataFrame transform applied to the sink
     table BEFORE materialization, so a rollup over a large drained
-    set collects its few result rows instead of the whole sink."""
-    out = run_available_now(stream_df, query_name)
+    set collects its few result rows instead of the whole sink.
+
+    state_partitions: shuffle-partition count for the stream's
+    stateful operators (see state_partitions_for); applied for the
+    duration of the drain, restored after."""
+    out = run_available_now(
+        stream_df, query_name, state_partitions=state_partitions
+    )
     if post is not None:
         out = post(out)
     spark = stream_df.sparkSession
@@ -297,19 +362,41 @@ def drain_collect(
     return spark.createDataFrame(rows, schema)
 
 
-def run_available_now(stream_df: DataFrame, query_name: str):
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str,
+    state_partitions: int | None = None,
+):
     """Drain everything currently available through a memory sink and
     return the collected rows — the test/bench driver for the
-    streaming plans (Trigger.AvailableNow semantics)."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete" if _has_agg_complete(stream_df) else "append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    streaming plans (Trigger.AvailableNow semantics).
+
+    state_partitions sizes the stateful operators' state-store count
+    (spark.sql.shuffle.partitions is read once at stream start and
+    baked into the checkpoint); the session value is restored once the
+    drain completes, so batch queries keep the cores-scaled default."""
     spark = stream_df.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(key, None)
+    try:
+        if state_partitions is not None:
+            spark.conf.set(key, str(state_partitions))
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(
+                "complete" if _has_agg_complete(stream_df) else "append"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            if prior is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prior)
     return spark.sql(f"SELECT * FROM {query_name}")
 
 

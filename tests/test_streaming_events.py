@@ -341,3 +341,50 @@ def test_drain_collect_drops_sink_view(spark, events_dir):
         t.name for t in spark.catalog.listTables()
     ]
     assert out.count() > 0
+
+
+def test_state_partitions_for_scales_with_state_not_cores(spark):
+    """State stores are a per-batch fixed cost: the count must derive
+    from keyed-state volume (clamped to session parallelism), with a
+    parallelism floor only for Python group kernels."""
+    from polars_readstat_spark.streaming.events import (
+        _STATE_ROWS_PER_PARTITION,
+        state_partitions_for,
+    )
+
+    session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # tiny state -> one store, regardless of core count
+    assert state_partitions_for(spark, 1) == 1
+    assert state_partitions_for(spark, _STATE_ROWS_PER_PARTITION) == 1
+    # large state -> clamped to the session's shuffle parallelism
+    big = _STATE_ROWS_PER_PARTITION * (session + 50)
+    assert state_partitions_for(spark, big) == session
+    # in between: ceil(rows / target)
+    assert (
+        state_partitions_for(spark, 3 * _STATE_ROWS_PER_PARTITION + 1)
+        == min(4, session)
+    )
+    # python group kernels keep a parallelism floor even for tiny state
+    floor = max(2, session // 4)
+    assert state_partitions_for(spark, 1, python_groups=True) == min(
+        floor, session
+    )
+
+
+def test_run_available_now_restores_shuffle_partitions(spark, events_dir):
+    """The drain sizes state stores via spark.sql.shuffle.partitions
+    for the stream's lifetime only: the session value must come back
+    for batch queries (and the stream must still produce rows)."""
+    from polars_readstat_spark.streaming.events import (
+        drain_collect,
+        hourly_window,
+    )
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    out = drain_collect(
+        hourly_window(_stream(spark, events_dir)),
+        "state_parts_probe",
+        state_partitions=2,
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prior
+    assert out.count() > 0
