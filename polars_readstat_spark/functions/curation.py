@@ -50,12 +50,21 @@ def ngram_overlap(
     """
 
     def grams_of(df: DataFrame, out_id: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.explode(
-                word_ngrams(F.split(F.col(text_col), " "), n)
-            ).alias("gram"),
-        ).distinct()
+        # project the token array ONCE: passing the split() expression
+        # into the transform lambda re-splits the text per gram index
+        # (Catalyst does not hoist deterministic subexpressions out of
+        # higher-order-function lambdas — O(len^2) per document)
+        return (
+            df.select(
+                F.col(id_col).alias(out_id),
+                F.split(F.col(text_col), " ").alias("__toks"),
+            )
+            .select(
+                out_id,
+                F.explode(word_ngrams(F.col("__toks"), n)).alias("gram"),
+            )
+            .distinct()
+        )
 
     eg = grams_of(eval_set, "eval_id")
     tg = grams_of(train, id_col)

@@ -34,13 +34,24 @@ def shingle_minhash(
     text; each of the k permutations is simulated by seeding MD5 with
     the permutation index and taking the lexicographic MIN hex digest.
     """
+    from polars_readstat_spark.tables import spread
+
+    # tokenize ONCE into a projected column: Catalyst does not hoist a
+    # deterministic split() out of a higher-order-function lambda, so
+    # inlining split(text) in the slice re-splits the text per shingle
+    # index (O(len^2) per document — same defect fixed in the r13 gram
+    # pipelines); spread() fans the narrow single-row-group scan across
+    # cores before the per-row-heavy explode (no-op at the 100-TB
+    # many-files shape where the scan already covers the cluster)
     shingles = (
-        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - "
+        f"transform(sequence(1, greatest(size(__toks) - "
         f"{shingle_len - 1}, 1)), "
-        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {shingle_len})))"
+        f"i -> concat_ws(' ', slice(__toks, i, {shingle_len})))"
     )
-    sh = df.select(
-        F.col(id_col), F.explode(F.expr(shingles)).alias("shingle")
+    sh = (
+        spread(df.select(F.col(id_col), F.col(text_col)))
+        .withColumn("__toks", F.split(F.col(text_col), " "))
+        .select(F.col(id_col), F.explode(F.expr(shingles)).alias("shingle"))
     )
     return sh.groupBy(id_col).agg(
         *[

@@ -127,12 +127,21 @@ def decontaminate_hash_prefilter(spark, sf_dir):
     docs = spread(load_table(spark, sf_dir, "documents"))
 
     def grams_of(df, out_id):
-        return df.select(
-            F.col("doc_id").alias(out_id),
-            F.explode(
-                word_ngrams(F.split(F.col("text"), " "), NGRAM_N)
-            ).alias("gram"),
-        ).distinct()
+        # token array projected once — the split() expression inside
+        # the gram transform's slice would re-split per gram index
+        return (
+            df.select(
+                F.col("doc_id").alias(out_id),
+                F.split(F.col("text"), " ").alias("__toks"),
+            )
+            .select(
+                out_id,
+                F.explode(word_ngrams(F.col("__toks"), NGRAM_N)).alias(
+                    "gram"
+                ),
+            )
+            .distinct()
+        )
 
     eg = grams_of(docs.filter(F.col("doc_id") % 97 == 0), "eval_id")
     tg = grams_of(docs.filter(F.col("doc_id") % 97 != 0), "doc_id")
