@@ -182,10 +182,15 @@ def ngram_jaccard_sampled(spark, sf_dir):
     verify stage that runs on LSH candidates at scale (sampled here so
     the declared query is budget-bounded)."""
     d = spread(load_table(spark, sf_dir, "documents"))
-    tok = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
-    )
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    toks = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("ts"))
+    # n_tok is a per-row array length — no explode, no groupBy shuffle.
+    # Docs absent from the exploded side can never reach the inner join
+    # on (doc_a, doc_b), so the extra rows here are inert.
+    sizes = toks.select("doc_id", F.size("ts").alias("n_tok"))
+    # persist the exploded token set: it feeds two different downstream
+    # exchanges (probe side, corpus side), so ReuseExchange cannot share
+    # it and the corpus would explode once per consumer
+    tok = scoped_persist(toks.select("doc_id", F.explode("ts").alias("token")))
     a = tok.filter(F.col("doc_id") % 100 == 0).withColumnRenamed("doc_id", "doc_a")
     b = tok.withColumnRenamed("doc_id", "doc_b")
     inter = (
@@ -532,10 +537,15 @@ def ngram_containment_sampled(spark, sf_dir):
     Jaccard verify: explode + token equi-join on candidates/probes
     only, one combinable count per pair, then a probe-size join."""
     d = spread(load_table(spark, sf_dir, "documents"))
-    tok = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
-    )
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    toks = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("ts"))
+    # n_tok is a per-row array length — no explode, no groupBy shuffle.
+    # Docs absent from the exploded side can never reach the inner join
+    # on (doc_a, doc_b), so the extra rows here are inert.
+    sizes = toks.select("doc_id", F.size("ts").alias("n_tok"))
+    # persist the exploded token set: it feeds two different downstream
+    # exchanges (probe side, corpus side), so ReuseExchange cannot share
+    # it and the corpus would explode once per consumer
+    tok = scoped_persist(toks.select("doc_id", F.explode("ts").alias("token")))
     a = tok.filter(F.col("doc_id") % 100 == 0).withColumnRenamed("doc_id", "doc_a")
     b = tok.withColumnRenamed("doc_id", "doc_b")
     inter = (
