@@ -224,19 +224,24 @@ def stream_sessionize_stateful(spark, sf_dir):
 
     d = _ensure_events_chunks(sf_dir)
     ev = stream_events_dir(spark, d, max_files_per_trigger=1)
-    sess = sessionize_stateful(
-        ev, gap_seconds=1800, micros=True, timeout_close=False
-    )
-    name = f"prs_stream_sess_{uuid.uuid4().hex[:8]}"
     # state = one triple per user (<< rows); the pandas group kernel
     # still wants cores, so python_groups keeps a parallelism floor
-    return drain_collect(
-        sess,
-        name,
-        state_partitions=state_partitions_for(
-            spark, approx_rows_in_dir(d), python_groups=True
-        ),
+    nparts = state_partitions_for(
+        spark, approx_rows_in_dir(d), python_groups=True
     )
+    # Salt users into ~4x-parallelism bucket groups: the per-GROUP
+    # applyInPandasWithState protocol cost (not the kernel) dominated
+    # with one group per user; 4x keeps hash-placement balance while
+    # scaling with the state-derived partition count.
+    sess = sessionize_stateful(
+        ev,
+        gap_seconds=1800,
+        micros=True,
+        timeout_close=False,
+        bucket_users=4 * nparts,
+    )
+    name = f"prs_stream_sess_{uuid.uuid4().hex[:8]}"
+    return drain_collect(sess, name, state_partitions=nparts)
 
 
 @query(

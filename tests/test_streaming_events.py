@@ -256,6 +256,54 @@ def test_stateful_sessionizer_gap_only_micros(spark, events_dir):
     assert len(got) > 0
 
 
+def test_stateful_sessionizer_bucketed_equals_per_user(spark, events_dir):
+    """bucket_users salts users into shared state groups (array-typed
+    state rows) to amortize the per-group applyInPandasWithState
+    protocol cost; the emitted set must be IDENTICAL to the per-user
+    kernel's — bucketing may not merge, split, or reorder any user's
+    event sequence, and array state must round-trip the store across
+    micro-batch boundaries (events_dir drains multiple chunks)."""
+    from polars_readstat_spark.streaming.events import (
+        run_available_now,
+        sessionize_stateful,
+    )
+
+    def emitted(**kw):
+        out = run_available_now(
+            sessionize_stateful(
+                _stream(spark, events_dir),
+                micros=True,
+                timeout_close=False,
+                **kw,
+            ),
+            f"sess_bucket_mem_{len(kw)}",
+        )
+        rows = {
+            (r.user_id, r.session_start_us, r.n_events)
+            for r in out.collect()
+        }
+        spark.catalog.dropTempView(f"sess_bucket_mem_{len(kw)}")
+        return rows
+
+    # bucket count deliberately tiny and coprime-ish to nothing: 3
+    # forces many users per bucket and >1 bucket per partition
+    assert emitted(bucket_users=3) == emitted()
+
+
+def test_stateful_sessionizer_bucketed_requires_gap_only(spark, events_dir):
+    import pytest as _pytest
+
+    from polars_readstat_spark.streaming.events import sessionize_stateful
+
+    with _pytest.raises(ValueError, match="timeout_close"):
+        sessionize_stateful(
+            _stream(spark, events_dir),
+            micros=True,
+            timeout_close=True,
+            bucket_users=4,
+        )
+
+
 # ── batching-invariance property (pure state machine, no Spark) ──────
 
 try:
