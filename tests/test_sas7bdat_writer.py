@@ -618,6 +618,76 @@ def test_rle_encode_rows_matches_scalar_encoder():
         got = _rle_encode_rows(mat)
         for i in range(r):
             assert got[i] == _rle_encode_row(mat[i]), (r, rl, i)
+    # biased low-cardinality bytes: runs at the 2/3/17/18/19 form
+    # boundaries, rows opened by runs (synthetic-literal path), and
+    # opening literal spans > 64 (the capped split)
+    for _ in range(60):
+        r = int(rng.integers(1, 40))
+        rl = int(rng.integers(1, 160))
+        mat = rng.choice(
+            np.array([0, 0, 0x20, 0x40, 7, 9], np.uint8), size=(r, rl)
+        )
+        got = _rle_encode_rows(mat)
+        for i in range(r):
+            assert got[i] == _rle_encode_row(mat[i]), (r, rl, i)
+    # > 4112-byte rows route through the multi-command fallback
+    from polars_readstat_spark.writers.sas7bdat import (
+        _rle_encode_rows_scalar,
+    )
+
+    mat = np.zeros((3, 6000), np.uint8)
+    mat[1, 10:5500] = 0x20
+    mat[2, :] = rng.integers(0, 256, 6000, dtype=np.uint8)
+    got = _rle_encode_rows(mat)
+    assert got == _rle_encode_rows_scalar(mat)
+    for i in range(3):
+        assert got[i] == _rle_encode_row(mat[i]), i
+
+
+def test_rdc_encode_rows_matches_scalar_encoder():
+    """The numpy-vectorized batch RDC encoder must be byte-identical
+    to the per-row encoder across run shapes (random bytes, constant
+    runs at the 3/18/19 command-form boundaries, row boundaries), and
+    must route rows wider than one long-RLE command (> 4114 bytes)
+    through the multi-command fallback."""
+    import numpy as np
+
+    from polars_readstat_spark.writers.sas7bdat import (
+        _rdc_encode_row,
+        _rdc_encode_rows,
+        _rdc_encode_rows_scalar,
+    )
+
+    rng = np.random.default_rng(20260817)
+    for _ in range(20):
+        r = int(rng.integers(1, 120))
+        rl = int(rng.integers(1, 300))
+        mat = rng.integers(0, 256, size=(r, rl), dtype=np.uint8)
+        for _k in range(r * 2):
+            i = int(rng.integers(0, r))
+            a = int(rng.integers(0, rl))
+            b = min(rl, a + int(rng.integers(1, 90)))
+            mat[i, a:b] = rng.choice([0, 0x20, int(rng.integers(0, 256))])
+        got = _rdc_encode_rows(mat)
+        for i in range(r):
+            assert got[i] == _rdc_encode_row(mat[i]), (r, rl, i)
+    # command-form boundaries: runs of exactly 2/3/18/19 bytes
+    for run in (2, 3, 18, 19, 30):
+        mat = np.zeros((2, 64), np.uint8)
+        mat[0, :] = rng.integers(0, 256, 64, dtype=np.uint8)
+        mat[0, 10 : 10 + run] = 5
+        got = _rdc_encode_rows(mat)
+        for i in range(2):
+            assert got[i] == _rdc_encode_row(mat[i]), run
+    # > 4114-byte rows: a single run needs several command words;
+    # the batch path must match via the scalar fallback
+    mat = np.zeros((3, 6000), np.uint8)
+    mat[1, 10:5500] = 6
+    mat[2, :] = rng.integers(0, 256, 6000, dtype=np.uint8)
+    got = _rdc_encode_rows(mat)
+    assert got == _rdc_encode_rows_scalar(mat)
+    for i in range(3):
+        assert got[i] == _rdc_encode_row(mat[i]), i
 
 
 def test_numeric_lengths_truncated_storage(spark, tmp_path):
