@@ -24,6 +24,49 @@ def ts_epoch_seconds(c: Column) -> Column:
     )
 
 
+def str_cell_matrix(col, w: int, utf8_boundary: bool = False):
+    """(n, w) uint8 matrix of UTF-8-encoded, truncated, space-padded
+    fixed-width string cells — the shared string-cell pack for the
+    sav/xpt/sas7bdat writers (round 13, guide §4.2): the encode runs
+    once per DISTINCT value (pandas factorize) and rows gather from
+    the unique-cell matrix, replacing the per-row encode/ljust loops.
+    Non-str values (None/NaN) become the empty cell, as before.
+    ``utf8_boundary`` backs a width-truncated cell off (≤3 bytes) to
+    the last complete UTF-8 character (the xpt rule)."""
+    import numpy as np
+    import pandas as pd
+
+    if not isinstance(col, (pd.Series, pd.Index, np.ndarray)):
+        col = np.asarray(col, dtype=object)  # tuple/list driver paths
+    codes, uniq = pd.factorize(col, use_na_sentinel=True)
+    cells = []
+    for s in uniq:
+        full = (s if isinstance(s, str) else "").encode("utf-8")
+        b = full[:w]
+        if utf8_boundary and len(b) < len(full):
+            for _ in range(3):
+                try:
+                    b.decode("utf-8")
+                    break
+                except UnicodeDecodeError:
+                    b = b[:-1]
+        cells.append(b)
+    cells.append(b"")  # factorize's -1 sentinel (null) → empty cell
+    lens = np.fromiter(
+        (len(b) for b in cells), dtype=np.int64, count=len(cells)
+    )
+    k = max(int(lens.max()), 1)
+    um = (
+        np.array(cells, dtype=f"S{k}")
+        .view(np.uint8)
+        .reshape(len(cells), k)
+    )
+    out = np.full((len(cells), w), 0x20, dtype=np.uint8)
+    msk = np.arange(k)[None, :] < lens[:, None]
+    out[:, :k][msk] = um[msk]
+    return out[codes]
+
+
 def iter_arrow_chunks(df, max_rows: int = 65536):
     """Partition-ordered Arrow-chunk transport for driver-side sinks.
 

@@ -152,36 +152,69 @@ def _num_token(v: float) -> str:
 
 def _pack_por_chunk(pdf, kinds) -> bytes:
     """Executor-side pack of one pandas chunk into the unwrapped
-    logical token stream (wrapping is a driver-side numpy pass)."""
-    cols = []
+    logical token stream (wrapping is a driver-side numpy pass).
+
+    Round 13: tokens are computed once per DISTINCT value (np.unique /
+    factorize instead of the old per-chunk dict memo) and the numeric
+    ladder runs through the vectorized _num_tokens_unique — identical
+    bytes, ~10× less pack CPU on near-unique numeric columns."""
+    import numpy as np
+    import pandas as pd
+
+    nrows = len(pdf)
+    ncols = len(kinds)
+    colmats, collens = [], []
     for i, k in enumerate(kinds):
         s = pdf.iloc[:, i]
         if k == "str":
-            cells = []
-            for x in s.tolist():
+            codes, uniq = pd.factorize(s, use_na_sentinel=True)
+            tb = []
+            for x in uniq:
                 b = (x if x is not None else "").encode(
                     "latin-1", "replace"
                 ).translate(_POR_SAFE)
-                cells.append(_b30_int_str(len(b)) + "/" + b.decode("latin-1"))
-            cols.append(cells)
+                tb.append(_b30_int_str(len(b)).encode("latin-1") + b"/" + b)
+            # nulls factorize to -1 → the trailing empty-string token
+            tb.append(b"0/")
+            wc = max(len(b) for b in tb)
+            um = np.array(tb, dtype=f"S{wc}").view(np.uint8).reshape(-1, wc)
+            ul = np.array([len(b) for b in tb], dtype=np.int64)
+            colmats.append(um[codes])
+            collens.append(ul[codes])
         else:
-            memo: dict = {}
-            cells = []
-            for v in s.tolist():
-                if v is None or v != v:
-                    cells.append("*.")
-                    continue
-                t = memo.get(v)
-                if t is None:
-                    t = _num_token(v)
-                    memo[v] = t
-                cells.append(t)
-            cols.append(cells)
-    parts = []
-    for r in range(len(pdf)):
-        for c in cols:
-            parts.append(c[r])
-    return "".join(parts).encode("latin-1", "replace")
+            vals = np.asarray(s, dtype=np.float64)
+            nanm = np.isnan(vals)
+            gv = vals[~nanm]
+            if len(gv):
+                uu, inv = np.unique(gv, return_inverse=True)
+                um, ul = _num_tokens_unique(uu)
+            else:
+                um = np.zeros((0, 2), dtype=np.uint8)
+                ul = np.zeros(0, dtype=np.int64)
+            # append the '*.' missing token as the last row
+            wc = max(int(ul.max()) if len(ul) else 2, 2)
+            um2 = np.zeros((len(um) + 1, wc), dtype=np.uint8)
+            um2[:-1] = um[:, :wc]
+            um2[-1, 0] = ord("*")
+            um2[-1, 1] = ord(".")
+            ul2 = np.concatenate((ul, [2]))
+            full_inv = np.full(nrows, len(um), dtype=np.int64)
+            if len(gv):
+                full_inv[~nanm] = inv
+            colmats.append(um2[full_inv])
+            collens.append(ul2[full_inv])
+    # interleave every column's token bytes row-major in one scatter
+    lens = np.stack(collens, axis=1)
+    flat = lens.ravel()
+    offs = np.concatenate(([0], np.cumsum(flat)))[:-1].reshape(nrows, ncols)
+    out = np.empty(int(flat.sum()), dtype=np.uint8)
+    for c in range(ncols):
+        cm, cl = colmats[c], collens[c]
+        ar = np.arange(cm.shape[1])
+        msk = ar[None, :] < cl[:, None]
+        dst = offs[:, c][:, None] + ar[None, :]
+        out[dst[msk]] = cm[msk]
+    return out.tobytes()
 
 
 def _b30_chr(d: int) -> str:
@@ -335,6 +368,317 @@ def _shortest_b30(a: float) -> str:
     if best_err is not None and best_err <= err_full:
         return best_tok
     return full
+
+# ---------------------------------------------------------------------
+# Vectorized token pipeline (round 13, guide §4.2: hand whole batches
+# to vectorized native code inside the Python boundary). The per-value
+# ladder in _num_token costs ~40 µs for a near-unique money column —
+# ~24 s of CPU for a 600 k-row export on that one column. Every float
+# operation of the scalar ladder (render digit loops, carry, the
+# parser's accumulation) is a sequence of IEEE-754 double ops, so the
+# same sequence replayed with numpy float64 lane-wise produces the
+# SAME rounding and therefore the same tokens, byte for byte (pinned
+# by tests/test_por_vec_tokens.py). Values outside the vector domain
+# (±inf, 0<|v|<1/30 exponent-form, |v|≥30^11, and the rare
+# exact-long-form lanes) fall back to the scalar _num_token/-ladder.
+
+_B30_CHARS = b"0123456789ABCDEFGHIJKLMNOPQRST"
+_B30_LO = 30.0**10
+_B30_HI = 30.0**11
+_INV30 = 1.0 / 30.0
+# the parser computes 30.0 ** (-exp) with CPython float pow; use the
+# identical Python-computed values, never np.power
+_NEGPOW30 = [30.0 ** (-float(k)) for k in range(32)]
+
+
+def _b30_rows(v, width: int = 12):
+    """Base-30 digit matrix (len(v), width) of an int64 array with
+    leading zeros, plus each row's first significant index ('0'→last
+    column, so slicing [first:] renders '0')."""
+    import numpy as np
+
+    m = np.empty((len(v), width), dtype=np.int8)
+    x = v.copy()
+    for i in range(width - 1, -1, -1):
+        m[:, i] = (x % 30).astype(np.int8)
+        x //= 30
+    nz = m != 0
+    first = np.where(nz.any(axis=1), nz.argmax(axis=1), width - 1)
+    return m, first
+
+
+def _store_tokens(tm, tl, gidx, negm, idig, ifirst, fd=None, ftl=None, e=None):
+    """Scatter '/'-terminated tokens assembled from digit rows into the
+    byte matrix ``tm`` (rows ``gidx``), lengths into ``tl`` — no
+    per-lane Python. Pieces: [-]istr[.frac][-exp]/ (exp ≥ 0, ≤ 2
+    base-30 digits)."""
+    import numpy as np
+
+    m = len(gidx)
+    if m == 0:
+        return
+    lut = np.frombuffer(_B30_CHARS, dtype=np.uint8)
+    w = idig.shape[1]
+    il = (w - ifirst).astype(np.int64)
+    buf = np.zeros((m, tm.shape[1]), dtype=np.uint8)
+    pos = np.zeros(m, dtype=np.int64)
+    ng = np.asarray(negm, dtype=bool)
+    buf[ng, 0] = ord("-")
+    pos += ng
+    rows = np.arange(m)
+    mx = int(il.max())
+    ar = np.arange(mx)
+    msk = ar[None, :] < il[:, None]
+    src = np.minimum(ifirst[:, None] + ar[None, :], w - 1)
+    vals = lut[idig[rows[:, None], src]]
+    dst = pos[:, None] + ar[None, :]
+    rowm = np.broadcast_to(rows[:, None], (m, mx))
+    buf[rowm[msk], dst[msk]] = vals[msk]
+    pos += il
+    if fd is not None:
+        has = np.flatnonzero(ftl > 0)
+        buf[has, pos[has]] = ord(".")
+        pos += ftl > 0
+        mx2 = int(ftl.max())
+        if mx2:
+            ar2 = np.arange(mx2)
+            msk2 = ar2[None, :] < ftl[:, None]
+            dst2 = pos[:, None] + ar2[None, :]
+            vals2 = lut[fd[:, :mx2].astype(np.intp)]
+            rowm2 = np.broadcast_to(rows[:, None], (m, mx2))
+            buf[rowm2[msk2], dst2[msk2]] = vals2[msk2]
+            pos += ftl
+    if e is not None:
+        he = np.flatnonzero(e > 0)
+        buf[he, pos[he]] = ord("-")
+        pos += e > 0
+        hi = np.flatnonzero(e >= 30)
+        if len(hi):
+            buf[hi, pos[hi]] = lut[e[hi] // 30]
+            pos += e >= 30
+        buf[he, pos[he]] = lut[e[he] % 30]
+        pos += e > 0
+    buf[rows, pos] = ord("/")
+    pos += 1
+    tm[gidx] = buf
+    tl[gidx] = pos
+
+
+def _pos_render_parse(av, frac0, n_int, idig, ifirst, printed0, budget, rounded):
+    """Vectorized _render_b30 main branch (lanes with 1/30 ≤ a < 30^11
+    and a non-integer) followed by the parser's exact accumulation.
+    Returns (parsed, idig', ifirst', fd, tlen) — idig'/ifirst' differ
+    from the inputs only on carry-past-the-lead lanes (istr → n+1)."""
+    import numpy as np
+
+    m = len(av)
+    fd = np.zeros((m, budget), dtype=np.int8)
+    frac = frac0.copy()
+    printed = printed0.astype(np.int64).copy()
+    cnt = np.zeros(m, dtype=np.int64)
+    active = (frac != 0.0) & (printed < budget)
+    while active.any():
+        ai = np.flatnonzero(active)
+        f = frac[ai] * 30.0
+        d = np.floor(f)
+        frac[ai] = f - d
+        fd[ai, cnt[ai]] = d.astype(np.int8)
+        cnt[ai] += 1
+        printed[ai] += 1
+        active[ai] = (frac[ai] != 0.0) & (printed[ai] < budget)
+    idig_o, ifirst_o = idig, ifirst
+    if rounded:
+        rmask = (frac != 0.0) & (np.floor(frac * 30.0) >= 15.0)
+        if rmask.any():
+            carry_over = np.zeros(m, dtype=bool)
+            pos = cnt - 1
+            c = rmask.copy()
+            fd = fd.copy()
+            while c.any():
+                ci = np.flatnonzero(c)
+                under = pos[ci] < 0
+                if under.any():
+                    li = ci[under]
+                    carry_over[li] = True
+                    c[li] = False
+                    ci = ci[~under]
+                if len(ci):
+                    p = pos[ci]
+                    nine = fd[ci, p] == 29
+                    ni = ci[nine]
+                    fd[ni, pos[ni]] = 0
+                    pos[ni] -= 1
+                    di = ci[~nine]
+                    fd[di, pos[di]] += 1
+                    c[di] = False
+            if carry_over.any():
+                nd, nf = _b30_rows(n_int[carry_over] + 1, idig.shape[1])
+                idig_o = idig.copy()
+                ifirst_o = ifirst.copy()
+                idig_o[carry_over] = nd
+                ifirst_o[carry_over] = nf
+    # strip trailing zeros (scalar: tail.rstrip("0") after the carry)
+    idxm = np.arange(budget)[None, :]
+    nzm = (fd != 0) & (idxm < cnt[:, None])
+    anynz = nzm.any(axis=1)
+    tlen = np.where(anynz, budget - np.argmax(nzm[:, ::-1], axis=1), 0)
+    # parser accumulation: int digits then += d/denom per frac digit
+    num = np.zeros(m)
+    for j in range(idig_o.shape[1]):
+        num = num * 30.0 + idig_o[:, j]
+    denom = np.full(m, 30.0)
+    for k in range(int(tlen.max()) if m else 0):
+        mk = k < tlen
+        num[mk] += fd[mk, k] / denom[mk]
+        denom[mk] *= 30.0
+    return num, idig_o, ifirst_o, fd, tlen
+
+
+def _num_tokens_unique(u):
+    """Token byte-matrix for an array of DISTINCT finite-or-inf float64
+    values: returns ``(tm, tl)`` where row i of the uint8 matrix ``tm``
+    holds the first ``tl[i]`` bytes of the '/'-terminated token (sign
+    included) — byte-identical to _num_token(v) lane-wise (NaN is the
+    caller's '*.' case and must not appear)."""
+    import numpy as np
+
+    n = len(u)
+    neg = u < 0.0
+    a = np.abs(u)
+
+    fast_int = (a < _B30_HI) & (np.floor(a) == a)
+    dom = (~fast_int) & (a >= _INV30) & (a < _B30_HI)
+    scal = np.flatnonzero(~(fast_int | dom))
+    stoks = [_num_token(float(u[i])).encode("latin-1") for i in scal]
+    # widest vector token: sign + 12 int digits + '.' + ≤49 frac + '/'
+    W = 64
+    if stoks:
+        W = max(W, max(len(b) for b in stoks))
+    tm = np.zeros((n, W), dtype=np.uint8)
+    tl = np.zeros(n, dtype=np.int64)
+    for i, b in zip(scal, stoks):
+        tm[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        tl[i] = len(b)
+
+    ii = np.flatnonzero(fast_int)
+    if len(ii):
+        idig, ifirst = _b30_rows(a[ii].astype(np.int64))
+        _store_tokens(tm, tl, ii, neg[ii], idig, ifirst)
+
+    dd = np.flatnonzero(dom)
+    if not len(dd):
+        return tm, tl
+    ad = a[dd]
+    negd = neg[dd]
+    ipf = np.floor(ad)
+    frac0 = ad - ipf
+    n_int = ipf.astype(np.int64)
+    idig0, ifirst0 = _b30_rows(n_int)
+    printed0 = np.where(n_int == 0, 1, 12 - ifirst0)
+
+    unresolved = np.ones(len(dd), dtype=bool)
+    # rung 1: positional cut, (budget, rounded) in ladder order
+    for budget in (12, 13):
+        for rounded in (True, False):
+            if not unresolved.any():
+                break
+            s = np.flatnonzero(unresolved)
+            num, idg, ifr, fd, tlen = _pos_render_parse(
+                ad[s], frac0[s], n_int[s], idig0[s], ifirst0[s],
+                printed0[s], budget, rounded,
+            )
+            ex = num == ad[s]
+            if ex.any():
+                w = s[ex]
+                _store_tokens(tm, tl, dd[w], negd[w], idg[ex],
+                              ifr[ex], fd[ex], tlen[ex])
+                unresolved[w] = False
+    if not unresolved.any():
+        return tm, tl
+
+    # rung 2: integer-mantissa × 30^-e, candidates m0, m0±1, m0±2
+    s = np.flatnonzero(unresolved)
+    av = ad[s]
+    x = av.copy()
+    e = np.zeros(len(s), dtype=np.int64)
+    act = x < _B30_LO
+    while act.any():
+        x[act] *= 30.0
+        e[act] += 1
+        act = x < _B30_LO
+    act = x >= _B30_HI
+    while act.any():
+        x[act] /= 30.0
+        e[act] -= 1
+        act = x >= _B30_HI
+    m0 = np.rint(x).astype(np.int64)
+    npow = np.array(_NEGPOW30)
+    best_err = np.full(len(s), np.inf)
+    best_me = np.zeros(len(s), dtype=np.int64)
+    open_ = np.ones(len(s), dtype=bool)
+    for delta in (0, -1, 1, -2, 2):
+        if not open_.any():
+            break
+        me = m0 + delta
+        valid = open_ & (me > 0)
+        vi = np.flatnonzero(valid)
+        if not len(vi):
+            continue
+        dg, fs = _b30_rows(me[vi])
+        num = np.zeros(len(vi))
+        for j in range(12):
+            num = num * 30.0 + dg[:, j]
+        ev = e[vi]
+        pos_e = ev > 0
+        num[pos_e] = num[pos_e] * npow[ev[pos_e]]
+        neg_e = ev < 0
+        if neg_e.any():  # not reachable in-domain; keep scalar parity
+            num[neg_e] = num[neg_e] * (30.0 ** (-(-ev[neg_e]).astype(float)))
+        err = np.abs(num - av[vi])
+        ex = err == 0.0
+        if ex.any():
+            w = vi[ex]
+            _store_tokens(tm, tl, dd[s[w]], negd[s[w]], dg[ex],
+                          fs[ex], e=e[w])
+            open_[w] = False
+            unresolved[s[w]] = False
+        upd = np.flatnonzero(~ex & (err < best_err[vi]))
+        if len(upd):
+            w = vi[upd]
+            best_err[w] = err[upd]
+            best_me[w] = me[w]
+    # rung 3: full expansion; decided against best mantissa candidate.
+    # All rung-2 arrays are aligned to lane set `s`; `open_` marks the
+    # lanes rung 2 left unresolved.
+    oi = np.flatnonzero(open_)
+    if not len(oi):
+        return tm, tl
+    lanes = s[oi]  # dom-local indices
+    num, idg, ifr, fd, tlen = _pos_render_parse(
+        ad[lanes], frac0[lanes], n_int[lanes], idig0[lanes],
+        ifirst0[lanes], printed0[lanes], PRECISION, False,
+    )
+    err_full = np.abs(num - ad[lanes])
+    exact_full = err_full == 0.0
+    # an exact long form exists → the scalar ladder re-derives the
+    # shortest exact budget (20/30/full); rare lanes, go scalar
+    for i in np.flatnonzero(exact_full):
+        gi = dd[lanes[i]]
+        b = _num_token(float(u[gi])).encode("latin-1")
+        tm[gi, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        tl[gi] = len(b)
+    take_best = ~exact_full & (best_err[oi] <= err_full)
+    w = np.flatnonzero(take_best)
+    if len(w):
+        dg, fs = _b30_rows(best_me[oi[w]])
+        _store_tokens(tm, tl, dd[lanes[w]], negd[lanes[w]], dg, fs,
+                      e=e[oi[w]])
+    w = np.flatnonzero(~exact_full & ~take_best)
+    if len(w):
+        _store_tokens(tm, tl, dd[lanes[w]], negd[lanes[w]], idg[w],
+                      ifr[w], fd[w], tlen[w])
+    return tm, tl
+
 
 def _wrap_write(fh, buf: bytes, pos: int) -> int:
     """Write unwrapped stream bytes starting at column ``pos``,

@@ -41,7 +41,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from polars_readstat_spark.writers import ts_epoch_seconds
+from polars_readstat_spark.writers import str_cell_matrix, ts_epoch_seconds
 from polars_readstat_spark.writers.tagged import (
     NO_TAG as _TAG_NONE,
     parse_tag_offsets as _parse_tag_offsets,
@@ -991,11 +991,7 @@ def _pack_rows(cols_data, kinds, widths, row_length, tags_data=None) -> bytes:
     off = 0
     for ci, (col, k, w) in enumerate(zip(cols_data, kinds, widths)):
         if k == "str":
-            mat[:, off : off + w] = 0x20
-            for ri, s in enumerate(col):
-                b = (s if isinstance(s, str) else "").encode("utf-8")[:w]
-                if b:
-                    mat[ri, off : off + len(b)] = np.frombuffer(b, np.uint8)
+            mat[:, off : off + w] = str_cell_matrix(col, w)
         else:
             try:  # pandas Series from the distributed path
                 vals = col.to_numpy(dtype="float64", na_value=np.nan)
@@ -1531,6 +1527,7 @@ def write_sas7bdat(
                 modules=(
                     "polars_readstat_spark.writers.sas7bdat",
                     "polars_readstat_spark.writers.tagged",
+                    "polars_readstat_spark.writers",
                 ),
                 cast=cast_after,
             ):

@@ -39,7 +39,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from polars_readstat_spark.writers import ts_epoch_seconds
+from polars_readstat_spark.writers import str_cell_matrix, ts_epoch_seconds
 
 SYSMIS_BITS = 0xFFEFFFFFFFFFFFFF
 SPSS_SEC_SHIFT = 12_219_379_200
@@ -213,7 +213,10 @@ def write_sav(
         try:
             for payload, _n in chunks_iter(
                 src, pack_fn, 8192,
-                modules=("polars_readstat_spark.writers.sav",),
+                modules=(
+                    "polars_readstat_spark.writers.sav",
+                    "polars_readstat_spark.writers",
+                ),
             ):
                 sink.write(payload)
             if zsav or compress:
@@ -359,10 +362,7 @@ def _pack_columns(cols_data, kinds, widths, el_per, case_size) -> bytes:
     for col, k, w, ne in zip(cols_data, kinds, widths, el_per):
         off = colpos * 8
         if k == "str":
-            for ri, s in enumerate(col):
-                b = (s if isinstance(s, str) else "").encode("utf-8")[: ne * 8]
-                cell = b.ljust(ne * 8, b" ")
-                mat[ri, off : off + ne * 8] = np.frombuffer(cell, dtype=np.uint8)
+            mat[:, off : off + ne * 8] = str_cell_matrix(col, ne * 8)
         else:
             try:  # pandas Series: nullable-aware bulk conversion
                 vals = col.to_numpy(dtype="float64", na_value=np.nan)

@@ -24,7 +24,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from polars_readstat_spark.writers import ts_epoch_seconds
+from polars_readstat_spark.writers import str_cell_matrix, ts_epoch_seconds
 from polars_readstat_spark.writers.tagged import (
     NO_TAG as _TAG_NONE,
     parse_tag_offsets as _parse_tag_offsets,
@@ -197,6 +197,7 @@ def write_xpt(
             modules=(
                 "polars_readstat_spark.writers.xpt",
                 "polars_readstat_spark.writers.tagged",
+                "polars_readstat_spark.writers",
             ),
         ):
             fh.write(payload)
@@ -345,25 +346,13 @@ def _pack_xpt(cols_data, kinds, widths, record_width, tags_data=None) -> bytes:
     off = 0
     for ci, (col, k, w) in enumerate(zip(cols_data, kinds, widths)):
         if k == "str":
-            for ri, s in enumerate(col):
-                # UTF-8, truncated at a character boundary: the xpt
-                # container is raw bytes with no declared charset, and
-                # UTF-8 is what modern SAS sessions (and our reader's
-                # auto-detection) expect — latin-1/replace silently
-                # destroyed non-Latin text
-                full = (s if isinstance(s, str) else "").encode("utf-8")
-                b = full[:w]
-                if len(b) < len(full):
-                    # width-truncated: back off (≤3 bytes) to the last
-                    # complete character so the cell stays valid UTF-8
-                    for _ in range(3):
-                        try:
-                            b.decode("utf-8")
-                            break
-                        except UnicodeDecodeError:
-                            b = b[:-1]
-                b = b.ljust(w)
-                mat[ri, off : off + w] = np.frombuffer(b, dtype=np.uint8)
+            # UTF-8, truncated at a character boundary (the xpt
+            # container is raw bytes with no declared charset, and
+            # UTF-8 is what modern SAS sessions and our reader's
+            # auto-detection expect); encoded once per distinct value
+            mat[:, off : off + w] = str_cell_matrix(
+                col, w, utf8_boundary=True
+            )
         else:
             try:  # pandas Series from the distributed path
                 vals = col.to_numpy(dtype="float64", na_value=np.nan)
