@@ -18,11 +18,12 @@ contributes; 5e-324 flushes to zero) — IEEE gradual-underflow
 semantics at the format's edge.
 
 POR is an eager single file (the format is legacy interchange, not a
-data-plane format at scale); token packing — the expensive per-value
-shortest-form ladder — runs on the executors (iter_packed_chunks,
-integer fast path + per-chunk memo), and the driver only concatenates
-chunk payloads in partition order and wraps the stream at 80 columns
-with one numpy pass per chunk, so memory stays bounded.
+data-plane format at scale); token packing — the shortest-form ladder
+— runs on the executors (iter_packed_chunks*, one numpy lane-wise
+ladder pass per DISTINCT value — see _num_tokens_unique), and the
+driver only concatenates chunk payloads in partition order and wraps
+the stream at 80 columns with one numpy pass per chunk, so memory
+stays bounded.
 """
 
 from __future__ import annotations
