@@ -23,26 +23,53 @@ def run_query(df) -> None:
 
 # stdout-line entry priority (highest first): the driver records only a
 # ~2000-char tail of stdout, so the printed JSON line carries as many
-# entries as fit, taken in this order. Group 0 is the BASELINE.md
-# comparison surface (format reads + exports + harness floors), group 1
-# the flagship LLM-pipeline operators, group 2 the TPC-H suite; the
-# remaining registry entries fill whatever budget is left. Full
-# timings always land in BENCH.json on disk.
-_HEADLINE_BUDGET = 1800  # chars; < driver tail (2000) with margin
+# entries as fit, taken in this order. Group 0 PINS the BASELINE.md
+# headline reads and the retained A/B stream floors (VERDICT r13
+# next#2: the r13 sentinel additions pushed every read_* entry out of
+# the alphabetical prefix, so the driver's PERF window shrank to
+# exports+floors and misread still-running entries as dropped); group
+# 1 is the rest of the read/export/floor surface, then the flagship
+# LLM-pipeline operators and the TPC-H suite. Full timings always
+# land in BENCH.json on disk.
+_HEADLINE_BUDGET = 1900  # chars; < driver tail (2000) with margin
+
+_HEADLINE_PINNED = (
+    "read_dta_10m_full",
+    "read_dta_100m_10files",
+    "read_sas7bdat_acs_full",
+    "read_sas7bdat_acs_subset",
+    "read_sas7bdat_acs_filter",
+    "read_sas7bdat_acs_subset_filter",
+    "read_sav_wide_full",
+    "read_sav_wide_subset",
+    "read_sav_wide_filter",
+    "read_sav_wide_subset_filter",
+    "read_sav_acs_bytecode_full",
+    "read_zsav_acs_full",
+    "read_zsav_acs_subset",
+    "read_zsav_acs_filter",
+    "read_zsav_acs_subset_filter",
+    "floor_stream_1batch",
+    "floor_stream_4batch",
+    "floor_replan5k_lat10_hinted",
+)
+_HEADLINE_PINNED_RANK = {n: i for i, n in enumerate(_HEADLINE_PINNED)}
 
 
-def _headline_priority(name: str) -> tuple[int, str]:
+def _headline_priority(name: str) -> tuple[int, int | str]:
+    if name in _HEADLINE_PINNED_RANK and not name.endswith("_nparts"):
+        return (0, _HEADLINE_PINNED_RANK[name])
     if name.startswith(("read_", "export_", "floor_")):
         if name.endswith("_nparts"):
-            return (3, name)
-        return (0, name)
+            return (4, name)
+        return (1, name)
     if name.startswith(
         ("boilerplate", "minhash", "ann_", "dedup_", "simhash", "kmeans")
     ):
-        return (1, name)
-    if name.startswith("q") and "_" in name and name[1].isdigit():
         return (2, name)
-    return (4, name)
+    if name.startswith("q") and "_" in name and name[1].isdigit():
+        return (3, name)
+    return (5, name)
 
 
 def _total_and_errors(timings: dict) -> tuple[float, list[str]]:
@@ -70,8 +97,12 @@ def _total_and_errors(timings: dict) -> tuple[float, list[str]]:
 
 def _headline_line(payload: dict) -> str:
     """Largest prioritized prefix of `queries` whose compact JSON line
-    fits `_HEADLINE_BUDGET`; everything else stays in BENCH.json."""
+    fits `_HEADLINE_BUDGET`; everything else stays in BENCH.json. The
+    full measurement-method note (~700 chars) lives only in the
+    on-disk record — the stdout line carries a pointer so those chars
+    buy ~20 more query entries in the driver's tail window."""
     base = dict(payload)
+    base["method"] = "see BENCH.json method"
     full = payload["queries"]
     order = sorted(full, key=_headline_priority)
     kept = {}
@@ -1870,11 +1901,17 @@ def main() -> None:
         " tier covers ALL timed entries (abs bar + >2x-vs-prev-round +"
         " A/B pair inversion); _nparts=plan probes; floor_*lat50*/"
         "floor_dedup_scale* grade against each other, not BASELINE;"
-        " *_full_isolated (acs sas + wide sav) = fresh-process"
-        " best-of-5; *_roundtrip_isolated + export_sas7bdat_isolated ="
-        " fresh-process best-of-3 twins of the volatile entries;"
-        " floor_fsseam_* run through the real sources/fs.py"
-        " scheme seam, not option-simulated latency",
+        " *_full_isolated (acs sas + wide sav + bytecode sav + acs"
+        " zsav) = fresh-process best-of-5; *_roundtrip_isolated +"
+        " export_sas7bdat_isolated = fresh-process best-of-3 twins of"
+        " the volatile entries; floor_fsseam_* run through the real"
+        " sources/fs.py scheme seam, not option-simulated latency;"
+        " memo-backed entries (per-session shared intermediates —"
+        " in-sweep per-query attribution is order-dependent, totals"
+        " honest, nothing persists across runs): minhash_lsh_pairs,"
+        " simhash_band_pairs, dedup_incremental_vs_index,"
+        " winnowing_fingerprints/copy_pairs, ann_lsh/ivf_topk+recall,"
+        " dedup_embedding_cosine, dedup_threshold_sweep",
         # the VM-regime yardstick, surfaced so cross-round deltas can
         # be normalized before being read as code changes: these two
         # floors contain zero repo code (a 16-task 1-row Spark job and
@@ -1912,6 +1949,21 @@ def main() -> None:
             "read_sav_wide_full_isolated",
             "--isolated-wide",
             "/tmp/prs_bench_wide_anes_v1.sav",
+        ),
+        # VERDICT r13 next#1a: the SPSS bytecode/zsav read family is
+        # the most volatile unmonitored family in the bench (bytecode
+        # full swung 0.99↔2.26 s across rounds with no code change on
+        # the path) — fresh-process twins + sentinels make the swing
+        # attributable before anyone bisects the decoder
+        (
+            "read_sav_acs_bytecode_full_isolated",
+            "--isolated-bcsav",
+            "/tmp/prs_bench_acs_v1_bc.sav",
+        ),
+        (
+            "read_zsav_acs_full_isolated",
+            "--isolated-zsavacs",
+            "/tmp/prs_bench_acs_v1.zsav",
         ),
         # VERDICT r11 next#3: the volatile scan/export roundtrips
         # (1.7-3.4x cross-round swings at similar floors) get
@@ -2162,6 +2214,10 @@ if __name__ == "__main__":
         _isolated_read_main("/tmp/prs_bench_acs_v2.sas7bdat", "acs")
     elif "--isolated-wide" in sys.argv:
         _isolated_read_main("/tmp/prs_bench_wide_anes_v1.sav", "wide")
+    elif "--isolated-bcsav" in sys.argv:
+        _isolated_read_main("/tmp/prs_bench_acs_v1_bc.sav", "bcsav")
+    elif "--isolated-zsavacs" in sys.argv:
+        _isolated_read_main("/tmp/prs_bench_acs_v1.zsav", "zsavacs")
     elif "--isolated-entry" in sys.argv:
         i = sys.argv.index("--isolated-entry")
         _isolated_entry_main(sys.argv[i + 1], sys.argv[i + 2])
