@@ -49,76 +49,74 @@ def query(name: str, oracle: str | None = None):
 # its code. Queries past position 50 still run in the local gate
 # (tools/check_correctness.py covers the whole registry).
 _PRIORITY: tuple[str, ...] = (
-    # round 13 window, part 1 — never driver-checked, all on this
-    # round's changed paths: the hazard-free `where` option
-    # (scan_where_option), per-stripe intra-file zone maps
-    # (scan_zonemap_stripe_prune), and the r12-new file-level string
-    # zone-map probe that missed the r12 window
-    # (scan_zonemap_prune; VERDICT r12 missing#1). Order computed by
+    # round 14 window, part 1 — changed-path-first (VERDICT r13
+    # next#3): the r13-vectorized writer kernels (POR base-30 token
+    # ladder, shared string-cell pack for sav/zsav/xpt/sas7bdat) and
+    # the round-14 export drain rework get their first driver greens
+    # through the writer-backed roundtrips; the four streaming oracle
+    # queries cover the bucketed sessionizer + Arrow drain (r13) and
+    # any r14 sessionizer change. scan_sav_compressed_roundtrip rides
+    # along: it exercises the bytecode decode path this round's read
+    # instrumentation targets. Order computed by
     # tools/rotation_plan.py from the CORRECTNESS_r*.json union.
-    "scan_where_option",
-    "scan_zonemap_stripe_prune",
-    "scan_zonemap_date_prune",
-    "scan_zonemap_index_prune",
-    "scan_zonemap_bloom_prune",
-    "scan_hive_layout_prune",
-    "scan_zonemap_prune",
-    # part 2: the 33 queries whose newest driver green is r09 — they
-    # hit the 4-round staleness boundary this round (VERDICT r12
-    # next#1); after this window lands no query's newest driver
-    # green predates r10.
-    "compress_all_midnight",
-    "compress_string_numeric_parse",
-    "decontaminate_ngram_overlap",
-    "curation_funnel_stage_counts",
-    "source_cap_topk",
-    "chunk_documents_overlap",
-    "corpus_clean_pipeline",
-    "catalog_label_case_decode",
-    "catalog_scan_formats",
-    "schema_override_cast",
-    "semi_join_customers_with_orders",
-    "union_distinct_keys",
-    "topk_orders_per_customer",
-    "sample_quality_weighted",
-    "scan_sas7bdat_types",
-    "scan_sas7bdat_rle",
-    "scan_sas7bdat_rdc",
-    "scan_sas7bdat_bigendian",
-    "scan_sas7bdat_mixpage",
+    "scan_por_roundtrip",
+    "scan_sav_roundtrip",
+    "scan_zsav_roundtrip",
+    "scan_xpt_roundtrip",
+    "scan_sas7bdat_roundtrip",
+    "scan_sav_compressed_roundtrip",
     "scan_dta_roundtrip",
-    "scan_dta_pushdown",
-    "scan_dta_value_labels",
-    "scan_dta_informative_nulls",
-    "scan_sas7bdat_informative_nulls",
-    "scan_dta_tagged_missing",
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "dedup_embedding_cosine",
-    "bpe_merge_candidates",
-    "lang_id_confusion",
-    "asof_join_purchase_click",
-    "decontaminate_hash_prefilter",
-    # part 3: r10-greens filling the window to 50, sink/scan-family
-    # first (the sink's manifest format and the reader's partition
-    # pruning changed this round).
-    "scan_sink_dir_roundtrip",
-    "scan_sas7bdat_rle_roundtrip",
-    "scan_sas7bdat_rdc_roundtrip",
-    "scan_dta_multifile",
-    "scan_federated_join",
-    "row_index_ordered",
-    "row_index_collision_guard",
-    "sort_by_index_roundtrip",
-    "dedup_exact_hash",
-    "minhash_lsh_pairs",
+    "stream_sessionize_stateful",
+    "stream_hourly_window",
+    "stream_dedup_watermark",
+    "stream_ingest_agg",
+    # part 2: the 28 queries whose newest driver green is r10 — the
+    # staleness frontier (rotation contract: no green older than 4
+    # rounds); after this window lands no query's newest driver green
+    # predates r11.
     "simhash_band_pairs",
     "dedup_connected_components",
     "dedup_edit_distance_verify",
     "winnowing_fingerprints",
+    "winnowing_copy_pairs",
+    "kmeans_update_step",
+    "embedding_quantize_int8",
+    "text_bpe_token_count",
+    "text_ngram_topk",
+    "text_rare_token_ratio",
+    "text_gopher_quality_rules",
+    "range_join_click_purchase_1h",
+    "window_lag_delta",
+    "salted_skew_agg",
+    "event_value_histogram",
+    "funnel_click_to_purchase",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q12_linestatus_priority",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q19_or_predicate_revenue",
+    "q20_excess_shipments",
+    "q21_waiting_supplier",
+    # part 3: r11-greens filling the window to 50, oldest-first per
+    # tools/rotation_plan.py registration order.
+    "pii_pattern_counts",
+    "pii_redact",
+    "training_sequence_pack",
+    "training_shard_shuffle",
+    "dedup_keep_first_records",
+    "minhash_signatures",
+    "ngram_jaccard_sampled",
+    "ngram_containment_sampled",
+    "dedup_keep_best_quality",
+    "dedup_incremental_vs_index",
+    "multimodal_media_meta",
     # positions 51+ follow registration order (the remaining
-    # r10/r11/r12-green families wait their turn; the local gate
+    # r11/r12/r13-green families wait their turn; the local gate
     # still covers the whole registry each round).
 )
 
