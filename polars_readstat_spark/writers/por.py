@@ -834,8 +834,8 @@ def write_por(
                 w.string(label[:255])
         w.write("F")
         from polars_readstat_spark.writers import (
+            iter_ordered_packed,
             iter_packed_chunks,
-            iter_packed_chunks_wide,
         )
 
         kinds_l = list(kinds)
@@ -851,10 +851,17 @@ def write_por(
             "polars_readstat_spark.writers.por",
             "polars_readstat_spark.sources.por.b30",
         )
+        # wide protocol: cast AFTER the repartition (guide §2.3) — the
+        # range-bounds sampling pass then re-executes only the bare
+        # scan + order tags, not the date/double casts (same fix as
+        # sav/xpt; `sel` resolves by name on the shuffled frame)
         chunks = (
-            iter_packed_chunks_wide(
-                src, lambda pdf: _pack_por_chunk(pdf, kinds_l), 8192,
+            iter_ordered_packed(
+                df, lambda pdf: _pack_por_chunk(pdf, kinds_l), 8192,
                 modules=por_mods,
+                cast=lambda b: b.select(
+                    *sel, F.col("__prs_mid"), F.col("__prs_cid")
+                ),
             )
             if int(stats["__n"]) >= 100_000
             else iter_packed_chunks(

@@ -192,8 +192,8 @@ def write_sav(
         # capping pack parallelism at the scan's partition count
         # (guide §2.6 idle capacity; same policy as the por writer).
         from polars_readstat_spark.writers import (
+            iter_ordered_packed,
             iter_packed_chunks,
-            iter_packed_chunks_wide,
         )
 
         kinds_l, widths_l, el_l, cs = (
@@ -206,18 +206,29 @@ def write_sav(
                 kinds_l, widths_l, el_l, cs,
             )
 
-        chunks_iter = (
-            iter_packed_chunks_wide if int(nrows) >= 100_000
-            else iter_packed_chunks
+        sav_mods = (
+            "polars_readstat_spark.writers.sav",
+            "polars_readstat_spark.writers",
+        )
+        # wide protocol: cast AFTER the repartition (guide §2.3 —
+        # project before the exchange). RangePartitioner's bounds
+        # sampling re-executes the exchange child once; with the cast
+        # post-shuffle that extra pass is the bare scan + order tags,
+        # not scan + date/double casts (measured: the pre-cast child
+        # cost the sav export ~0.4 s/run at sf0.1, r14)
+        chunks = (
+            iter_ordered_packed(
+                df, pack_fn, 8192, modules=sav_mods,
+                cast=lambda b: _sav_cast(
+                    b, fields, kinds,
+                    extra=[F.col("__prs_mid"), F.col("__prs_cid")],
+                ),
+            )
+            if int(nrows) >= 100_000
+            else iter_packed_chunks(src, pack_fn, 8192, modules=sav_mods)
         )
         try:
-            for payload, _n in chunks_iter(
-                src, pack_fn, 8192,
-                modules=(
-                    "polars_readstat_spark.writers.sav",
-                    "polars_readstat_spark.writers",
-                ),
-            ):
+            for payload, _n in chunks:
                 sink.write(payload)
             if zsav or compress:
                 sink.close()
@@ -323,9 +334,10 @@ def _sav_dictionary(
     return out
 
 
-def _sav_cast(df: DataFrame, fields, kinds) -> DataFrame:
+def _sav_cast(df: DataFrame, fields, kinds, extra=()) -> DataFrame:
     """Select casts once so every batch arrives pre-converted (dates →
-    seconds since 1582, etc.)."""
+    seconds since 1582, etc.). ``extra`` appends pass-through columns
+    (the wide protocol's __prs_mid/__prs_cid order tags)."""
     sel = []
     for i, f in enumerate(fields):
         c = F.col(f.name)
@@ -346,7 +358,7 @@ def _sav_cast(df: DataFrame, fields, kinds) -> DataFrame:
             sel.append((c.cast("double") / 1e9).alias(f.name))
         else:
             sel.append(c.alias(f.name))
-    return df.select(*sel)
+    return df.select(*sel, *extra)
 
 
 _SYSMIS_LE = np.frombuffer(struct.pack("<Q", SYSMIS_BITS), dtype=np.uint8)

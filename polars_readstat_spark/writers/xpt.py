@@ -163,10 +163,7 @@ def write_xpt(
     # concatenates fixed-width records in partition order. Big exports
     # take the all-cores JVM-tagged protocol (see iter_ordered_packed;
     # same ≥100k-row policy as the por/sav writers).
-    from polars_readstat_spark.writers import (
-        iter_packed_chunks,
-        iter_packed_chunks_wide,
-    )
+    from polars_readstat_spark.writers import iter_packed_chunks
 
     kinds_l, widths_l = list(kinds), list(widths)
     tag_slot_l, ncols_l, rw = dict(tag_slot), ncols, record_width
@@ -185,21 +182,36 @@ def write_xpt(
 
     from polars_readstat_spark.sources.fs import fs_open_output
 
-    chunks_iter = (
-        iter_packed_chunks_wide if int(stats["__n"]) >= 100_000
-        else iter_packed_chunks
+    from polars_readstat_spark.writers import iter_ordered_packed
+
+    xpt_mods = (
+        "polars_readstat_spark.writers.xpt",
+        "polars_readstat_spark.writers.tagged",
+        "polars_readstat_spark.writers",
+    )
+    tag_exprs = [
+        F.col(c).cast("string").alias(f"__tag_{i}")
+        for i, c in enumerate(ind_names)
+    ]
+    # wide protocol: cast AFTER the repartition (guide §2.3) — the
+    # range-bounds sampling pass then re-executes only the bare scan
+    # + order tags, not the date/double casts (same fix as sav)
+    chunks = (
+        iter_ordered_packed(
+            df, pack_fn, 8192, modules=xpt_mods,
+            cast=lambda b: _xpt_cast(
+                b, fields, kinds,
+                extra=tag_exprs
+                + [F.col("__prs_mid"), F.col("__prs_cid")],
+            ),
+        )
+        if int(stats["__n"]) >= 100_000
+        else iter_packed_chunks(src, pack_fn, 8192, modules=xpt_mods)
     )
     with fs_open_output(path) as fh:
         fh.write(bytes(out))
         total = 0
-        for payload, _n in chunks_iter(
-            src, pack_fn, 8192,
-            modules=(
-                "polars_readstat_spark.writers.xpt",
-                "polars_readstat_spark.writers.tagged",
-                "polars_readstat_spark.writers",
-            ),
-        ):
+        for payload, _n in chunks:
             fh.write(payload)
             total += len(payload)
         fh.write(b" " * ((-total) % 80))
